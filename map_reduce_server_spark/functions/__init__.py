@@ -1,0 +1,1 @@
+"""Reusable column-level function library (all JVM-side built-ins)."""

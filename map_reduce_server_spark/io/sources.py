@@ -1,0 +1,26 @@
+"""Sources.
+
+The reference's one source is "directory of line-oriented text
+files" (reference ``master/__main__.py:288-289`` lists and sorts the
+directory; workers stream lines, ``worker/__main__.py:109-117``).
+Here that's ``spark.read.text`` + ``input_file_name()`` so file
+provenance survives into the plan; parquet/csv/json come free via
+``spark.read`` and are exercised in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text_dir(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Read a directory of text files → DataFrame[file, value].
+
+    ``file`` is the source file name (not full path), matching the
+    reference's per-file task accounting (SURVEY.md §2.A#1).
+    """
+    return spark.read.text(input_dir).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+        F.col("value"),
+    )

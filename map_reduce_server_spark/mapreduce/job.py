@@ -1,0 +1,112 @@
+"""The reference's observable contract, on Spark.
+
+Reference pipeline (``master/__main__.py:220-467``):
+
+1. list + sort input files, deal file i to map task ``i % num_mappers``
+   (``master/__main__.py:288-297``);
+2. stream each file through the mapper executable, stdin→stdout
+   (``worker/__main__.py:105-131``);
+3. sort all mapped lines lexicographically **by whole line**
+   (``worker/__main__.py:141`` + master k-way merge
+   ``master/__main__.py:236-249``);
+4. walk the merged stream, incrementing a dense rank whenever the
+   line changes, and deal each line to reducer
+   ``rank % num_reducers`` (``master/__main__.py:249-256``) — so all
+   copies of a line land together and distinct lines round-robin in
+   sorted order;
+5. stream each reducer partition (sorted) through the reducer
+   executable; copy outputs to ``outputfile{NN}``
+   (``master/__main__.py:448-467``).
+
+Spark mapping: (2)/(5) are ``RDD.pipe``; (3)+(4) are one
+``repartitionAndSortWithinPartitions`` with a partitioner keyed by
+the dense rank of the line — computed distributedly via
+``sortBy().zipWithIndex()`` over the distinct lines (two narrow
+passes; no driver-side data). Spark's scheduler/shuffle/retries
+subsume the reference's entire control plane (SURVEY.md §2.C).
+"""
+
+from __future__ import annotations
+
+import os
+import shlex
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from map_reduce_server_spark.io.sinks import write_numbered_text
+
+
+@dataclass(frozen=True)
+class MapReduceJob:
+    """Mirror of the reference's job message (``submit.py:59-67``)."""
+
+    input_directory: str
+    output_directory: str
+    mapper_executable: str
+    reducer_executable: str
+    num_mappers: int = 4
+    num_reducers: int = 2
+
+
+def _list_input_files(input_dir: str) -> list[str]:
+    """Sorted file list, as the reference's master builds it
+    (``master/__main__.py:288-289``)."""
+    return sorted(
+        os.path.join(input_dir, f)
+        for f in os.listdir(input_dir)
+        if os.path.isfile(os.path.join(input_dir, f))
+    )
+
+
+def _pipe_cmd(executable: str) -> str:
+    """Quote an executable path for RDD.pipe."""
+    return " ".join(shlex.quote(p) for p in shlex.split(executable))
+
+
+def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
+    """Execute a MapReduce job; returns the output file paths.
+
+    Semantics parity notes:
+    - per-FILE mapper granularity: each input file is one partition,
+      so the mapper executable sees exactly one file's lines on stdin
+      (reference contract ``worker/__main__.py:109-117``);
+    - grouping key is the ENTIRE line (quirk §8.2 of SURVEY.md):
+      ``a\\t1`` and ``a\\t2`` are different groups;
+    - reducer partition of a distinct line = dense rank in global
+      sorted order mod num_reducers, and lines within a partition
+      arrive sorted.
+    """
+    sc = spark.sparkContext
+    files = _list_input_files(job.input_directory)
+    if not files:
+        raise ValueError(f"no input files in {job.input_directory}")
+
+    # --- map stage: one partition per input file, piped through the
+    # mapper. minPartitions=1 per file keeps file==partition.
+    per_file = [sc.textFile(f, minPartitions=1).coalesce(1) for f in files]
+    mapped = sc.union(per_file).pipe(_pipe_cmd(job.mapper_executable))
+
+    # --- group stage: dense-rank the distinct lines in sorted order
+    # (distributed: sortBy + zipWithIndex are both cluster-side), then
+    # shuffle every line to partition rank % R, sorted within.
+    num_reducers = job.num_reducers
+    ranked = (
+        mapped.distinct()
+        .sortBy(lambda line: line)
+        .zipWithIndex()  # (line, dense_rank) — rank dense because input distinct
+    )
+    keyed = mapped.map(lambda line: (line, None)).join(
+        ranked.map(lambda lr: (lr[0], lr[1]))
+    )  # (line, (None, rank))
+    by_rank = keyed.map(lambda kv: ((kv[1][1] % num_reducers, kv[0]), None))
+    grouped = by_rank.repartitionAndSortWithinPartitions(
+        numPartitions=num_reducers, partitionFunc=lambda key: key[0]
+    ).map(lambda kv: kv[0][1])
+
+    # --- reduce stage: pipe each sorted partition through the reducer.
+    reduced = grouped.pipe(_pipe_cmd(job.reducer_executable))
+
+    # --- finalize: outputfileNN naming (master/__main__.py:456-463).
+    out_df = reduced.map(lambda line: (line,)).toDF(["value"])
+    return write_numbered_text(out_df, job.output_directory)

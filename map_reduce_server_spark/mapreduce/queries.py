@@ -1,0 +1,95 @@
+"""Oracle-checked queries that run THROUGH the MapReduce façade.
+
+These exercise the reference's full end-to-end path (text dir →
+pipe(mapper) → sort/group-partition → pipe(reducer) → outputfileNN)
+and check the result against plain SQL — the strongest parity
+evidence available: the façade's output must equal the relational
+answer for the reference's two canonical workloads
+(``tests/test_integration_01.py`` / ``_02.py`` semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_server_spark.mapreduce.job import MapReduceJob, run_job
+from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.tables import load_table
+
+_EXAMPLES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples")
+
+
+def _exe(name: str) -> str:
+    return f"python3 {os.path.join(_EXAMPLES, name)}"
+
+
+def _documents_as_text_dir(spark: SparkSession, sf_dir: str, dest: str) -> str:
+    """Materialize documents.text as a 4-file text directory (the
+    reference's input format)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("text").repartition(4).write.mode("overwrite").text(dest)
+    # Drop _SUCCESS etc. so the façade sees only data files.
+    for f in os.listdir(dest):
+        if not f.startswith("part-"):
+            os.remove(os.path.join(dest, f))
+    return dest
+
+
+def _run_facade(
+    spark: SparkSession, sf_dir: str, mapper: str, reducer: str
+) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="mrss_job_")
+    input_dir = os.path.join(work, "input")
+    output_dir = os.path.join(work, "output")
+    _documents_as_text_dir(spark, sf_dir, input_dir)
+    job = MapReduceJob(
+        input_directory=input_dir,
+        output_directory=output_dir,
+        mapper_executable=_exe(mapper),
+        reducer_executable=_exe(reducer),
+        num_mappers=4,
+        num_reducers=2,
+    )
+    run_job(spark, job)
+    out = spark.read.text(output_dir).cache()
+    out.count()  # materialize before the temp dir can be cleaned
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
+    "mr_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+          FROM documents) t
+    GROUP BY word
+    """,
+)
+def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordcount through the full MapReduce façade; must equal the
+    relational wordcount."""
+    out = _run_facade(spark, sf_dir, "wc_map.py", "wc_reduce.py")
+    parts = F.split(F.col("value"), "\t")
+    return out.select(
+        F.element_at(parts, 1).alias("word"),
+        F.element_at(parts, 2).cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "mr_grep",
+    oracle="""
+    SELECT text FROM documents WHERE contains(lower(text), 'join')
+    """,
+)
+def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep through the full MapReduce façade; must equal the
+    relational filter."""
+    out = _run_facade(spark, sf_dir, "grep_map.py", "grep_reduce.py")
+    return out.select(F.col("value").alias("text"))

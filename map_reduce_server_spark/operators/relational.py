@@ -1,0 +1,690 @@
+"""Relational operator library — declarative DataFrame plans.
+
+The reference engine has no relational operators: projection and
+filtering exist only inside user executables (reference
+``tests/testdata/exec/grep_map.py:27-28``), aggregation only as
+``uniq -c`` in a reducer (``tests/testdata/exec/wc_reduce.sh:14``),
+and there are no joins/windows/set-ops at all (SURVEY.md §2.D).
+Everything here is therefore the generalization of the reference's
+map→shuffle→reduce contract into Catalyst-optimized plans.
+
+Scale notes (100 TB design stance):
+
+- fact-to-fact joins (orders⋈lineitem) are left to Catalyst's
+  sort-merge join + AQE; both sides shuffle on the join key once and
+  grouping that follows on the same key reuses the exchange;
+- dimension joins (region/nation/supplier) are explicitly
+  ``broadcast()`` — at any scale factor those stay tiny;
+- every aggregate uses exact decimal sums (order-independent → the
+  same bits on 1 core or 1000 executors, see functions/exact.py);
+- no driver-side collects anywhere; LIMIT/top-k run as TakeOrdered /
+  window-rank, both of which push partial limits into each partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_server_spark.functions.exact import dsum, davg, sql_davg, sql_dsum
+from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.tables import load_table
+
+REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue_col() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum(REVENUE, scale=6)} AS sum_disc_price,
+           {sql_dsum(f'({REVENUE}) * (1 + l_tax)', scale=6)} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount', scale=6)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (scan → filter → hash agg).
+
+    Reference analog: the wordcount pattern (map emit → group →
+    count, reference ``tests/testdata/exec/wc_reduce.sh:14``)
+    generalized to multi-measure aggregation. Catalyst plans a
+    partial+final hash aggregate (map-side combine the reference
+    lacks entirely).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(_revenue_col(), scale=6).alias("sum_disc_price"),
+            dsum(_revenue_col() * (F.lit(1.0) + F.col("l_tax")), scale=6).alias(
+                "sum_charge"
+            ),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", scale=6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_group_having",
+    oracle=f"""
+    SELECT c_nationkey,
+           {sql_davg('c_acctbal')} AS avg_bal,
+           {sql_dsum('c_acctbal')} AS sum_bal,
+           COUNT(*) AS n_cust
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            davg("c_acctbal").alias("avg_bal"),
+            dsum("c_acctbal").alias("sum_bal"),
+            F.count("*").alias("n_cust"),
+        )
+        .filter(F.col("n_cust") > 1)
+    )
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT(DISTINCT) (Catalyst expands + re-aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_rollup",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (absent from the reference, §2.D)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
+    "q_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two lineitem flag columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register(
+    "q_pivot_events",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-user count columns."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", kinds).count().na.fill(0)
+    for k in kinds:
+        out = out.withColumnRenamed(k, f"n_{k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum(REVENUE, scale=6)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective join + agg + top-k.
+
+    customer is small relative to the facts → broadcast; the
+    orders⋈lineitem join is the real shuffle and both filters are
+    pushed to the parquet scans by Catalyst.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_revenue_col(), scale=6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {sql_dsum(REVENUE, scale=6)} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    bench=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-table join; dims broadcast, facts sort-merge."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(_revenue_col(), scale=6).alias("revenue"))
+    )
+
+
+@register(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join keeping order-less customers (count = 0)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    return supp.join(
+        li, supp.s_suppkey == li.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return part.join(
+        li, part.p_partkey == li.l_partkey, "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------------
+# Windows / sort / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_funcs",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(row_number() OVER w AS INTEGER) AS rn,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           lag(c_acctbal) OVER w AS prev_bal,
+           lead(c_acctbal) OVER w AS next_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + offset window functions per nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("c_acctbal").over(w).alias("prev_bal"),
+        F.lead("c_acctbal").over(w).alias("next_bal"),
+    )
+
+
+@register(
+    "q_window_running",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) OVER (
+                PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+    bench=True,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (prefix) sum per supplier — exact decimal frame sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(30,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+    ) t WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand (window rank ≤ k — partial-pushed)."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+@register(
+    "q_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrdered — no full sort materialization)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    WITH building AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), big_spenders AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+    )
+    SELECT 'both' AS tag, k FROM (SELECT k FROM building INTERSECT SELECT k FROM big_spenders) a
+    UNION ALL
+    SELECT 'building_only' AS tag, k FROM (SELECT k FROM building EXCEPT SELECT k FROM big_spenders) b
+    UNION ALL
+    SELECT 'big_only' AS tag, k FROM (SELECT k FROM big_spenders EXCEPT SELECT k FROM building) c
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one tagged result."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    big = (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    both = building.intersect(big).select(F.lit("both").alias("tag"), "k")
+    b_only = building.subtract(big).select(F.lit("building_only").alias("tag"), "k")
+    g_only = big.subtract(building).select(F.lit("big_only").alias("tag"), "k")
+    return both.unionAll(b_only).unionAll(g_only)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (string / date / math / array / json)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_type) AS type_upper,
+           lower(p_name) AS name_lower,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substr(p_type, 1, 5) AS type_prefix,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           CAST(replace(p_brand, 'Brand#', '') AS INTEGER) AS brand_num,
+           p_brand || '/' || p_type AS brand_type,
+           trim(p_name) AS name_trim,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 'brass' ELSE 'other' END AS material
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string functions (in the reference these live inside
+    user executables, e.g. ``tr``/``awk`` in ``wc_map.sh:12``)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.lower("p_name").alias("name_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.regexp_replace("p_brand", "Brand#", "").cast("int").alias("brand_num"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.when(F.col("p_type").like("%BRASS%"), F.lit("brass"))
+        .otherwise(F.lit("other"))
+        .alias("material"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
+             AS days_since_epoch_start,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/timestamp functions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           round(p_retailprice * 1.1, 2) AS price_up,
+           abs(p_retailprice - 1000.0) AS dist_1000,
+           floor(p_retailprice) AS price_floor,
+           ceil(p_retailprice) AS price_ceil,
+           sqrt(p_retailprice) AS price_sqrt,
+           round(ln(p_retailprice), 9) AS price_ln,
+           CAST(p_size % 5 AS INTEGER) AS size_mod5,
+           power(CAST(p_size AS DOUBLE), 2.0) AS size_sq
+    FROM part
+    WHERE p_retailprice > 0
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math functions (bit-deterministic on identical input)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_retailprice") > 0).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_up"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("dist_1000"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.sqrt("p_retailprice").alias("price_sqrt"),
+        # ln differs from the oracle's libm by 1 ulp on some inputs —
+        # round to bound the comparison (and any cross-libm drift).
+        F.round(F.log("p_retailprice"), 9).alias("price_ln"),
+        (F.col("p_size") % 5).alias("size_mod5"),
+        F.pow(F.col("p_size").cast("double"), 2.0).alias("size_sq"),
+    )
+
+
+@register(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(list_sum(embedding::DOUBLE[]), 6) AS vec_sum
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(vec, 1), 6).alias("first_val"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("vec_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization (windows over time)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts > lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                        + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+    FROM flagged GROUP BY user_id
+    """,
+    bench=True,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative new-session flags).
+
+    This is the batch analog of a streaming session window; at 100 TB
+    the per-user partition stays small so the single window shuffle on
+    user_id is the whole cost.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("is_new").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

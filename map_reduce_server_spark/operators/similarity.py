@@ -1,0 +1,237 @@
+"""Similarity search over the ``embeddings`` table.
+
+Brute-force cosine top-k is the exact baseline; the IVF/LSH-bucketed
+variant is the scale path (bucket = partition-prunable key at 100 TB,
+so a query probes 1/2^H of the corpus instead of all of it). All
+vector math is JVM-side ``zip_with``/``aggregate`` (sequential fold →
+deterministic, oracle-comparable); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_server_spark.functions.vector import cosine
+from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.tables import load_table
+
+_N_QUERIES = 8  # vec_id < 8 are the benchmark query vectors
+_TOP_K = 5
+
+_SQL_COS = (
+    "list_dot_product({a}, {b}) / "
+    "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b}))"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM e
+          WHERE vec_id < {_N_QUERIES})
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(rnk AS INTEGER) AS rnk,
+           round(cos, 6) AS cos_sim
+    FROM (
+      SELECT query_id, vec_id,
+             {_SQL_COS.format(a='qvec', b='vec')} AS cos,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_SQL_COS.format(a='qvec', b='vec')} DESC, vec_id
+             ) AS rnk
+      FROM q CROSS JOIN e
+      WHERE vec_id <> query_id
+    ) t WHERE rnk <= {_TOP_K}
+    """,
+    bench=True,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, scan the corpus
+    once, per-query window rank. The corpus side never shuffles its
+    vectors — only (query_id, vec_id, cos) survive to the rank."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qvec"), F.col("vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+# --- LSH-bucketed ANN (random-hyperplane signs → bucket) --------------------
+
+_N_PLANES = 4
+_DIM = 64
+
+# Engine-portable pseudo-random hyperplanes: component d of plane j is
+# a deterministic function of md5(f"{j}:{d}") mapped into [-1, 1].
+_SQL_PLANE = (
+    "list_transform(range(1, {dim} + 1), d -> "
+    "(CAST(('0x' || substr(md5('{j}:' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) "
+    "% 2000001 - 1000000) / 1000000.0)"
+)
+
+
+def _plane_col(j: int) -> Column:
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(_DIM)),
+        lambda d: (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), d.cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % 2000001
+            - 1000000
+        )
+        / 1000000.0,
+    )
+
+
+def _bucket_col(vec: Column) -> Column:
+    """Bucket id = sign bits of the vector's dot with each plane."""
+    bucket = F.lit(0)
+    for j in range(_N_PLANES):
+        dot_j = F.aggregate(
+            F.zip_with(vec, _plane_col(j), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def _sql_bucket(vec: str) -> str:
+    terms = []
+    for j in range(_N_PLANES):
+        plane = _SQL_PLANE.format(dim=_DIM, j=j)
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}, {plane}) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec,
+             {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, bucket AS qbucket
+          FROM e WHERE vec_id < {_N_QUERIES})
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(rnk AS INTEGER) AS rnk,
+           round(cos, 6) AS cos_sim
+    FROM (
+      SELECT query_id, vec_id,
+             {_SQL_COS.format(a='qvec', b='vec')} AS cos,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_SQL_COS.format(a='qvec', b='vec')} DESC, vec_id
+             ) AS rnk
+      FROM q JOIN e ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+    ) t WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket, search only
+    the query's bucket. At 100 TB the corpus is written partitioned
+    by bucket, so a query reads 1/2^H of the data (partition
+    pruning); here the bucket is computed on the fly."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("vec")))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qvec"), F.col("vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec,
+             label,
+             {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_SQL_COS.format(a='a.vec', b='b.vec')}, 6) AS cos_sim
+    FROM e a JOIN e b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_SQL_COS.format(a='a.vec', b='b.vec')} >= 0.92
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: LSH-bucket candidates, verify
+    cosine ≥ 0.92. Same bucketing as ann_topk_lsh, so at scale the
+    self-join is bucket-co-partitioned (no all-pairs shuffle)."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("vec")))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine(F.col("a.vec"), F.col("b.vec"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.92)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-conscious defaults.
+
+The reference engine hand-rolls its runtime (master/worker TCP/UDP,
+reference ``mapreduce/master/__main__.py:56-68``); on Spark the
+runtime already exists, so the only thing to configure is the SQL
+engine: AQE on (runtime re-planning, skew-join handling), shuffle
+partitions sized to the local core count (they'd be sized to the
+cluster at 100 TB), Arrow for any Python-side exchange, and a pinned
+UTC session timezone so results compare exactly against external
+oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "map_reduce_server_spark",
+    cpus: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``. On a real
+    cluster the ``master`` setting comes from spark-submit and these
+    SQL configs carry over unchanged.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: coalesce post-shuffle partitions, convert to broadcast
+        # joins at runtime, split skewed partitions — all essential at
+        # 100 TB and harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ~cores locally; AQE coalesces down when data is small.
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
+        # type, so read as long and convert (see tables.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, val)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,155 @@
+"""Parity tests for the MapReduce façade, mirroring the reference's
+test strategy (SURVEY.md §5): end-to-end golden queries checked
+order-insensitively, empty-key edge cases, and the round-robin
+distinct-line partitioning semantics (reference
+``master/__main__.py:249-256``, ``tests/test_master_08.py:164-179``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pytest
+
+from map_reduce_server_spark.mapreduce import MapReduceJob, run_job
+
+_EXAMPLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "map_reduce_server_spark",
+    "mapreduce",
+    "examples",
+)
+
+# Original fixture corpus (reference-shaped: small files, mixed case,
+# double spaces → empty tokens, a 'join' needle for grep).
+FILES = {
+    "file01": "spark makes join fast\nGROUP BY is a shuffle\n",
+    "file02": "the  quick shuffle\njoin the table scan\n",
+    "file03": "Filter Before The JOIN\n\n",
+    "file04": "aggregate partial merge\nspark spark spark\n",
+}
+
+
+@pytest.fixture()
+def input_dir(tmp_path):
+    d = tmp_path / "input"
+    d.mkdir()
+    for name, content in FILES.items():
+        (d / name).write_text(content)
+    return str(d)
+
+
+def _read_outputs(output_dir: str) -> list[str]:
+    lines = []
+    for f in sorted(os.listdir(output_dir)):
+        if f.startswith("outputfile"):
+            with open(os.path.join(output_dir, f)) as fh:
+                lines.extend(line.rstrip("\n") for line in fh)
+    return lines
+
+
+def _expected_wordcount() -> Counter:
+    c: Counter = Counter()
+    for content in FILES.values():
+        for line in content.split("\n")[:-1]:
+            for tok in line.lower().replace("\t", " ").split(" "):
+                c[tok] += 1
+    return c
+
+
+def test_wordcount_end_to_end(spark, tmp_path, input_dir):
+    out = str(tmp_path / "out")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=input_dir,
+            output_directory=out,
+            mapper_executable=f"python3 {_EXAMPLES}/wc_map.py",
+            reducer_executable=f"python3 {_EXAMPLES}/wc_reduce.py",
+            num_mappers=4,
+            num_reducers=2,
+        ),
+    )
+    got = Counter()
+    for line in _read_outputs(out):
+        word, _, n = line.rpartition("\t")
+        got[word] += int(n)
+    expected = _expected_wordcount()
+    assert got == expected
+    # the empty-string key must survive aggregation (SURVEY.md §1.2):
+    # "the  quick" and the empty line contribute empty tokens.
+    assert "" in got and got[""] == expected[""] >= 1
+
+
+def test_grep_end_to_end(spark, tmp_path, input_dir):
+    out = str(tmp_path / "out")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=input_dir,
+            output_directory=out,
+            mapper_executable=f"python3 {_EXAMPLES}/grep_map.py",
+            reducer_executable=f"python3 {_EXAMPLES}/grep_reduce.py",
+            num_mappers=2,
+            num_reducers=1,
+        ),
+    )
+    expected = sorted(
+        line
+        for content in FILES.values()
+        for line in content.split("\n")[:-1]
+        if "join" in line.lower()
+    )
+    assert sorted(_read_outputs(out)) == expected
+
+
+def test_round_robin_distinct_line_partitioning(spark, tmp_path):
+    """Distinct lines, in global sorted order, must deal round-robin
+    across reducer partitions, duplicates staying together — the
+    reference's group-stage contract (``master/__main__.py:249-256``).
+    Identity executables expose the raw partition contents.
+    """
+    d = tmp_path / "in"
+    d.mkdir()
+    # duplicate 'b' lines, unsorted on disk
+    (d / "f1").write_text("d\nb\n")
+    (d / "f2").write_text("a\nb\nc\n")
+    out = str(tmp_path / "out")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=str(d),
+            output_directory=out,
+            mapper_executable="cat",
+            reducer_executable="cat",
+            num_mappers=2,
+            num_reducers=2,
+        ),
+    )
+    p0 = (
+        open(os.path.join(out, "outputfile01")).read().splitlines()
+    )
+    p1 = (
+        open(os.path.join(out, "outputfile02")).read().splitlines()
+    )
+    # sorted distinct: a(0) b(1) c(2) d(3) → partition0: a,c; 1: b,b,d
+    assert p0 == ["a", "c"]
+    assert p1 == ["b", "b", "d"]
+
+
+def test_output_file_naming(spark, tmp_path, input_dir):
+    out = str(tmp_path / "out")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=input_dir,
+            output_directory=out,
+            mapper_executable="cat",
+            reducer_executable="cat",
+            num_mappers=2,
+            num_reducers=3,
+        ),
+    )
+    names = sorted(f for f in os.listdir(out) if f.startswith("outputfile"))
+    assert names == ["outputfile01", "outputfile02", "outputfile03"]

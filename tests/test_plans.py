@@ -1,0 +1,67 @@
+"""Plan-quality gates: the optimizations we rely on at 100 TB must be
+visible in the physical plan — pushdown, pruning, broadcast joins,
+whole-stage codegen. A regression here is a performance bug even if
+results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from map_reduce_server_spark import registry
+
+registry.load_all()
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_small):
+    df = registry.QUERIES["q1_pricing_summary"](spark, sf_small)
+    plan = explain_str(df)
+    # shipdate filter reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # column pruning: unused lineitem columns are not read
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_q3_broadcasts_dimension(spark, sf_small):
+    df = registry.QUERIES["q3_shipping_priority"](spark, sf_small)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_small):
+    df = registry.QUERIES["q5_local_supplier_volume"](spark, sf_small)
+    plan = explain_str(df)
+    # four dimension joins broadcast; the lineitem⋈orders fact join may
+    # be sort-merge or (after AQE at this scale) broadcast too.
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q1_stays_in_codegen(spark, sf_small):
+    # AQE's pre-execution explain hides codegen spans; turn it off for
+    # the inspection only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.QUERIES["q1_pricing_summary"](spark, sf_small)
+        plan = explain_str(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "codegen id" in plan  # whole-stage codegen spans present
+    # no Python evaluation nodes in a pure relational query
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_ann_bruteforce_broadcasts_queries(spark, sf_small):
+    df = registry.QUERIES["ann_topk_bruteforce"](spark, sf_small)
+    plan = explain_str(df)
+    assert "Broadcast" in plan  # query set must broadcast, corpus must not shuffle
