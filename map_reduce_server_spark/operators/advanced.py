@@ -1,0 +1,330 @@
+"""Advanced operators: as-of join, grouping sets, exact statistical
+moments, percentiles, positional aggregates, approximate sketches,
+and file-format connector round-trips.
+
+None of these exist in the reference (SURVEY.md §2.D — its only
+aggregate is ``uniq -c`` in a reducer executable); they complete the
+engine surface a user would expect after switching from the
+reference + the north-star extension list.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_server_spark.functions.exact import dsum, sql_dsum
+from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.tables import load_table
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, x.ts AS last_error_ts
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                    WHERE event_type = 'error') x
+      ON e.user_id = x.user_id AND e.ts >= x.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the most recent (≤ ts) error
+    timestamp of the same user.
+
+    Spark lacks a native ASOF JOIN; the scalable formulation is a
+    single window pass — carry the last non-null error timestamp
+    forward within each user's time-ordered partition. One shuffle
+    on user_id, no join at all: strictly better than the
+    sort-merge-join + filter + re-aggregate alternative, and it
+    scales to any corpus where one user's history fits a partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(err_ts, ignorenulls=True).over(w).alias("last_error_ts"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping indicators."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n_rows,
+               {_SQL_SPARK_DSUM_PRICE} AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus), ())
+        """
+    )
+
+
+_SQL_SPARK_DSUM_PRICE = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)"
+)
+
+
+@register(
+    "q_stats_moments",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             {sql_dsum('l_quantity')} AS sx,
+             {sql_dsum('l_quantity * l_quantity', scale=6)} AS sx2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(sx / n, 6) AS mean_qty,
+           round(sqrt((n * sx2 - sx * sx) / (n * (n - 1.0))), 6)
+             AS stddev_qty
+    FROM s
+    """,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/stddev from exact decimal power sums.
+
+    Built-in ``stddev`` accumulates doubles in shuffle order →
+    non-reproducible bits across engines AND across runs at scale.
+    Power sums in decimal are associative, so this form is
+    deterministic on any cluster layout; the double arithmetic on
+    the already-exact sums is then bit-identical everywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), scale=6).alias("sx2"),
+    )
+    n = F.col("n")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("sx") / n, 6).alias("mean_qty"),
+        F.round(
+            F.sqrt((n * F.col("sx2") - F.col("sx") * F.col("sx")) / (n * (n - 1.0))),
+            6,
+        ).alias("stddev_qty"),
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register(
+    "q_minmax_by",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_custkey, o_orderkey) AS last_order_cust,
+           min_by(o_custkey, o_orderkey) AS first_order_cust,
+           max(o_orderkey) AS max_key,
+           min(o_orderkey) AS min_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional aggregates (argmax/argmin on a unique ordering key
+    — unique so the result is deterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_custkey", "o_orderkey").alias("last_order_cust"),
+        F.min_by("o_custkey", "o_orderkey").alias("first_order_cust"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
+@register(
+    "q_collect_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_custkey, ',' ORDER BY c_custkey) AS custkeys
+    FROM (SELECT c_nationkey, c_custkey FROM customer
+          WHERE c_acctbal > 9000) t
+    GROUP BY c_nationkey
+    """,
+)
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: collect → sort → join to CSV
+    (collect_list order is nondeterministic under parallelism, so the
+    sort is what makes this reproducible at scale)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return cust.groupBy("c_nationkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("c_custkey")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("custkeys")
+    )
+
+
+@register(
+    "q_conditional_agg",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count_if(value > 100) AS BIGINT) AS n_big,
+           bool_or(event_type = 'error') AS had_error,
+           bool_and(value >= 0) AS all_nonneg,
+           {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
+             AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.bool_or(F.col("event_type") == "error").alias("had_error"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("purchase_value"),
+    )
+
+
+# --- approximate sketches (no SQL oracle: HLL/KLL implementations
+# differ across engines by design; the driver records rows-only) ----
+
+
+@register("q_approx_sketches", oracle=None)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) + percentile_approx
+    (KLL-style) — the constant-memory cardinality/quantile path for
+    100 TB where exact DISTINCT/percentile would shuffle everything."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median_price"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --- connector round-trips --------------------------------------------------
+
+
+def _roundtrip(
+    spark: SparkSession, df: DataFrame, fmt: str, **reader_opts
+) -> DataFrame:
+    """Write df in `fmt`, read it back with the explicit schema —
+    exercising the writer+reader pair end to end."""
+    tmp = tempfile.mkdtemp(prefix=f"mrss_{fmt}_")
+    path = os.path.join(tmp, "data")
+    df.write.mode("overwrite").format(fmt).options(**reader_opts).save(path)
+    back = (
+        spark.read.format(fmt)
+        .options(**reader_opts)
+        .schema(df.schema)
+        .load(path)
+        .cache()
+    )
+    back.count()  # materialize before cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return back
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle=f"""
+    SELECT p_brand, COUNT(*) AS n, {sql_dsum('p_retailprice')} AS total
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip: aggregate after the round-trip must
+    equal the aggregate on the parquet original."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_retailprice"
+    )
+    back = _roundtrip(spark, part, "csv", header="true")
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n"), dsum("p_retailprice").alias("total")
+    )
+
+
+@register(
+    "q_json_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    )
+    back = _roundtrip(spark, cust, "json")
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), dsum("c_acctbal").alias("total_bal")
+    )
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    back = _roundtrip(spark, nation, "orc")
+    return back.groupBy("n_regionkey").agg(F.count("*").alias("n_nations"))

@@ -234,6 +234,35 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+# marks — the RE2/Java-regex-portable core of a GPT-style pattern
+# (no lookarounds, so Spark and the oracle agree byte for byte).
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))
+                AS INTEGER) AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(lower(text),
+                '{_BPE_PATTERN}'))) AS INTEGER) AS n_distinct_bpe
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-style) token counting — the tokenizer-shaped cost
+    model for training-data sizing, kept fully JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+    )
+
+
 @register(
     "text_fingerprint",
     oracle=f"""

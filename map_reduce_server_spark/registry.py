@@ -50,6 +50,7 @@ def load_all() -> None:
         return
     # Imports are for registration side effects only.
     from map_reduce_server_spark.operators import (  # noqa: F401
+        advanced,
         dedup,
         multimodal,
         relational,
