@@ -64,6 +64,33 @@ def _pipe_cmd(executable: str) -> str:
     return " ".join(shlex.quote(p) for p in shlex.split(executable))
 
 
+def group_partition(mapped, num_reducers: int):
+    """The reference's group stage (``master/__main__.py:249-256``) as
+    a distributed plan: dense-rank the distinct lines in global
+    sorted order, send every line to partition ``rank % R``, sorted
+    within partitions.
+
+    All stages are cluster-side (sortBy/zipWithIndex/join/
+    repartitionAndSortWithinPartitions) — no driver data path, unlike
+    the reference where the master thread performs the entire merge +
+    partition walk itself.
+    """
+    ranked = (
+        mapped.distinct()
+        .sortBy(lambda line: line)
+        .zipWithIndex()  # (line, dense_rank) — dense because input distinct
+    )
+    keyed = mapped.map(lambda line: (line, None)).join(ranked)
+    # (line, (None, rank)) → key (rank % R, line) so each partition
+    # receives its lines already whole-line-sorted.
+    by_rank = keyed.map(
+        lambda kv: ((kv[1][1] % num_reducers, kv[0]), None)
+    )
+    return by_rank.repartitionAndSortWithinPartitions(
+        numPartitions=num_reducers, partitionFunc=lambda key: key[0]
+    ).map(lambda kv: kv[0][1])
+
+
 def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
     """Execute a MapReduce job; returns the output file paths.
 
@@ -87,22 +114,7 @@ def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
     per_file = [sc.textFile(f, minPartitions=1).coalesce(1) for f in files]
     mapped = sc.union(per_file).pipe(_pipe_cmd(job.mapper_executable))
 
-    # --- group stage: dense-rank the distinct lines in sorted order
-    # (distributed: sortBy + zipWithIndex are both cluster-side), then
-    # shuffle every line to partition rank % R, sorted within.
-    num_reducers = job.num_reducers
-    ranked = (
-        mapped.distinct()
-        .sortBy(lambda line: line)
-        .zipWithIndex()  # (line, dense_rank) — rank dense because input distinct
-    )
-    keyed = mapped.map(lambda line: (line, None)).join(
-        ranked.map(lambda lr: (lr[0], lr[1]))
-    )  # (line, (None, rank))
-    by_rank = keyed.map(lambda kv: ((kv[1][1] % num_reducers, kv[0]), None))
-    grouped = by_rank.repartitionAndSortWithinPartitions(
-        numPartitions=num_reducers, partitionFunc=lambda key: key[0]
-    ).map(lambda kv: kv[0][1])
+    grouped = group_partition(mapped, job.num_reducers)
 
     # --- reduce stage: pipe each sorted partition through the reducer.
     reduced = grouped.pipe(_pipe_cmd(job.reducer_executable))

@@ -1,0 +1,171 @@
+"""Subquery forms and reshaping operators (unpivot, range join).
+
+Subqueries don't exist in the reference (its only composition is
+chaining jobs through directories, SURVEY.md §3); Catalyst rewrites
+them into the same joins/aggregates the rest of the library uses, so
+these mostly pin down the SQL surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_server_spark.functions.exact import sql_dsum
+from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.tables import load_table
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           round(o_totalprice
+                 - (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,2)))
+                               AS DOUBLE) / COUNT(*)
+                    FROM orders o2), 6) AS diff_from_mean
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o3.o_totalprice
+                                          AS DECIMAL(30,2))) AS DOUBLE)
+                                     / COUNT(*)
+                              FROM orders o3)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subqueries in projection and predicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               round(o_totalprice
+                     - (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,2)))
+                                   AS DOUBLE) / COUNT(*)
+                        FROM orders_sq o2), 6) AS diff_from_mean
+        FROM orders_sq
+        WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o3.o_totalprice
+                                              AS DECIMAL(30,2))) AS DOUBLE)
+                                         / COUNT(*)
+                                  FROM orders_sq o3)
+        """
+    )
+
+
+@register(
+    "q_correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 100000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice < 1000)
+    """,
+)
+def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS (Catalyst → semi/anti joins)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_ce")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_ce")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM cust_ce c
+        WHERE EXISTS (SELECT 1 FROM ord_ce o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM ord_ce o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 1000)
+        """
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+      FROM events
+      WHERE event_type IN ('click', 'purchase', 'error')
+      GROUP BY user_id
+    )
+    SELECT user_id, kind, n FROM p
+    UNPIVOT (n FOR kind IN (click, purchase, error))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip (wide ↔ long reshaping)."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "purchase", "error"]
+    wide = (
+        ev.filter(F.col("event_type").isin(kinds))
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0)
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=kinds,
+        variableColumnName="kind",
+        valueColumnName="n",
+    )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           CAST(COUNT(v.event_id) AS BIGINT) AS n_nearby
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error') e
+    LEFT JOIN events v
+      ON v.user_id = e.user_id
+     AND v.event_id <> e.event_id
+     AND v.ts BETWEEN e.ts - INTERVAL 5 MINUTE
+                  AND e.ts + INTERVAL 5 MINUTE
+    GROUP BY e.event_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join via bucketing: events within ±5 min of each
+    error, same user.
+
+    Spark has no native range join; the naive non-equi join degrades
+    to a per-key cartesian product. The scale formulation buckets ts
+    into 5-minute cells, equi-joins on (user, cell) for the error's
+    cell and its two neighbors, then applies the exact range filter —
+    the non-equi predicate only ever runs inside 3 cells per error.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / 300).cast("bigint")
+    probe = ev.select(
+        "event_id", "user_id", "ts", bucket.alias("cell")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            bucket.alias("e_cell"),
+        )
+        .withColumn("probe_cell", F.explode(F.expr("sequence(e_cell - 1, e_cell + 1)")))
+    )
+    joined = errors.join(
+        probe,
+        (probe.user_id == errors.e_user)
+        & (probe.cell == errors.probe_cell)
+        & (probe.event_id != errors.error_id)
+        & (probe.ts >= errors.e_ts - F.expr("INTERVAL 5 MINUTES"))
+        & (probe.ts <= errors.e_ts + F.expr("INTERVAL 5 MINUTES")),
+        "left",
+    )
+    return joined.groupBy("error_id").agg(
+        F.count("event_id").alias("n_nearby")
+    )

@@ -55,6 +55,7 @@ def load_all() -> None:
         multimodal,
         relational,
         similarity,
+        subqueries,
         text,
         udf,
     )
