@@ -1,5 +1,5 @@
 """Reference-parity MapReduce façade on Spark primitives."""
 
-from map_reduce_server_spark.mapreduce.job import MapReduceJob, run_job
+from map_reduce_server_spark.mapreduce.job import MapReduceJob, run_job, run_jobs
 
-__all__ = ["MapReduceJob", "run_job"]
+__all__ = ["MapReduceJob", "run_job", "run_jobs"]

@@ -49,6 +49,17 @@ class MapReduceJob:
     num_reducers: int = 2
 
 
+def run_jobs(spark: SparkSession, jobs: list[MapReduceJob]) -> list[list[str]]:
+    """FIFO multi-job queue parity (reference holds queued jobs and
+    runs one at a time: ``master/__main__.py:209-218``, verified by
+    its ``tests/test_master_04.py``). On Spark this is a sequential
+    driver loop — each job's stages still run fully parallel inside
+    the cluster; use Spark FAIR scheduler pools if concurrent jobs
+    are ever wanted.
+    """
+    return [run_job(spark, job) for job in jobs]
+
+
 def _list_input_files(input_dir: str) -> list[str]:
     """Sorted file list, as the reference's master builds it
     (``master/__main__.py:288-289``)."""

@@ -64,6 +64,7 @@ def _run_facade(
 
 @register(
     "mr_wordcount",
+    bench=True,
     oracle="""
     SELECT word, COUNT(*) AS n
     FROM (SELECT unnest(string_split(lower(text), ' ')) AS word

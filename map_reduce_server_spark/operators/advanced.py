@@ -24,6 +24,7 @@ from map_reduce_server_spark.tables import load_table
 
 @register(
     "q_asof_join",
+    bench=True,
     oracle="""
     SELECT e.event_id, e.user_id, e.ts, x.ts AS last_error_ts
     FROM events e

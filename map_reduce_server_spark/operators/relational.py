@@ -413,6 +413,58 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           COUNT(*) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+           ) AS n_within_1000
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per order, how many same-priority orders
+    fall within ±1000 of its total price."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_within_1000"),
+    )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank/cume_dist/ntile)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
     "q_topk_per_group",
     oracle="""
     SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INTEGER) AS rn

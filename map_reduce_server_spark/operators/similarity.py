@@ -139,6 +139,7 @@ def _sql_bucket(vec: str) -> str:
 
 @register(
     "ann_topk_lsh",
+    bench=True,
     oracle=f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec,

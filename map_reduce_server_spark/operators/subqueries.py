@@ -119,6 +119,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_range_join",
+    bench=True,
     oracle="""
     SELECT e.event_id AS error_id,
            CAST(COUNT(v.event_id) AS BIGINT) AS n_nearby

@@ -110,6 +110,7 @@ _SQL_STOPLIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 @register(
     "text_quality",
+    bench=True,
     oracle=f"""
     WITH t AS (
       SELECT doc_id, {_SQL_NE_TOKENS} AS toks, text FROM documents
