@@ -51,6 +51,7 @@ def load_all() -> None:
     # Imports are for registration side effects only.
     from map_reduce_server_spark.operators import (  # noqa: F401
         advanced,
+        clustering,
         dedup,
         multimodal,
         relational,

@@ -1,0 +1,40 @@
+"""Connected-components exactness on hand-built graphs."""
+
+from __future__ import annotations
+
+from map_reduce_server_spark.operators.clustering import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        (r.node, r.component) for r in connected_components(df).collect()
+    }
+
+
+def test_single_chain(spark):
+    # chain 1-2-3-4 → all labeled 1
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+
+def test_two_components_and_cycle(spark):
+    got = _cc(spark, [(5, 6), (6, 7), (7, 5), (10, 11)])
+    assert got == {(5, 5), (6, 5), (7, 5), (10, 10), (11, 10)}
+
+
+def test_long_chain_needs_propagation(spark):
+    # 10-node chain: diameter forces multiple iterations
+    edges = [(i, i + 1) for i in range(1, 10)]
+    got = _cc(spark, edges)
+    assert got == {(i, 1) for i in range(1, 11)}
+
+
+def test_dedup_cluster_runs(spark, sf_small):
+    from map_reduce_server_spark.operators.clustering import dedup_cluster
+
+    out = dedup_cluster(spark, sf_small)
+    rows = out.collect()
+    assert len(rows) == 500  # one row per document
+    # cluster representative is always ≤ member id
+    assert all(r.cluster_id <= r.doc_id for r in rows)
