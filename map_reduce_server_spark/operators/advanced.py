@@ -73,17 +73,32 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS with grouping indicators."""
+    """Explicit GROUPING SETS with grouping indicators.
+
+    Optimization: GROUPING SETS expands every input row once per set
+    (4× here) *before* aggregating — at 100 TB that's 4× the shuffle.
+    Since the measures are associative (count + exact decimal sum),
+    we pre-aggregate to the finest grain (returnflag × linestatus —
+    a handful of rows) and run the expand over that, making the
+    expansion cost negligible while producing identical values.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem_gs")
     return spark.sql(
-        f"""
+        """
+        WITH pre AS (
+          SELECT l_returnflag, l_linestatus,
+                 COUNT(*) AS n,
+                 SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS s
+          FROM lineitem_gs
+          GROUP BY l_returnflag, l_linestatus
+        )
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
                CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-               COUNT(*) AS n_rows,
-               {_SQL_SPARK_DSUM_PRICE} AS sum_price
-        FROM lineitem_gs
+               SUM(n) AS n_rows,
+               CAST(SUM(s) AS DOUBLE) AS sum_price
+        FROM pre
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                                 (l_returnflag, l_linestatus), ())
         """

@@ -235,6 +235,86 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    WITH sig AS ({_sql_minhash_sig()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.seed = b.seed AND a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+      SELECT c.doc_a, c.doc_b,
+             COUNT(*) FILTER (WHERE sa.h = sb.h) AS n_agree
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_agree AS DOUBLE) / {_MINHASH_K}, 6) AS est_jaccard
+    FROM agree
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard estimation from signature agreement: for every LSH
+    candidate pair, est_J = (#agreeing minhash positions)/K — the
+    sketch-side similarity used to rank/filter candidates without
+    touching the documents again (at 100 TB the signatures are 12×32
+    bytes per doc; the texts never reshuffle)."""
+    sh = shingles_df(spark, sf_dir)
+    seeds = spark.range(_MINHASH_K).select(F.col("id").alias("seed"))
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(
+                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("h"))
+        .localCheckpoint(eager=True)  # reused by candidates AND agreement
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("h").alias("ha")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("h").alias("hb")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count_if(F.col("ha") == F.col("hb")).alias("n_agree")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_agree").cast("double") / _MINHASH_K, 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

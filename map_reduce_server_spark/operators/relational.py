@@ -692,6 +692,45 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_null_funcs",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(t.n_orders, 0) AS n_orders,
+           CASE WHEN t.n_orders IS NULL THEN 'never_ordered'
+                ELSE 'customer' END AS status,
+           nullif(c.c_mktsegment, 'BUILDING') AS seg_or_null,
+           ifnull(t.total, 0.0) AS total_or_zero
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+    ) t ON c.c_custkey = t.o_custkey
+    """,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar functions over outer-join-produced nulls
+    (coalesce / nullif / ifnull / IS NULL)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 200000
+    )
+    agg = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total")
+    )
+    joined = cust.join(agg, cust.c_custkey == agg.o_custkey, "left")
+    return joined.select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(F.col("n_orders").isNull(), F.lit("never_ordered"))
+        .otherwise(F.lit("customer"))
+        .alias("status"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.ifnull(F.col("total"), F.lit(0.0)).alias("total_or_zero"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: sessionization (windows over time)
 # ---------------------------------------------------------------------------

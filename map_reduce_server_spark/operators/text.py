@@ -235,6 +235,67 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_NE_TOKENS}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS n_in_doc FROM tok
+      GROUP BY doc_id, token
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(SUM(n_in_doc) AS BIGINT) AS doc_len FROM tf
+      GROUP BY doc_id
+    ),
+    df AS (
+      SELECT token, COUNT(*) AS n_docs_with FROM tf GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           round((CAST(tf.n_in_doc AS DOUBLE) / doc_len)
+                 * ln(CAST(n_docs AS DOUBLE) / n_docs_with), 6) AS tfidf
+    FROM tf
+    JOIN doclen USING (doc_id)
+    JOIN df USING (token)
+    CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based TF-IDF per (document, token).
+
+    Explicit DataFrame formulation rather than ml.feature's
+    HashingTF (whose murmur-hash buckets aren't externally
+    comparable): tf = count/doc_len, idf = ln(N/df). The df table is
+    tiny (vocabulary-sized) and broadcast; the corpus shuffles once
+    on doc_id and once on token — both unavoidable and both on
+    compact keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokens_col(F.col("text"), keep_empty=False)).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("n_in_doc"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("n_in_doc").alias("doc_len"))
+    df = tf.groupBy("token").agg(F.count("*").alias("n_docs_with"))
+    n_docs = docs.count()  # scalar driver-side (a count, not data)
+    return (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("n_in_doc").cast("double") / F.col("doc_len"))
+                * F.log(F.lit(float(n_docs)) / F.col("n_docs_with")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
 # marks — the RE2/Java-regex-portable core of a GPT-style pattern
 # (no lookarounds, so Spark and the oracle agree byte for byte).
