@@ -146,11 +146,21 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (absent from the reference, §2.D)."""
+    """ROLLUP hierarchy totals (absent from the reference, §2.D).
+
+    Pre-aggregated to the finest grain first: ROLLUP expands each row
+    once per level, so feeding it the (priority × status) pre-agg
+    instead of the raw table cuts the expand+shuffle to a handful of
+    rows — exact because count/decimal-sum are associative.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        dsum("o_totalprice").alias("total_price"),
+    pre = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"),
+    )
+    return pre.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.sum("n").alias("n_orders"),
+        F.sum("s").cast("double").alias("total_price"),
     )
 
 
@@ -165,11 +175,16 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over the two lineitem flag columns."""
+    """CUBE over the two lineitem flag columns (pre-aggregated to the
+    finest grain before the 4-way expand — see q_rollup)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_rows"),
-        dsum("l_quantity").alias("sum_qty"),
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("s"),
+    )
+    return pre.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("s").cast("double").alias("sum_qty"),
     )
 
 

@@ -1,0 +1,74 @@
+"""The engine's reproducibility contract: exact decimal aggregation
+must produce bit-identical doubles under ANY partitioning — the
+property that makes results stable from 1 core to 1000 executors and
+comparable against external oracles."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from map_reduce_server_spark.functions.exact import dsum
+from map_reduce_server_spark.tables import load_table
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 17])
+def test_dsum_partition_invariant(spark, sf_small, n_parts):
+    li = load_table(spark, sf_small, "lineitem").select("l_extendedprice")
+    base = li.coalesce(1).agg(dsum("l_extendedprice").alias("s")).first().s
+    shuffled = (
+        li.repartition(n_parts)
+        .agg(dsum("l_extendedprice").alias("s"))
+        .first()
+        .s
+    )
+    assert base == shuffled  # exact equality, not approx
+
+
+def test_plain_double_sum_is_not(spark, sf_small):
+    """Documenting WHY dsum exists: the float sum over different
+    partitionings is allowed to differ in the last ulps (if it ever
+    stops differing, this test still holds — it only asserts dsum's
+    equality, plain sum is merely observed)."""
+    li = load_table(spark, sf_small, "lineitem").select("l_extendedprice")
+    a = li.coalesce(1).agg(F.sum("l_extendedprice").alias("s")).first().s
+    b = li.repartition(13).agg(F.sum("l_extendedprice").alias("s")).first().s
+    # plain sums are *approximately* equal; dsum is exactly equal
+    assert abs(a - b) < 1e-3
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    n_parts=st.integers(min_value=1, max_value=8),
+)
+def test_dsum_matches_python_decimal(spark, values, n_parts):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    df = spark.createDataFrame([(v,) for v in values], ["v"]).repartition(
+        n_parts
+    )
+    got = df.agg(dsum("v").alias("s")).first().s
+    # Spark's double→decimal cast rounds HALF_UP (java BigDecimal)
+    expected = float(
+        sum(
+            Decimal(v).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            for v in values
+        )
+    )
+    assert got == pytest.approx(expected, abs=0)  # exact
