@@ -123,12 +123,18 @@ def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
     # --- map stage: one partition per input file, piped through the
     # mapper. minPartitions=1 per file keeps file==partition.
     per_file = [sc.textFile(f, minPartitions=1).coalesce(1) for f in files]
-    mapped = sc.union(per_file).pipe(_pipe_cmd(job.mapper_executable))
+    # checkCode=True: a mapper/reducer exiting non-zero fails the task
+    # (and Spark's retry takes over) instead of silently truncating
+    # output — the analog of the reference's task reassignment
+    # (master/__main__.py:128-146) with correctness on top.
+    mapped = sc.union(per_file).pipe(
+        _pipe_cmd(job.mapper_executable), checkCode=True
+    )
 
     grouped = group_partition(mapped, job.num_reducers)
 
     # --- reduce stage: pipe each sorted partition through the reducer.
-    reduced = grouped.pipe(_pipe_cmd(job.reducer_executable))
+    reduced = grouped.pipe(_pipe_cmd(job.reducer_executable), checkCode=True)
 
     # --- finalize: outputfileNN naming (master/__main__.py:456-463).
     out_df = reduced.map(lambda line: (line,)).toDF(["value"])

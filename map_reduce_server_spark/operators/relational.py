@@ -708,6 +708,116 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_like_regexp",
+    oracle="""
+    SELECT p_partkey, p_name, p_type,
+           p_type LIKE '%STEEL%' AS is_steel,
+           p_name ILIKE '%COPPER%' AS has_copper_ci,
+           regexp_matches(p_type, '^[A-Z]+ ') AS starts_word,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
+           CAST(strpos(p_type, 'BRUSHED') AS INTEGER) AS brushed_pos
+    FROM part
+    """,
+)
+def q_like_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-matching surface: LIKE / ILIKE / regexp predicate,
+    extraction, and position."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.col("p_type").like("%STEEL%").alias("is_steel"),
+        F.col("p_name").ilike("%COPPER%").alias("has_copper_ci"),
+        F.regexp_like("p_type", F.lit("^[A-Z]+ ")).alias("starts_word"),
+        F.regexp_extract("p_type", "([A-Z]+)$", 1).alias("last_word"),
+        F.instr(F.col("p_type"), "BRUSHED").alias("brushed_pos"),
+    )
+
+
+@register(
+    "q_string_funcs2",
+    oracle="""
+    SELECT n_nationkey,
+           lpad(n_name, 15, '.') AS name_lpad,
+           rpad(n_name, 15, '.') AS name_rpad,
+           reverse(n_name) AS name_rev,
+           repeat(substr(n_name, 1, 2), 3) AS name_rep,
+           split_part(n_name, ' ', 1) AS first_word,
+           CAST(ascii(n_name) AS INTEGER) AS first_char_code,
+           left(n_name, 3) AS name_left,
+           right(n_name, 3) AS name_right
+    FROM nation
+    """,
+)
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string batch: pad/reverse/repeat/split_part/ascii/
+    left/right."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.lpad("n_name", 15, ".").alias("name_lpad"),
+        F.rpad("n_name", 15, ".").alias("name_rpad"),
+        F.reverse(F.col("n_name")).alias("name_rev"),
+        F.repeat(F.substring("n_name", 1, 2), 3).alias("name_rep"),
+        F.split_part(F.col("n_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.ascii(F.col("n_name")).alias("first_char_code"),
+        F.left(F.col("n_name"), F.lit(3)).alias("name_left"),
+        F.right(F.col("n_name"), F.lit(3)).alias("name_right"),
+    )
+
+
+@register(
+    "q_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3mo,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
+    FROM orders
+    """,
+)
+def q_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date batch: month arithmetic, last_day, quarter/week/
+    day-of-year, epoch seconds."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_3mo"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("wk"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+    )
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    SELECT k, src FROM (
+      SELECT c_custkey AS k, 'cust' AS src FROM customer
+      UNION ALL BY NAME
+      SELECT 'supp' AS src, s_suppkey AS k FROM supplier
+    ) t
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: position-independent union (schema aligned by
+    column name, not ordinal)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.lit("cust").alias("src")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("src"), F.col("s_suppkey").alias("k")
+    )
+    return cust.unionByName(supp).select("k", "src")
+
+
+@register(
     "q_null_funcs",
     oracle="""
     SELECT c.c_custkey,

@@ -138,6 +138,37 @@ def test_round_robin_distinct_line_partitioning(spark, tmp_path):
     assert p1 == ["b", "b", "d"]
 
 
+def test_failing_executable_raises(spark, tmp_path, input_dir):
+    out = str(tmp_path / "out")
+    with pytest.raises(Exception, match="Pipe function|exit"):
+        run_job(
+            spark,
+            MapReduceJob(
+                input_directory=input_dir,
+                output_directory=out,
+                mapper_executable="false",  # exits 1 immediately
+                reducer_executable="cat",
+                num_mappers=2,
+                num_reducers=1,
+            ),
+        )
+
+
+def test_empty_input_dir_raises(spark, tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(ValueError, match="no input files"):
+        run_job(
+            spark,
+            MapReduceJob(
+                input_directory=str(d),
+                output_directory=str(tmp_path / "out"),
+                mapper_executable="cat",
+                reducer_executable="cat",
+            ),
+        )
+
+
 def test_output_file_naming(spark, tmp_path, input_dir):
     out = str(tmp_path / "out")
     run_job(

@@ -61,6 +61,30 @@ def test_q1_stays_in_codegen(spark, sf_small):
     assert "ArrowEvalPython" not in plan
 
 
+def test_range_join_is_not_cartesian(spark, sf_small):
+    df = registry.QUERIES["q_range_join"](spark, sf_small)
+    plan = explain_str(df)
+    # the bucketized formulation must equi-join, never degrade to a
+    # per-key cartesian / nested-loop product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_no_cartesian(spark, sf_small):
+    df = registry.QUERIES["dedup_minhash_lsh"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan  # banding = equi-join, not all-pairs
+
+
+def test_wordcount_prunes_to_text_column(spark, sf_small):
+    df = registry.QUERIES["wordcount"](spark, sf_small)
+    plan = explain_str(df)
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in read
+    assert "doc_id" not in read and "lang" not in read
+
+
 def test_ann_bruteforce_broadcasts_queries(spark, sf_small):
     df = registry.QUERIES["ann_topk_bruteforce"](spark, sf_small)
     plan = explain_str(df)
