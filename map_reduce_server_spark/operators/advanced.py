@@ -250,6 +250,81 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_corr",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             {sql_dsum('l_quantity')} AS sx,
+             {sql_dsum('l_extendedprice')} AS sy,
+             {sql_dsum('l_quantity * l_quantity', scale=6)} AS sxx,
+             {sql_dsum('l_extendedprice * l_extendedprice', scale=6)} AS syy,
+             {sql_dsum('l_quantity * l_extendedprice', scale=6)} AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS corr_qty_price,
+           round((n * sxy - sx * sy) / (n * (n - 1.0)), 6)
+             AS covar_qty_price
+    FROM s
+    """,
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance from exact power sums
+    (same reproducibility argument as q_stats_moments: the built-in
+    corr/covar_samp accumulate doubles in shuffle order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(qty).alias("sx"),
+        dsum(price).alias("sy"),
+        dsum(qty * qty, scale=6).alias("sxx"),
+        dsum(price * price, scale=6).alias("syy"),
+        dsum(qty * price, scale=6).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((n * sxy - sx * sy) / (n * (n - 1.0)), 6).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (floor-division bucketing — the
+    portable form of width_bucket, and the same partial-aggregable
+    shape at any scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).alias("bin")
+        )
+        .agg(F.count("*").alias("n"), F.min("o_orderkey").alias("min_key"))
+    )
+
+
 # --- approximate sketches (no SQL oracle: HLL/KLL implementations
 # differ across engines by design; the driver records rows-only) ----
 
