@@ -81,25 +81,29 @@ def group_partition(mapped, num_reducers: int):
     sorted order, send every line to partition ``rank % R``, sorted
     within partitions.
 
-    All stages are cluster-side (sortBy/zipWithIndex/join/
-    repartitionAndSortWithinPartitions) — no driver data path, unlike
-    the reference where the master thread performs the entire merge +
-    partition walk itself.
+    Shuffle economics: the line multiset is first collapsed to
+    (line, count) with ``reduceByKey`` — a map-side combine, so the
+    shuffle carries each distinct line once, not every duplicate
+    (the reference ships every line twice over TCP). Ranking then
+    runs on the collapsed set (sortByKey + zipWithIndex, both
+    cluster-side), and duplicates are re-expanded only AFTER the
+    final partition-local sort. No driver data path anywhere, unlike
+    the reference's master-side merge+partition walk.
     """
-    ranked = (
-        mapped.distinct()
-        .sortBy(lambda line: line)
-        .zipWithIndex()  # (line, dense_rank) — dense because input distinct
+    counts = mapped.map(lambda line: (line, 1)).reduceByKey(
+        lambda a, b: a + b
     )
-    keyed = mapped.map(lambda line: (line, None)).join(ranked)
-    # (line, (None, rank)) → key (rank % R, line) so each partition
-    # receives its lines already whole-line-sorted.
-    by_rank = keyed.map(
-        lambda kv: ((kv[1][1] % num_reducers, kv[0]), None)
+    ranked = counts.sortByKey().zipWithIndex()  # ((line, count), rank)
+    by_rank = ranked.map(
+        lambda it: ((it[1] % num_reducers, it[0][0]), it[0][1])
     )
-    return by_rank.repartitionAndSortWithinPartitions(
-        numPartitions=num_reducers, partitionFunc=lambda key: key[0]
-    ).map(lambda kv: kv[0][1])
+    return (
+        by_rank.repartitionAndSortWithinPartitions(
+            numPartitions=num_reducers, partitionFunc=lambda key: key[0]
+        )
+        # ((partition, line), count) sorted by line → expand duplicates
+        .flatMap(lambda kv: [kv[0][1]] * kv[1])
+    )
 
 
 def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
