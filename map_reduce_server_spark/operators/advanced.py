@@ -251,6 +251,63 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal + 1000.0, 2) AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           'updated' AS row_status
+    FROM updates
+    UNION ALL
+    SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal,
+           b.c_mktsegment, 'unchanged' AS row_status
+    FROM customer b
+    WHERE NOT EXISTS (SELECT 1 FROM updates u
+                      WHERE u.c_custkey = b.c_custkey)
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation without a lakehouse format: updates ∪
+    (base ANTI JOIN updates) — the CDC-apply pattern. At 100 TB both
+    sides shuffle once on the key (or zero times if base is bucketed
+    on it); with Delta/Iceberg on the classpath this becomes MERGE
+    INTO (see io/lakehouse.py)."""
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 1000.0, 2)
+    )
+    unchanged = cust.join(updates, "c_custkey", "left_anti")
+    return updates.withColumn("row_status", F.lit("updated")).unionByName(
+        unchanged.withColumn("row_status", F.lit("unchanged"))
+    )
+
+
+@register(
+    "q_posexplode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 50
+    ), e AS (
+      SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS pos, toks[i + 1] AS token FROM e
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: UDTF-style expansion with element ordinals."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    )
+
+
+@register(
     "q_corr",
     oracle=f"""
     WITH s AS (

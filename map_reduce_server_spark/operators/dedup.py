@@ -236,6 +236,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_one",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY {sql_md5_long("regexp_replace(lower(trim(text)), ' +', ' ', 'g')")}
+               ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-one-row-per-duplicate-group pattern: window
+    row_number over the normalized fingerprint, keep the smallest
+    doc_id — the projection-preserving form of dedup (vs
+    dedup_exact's aggregate form). One shuffle on the 8-byte
+    fingerprint at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    w = Window.partitionBy(md5_long(normalized)).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
     "dedup_minhash_estimate",
     oracle=f"""
     WITH sig AS ({_sql_minhash_sig()}),

@@ -87,6 +87,98 @@ def decode_payloads(df: DataFrame, fake: bool = True) -> DataFrame:
     return flat.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
+FEATURE_SCHEMA = "doc_id bigint, mean_byte double, max_byte int, n_blocks int"
+
+
+def feature_extract_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
+    """Feature extraction over payload bytes (fake = byte statistics;
+    a real build plugs an image/audio model here)."""
+    if not fake:
+        raise NotImplementedError(
+            "real feature extraction needs a vision/audio model runtime; "
+            "use fake=True for byte-statistics features"
+        )
+    payloads = pdf["payload"]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "mean_byte": payloads.map(lambda b: sum(b) / len(b)).astype(
+                "float64"
+            ),
+            "max_byte": payloads.map(max).astype("int32"),
+            "n_blocks": payloads.map(lambda b: len(b) // 4).astype("int32"),
+        }
+    )
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature-extract stage over (doc_id, payload)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield feature_extract_batch(pdf, fake)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage — real codecs absent, so this is an explicit stub
+    (the Spark-side contract — binary in, binary out, same schema —
+    is what matters for pipeline plumbing)."""
+    raise NotImplementedError(
+        "image resize needs PIL/libvips (not in container); the stage "
+        "contract is mapInPandas over (doc_id, payload) -> (doc_id, payload)"
+    )
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling over a synthetic 'video': treat each 4-byte
+    block of the payload as a frame, keep every n-th (deterministic
+    fake for the real video-decode + stride sampler)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = pdf["payload"].map(
+                lambda b: bytes(
+                    byte
+                    for i in range(0, len(b) // 4, every_n)
+                    for byte in b[i * 4 : (i + 1) * 4]
+                )
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "frames": frames})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id bigint, frames binary"
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH bytes16 AS (
+      SELECT doc_id,
+             list_transform(range(1, 33),
+               i -> CAST(('0x' || substr(md5(text) || md5('x' || text),
+                                         i * 2 - 1, 2)) AS BIGINT)) AS bs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(bs) AS DOUBLE) / 32 AS mean_byte,
+           CAST(list_max(bs) AS INTEGER) AS max_byte,
+           8 AS n_blocks
+    FROM bytes16
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF feature extraction over binary payloads,
+    oracle-checked by recomputing the byte statistics from the md5
+    hex the payload was built from."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(with_synthetic_payload(docs), fake=True)
+
+
 @register(
     "multimodal_meta",
     oracle="""

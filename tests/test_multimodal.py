@@ -30,6 +30,33 @@ def test_decode_real_codecs_are_stubbed():
         decode_batch(pdf, fake=False)
 
 
+def test_resize_is_stubbed(spark, sf_small):
+    from map_reduce_server_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_small, "documents").limit(1)
+    with pytest.raises(NotImplementedError, match="resize"):
+        resize_images(with_synthetic_payload(docs), 64, 64)
+
+
+def test_frame_sample_strides_blocks(spark, sf_small):
+    from map_reduce_server_spark.operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_small, "documents").limit(5)
+    out = frame_sample(with_synthetic_payload(docs), every_n=2).collect()
+    for r in out:
+        # 8 blocks of 4 bytes, stride 2 → 4 blocks = 16 bytes
+        assert len(r.frames) == 16
+
+
+def test_lakehouse_stubs(spark):
+    from map_reduce_server_spark.io import lakehouse
+
+    df = spark.range(1)
+    assert lakehouse.delta_available() is False
+    with pytest.raises(NotImplementedError, match="Delta"):
+        lakehouse.write_delta(df, "/tmp/never")
+
+
 def test_decode_fake_path_runs_distributed(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").limit(10)
     decoded = decode_payloads(with_synthetic_payload(docs), fake=True)
