@@ -1,0 +1,56 @@
+"""Output compaction — the small-files problem.
+
+A 1000-executor job writing a partition per task produces thousands
+of small files; downstream scans then pay per-file open costs and
+the namenode/object-store pays per-object metadata. The standard
+cure is write → measure → rewrite at a target file size. The
+measure step reads only filesystem metadata, never data."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.startswith("_") and not f.startswith("."):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Write ``df`` as parquet with files sized ~target_file_bytes.
+
+    Two-phase: stage the data once (parallel write, true on-disk
+    size becomes known), then rewrite coalesced to
+    ``ceil(total / target)`` files. Returns the final file count.
+    On a cluster the staging write is the job's normal output and the
+    rewrite is a cheap metadata-sized follow-up job.
+    """
+    staging = path.rstrip("/") + "_staging"
+    df.write.mode("overwrite").parquet(staging)
+    total = _dir_bytes(staging)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark = df.sparkSession
+    staged = spark.read.parquet(staging)
+    # coalesce only narrows; going wider (splitting huge files) needs
+    # a real repartition
+    if n_files <= staged.rdd.getNumPartitions():
+        staged = staged.coalesce(n_files)
+    else:
+        staged = staged.repartition(n_files)
+    staged.write.mode("overwrite").parquet(path)
+    # clean staging
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return n_files
