@@ -560,6 +560,77 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionAll(b_only).unionAll(g_only)
 
 
+@register(
+    "q_set_ops_all",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 25),
+         b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.05)
+    SELECT 'inter' AS tag, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) x
+    UNION ALL
+    SELECT 'exc' AS tag, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) y
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set operations — duplicate-preserving
+    INTERSECT ALL / EXCEPT ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_discount") > 0.05).select(
+        F.col("l_suppkey").alias("k")
+    )
+    inter = a.intersectAll(b).select(F.lit("inter").alias("tag"), "k")
+    exc = a.exceptAll(b).select(F.lit("exc").alias("tag"), "k")
+    return inter.unionAll(exc)
+
+
+@register(
+    "q_bitwise_agg",
+    oracle="""
+    SELECT p_brand,
+           CAST(bit_and(p_size) AS INTEGER) AS size_and,
+           CAST(bit_or(p_size) AS INTEGER) AS size_or,
+           CAST(bit_xor(p_size) AS INTEGER) AS size_xor
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate functions."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.bit_and("p_size").alias("size_and"),
+        F.bit_or("p_size").alias("size_or"),
+        F.bit_xor("p_size").alias("size_xor"),
+    )
+
+
+@register(
+    "q_try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 3 = 0 THEN NULL
+                ELSE round(o_totalprice / (o_custkey % 3), 6) END AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS good_cast
+    FROM orders
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* error-safe functions (NULL instead of runtime failure —
+    essential for dirty data at scale where one bad row must not
+    kill a 10-hour job)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3), 6
+        ).alias("safe_div"),
+        F.try_to_number(F.col("o_orderpriority"), F.lit("9")).cast("int").alias(
+            "bad_cast"
+        ),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("good_cast"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar function surface (string / date / math / array / json)
 # ---------------------------------------------------------------------------
