@@ -326,6 +326,34 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_train_test_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {sql_md5_long("'split:' || CAST(doc_id AS VARCHAR)")}
+                     % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train-test split by hashing the document
+    id — reproducible across runs, engines, and cluster layouts
+    (unlike randomSplit, whose assignment depends on partitioning),
+    and stable under corpus growth: a document never changes split.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, F.lit("train")).otherwise(F.lit("test")).alias(
+            "split"
+        ),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id,
