@@ -637,6 +637,35 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS prio_val,
+           2 AS n_entries,
+           'priority' AS second_key
+    FROM orders
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + access (the oracle checks the extracted
+    values — map internals live only on the Spark side since map
+    representations aren't portable across engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"),
+        F.col("o_orderstatus"),
+        F.lit("priority"),
+        F.col("o_orderpriority"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.element_at(m, "priority").alias("prio_val"),
+        F.size(m).alias("n_entries"),
+        F.element_at(F.map_keys(m), 2).alias("second_key"),
+    )
+
+
+@register(
     "q_string_funcs",
     oracle="""
     SELECT p_partkey,

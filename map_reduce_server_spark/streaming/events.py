@@ -54,6 +54,51 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
 
 
 @register(
+    "q_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type, value,
+             unnest([CAST(floor(epoch(ts) / 300) AS BIGINT) * 300,
+                     CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300])
+               AS w_start_sec,
+             epoch(ts) AS t
+      FROM events
+    )
+    SELECT CAST(to_timestamp(w_start_sec) AS TIMESTAMP) AS w_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+    FROM starts
+    WHERE t >= w_start_sec AND t < w_start_sec + 600
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window: 10-minute windows every 5 minutes —
+    each event lands in two windows. Batch form of the streaming
+    window(ts, size, slide); the oracle expands each event into its
+    candidate window starts explicitly."""
+    from map_reduce_server_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "stream_window_counts",
     oracle="""
     SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300)
