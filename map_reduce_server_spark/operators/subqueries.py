@@ -11,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_server_spark.functions.exact import sql_dsum
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 

@@ -10,7 +10,6 @@ executable oracle, per SURVEY.md §5.
 from __future__ import annotations
 
 from collections.abc import Callable
-from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
