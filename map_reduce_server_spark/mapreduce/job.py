@@ -70,6 +70,25 @@ def _list_input_files(input_dir: str) -> list[str]:
     )
 
 
+def round_robin_file_assignment(
+    files: list[str], num_mappers: int
+) -> list[list[str]]:
+    """The reference's file→map-task dealing (``master/__main__.py:
+    288-297``, asserted literally by its ``tests/test_master_02.py:
+    137-159``): sorted file *i* goes to task ``i % num_mappers``, so
+    task *m* holds files ``m, m+num_mappers, …``.
+
+    ``run_job`` itself uses per-file partitions (finer granularity,
+    same observable outputs); this helper exists for callers that
+    want the reference's exact task grouping — e.g. to bound the
+    number of concurrent mapper processes.
+    """
+    tasks: list[list[str]] = [[] for _ in range(num_mappers)]
+    for i, f in enumerate(sorted(files)):
+        tasks[i % num_mappers].append(f)
+    return tasks
+
+
 def _pipe_cmd(executable: str) -> str:
     """Quote an executable path for RDD.pipe."""
     return " ".join(shlex.quote(p) for p in shlex.split(executable))

@@ -13,6 +13,7 @@ from collections import Counter
 import pytest
 
 from map_reduce_server_spark.mapreduce import MapReduceJob, run_job
+from map_reduce_server_spark.mapreduce.job import round_robin_file_assignment
 
 _EXAMPLES = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -136,6 +137,44 @@ def test_round_robin_distinct_line_partitioning(spark, tmp_path):
     # sorted distinct: a(0) b(1) c(2) d(3) → partition0: a,c; 1: b,b,d
     assert p0 == ["a", "c"]
     assert p1 == ["b", "b", "d"]
+
+
+def test_round_robin_file_assignment():
+    """Mirror of the reference's exact dealing
+    (``tests/test_master_02.py:137-159`` semantics)."""
+    files = [f"file0{i}" for i in range(1, 9)]
+    got = round_robin_file_assignment(files, 3)
+    assert got == [
+        ["file01", "file04", "file07"],
+        ["file02", "file05", "file08"],
+        ["file03", "file06"],
+    ]
+    # more mappers than files → trailing empty tasks
+    assert round_robin_file_assignment(["a", "b"], 4) == [["a"], ["b"], [], []]
+
+
+def test_grep_custom_query(spark, tmp_path, input_dir):
+    """The grep mapper's query is parameterized via argv
+    (reference ``grep_map.py:14-17`` reads its query the same way)."""
+    out = str(tmp_path / "out")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=input_dir,
+            output_directory=out,
+            mapper_executable=f"python3 {_EXAMPLES}/grep_map.py shuffle",
+            reducer_executable=f"python3 {_EXAMPLES}/grep_reduce.py",
+            num_mappers=2,
+            num_reducers=1,
+        ),
+    )
+    expected = sorted(
+        line
+        for content in FILES.values()
+        for line in content.split("\n")[:-1]
+        if "shuffle" in line.lower()
+    )
+    assert sorted(_read_outputs(out)) == expected
 
 
 def test_failing_executable_raises(spark, tmp_path, input_dir):
