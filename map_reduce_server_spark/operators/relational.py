@@ -88,6 +88,79 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q1_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           {{dsum_qty}} AS sum_qty,
+           COUNT(*) AS count_order
+    FROM {{table}}
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "q1_sql_entry",
+    oracle=_Q1_SQL.format(
+        dsum_qty=sql_dsum("l_quantity"), table="lineitem"
+    ),
+)
+def q1_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry path: register_views + spark.sql — Catalyst
+    produces the same plan as the DataFrame form (q1_pricing_summary);
+    this pins the SQL front door."""
+    from map_reduce_server_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _Q1_SQL.format(
+            dsum_qty="CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)",
+            table="lineitem",
+        )
+    )
+
+
+@register(
+    "q_not_in_nulls",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders
+       WHERE o_custkey NOT IN
+         (SELECT CASE WHEN c_custkey % 50 = 1 THEN NULL
+                      ELSE c_custkey END
+          FROM customer)) AS n_not_in_with_null,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS
+         (SELECT 1 FROM customer c
+          WHERE (CASE WHEN c.c_custkey % 50 = 1 THEN NULL
+                      ELSE c.c_custkey END) = o.o_custkey))
+        AS n_not_exists
+    """,
+)
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI three-valued logic pin: NOT IN against a list containing
+    NULL returns no rows (every comparison is UNKNOWN), while NOT
+    EXISTS ignores the NULLs — the classic correctness trap any SQL
+    engine must honor."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_nin")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_nin")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM ord_nin
+           WHERE o_custkey NOT IN
+             (SELECT CASE WHEN c_custkey % 50 = 1 THEN NULL
+                          ELSE c_custkey END
+              FROM cust_nin)) AS n_not_in_with_null,
+          (SELECT COUNT(*) FROM ord_nin o
+           WHERE NOT EXISTS
+             (SELECT 1 FROM cust_nin c
+              WHERE (CASE WHEN c.c_custkey % 50 = 1 THEN NULL
+                          ELSE c.c_custkey END) = o.o_custkey))
+            AS n_not_exists
+        """
+    )
+
+
 @register(
     "q_group_having",
     oracle=f"""

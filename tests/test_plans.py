@@ -85,6 +85,27 @@ def test_wordcount_prunes_to_text_column(spark, sf_small):
     assert "doc_id" not in read and "lang" not in read
 
 
+def test_broadcast_hint_overrides_threshold(spark, sf_small):
+    """SQL join hints: /*+ BROADCAST */ must force a broadcast join
+    even with auto-broadcast disabled."""
+    from map_reduce_server_spark.tables import load_table
+
+    load_table(spark, sf_small, "lineitem").createOrReplaceTempView("li_hint")
+    load_table(spark, sf_small, "orders").createOrReplaceTempView("ord_hint")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.sql(
+            """
+            SELECT /*+ BROADCAST(ord_hint) */ COUNT(*) AS n
+            FROM li_hint JOIN ord_hint ON l_orderkey = o_orderkey
+            """
+        )
+        plan = explain_str(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ann_bruteforce_broadcasts_queries(spark, sf_small):
     df = registry.QUERIES["ann_topk_bruteforce"](spark, sf_small)
     plan = explain_str(df)
