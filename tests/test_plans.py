@@ -85,6 +85,16 @@ def test_wordcount_prunes_to_text_column(spark, sf_small):
     assert "doc_id" not in read and "lang" not in read
 
 
+def test_topk_gets_window_group_limit(spark, sf_small):
+    """rank ≤ k filters must trigger WindowGroupLimit — Spark's
+    partial top-k that prunes each partition to k rows BEFORE the
+    window shuffle (the thing that keeps per-group top-k viable at
+    100 TB)."""
+    for name in ("q_topk_per_group", "ann_topk_bruteforce", "ann_topk_lsh"):
+        plan = explain_str(registry.QUERIES[name](spark, sf_small))
+        assert "WindowGroupLimit" in plan, name
+
+
 def test_broadcast_hint_overrides_threshold(spark, sf_small):
     """SQL join hints: /*+ BROADCAST */ must force a broadcast join
     even with auto-broadcast disabled."""
