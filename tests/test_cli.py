@@ -1,0 +1,61 @@
+"""CLI parity: the submit interface mirrors the reference's
+``mapreduce-submit`` client (``submit.py:15-49``)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_EXAMPLES = os.path.join(
+    _REPO, "map_reduce_server_spark", "mapreduce", "examples"
+)
+
+
+def _run_cli(*args: str) -> subprocess.CompletedProcess:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    return subprocess.run(
+        [sys.executable, "-m", "map_reduce_server_spark", *args],
+        cwd=_REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+
+
+def test_cli_list():
+    res = _run_cli("list")
+    assert res.returncode == 0
+    lines = dict(
+        line.split("\t") for line in res.stdout.strip().splitlines()
+    )
+    assert lines["q1_pricing_summary"] == "oracle"
+    assert lines["dedup_cluster"] == "rows-only"
+    assert len(lines) >= 80
+
+
+def test_cli_submit_wordcount(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "f1").write_text("red blue red\n")
+    out = str(tmp_path / "out")
+    res = _run_cli(
+        "submit",
+        "-i", str(d),
+        "-o", out,
+        "-m", f"python3 {_EXAMPLES}/wc_map.py",
+        "-r", f"python3 {_EXAMPLES}/wc_reduce.py",
+        "--nmappers", "1",
+        "--nreducers", "1",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    body = open(os.path.join(out, "outputfile01")).read().splitlines()
+    assert sorted(body) == ["blue\t1", "red\t2"]
+
+
+def test_cli_unknown_query():
+    res = _run_cli("query", "no_such_query")
+    assert res.returncode == 2
+    assert "unknown query" in res.stderr
