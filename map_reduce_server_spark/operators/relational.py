@@ -553,6 +553,82 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_values",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           first_value(o_totalprice) OVER w AS cheapest,
+           last_value(o_totalprice) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS priciest,
+           nth_value(o_totalprice, 2) OVER w AS second_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first/last/nth over a full-partition
+    frame with deterministic tiebreak ordering)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(w).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
+    )
+
+
+@register(
+    "q_array_set_ops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_intersect(toks,
+             ['the', 'a', 'join', 'scan', 'merge'])), ','), '') AS common_kw,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           array_to_string(list_sort(list_distinct(
+             list_concat(toks, ['zzz_sentinel']))), ',') AS with_sentinel
+    FROM t
+    """,
+)
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (intersect/distinct/concat), emitted as
+    sorted CSV strings since raw array ordering isn't portable
+    across engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    kw = F.array(*[F.lit(w) for w in ("the", "a", "join", "scan", "merge")])
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.array_intersect(toks, kw)), ","
+        ).alias("common_kw"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(toks, F.array(F.lit("zzz_sentinel")))
+                )
+            ),
+            ",",
+        ).alias("with_sentinel"),
+    )
+
+
+@register(
     "q_topk_per_group",
     oracle="""
     SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INTEGER) AS rn
