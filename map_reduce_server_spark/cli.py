@@ -57,6 +57,20 @@ def _cmd_list(_args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_status(_args: argparse.Namespace) -> int:
+    import pyspark
+
+    from map_reduce_server_spark import __version__
+
+    registry.load_all()
+    print(f"engine {__version__} on pyspark {pyspark.__version__}")
+    print(
+        f"{len(registry.QUERIES)} queries registered "
+        f"({len(registry.ORACLE)} oracle-checked)"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="map_reduce_server_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -78,6 +92,13 @@ def main(argv: list[str] | None = None) -> int:
 
     ls = sub.add_parser("list", help="list registered queries")
     ls.set_defaults(fn=_cmd_list)
+
+    st = sub.add_parser(
+        "status",
+        help="engine status (parity with the reference's "
+        "`bin/mapreduce status`, whose daemons Spark replaces)",
+    )
+    st.set_defaults(fn=_cmd_status)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -82,15 +82,18 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     a handful of rows) and run the expand over that, making the
     expansion cost negligible while producing identical values.
     """
+    import uuid
+
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem_gs")
+    view = f"lineitem_gs_{uuid.uuid4().hex[:8]}"
+    li.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         WITH pre AS (
           SELECT l_returnflag, l_linestatus,
                  COUNT(*) AS n,
                  SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS s
-          FROM lineitem_gs
+          FROM {view}
           GROUP BY l_returnflag, l_linestatus
         )
         SELECT l_returnflag, l_linestatus,

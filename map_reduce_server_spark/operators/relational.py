@@ -141,19 +141,24 @@ def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL returns no rows (every comparison is UNKNOWN), while NOT
     EXISTS ignores the NULLs — the classic correctness trap any SQL
     engine must honor."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_nin")
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_nin")
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(f"ord_nin_{tag}")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        f"cust_nin_{tag}"
+    )
     return spark.sql(
-        """
+        f"""
         SELECT
-          (SELECT COUNT(*) FROM ord_nin
+          (SELECT COUNT(*) FROM ord_nin_{tag}
            WHERE o_custkey NOT IN
              (SELECT CASE WHEN c_custkey % 50 = 1 THEN NULL
                           ELSE c_custkey END
-              FROM cust_nin)) AS n_not_in_with_null,
-          (SELECT COUNT(*) FROM ord_nin o
+              FROM cust_nin_{tag})) AS n_not_in_with_null,
+          (SELECT COUNT(*) FROM ord_nin_{tag} o
            WHERE NOT EXISTS
-             (SELECT 1 FROM cust_nin c
+             (SELECT 1 FROM cust_nin_{tag} c
               WHERE (CASE WHEN c.c_custkey % 50 = 1 THEN NULL
                           ELSE c.c_custkey END) = o.o_custkey))
             AS n_not_exists

@@ -32,20 +32,23 @@ from map_reduce_server_spark.tables import load_table
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subqueries in projection and predicate."""
+    import uuid
+
     orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("orders_sq")
+    view = f"orders_sq_{uuid.uuid4().hex[:8]}"
+    orders.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey, o_totalprice,
                round(o_totalprice
                      - (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,2)))
                                    AS DOUBLE) / COUNT(*)
-                        FROM orders_sq o2), 6) AS diff_from_mean
-        FROM orders_sq
+                        FROM {view} o2), 6) AS diff_from_mean
+        FROM {view}
         WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o3.o_totalprice
                                               AS DECIMAL(30,2))) AS DOUBLE)
                                          / COUNT(*)
-                                  FROM orders_sq o3)
+                                  FROM {view} o3)
         """
     )
 
@@ -65,15 +68,18 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS (Catalyst → semi/anti joins)."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_ce")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_ce")
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(f"cust_ce_{tag}")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(f"ord_ce_{tag}")
     return spark.sql(
-        """
-        SELECT c_custkey, c_name FROM cust_ce c
-        WHERE EXISTS (SELECT 1 FROM ord_ce o
+        f"""
+        SELECT c_custkey, c_name FROM cust_ce_{tag} c
+        WHERE EXISTS (SELECT 1 FROM ord_ce_{tag} o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_totalprice > 100000)
-          AND NOT EXISTS (SELECT 1 FROM ord_ce o2
+          AND NOT EXISTS (SELECT 1 FROM ord_ce_{tag} o2
                           WHERE o2.o_custkey = c.c_custkey
                             AND o2.o_orderstatus = 'F'
                             AND o2.o_totalprice < 1000)
