@@ -139,6 +139,32 @@ def test_round_robin_distinct_line_partitioning(spark, tmp_path):
     assert p1 == ["b", "b", "d"]
 
 
+def test_posix_tools_as_executables(spark, tmp_path):
+    """The reference's UDF contract is 'any executable' (its wordcount
+    mapper is tr/awk — ``wc_map.sh``); prove arbitrary POSIX tools
+    work: tr as mapper, uniq -c as reducer."""
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "f1").write_text("Apple\nBANANA\napple\n")
+    out = str(tmp_path / "out")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=str(d),
+            output_directory=out,
+            mapper_executable="tr A-Z a-z",
+            reducer_executable="uniq -c",
+            num_mappers=1,
+            num_reducers=1,
+        ),
+    )
+    lines = [
+        line.strip()
+        for line in open(os.path.join(out, "outputfile01")).read().splitlines()
+    ]
+    assert lines == ["2 apple", "1 banana"]
+
+
 def test_round_robin_file_assignment():
     """Mirror of the reference's exact dealing
     (``tests/test_master_02.py:137-159`` semantics)."""
