@@ -311,6 +311,96 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_date_spine",
+    oracle=f"""
+    WITH months AS (
+      SELECT CAST(unnest(generate_series(TIMESTAMP '1995-01-01',
+                                         TIMESTAMP '2001-08-01',
+                                         INTERVAL 1 MONTH)) AS TIMESTAMP)
+               AS month_start
+    ), agg AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+             COUNT(*) AS n,
+             {sql_dsum('o_totalprice')} AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT month_start,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_orders,
+           COALESCE(total, 0.0) AS total_price
+    FROM months LEFT JOIN agg ON month_start = m
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling over a generated date spine: every month in the
+    range appears, zero-filled where no orders exist (reporting
+    pattern; the spine is generated with ``sequence`` — rows are
+    born distributed, no driver loop)."""
+    orders = load_table(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-08-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    agg = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+    return months.join(agg, months.month_start == agg.m, "left").select(
+        "month_start",
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.coalesce("total", F.lit(0.0)).alias("total_price"),
+    )
+
+
+@register(
+    "q_share_of_total",
+    oracle=f"""
+    WITH per_seg AS (
+      SELECT c_mktsegment,
+             {sql_dsum('o_totalprice')} AS seg_total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    ), grand AS (
+      SELECT CAST(SUM(CAST(seg_total AS DECIMAL(30,2))) AS DOUBLE)
+               AS grand_total
+      FROM per_seg
+    )
+    SELECT c_mktsegment, seg_total,
+           round(seg_total / grand_total, 9) AS share
+    FROM per_seg CROSS JOIN grand
+    """,
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: per-segment revenue share.
+
+    Scale note: a windowed ``sum() OVER ()`` would funnel everything
+    through one partition; instead the grand total is a 1-row
+    aggregate of the (tiny) per-segment result, broadcast back — no
+    single-partition bottleneck at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_seg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(dsum("o_totalprice").alias("seg_total"))
+    )
+    grand = per_seg.agg(
+        F.sum(F.col("seg_total").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("grand_total")
+    )
+    return per_seg.crossJoin(F.broadcast(grand)).select(
+        "c_mktsegment",
+        "seg_total",
+        F.round(F.col("seg_total") / F.col("grand_total"), 9).alias("share"),
+    )
+
+
+@register(
     "q_corr",
     oracle=f"""
     WITH s AS (
