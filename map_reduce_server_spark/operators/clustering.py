@@ -77,11 +77,46 @@ def connected_components(
     return labels
 
 
-@register("dedup_cluster", oracle=None)
+def _sql_dedup_cluster_oracle() -> str:
+    from map_reduce_server_spark.operators.dedup import _sql_minhash_sig
+
+    return f"""
+    WITH RECURSIVE
+    sig AS ({_sql_minhash_sig()}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.seed = b.seed AND a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+
+
+@register("dedup_cluster", oracle=_sql_dedup_cluster_oracle())
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate groups: connected components over MinHash-LSH
     candidate pairs; every document labeled with its group's smallest
-    doc_id (documents with no near-dup candidate form singletons)."""
+    doc_id (documents with no near-dup candidate form singletons).
+
+    The oracle replays the fixpoint as a DuckDB recursive CTE
+    (transitive closure + min label), so even this iterative
+    algorithm is value-checked, not just rows-counted.
+    """
     from map_reduce_server_spark.operators.dedup import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select(
