@@ -32,7 +32,8 @@ def test_cli_list():
         line.split("\t") for line in res.stdout.strip().splitlines()
     )
     assert lines["q1_pricing_summary"] == "oracle"
-    assert lines["dedup_cluster"] == "rows-only"
+    assert lines["dedup_cluster"] == "oracle"  # recursive-CTE oracle
+    assert lines["q_approx_sketches"] == "rows-only"
     assert len(lines) >= 80
 
 
