@@ -479,7 +479,7 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) OVER (
                 PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_qty
     FROM lineitem
@@ -487,11 +487,18 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running (prefix) sum per supplier — exact decimal frame sum."""
+    """Running (prefix) sum per supplier — exact decimal frame sum.
+
+    l_quantity is the last ORDER BY key: the synthetic data contains
+    a duplicate (suppkey, shipdate, orderkey, linenumber) tuple, and
+    with a ROWS frame any tie the ordering doesn't break makes the
+    prefix sums engine-dependent. Ordering by the summed value itself
+    makes ties harmless (equal values → identical prefixes).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
