@@ -2,15 +2,18 @@
 """Grep mapper: keep lines containing the query substring
 (case-insensitive), emit ``1<TAB>line``.
 
-Same contract as the reference's grep mapper
-(``tests/testdata/exec/grep_map.py:20-28``); the query defaults to
-'join' here (the synthetic corpus's frequent token) and can be
-overridden via argv[1].
+Same observable contract as the reference's grep mapper
+(``tests/testdata/exec/grep_map.py:20-28``): the line is
+whitespace-stripped and blank lines are skipped before matching.
+The query defaults to 'join' here (the synthetic corpus's frequent
+token) and can be overridden via argv[1].
 """
 import sys
 
 query = sys.argv[1].lower() if len(sys.argv) > 1 else "join"
 for line in sys.stdin:
-    line = line.rstrip("\n")
+    line = line.strip()
+    if not line:
+        continue
     if query in line.lower():
         sys.stdout.write(f"1\t{line}\n")
