@@ -479,18 +479,54 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # differ across engines by design; the driver records rows-only) ----
 
 
-@register("q_approx_sketches", oracle=None)
+@register(
+    "q_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS cd_within_3rsd,
+           TRUE AS median_within_rank_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) + percentile_approx
     (KLL-style) — the constant-memory cardinality/quantile path for
-    100 TB where exact DISTINCT/percentile would shuffle everything."""
+    100 TB where exact DISTINCT/percentile would shuffle everything.
+
+    Sketch values are engine-specific, so they cannot be
+    hash-compared across engines; the verifiable claims are their
+    ERROR BOUNDS. The query returns exact references plus boolean
+    bound checks — ``|approx_cd - exact| <= 3·rsd·exact`` (3σ of the
+    HLL++ estimator) and ``percentile_approx`` within the exact
+    [0.499, 0.501]-quantile envelope (10× the 1/accuracy=1e-4 rank
+    error) — and the oracle asserts the same exact values with
+    literal TRUE bounds. Unverified ≠ unverifiable.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-            "approx_median_price"
-        ),
+    agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("apx_cd"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("apx_med"),
+        F.expr("percentile(l_extendedprice, 0.499)").alias("med_lo"),
+        F.expr("percentile(l_extendedprice, 0.501)").alias("med_hi"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        (
+            F.abs(F.col("apx_cd") - F.col("exact_parts"))
+            <= 3 * 0.01 * F.col("exact_parts")
+        ).alias("cd_within_3rsd"),
+        (
+            (F.col("apx_med") >= F.col("med_lo"))
+            & (F.col("apx_med") <= F.col("med_hi"))
+        ).alias("median_within_rank_bound"),
     )
 
 

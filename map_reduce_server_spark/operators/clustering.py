@@ -26,13 +26,20 @@ from map_reduce_server_spark.tables import load_table
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20
+    edges: DataFrame, max_iter: int = 50
 ) -> DataFrame:
     """Connected components of an undirected graph.
 
     ``edges``: DataFrame[src: long, dst: long]. Returns
     DataFrame[node: long, component: long] where component is the
     smallest node id in the node's component.
+
+    Convergence: each iteration combines neighbor-min propagation
+    with a pointer-jumping step (label ← label(label)), so label
+    distances roughly HALVE per round — O(log diameter) iterations
+    instead of O(diameter) for plain propagation (a diameter-10⁶
+    chain converges in ~20 rounds). Non-convergence within
+    ``max_iter`` RAISES instead of silently returning wrong labels.
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -56,25 +63,39 @@ def connected_components(
     )
     for _ in range(max_iter):
         # candidate label for each node: min over neighbors' labels
+        # (self-loop includes the node's own label)
         propagated = (
             adj.join(labels, adj.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
-            .agg(F.min("component").alias("new_component"))
+            .agg(F.min("component").alias("cand"))
+        )
+        # pointer jump: follow the candidate label one more hop —
+        # labels form a forest rooted at component minima, so
+        # label(label(u)) ≤ label(u) and chains compress geometrically.
+        jump = labels.select(
+            F.col("node").alias("cand"), F.col("component").alias("cand_comp")
         )
         updated = (
             labels.join(propagated, "node")
+            .join(jump, "cand")
             .select(
                 "node",
-                F.least("component", "new_component").alias("component"),
-                (F.col("new_component") < F.col("component")).alias("changed"),
+                F.least("component", "cand", "cand_comp").alias("component"),
+                (
+                    F.least("cand", "cand_comp") < F.col("component")
+                ).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
         changed = updated.filter("changed").limit(1).count()
         labels = updated.select("node", "component")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations; "
+        "the label forest is still contracting — raise max_iter "
+        "(convergence needs ~log2(graph diameter) iterations)"
+    )
 
 
 def _sql_dedup_cluster_oracle() -> str:

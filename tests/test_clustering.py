@@ -38,3 +38,33 @@ def test_dedup_cluster_runs(spark, sf_small):
     assert len(rows) == 500  # one row per document
     # cluster representative is always ≤ member id
     assert all(r.cluster_id <= r.doc_id for r in rows)
+
+
+def test_diameter_25_chain_converges_exactly(spark):
+    # Diameter-25 chain — silently-capped propagation (the round-1
+    # implementation) would return wrong labels here; pointer jumping
+    # must converge well within the iteration budget.
+    edges = [(i, i + 1) for i in range(1, 26)]
+    got = _cc(spark, edges)
+    assert got == {(i, 1) for i in range(1, 27)}
+
+
+def test_long_chain_pointer_jumping_budget(spark):
+    # 120-node chain (diameter 119): plain min-propagation needs ~119
+    # iterations; pointer jumping must finish within ~log2(119)+slack.
+    edges = [(i, i + 1) for i in range(1, 120)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.node, r.component)
+        for r in connected_components(df, max_iter=15).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 121)}
+
+
+def test_nonconvergence_raises(spark):
+    import pytest
+
+    edges = [(i, i + 1) for i in range(1, 40)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
