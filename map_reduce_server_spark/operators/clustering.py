@@ -99,16 +99,11 @@ def connected_components(
 
 
 def _sql_dedup_cluster_oracle() -> str:
-    from map_reduce_server_spark.operators.dedup import _sql_minhash_sig
+    from map_reduce_server_spark.operators.dedup import _SQL_MINHASH_CAND
 
     return f"""
     WITH RECURSIVE
-    sig AS ({_sql_minhash_sig()}),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.seed = b.seed AND a.h = b.h AND a.doc_id < b.doc_id
-    ),
+    pairs AS (SELECT doc_a, doc_b FROM {_SQL_MINHASH_CAND} c),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs

@@ -169,18 +169,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH -----------------------------------------------------------
 
-_MINHASH_K = 12  # signature length; bands of r=1 → high-recall config
+_MINHASH_K = 12  # signature length
+_MINHASH_R = 2  # rows per band → 6 bands of r=2
+_MINHASH_B = _MINHASH_K // _MINHASH_R
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, seed, h): min-wise signature per document and seed.
+def minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m{K-1}): the K-position min-wise signature row.
 
     One-pass formulation: each (doc, shingle) row projects all K
-    seeded hashes as columns, a single groupBy(doc_id) takes the K
+    seeded hashes as columns and a single groupBy(doc_id) takes the K
     mins (partial aggregation combines map-side, so the shuffle
     carries K strings per doc per partition — not K× the shingle
-    set), and the wide row unpivots to (seed, h) pairs for banding.
-    ~2× faster than exploding a seeds dimension and equivalent
+    set). ~2× faster than exploding a seeds dimension and equivalent
     value-for-value.
     """
     sh = shingles_df(spark, sf_dir)
@@ -191,9 +192,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_MINHASH_K)
         ],
     )
-    wide = projected.groupBy("doc_id").agg(
+    return projected.groupBy("doc_id").agg(
         *[F.min(f"m{i}").alias(f"m{i}") for i in range(_MINHASH_K)]
     )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seed, h): the signature row unpivoted for per-position
+    agreement counting (``dedup_minhash_estimate``)."""
+    wide = minhash_wide(spark, sf_dir)
     return wide.unpivot(
         ids=["doc_id"],
         values=[f"m{i}" for i in range(_MINHASH_K)],
@@ -203,6 +210,70 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.substring("seed_name", 2, 6).cast("int").alias("seed"),
         "h",
+    )
+
+
+def minhash_band_keys(wide: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey): r-row banding of the signature.
+
+    Band j's key concatenates signature positions
+    ``m[r·j] .. m[r·j+r-1]``: a pair collides on band j iff ALL r
+    positions agree, so P(candidate) = 1 − (1 − J^r)^b — the
+    superlinear candidate cutoff that keeps LSH usable at 100 TB
+    (r=1 banding degrades to "any position agrees", whose hot
+    buckets expand quadratically).
+    """
+    band_cols = [
+        F.concat_ws(
+            ":",
+            *[f"m{j * _MINHASH_R + i}" for i in range(_MINHASH_R)],
+        ).alias(f"b{j}")
+        for j in range(_MINHASH_B)
+    ]
+    banded = wide.select("doc_id", *band_cols)
+    stack_args = ", ".join(f"{j}, b{j}" for j in range(_MINHASH_B))
+    return banded.selectExpr(
+        "doc_id", f"stack({_MINHASH_B}, {stack_args}) AS (band, bkey)"
+    )
+
+
+def minhash_candidate_pairs(
+    wide: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Distinct candidate (doc_a < doc_b) pairs from band collisions.
+
+    ``max_bucket_size``: optional hot-bucket cap — LSH's one scale
+    hazard is a ubiquitous band key (e.g. boilerplate text) whose
+    bucket of n docs expands to n²/2 pairs. Buckets larger than the
+    cap are dropped BEFORE pair expansion (one extra aggregation on
+    the band keys, negligible vs the join), bounding any single
+    bucket's output; dropped buckets are exact-duplicate-heavy and
+    are caught by ``dedup_fingerprint`` upstream. The registered
+    query runs uncapped so the DuckDB oracle stays exactly
+    replayable.
+    """
+    bands = minhash_band_keys(wide)
+    if max_bucket_size is not None:
+        ok_buckets = (
+            bands.groupBy("band", "bkey")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .select("band", "bkey")
+        )
+        bands = bands.join(ok_buckets, ["band", "bkey"])
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
 
 
@@ -216,44 +287,47 @@ def _sql_minhash_sig() -> str:
     """
 
 
+def _sql_minhash_bands() -> str:
+    """DuckDB twin of ``minhash_band_keys``: r-row band keys."""
+    return f"""
+    (SELECT doc_id, seed // {_MINHASH_R} AS band,
+            string_agg(h, ':' ORDER BY seed) AS bkey
+     FROM ({_sql_minhash_sig()}) sig
+     GROUP BY doc_id, seed // {_MINHASH_R})
+    """
+
+
+_SQL_MINHASH_CAND = f"""
+    (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+     FROM ({_sql_minhash_bands()}) a JOIN ({_sql_minhash_bands()}) b
+       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+"""
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH sig AS ({_sql_minhash_sig()})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sig a JOIN sig b
-      ON a.seed = b.seed AND a.h = b.h AND a.doc_id < b.doc_id
+    SELECT doc_a, doc_b FROM {_SQL_MINHASH_CAND} cand
     """,
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (shingle → K minhashes → band
+    """MinHash-LSH candidate pairs (shingle → K minhashes → banded
     bucket join).
 
     The min-wise hash family is ``min(md5(seed:shingle))`` per seed
     (lexicographic min over hex digests — a valid permutation
-    approximation, engine-portable). Bands of r=1: a pair is a
-    candidate iff it collides on any of the K signature positions,
-    i.e. P(candidate) = 1-(1-J)^K — the high-recall end of the LSH
-    tradeoff. Candidate generation is a self-equi-join on
-    (seed, h): at 100 TB this shuffles only (doc_id, 32-byte hash)
-    pairs, K per document, never the corpus and never all pairs.
+    approximation, engine-portable). Banding is b=6 bands of r=2
+    rows: a pair is a candidate iff BOTH positions of some band
+    agree, P(candidate) = 1-(1-J²)^6 — near-dups (J≥0.8) are still
+    caught w.p. ≥ 99.9% while unrelated pairs (J≈0.1) drop by ~50×
+    vs r=1 banding, which is what keeps hot buckets from expanding
+    quadratically at 100 TB. Candidate generation is a self-equi-join
+    on (band, bkey): the shuffle carries b compact keys per document,
+    never the corpus and never all pairs. ``minhash_candidate_pairs``
+    additionally takes a hot-bucket cap for skewed corpora.
     """
-    sig = minhash_signatures(spark, sf_dir)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.seed") == F.col("b.seed"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    return minhash_candidate_pairs(minhash_wide(spark, sf_dir))
 
 
 @register(
@@ -291,11 +365,7 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_estimate",
     oracle=f"""
     WITH sig AS ({_sql_minhash_sig()}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.seed = b.seed AND a.h = b.h AND a.doc_id < b.doc_id
-    ),
+    cand AS (SELECT doc_a, doc_b FROM {_SQL_MINHASH_CAND} c),
     agree AS (
       SELECT c.doc_a, c.doc_b,
              COUNT(*) FILTER (WHERE sa.h = sb.h) AS n_agree
@@ -315,77 +385,72 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-side similarity used to rank/filter candidates without
     touching the documents again (at 100 TB the signatures are 12×32
     bytes per doc; the texts never reshuffle)."""
-    sig = minhash_signatures(spark, sf_dir).localCheckpoint(
+    wide = minhash_wide(spark, sf_dir).localCheckpoint(
         eager=True  # reused by candidates AND agreement
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.seed") == F.col("b.seed"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), "seed", F.col("h").alias("ha")
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), "seed", F.col("h").alias("hb")
+    cand = minhash_candidate_pairs(wide)
+    agree_expr = sum(
+        (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int")
+        for i in range(_MINHASH_K)
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count_if(F.col("ha") == F.col("hb")).alias("n_agree")
-        )
+        cand.join(wide.alias("a"), cand.doc_a == F.col("a.doc_id"))
+        .join(wide.alias("b"), cand.doc_b == F.col("b.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("n_agree").cast("double") / _MINHASH_K, 6).alias(
-                "est_jaccard"
-            ),
+            F.round(
+                agree_expr.cast("double") / _MINHASH_K, 6
+            ).alias("est_jaccard"),
         )
     )
 
 
 # --- SimHash -----------------------------------------------------------------
 
-
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH tok AS (
+# 64-bit fingerprint carried as two unsigned 32-bit halves (lo/hi) so
+# every intermediate fits a signed BIGINT identically in Spark and
+# DuckDB; the canonical signed-64 value is assembled only at the end.
+_SQL_SIMHASH_HALVES = f"""
+    (WITH tok AS (
       SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
     ), th AS (
-      SELECT doc_id, token,
-             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h_lo,
+             CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS h_hi
       FROM tok
     ), bits AS (
       SELECT doc_id, b,
-             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) bb
+             SUM(CASE WHEN (CASE WHEN b < 32 THEN (h_lo >> b)
+                                 ELSE (h_hi >> (b - 32)) END) & 1 = 1
+                 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
       GROUP BY doc_id, b
     )
     SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-                AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
-    """,
+           CAST(SUM(CASE WHEN s > 0 AND b < 32
+                         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS lo,
+           CAST(SUM(CASE WHEN s > 0 AND b >= 32
+                         THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+                AS BIGINT) AS hi
+    FROM bits GROUP BY doc_id)
+"""
+
+# signed 64-bit value from the two halves (two's complement, no
+# overflow in BIGINT: |hi_signed * 2^32| + lo <= 2^63 - 1)
+_SQL_SIMHASH64 = (
+    "(hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)"
+    " * 4294967296 + lo"
 )
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprint per document (distinct-token basis).
+
+
+def simhash_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lo, hi): 64-bit SimHash as two unsigned 32-bit halves.
 
     Bit b of the fingerprint is the sign of Σ_tokens (±1 from bit b
-    of the token hash). Near-dup pairing at scale then bands the
-    fingerprint (pigeonhole: hamming ≤ k ⇒ one of k+1 bands equal)
-    — see ``dedup_simhash_pairs``.
+    of the token's 64-bit md5-prefix hash). The halves keep all
+    arithmetic inside signed-BIGINT range on both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
@@ -396,16 +461,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
         .cast("bigint")
-        .alias("h"),
+        .alias("h_lo"),
+        F.conv(F.substring(F.md5("token"), 9, 8), 16, 10)
+        .cast("bigint")
+        .alias("h_hi"),
     )
-    bits_idx = spark.range(32).select(F.col("id").cast("int").alias("b"))
+    bits_idx = spark.range(64).select(F.col("id").cast("int").alias("b"))
     bits = (
         th.crossJoin(F.broadcast(bits_idx))
         .select(
             "doc_id",
             "b",
             F.expr(
-                "CASE WHEN (shiftright(h, b) & CAST(1 AS BIGINT)) = 1 "
+                "CASE WHEN (CASE WHEN b < 32 THEN shiftright(h_lo, b) "
+                "ELSE shiftright(h_hi, b - 32) END) & CAST(1 AS BIGINT) = 1 "
                 "THEN 1 ELSE -1 END"
             ).alias("contrib"),
         )
@@ -415,68 +484,80 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.groupBy("doc_id").agg(
         F.sum(
             F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+                "CASE WHEN s > 0 AND b < 32 "
+                "THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"
+            )
+        )
+        .cast("bigint")
+        .alias("lo"),
+        F.sum(
+            F.expr(
+                "CASE WHEN s > 0 AND b >= 32 "
+                "THEN shiftleft(CAST(1 AS BIGINT), b - 32) "
                 "ELSE CAST(0 AS BIGINT) END"
             )
         )
         .cast("bigint")
-        .alias("simhash")
+        .alias("hi"),
     )
 
 
 @register(
-    "dedup_simhash_pairs",
+    "dedup_simhash",
     oracle=f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
-    ), th AS (
-      SELECT doc_id, token,
-             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
-      FROM tok
-    ), bits AS (
-      SELECT doc_id, b,
-             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) bb
-      GROUP BY doc_id, b
-    ), fp AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-                  AS BIGINT) AS simhash
-      FROM bits GROUP BY doc_id
-    ), bands AS (
-      SELECT doc_id, simhash, band,
-             (simhash >> (band * 8)) & 255 AS bkey
-      FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bb
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS ha, b.simhash AS hb
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
-    FROM cand
-    WHERE bit_count(xor(ha, hb)) <= 6
+    SELECT doc_id, CAST({_SQL_SIMHASH64} AS BIGINT) AS simhash
+    FROM {_SQL_SIMHASH_HALVES} halves
     """,
 )
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: band the 32-bit fingerprint into 4
-    bytes, equi-join on (band, byte), verify hamming ≤ 6.
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (distinct-token basis).
 
-    Note 4 bands only *guarantee* recall for hamming ≤ 3; ≤ 6 keeps
-    high-but-not-total recall — the standard LSH tradeoff, and the
-    oracle applies the identical candidate rule so results agree.
+    64 bits (vs round-1's 32) is what makes banding usable at scale:
+    with 4 bands the band key is 16 bits (65,536 values), so bucket
+    occupancy stays sub-linear in corpus size where 8-bit keys (256
+    values) guaranteed every bucket grows linearly and pair
+    expansion quadratically. Near-dup pairing bands the fingerprint
+    (pigeonhole: hamming ≤ 3 ⇒ one of 4 bands equal) — see
+    ``dedup_simhash_pairs``.
     """
-    fp = dedup_simhash(spark, sf_dir)
-    bands_idx = spark.range(4).select(F.col("id").cast("int").alias("band"))
-    bands = fp.crossJoin(F.broadcast(bands_idx)).select(
+    return simhash_halves(spark, sf_dir).select(
+        "doc_id", F.expr(_SQL_SIMHASH64).cast("bigint").alias("simhash")
+    )
+
+
+def simhash_pairs(
+    halves: DataFrame,
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs from (doc_id, lo, hi) fingerprint halves:
+    4 bands × 16-bit keys, equi-join per band, verify hamming.
+
+    ``max_bucket_size`` caps hot band buckets before pair expansion
+    (same rationale as ``minhash_candidate_pairs``)."""
+    bands_idx = (
+        halves.sparkSession.range(4)
+        .select(F.col("id").cast("int").alias("band"))
+    )
+    bands = halves.crossJoin(F.broadcast(bands_idx)).select(
         "doc_id",
-        "simhash",
+        "lo",
+        "hi",
         "band",
         F.expr(
-            "shiftright(simhash, band * 8) & CAST(255 AS BIGINT)"
+            "CASE WHEN band < 2 THEN shiftright(lo, band * 16) "
+            "ELSE shiftright(hi, (band - 2) * 16) END "
+            "& CAST(65535 AS BIGINT)"
         ).alias("bkey"),
     )
+    if max_bucket_size is not None:
+        ok_buckets = (
+            bands.groupBy("band", "bkey")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .select("band", "bkey")
+        )
+        bands = bands.join(ok_buckets, ["band", "bkey"])
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -489,12 +570,52 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.col("a.lo").alias("la"),
+            F.col("a.hi").alias("ha"),
+            F.col("b.lo").alias("lb"),
+            F.col("b.hi").alias("hb"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    hamming = F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))) + F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    )
     return cand.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= 6)
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, lo, hi FROM {_SQL_SIMHASH_HALVES} h),
+    bands AS (
+      SELECT doc_id, lo, hi, band,
+             (CASE WHEN band < 2 THEN (lo >> (band * 16))
+                   ELSE (hi >> ((band - 2) * 16)) END) & 65535 AS bkey
+      FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bb
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+                AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 6
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into 4
+    16-bit keys, equi-join on (band, key), verify hamming ≤ 6.
+
+    4 bands *guarantee* recall for hamming ≤ 3 (pigeonhole); ≤ 6
+    keeps high-but-not-total recall — the standard LSH tradeoff, and
+    the oracle applies the identical candidate rule so results
+    agree. The 16-bit band keyspace (65,536 values/band) is what
+    survives scale-up: round-1's 8-bit keys put ~n/256 docs in every
+    bucket, expanding pairs quadratically with corpus size.
+    """
+    return simhash_pairs(simhash_halves(spark, sf_dir))

@@ -33,7 +33,8 @@ def test_cli_list():
     )
     assert lines["q1_pricing_summary"] == "oracle"
     assert lines["dedup_cluster"] == "oracle"  # recursive-CTE oracle
-    assert lines["q_approx_sketches"] == "rows-only"
+    # sketches verify via bound-check booleans since round 2
+    assert lines["q_approx_sketches"] == "oracle"
     assert len(lines) >= 80
 
 
