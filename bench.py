@@ -35,6 +35,12 @@ def main() -> None:
     # Warm the JVM/codegen path once with the cheapest query so the
     # first measured query doesn't pay one-time session costs.
     materialize(registry.QUERIES[names[0]](spark, sf_dir).limit(1))
+    # Untimed fixture staging (e.g. the façade's text input dir):
+    # the bench measures the engine, not parquet→text conversion.
+    for name in names:
+        hook = registry.PREPARE.get(name)
+        if hook is not None:
+            hook(spark, sf_dir)
 
     total0 = time.time()
     for name in names:

@@ -872,12 +872,26 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
              AS days_since_epoch_start,
-           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date
+           CAST(o_orderdate + INTERVAL 91 DAY AS TIMESTAMP) AS due_date,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3mo,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
     FROM orders
     """,
 )
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar date/timestamp functions."""
+    """Scalar date/timestamp functions (extraction, truncation, date
+    arithmetic, last_day/quarter/week/day-of-year, epoch seconds) —
+    one scan, all whole-stage-codegen expressions.
+
+    due_date is 91 (not 90) days out: DuckDB 1.0's CSE compares
+    interval constants by 30-day-month value equality, so ``+ 90
+    DAY`` and ``+ 3 MONTH`` on the same column unify to one
+    expression and the oracle silently returns the first — 91 days
+    keeps every interval in the query value-distinct."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
@@ -888,7 +902,13 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_epoch_start"
         ),
-        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 91 DAYS")).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_3mo"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("wk"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
     )
 
 
@@ -1025,34 +1045,6 @@ def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii(F.col("n_name")).alias("first_char_code"),
         F.left(F.col("n_name"), F.lit(3)).alias("name_left"),
         F.right(F.col("n_name"), F.lit(3)).alias("name_right"),
-    )
-
-
-@register(
-    "q_date_funcs2",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3mo,
-           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
-           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
-           CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
-           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
-           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
-    FROM orders
-    """,
-)
-def q_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second date batch: month arithmetic, last_day, quarter/week/
-    day-of-year, epoch seconds."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.select(
-        "o_orderkey",
-        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_3mo"),
-        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
-        F.quarter("o_orderdate").alias("qtr"),
-        F.weekofyear("o_orderdate").alias("wk"),
-        F.dayofyear("o_orderdate").alias("doy"),
-        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
     )
 
 
