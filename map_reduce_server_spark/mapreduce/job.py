@@ -33,8 +33,13 @@ import shlex
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from map_reduce_server_spark.io.sinks import write_numbered_text
+
+# Above this many input files, run_job switches from one-RDD-per-file
+# plan construction to a single directory scan (see _mapped_lines_*).
+_DIRECTORY_SCAN_THRESHOLD = 64
 
 
 @dataclass(frozen=True)
@@ -125,34 +130,121 @@ def group_partition(mapped, num_reducers: int):
     )
 
 
-def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
-    """Execute a MapReduce job; returns the output file paths.
-
-    Semantics parity notes:
-    - per-FILE mapper granularity: each input file is one partition,
-      so the mapper executable sees exactly one file's lines on stdin
-      (reference contract ``worker/__main__.py:109-117``);
-    - grouping key is the ENTIRE line (quirk §8.2 of SURVEY.md):
-      ``a\\t1`` and ``a\\t2`` are different groups;
-    - reducer partition of a distinct line = dense rank in global
-      sorted order mod num_reducers, and lines within a partition
-      arrive sorted.
-    """
+def _mapped_lines_per_file(spark: SparkSession, files: list[str], mapper: str):
+    """Map stage, small-file-count plan: one RDD partition per input
+    file, piped through the mapper. Driver plan construction is
+    O(files) RDD objects — fine up to ~100 files, the reference's own
+    operating envelope (its tests top out at 8 files)."""
     sc = spark.sparkContext
-    files = _list_input_files(job.input_directory)
-    if not files:
-        raise ValueError(f"no input files in {job.input_directory}")
-
-    # --- map stage: one partition per input file, piped through the
-    # mapper. minPartitions=1 per file keeps file==partition.
     per_file = [sc.textFile(f, minPartitions=1).coalesce(1) for f in files]
     # checkCode=True: a mapper/reducer exiting non-zero fails the task
     # (and Spark's retry takes over) instead of silently truncating
     # output — the analog of the reference's task reassignment
     # (master/__main__.py:128-146) with correctness on top.
-    mapped = sc.union(per_file).pipe(
-        _pipe_cmd(job.mapper_executable), checkCode=True
+    return sc.union(per_file).pipe(_pipe_cmd(mapper), checkCode=True)
+
+
+def _mapped_lines_directory(
+    spark: SparkSession, input_dir: str, mapper: str, num_mappers: int
+):
+    """Map stage, large-file-count plan: ONE directory scan (O(1)
+    driver-side RDDs regardless of file count), files dealt to
+    ``num_mappers`` tasks by sorted rank mod M exactly as the
+    reference's master does (``master/__main__.py:288-297``), and one
+    mapper subprocess PER FILE inside each task — preserving the
+    reference's per-file stdin contract (``worker/__main__.py:109-117``)
+    without per-file driver plan objects.
+
+    Line order within a file survives the shuffle: the scan tags each
+    row with ``monotonically_increasing_id`` (partition-ordinal
+    encoding; directory splits are enumerated per file in offset
+    order, so the id is ascending within every file) and the shuffle
+    sorts each task's rows by (file rank, id).
+    """
+    df = spark.read.text(input_dir).select(
+        F.input_file_name().alias("f"),
+        F.monotonically_increasing_id().alias("seq"),
+        "value",
     )
+    # Dense rank of each file in sorted order — a distributed job over
+    # the (tiny) distinct-file set; only the rank table is broadcast.
+    ranks = (
+        df.select("f")
+        .distinct()
+        .rdd.map(lambda r: r[0])
+        .sortBy(lambda p: p)
+        .zipWithIndex()
+        .toDF(["f", "rank"])
+    )
+    keyed = (
+        df.join(F.broadcast(ranks), "f")
+        .select("rank", "seq", "value")
+        .rdd.map(lambda r: ((r[0] % num_mappers, r[0], r[1]), r[2]))
+        .repartitionAndSortWithinPartitions(
+            numPartitions=num_mappers, partitionFunc=lambda k: k[0]
+        )
+    )
+    cmd = shlex.split(_pipe_cmd(mapper))
+
+    def pipe_per_file(it):
+        import itertools
+        import subprocess
+        import tempfile
+
+        for _rank, rows in itertools.groupby(it, key=lambda kv: kv[0][1]):
+            # Spool this file's lines to local disk, then stream them
+            # through one mapper subprocess (bounded memory both ways).
+            with tempfile.TemporaryFile() as tf:
+                for _k, value in rows:
+                    tf.write(value.encode("utf-8"))
+                    tf.write(b"\n")
+                tf.seek(0)
+                with subprocess.Popen(
+                    cmd, stdin=tf, stdout=subprocess.PIPE
+                ) as proc:
+                    assert proc.stdout is not None
+                    for line in proc.stdout:
+                        yield line.decode("utf-8").rstrip("\n")
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"Pipe function `{cmd}' exited with status "
+                        f"{proc.returncode}"
+                    )
+
+    return keyed.mapPartitions(pipe_per_file)
+
+
+def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
+    """Execute a MapReduce job; returns the output file paths.
+
+    Semantics parity notes:
+    - per-FILE mapper granularity: the mapper executable sees exactly
+      one file's lines on stdin (reference contract
+      ``worker/__main__.py:109-117``);
+    - grouping key is the ENTIRE line (quirk §8.2 of SURVEY.md):
+      ``a\\t1`` and ``a\\t2`` are different groups;
+    - reducer partition of a distinct line = dense rank in global
+      sorted order mod num_reducers, and lines within a partition
+      arrive sorted.
+
+    Ingestion scales with file count: up to 64 files the plan is one
+    partition per file (exact task granularity); beyond that it is a
+    single directory scan with per-file subprocess granularity inside
+    ``num_mappers`` tasks — O(1) driver-side plan objects at 100k
+    files, where the per-file plan would bottleneck the driver.
+    """
+    files = _list_input_files(job.input_directory)
+    if not files:
+        raise ValueError(f"no input files in {job.input_directory}")
+
+    if len(files) > _DIRECTORY_SCAN_THRESHOLD:
+        mapped = _mapped_lines_directory(
+            spark, job.input_directory, job.mapper_executable, job.num_mappers
+        )
+    else:
+        mapped = _mapped_lines_per_file(
+            spark, files, job.mapper_executable
+        )
 
     grouped = group_partition(mapped, job.num_reducers)
 
