@@ -918,8 +918,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            round(p_retailprice * 1.1, 2) AS price_up,
            abs(p_retailprice - 1000.0) AS dist_1000,
-           floor(p_retailprice) AS price_floor,
-           ceil(p_retailprice) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
            sqrt(p_retailprice) AS price_sqrt,
            round(ln(p_retailprice), 9) AS price_ln,
            CAST(p_size % 5 AS INTEGER) AS size_mod5,
