@@ -30,7 +30,9 @@ from __future__ import annotations
 
 import os
 import shlex
+import tempfile
 from dataclasses import dataclass
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -81,12 +83,9 @@ def round_robin_file_assignment(
     """The reference's file→map-task dealing (``master/__main__.py:
     288-297``, asserted literally by its ``tests/test_master_02.py:
     137-159``): sorted file *i* goes to task ``i % num_mappers``, so
-    task *m* holds files ``m, m+num_mappers, …``.
-
-    ``run_job`` itself uses per-file partitions (finer granularity,
-    same observable outputs); this helper exists for callers that
-    want the reference's exact task grouping — e.g. to bound the
-    number of concurrent mapper processes.
+    task *m* holds files ``m, m+num_mappers, …``. Both ingestion
+    plans group files into tasks with this dealing, which also bounds
+    the number of concurrent mapper processes to ``num_mappers``.
     """
     tasks: list[list[str]] = [[] for _ in range(num_mappers)]
     for i, f in enumerate(sorted(files)):
@@ -97,6 +96,43 @@ def round_robin_file_assignment(
 def _pipe_cmd(executable: str) -> str:
     """Quote an executable path for RDD.pipe."""
     return " ".join(shlex.quote(p) for p in shlex.split(executable))
+
+
+def _stage_hidden_aliases(
+    files: list[str],
+) -> tuple[list[str], dict[str, str]]:
+    """Hadoop input formats silently skip files whose basename starts
+    with ``_`` or ``.`` — even when the file is named explicitly —
+    while the reference processes them (its master lists with
+    ``os.listdir``, ``master/__main__.py:288-289``). Re-expose each
+    hidden file through a non-hidden symlink in a job-scoped staging
+    directory so the scan reads it.
+
+    Returns ``(scan_paths, alias_resolver)`` where ``scan_paths[i]``
+    is the path to scan for ``files[i]`` and ``alias_resolver`` maps
+    the absolute path of every scan path (alias or original) back to
+    the listed file.
+
+    Cluster note: the staging dir comes from ``tempfile`` on the
+    driver; on a multi-node cluster point ``TMPDIR`` at the shared
+    filesystem that also hosts the input (symlinks are same-FS
+    metadata either way). In local mode this is unconditionally fine.
+    """
+    alias_dir = None
+    scan_paths: list[str] = []
+    resolver: dict[str, str] = {}
+    for rank, f in enumerate(files):
+        resolver[os.path.abspath(f)] = f
+        if os.path.basename(f).startswith(("_", ".")):
+            if alias_dir is None:
+                alias_dir = tempfile.mkdtemp(prefix="mrs-hidden-")
+            alias = os.path.join(alias_dir, f"f{rank:08d}")
+            os.symlink(os.path.abspath(f), alias)
+            resolver[os.path.abspath(alias)] = f
+            scan_paths.append(alias)
+        else:
+            scan_paths.append(f)
+    return scan_paths, resolver
 
 
 def group_partition(mapped, num_reducers: int):
@@ -130,24 +166,52 @@ def group_partition(mapped, num_reducers: int):
     )
 
 
-def _mapped_lines_per_file(spark: SparkSession, files: list[str], mapper: str):
-    """Map stage, small-file-count plan: one RDD partition per input
-    file, piped through the mapper. Driver plan construction is
-    O(files) RDD objects — fine up to ~100 files, the reference's own
-    operating envelope (its tests top out at 8 files)."""
+def _mapped_lines_per_file(
+    spark: SparkSession, files: list[str], mapper: str, num_mappers: int
+):
+    """Map stage, small-file-count plan: one RDD (and one mapper
+    subprocess) per input file, grouped into ``num_mappers`` Spark
+    tasks by the reference's dealing (sorted file *i* → task
+    ``i % num_mappers``, ``master/__main__.py:288-297``). Driver plan
+    construction is O(files) RDD objects — fine up to ~100 files, the
+    reference's own operating envelope (its tests top out at 8 files).
+
+    A 0-byte file yields zero Hadoop splits, so ``textFile`` alone
+    would never run the mapper for it — but the reference pipes every
+    file (``worker/__main__.py:109-117``) and mappers may emit output
+    on empty stdin (``wc -l`` prints ``0``). One explicit empty
+    partition restores that contract.
+    """
     sc = spark.sparkContext
-    per_file = [sc.textFile(f, minPartitions=1).coalesce(1) for f in files]
+    scan_paths, _ = _stage_hidden_aliases(files)
+    cmd = _pipe_cmd(mapper)
     # checkCode=True: a mapper/reducer exiting non-zero fails the task
     # (and Spark's retry takes over) instead of silently truncating
     # output — the analog of the reference's task reassignment
     # (master/__main__.py:128-146) with correctness on top.
-    return sc.union(per_file).pipe(_pipe_cmd(mapper), checkCode=True)
+    piped = {
+        f: (
+            sc.parallelize([], 1)
+            if os.path.getsize(p) == 0
+            else sc.textFile(p, minPartitions=1).coalesce(1)
+        ).pipe(cmd, checkCode=True)
+        for f, p in zip(files, scan_paths)
+    }
+    # Narrow coalesce(1) per task group: each parent (per-file, already
+    # piped) partition is computed sequentially inside one Spark task —
+    # exactly a reference worker walking its file list.
+    tasks = [
+        sc.union([piped[f] for f in task]).coalesce(1)
+        for task in round_robin_file_assignment(files, num_mappers)
+        if task
+    ]
+    return sc.union(tasks)
 
 
 def _mapped_lines_directory(
-    spark: SparkSession, input_dir: str, mapper: str, num_mappers: int
+    spark: SparkSession, files: list[str], mapper: str, num_mappers: int
 ):
-    """Map stage, large-file-count plan: ONE directory scan (O(1)
+    """Map stage, large-file-count plan: ONE multi-file scan (O(1)
     driver-side RDDs regardless of file count), files dealt to
     ``num_mappers`` tasks by sorted rank mod M exactly as the
     reference's master does (``master/__main__.py:288-297``), and one
@@ -155,34 +219,66 @@ def _mapped_lines_directory(
     reference's per-file stdin contract (``worker/__main__.py:109-117``)
     without per-file driver plan objects.
 
+    File ranks are authoritative from the driver's plain-path sorted
+    listing, NOT from sorting the percent-encoded URIs
+    ``input_file_name`` returns (whose order differs for special
+    characters); the scanned URI set is reconciled against the
+    listing, and any listed file missing from the scan must be
+    0-byte, else the job fails loudly instead of dropping data.
+    A sentinel row per listed file guarantees a mapper subprocess
+    even for files that contributed no rows (empty files).
+
     Line order within a file survives the shuffle: the scan tags each
     row with ``monotonically_increasing_id`` (partition-ordinal
-    encoding; directory splits are enumerated per file in offset
-    order, so the id is ascending within every file) and the shuffle
-    sorts each task's rows by (file rank, id).
+    encoding) and the shuffle sorts each task's rows by (file rank,
+    id). Within-file ascending ids rely on Spark enumerating a file's
+    splits in offset order when packing ``FilePartition``s — true for
+    Spark's stable size-descending split sort (equal-size body splits
+    keep offset order, the short tail split sorts after) but an
+    implementation detail, not API contract; pinned by
+    ``tests/test_mapreduce_facade.py::test_multi_split_file_line_order``
+    so a Spark upgrade that breaks it fails visibly.
     """
-    df = spark.read.text(input_dir).select(
+    sc = spark.sparkContext
+    scan_paths, resolver = _stage_hidden_aliases(files)
+    df = spark.read.text(scan_paths).select(
         F.input_file_name().alias("f"),
         F.monotonically_increasing_id().alias("seq"),
         "value",
     )
-    # Dense rank of each file in sorted order — a distributed job over
-    # the (tiny) distinct-file set; only the rank table is broadcast.
-    ranks = (
-        df.select("f")
-        .distinct()
-        .rdd.map(lambda r: r[0])
-        .sortBy(lambda p: p)
-        .zipWithIndex()
-        .toDF(["f", "rank"])
-    )
+    rank_of = {f: i for i, f in enumerate(files)}  # files pre-sorted
+    # Metadata-sized collect: one URI per non-empty file (the driver
+    # already holds the full listing); no data rows move.
+    scanned_uris = [r[0] for r in df.select("f").distinct().collect()]
+    uri_rank = []
+    seen = set()
+    for uri in scanned_uris:
+        path = unquote(urlparse(uri).path)
+        listed = resolver.get(os.path.abspath(path))
+        if listed is None:
+            raise RuntimeError(
+                f"scanned file {path!r} is not in the input listing"
+            )
+        seen.add(listed)
+        uri_rank.append((uri, rank_of[listed]))
+    for f in files:
+        if f not in seen and os.path.getsize(f) != 0:
+            raise RuntimeError(
+                f"input file {f!r} was listed but never scanned"
+            )
+    ranks = spark.createDataFrame(uri_rank, ["f", "rank"])
     keyed = (
         df.join(F.broadcast(ranks), "f")
         .select("rank", "seq", "value")
         .rdd.map(lambda r: ((r[0] % num_mappers, r[0], r[1]), r[2]))
-        .repartitionAndSortWithinPartitions(
-            numPartitions=num_mappers, partitionFunc=lambda k: k[0]
-        )
+    )
+    # seq=-1 sorts ahead of every data row of the same file.
+    sentinels = sc.parallelize(
+        [((rank % num_mappers, rank, -1), None) for rank in range(len(files))],
+        max(1, min(num_mappers, len(files))),
+    )
+    shuffled = sc.union([sentinels, keyed]).repartitionAndSortWithinPartitions(
+        numPartitions=num_mappers, partitionFunc=lambda k: k[0]
     )
     cmd = shlex.split(_pipe_cmd(mapper))
 
@@ -196,6 +292,8 @@ def _mapped_lines_directory(
             # through one mapper subprocess (bounded memory both ways).
             with tempfile.TemporaryFile() as tf:
                 for _k, value in rows:
+                    if value is None:  # per-file sentinel, not data
+                        continue
                     tf.write(value.encode("utf-8"))
                     tf.write(b"\n")
                 tf.seek(0)
@@ -211,7 +309,7 @@ def _mapped_lines_directory(
                         f"{proc.returncode}"
                     )
 
-    return keyed.mapPartitions(pipe_per_file)
+    return shuffled.mapPartitions(pipe_per_file)
 
 
 def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
@@ -227,11 +325,15 @@ def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
       sorted order mod num_reducers, and lines within a partition
       arrive sorted.
 
-    Ingestion scales with file count: up to 64 files the plan is one
-    partition per file (exact task granularity); beyond that it is a
-    single directory scan with per-file subprocess granularity inside
-    ``num_mappers`` tasks — O(1) driver-side plan objects at 100k
-    files, where the per-file plan would bottleneck the driver.
+    Both plans deal files to ``num_mappers`` tasks by sorted rank mod
+    M (reference ``master/__main__.py:288-297``) with one mapper
+    subprocess per file. Ingestion scales with file count: up to 64
+    files the plan is one RDD per file (exact per-file lineage);
+    beyond that it is a single multi-file scan — O(1) driver-side
+    plan objects at 100k files, where the per-file plan would
+    bottleneck the driver. Hidden (``_``/``.``-prefixed) and 0-byte
+    files are processed on both plans, exactly as the reference's
+    ``os.listdir``-driven master does.
     """
     files = _list_input_files(job.input_directory)
     if not files:
@@ -239,11 +341,11 @@ def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
 
     if len(files) > _DIRECTORY_SCAN_THRESHOLD:
         mapped = _mapped_lines_directory(
-            spark, job.input_directory, job.mapper_executable, job.num_mappers
+            spark, files, job.mapper_executable, job.num_mappers
         )
     else:
         mapped = _mapped_lines_per_file(
-            spark, files, job.mapper_executable
+            spark, files, job.mapper_executable, job.num_mappers
         )
 
     grouped = group_partition(mapped, job.num_reducers)

@@ -269,13 +269,16 @@ def test_directory_scan_ingestion_parity(spark, tmp_path):
 def test_directory_scan_mapped_partitions(spark, tmp_path):
     """The directory-scan map stage produces exactly num_mappers
     partitions from ONE scan, files dealt by sorted-rank mod M."""
-    from map_reduce_server_spark.mapreduce.job import _mapped_lines_directory
+    from map_reduce_server_spark.mapreduce.job import (
+        _list_input_files,
+        _mapped_lines_directory,
+    )
 
     d = tmp_path / "in"
     d.mkdir()
     for i in range(9):
         (d / f"f{i}").write_text(f"line{i}\n")
-    mapped = _mapped_lines_directory(spark, str(d), "cat", 4)
+    mapped = _mapped_lines_directory(spark, _list_input_files(str(d)), "cat", 4)
     assert mapped.getNumPartitions() == 4
     per_part = mapped.glom().collect()
     # sorted file i → task i % 4 (reference master/__main__.py:288-297)
@@ -285,6 +288,119 @@ def test_directory_scan_mapped_partitions(spark, tmp_path):
         ["line2", "line6"],
         ["line3", "line7"],
     ]
+
+
+def test_per_file_plan_task_grouping(spark, tmp_path):
+    """The ≤64-file plan groups per-file pipes into num_mappers Spark
+    tasks by the reference's dealing (``master/__main__.py:288-297``)
+    while still running one mapper subprocess per file (``head -1``
+    emits one line per FILE, not per task)."""
+    from map_reduce_server_spark.mapreduce.job import (
+        _list_input_files,
+        _mapped_lines_per_file,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(9):
+        (d / f"f{i}").write_text(f"first{i}\nrest\n")
+    files = _list_input_files(str(d))
+    mapped = _mapped_lines_per_file(spark, files, "head -1", 4)
+    assert mapped.getNumPartitions() == 4
+    assert mapped.glom().collect() == [
+        ["first0", "first4", "first8"],
+        ["first1", "first5"],
+        ["first2", "first6"],
+        ["first3", "first7"],
+    ]
+
+
+@pytest.mark.parametrize("n_files", [4, 70])
+def test_hidden_and_empty_files(spark, tmp_path, n_files):
+    """Hadoop silently skips ``_``/``.``-prefixed files and never
+    schedules 0-byte files, but the reference's os.listdir-driven
+    master pipes ALL of them (``master/__main__.py:288-289``); `wc -l`
+    as mapper proves the empty file still spawns a subprocess (its
+    '0' line must appear) on BOTH ingestion plans (ADVICE r2)."""
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(n_files):
+        (d / f"file{i:03d}").write_text("x\ny\nz\n")
+    (d / "_hidden").write_text("h\n")
+    (d / ".dotfile").write_text("d1\nd2\n")
+    (d / "empty01").write_text("")
+    out = str(tmp_path / "out")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=str(d),
+            output_directory=out,
+            mapper_executable="wc -l",
+            reducer_executable="cat",
+            num_mappers=3,
+            num_reducers=2,
+        ),
+    )
+    got = sorted(_read_outputs(out), key=int)
+    # empty01 → 0, _hidden → 1, .dotfile → 2, each regular file → 3
+    assert got == ["0", "1", "2"] + ["3"] * n_files
+
+
+def test_hidden_file_content_read(spark, tmp_path):
+    """Hidden files' CONTENT flows through the mapper (not just a
+    subprocess count) on the directory-scan plan."""
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(70):
+        (d / f"file{i:03d}").write_text(f"reg{i:03d}\n")
+    (d / "_part").write_text("hidden-line-a\nhidden-line-b\n")
+    out = str(tmp_path / "out")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=str(d),
+            output_directory=out,
+            mapper_executable="cat",
+            reducer_executable="cat",
+            num_mappers=4,
+            num_reducers=2,
+        ),
+    )
+    got = sorted(_read_outputs(out))
+    expected = sorted(
+        [f"reg{i:03d}" for i in range(70)]
+        + ["hidden-line-a", "hidden-line-b"]
+    )
+    assert got == expected
+
+
+def test_multi_split_file_line_order(spark, tmp_path):
+    """Pin the within-file ordering invariant the directory-scan plan
+    relies on (``job.py`` ``_mapped_lines_directory`` docstring): when
+    one file spans MANY splits (tiny maxPartitionBytes), the mapper
+    must still see the file's lines on stdin in file order — the
+    reference streams each file start-to-finish
+    (``worker/__main__.py:109-117``). A Spark upgrade that changes
+    split packing order fails here, not silently at scale."""
+    from map_reduce_server_spark.mapreduce.job import (
+        _list_input_files,
+        _mapped_lines_directory,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    lines = [f"line{i:05d}" for i in range(500)]
+    (d / "big").write_text("\n".join(lines) + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "512")
+    try:
+        files = _list_input_files(str(d))
+        df_parts = spark.read.text(files).rdd.getNumPartitions()
+        assert df_parts > 4, "fixture must actually span many splits"
+        got = _mapped_lines_directory(spark, files, "cat", 1).collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert got == lines
 
 
 def test_output_file_naming(spark, tmp_path, input_dir):
