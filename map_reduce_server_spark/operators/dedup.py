@@ -33,8 +33,17 @@ _SQL_SHINGLES = f"""
 """
 
 
-def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, 3-word-shingle) pairs."""
+def shingles_df(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, 3-word-shingle) pairs, distinct by default.
+
+    ``distinct=False`` skips the dedup shuffle for consumers whose
+    downstream aggregation absorbs duplicates anyway (MIN over a
+    repeated shingle is the MIN — ``minhash_wide``): the shingle set
+    is the largest intermediate in the whole dedup family, so not
+    shuffling it twice is the difference at 100 TB.
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     with_toks = docs.select("doc_id", toks.alias("ts"))
@@ -51,10 +60,8 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        with_toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
-        .distinct()
-    )
+    out = with_toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -172,6 +179,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_K = 12  # signature length
 _MINHASH_R = 2  # rows per band → 6 bands of r=2
 _MINHASH_B = _MINHASH_K // _MINHASH_R
+# Default hot-bucket cap for BOTH LSH families (minhash + simhash):
+# a band bucket of n docs expands to n²/2 candidate pairs, so one
+# ubiquitous key (boilerplate text) is the single quadratic hazard at
+# 100 TB. Buckets above the cap are dropped BEFORE pair expansion —
+# their members are exact-duplicate-heavy and already caught by
+# dedup_fingerprint. The cap rule is plain SQL (HAVING COUNT(*) <=
+# cap on the band CTE), so the DuckDB oracles replay it exactly and
+# the scale-safe plan is the one with the green driver row.
+_LSH_BUCKET_CAP = 1000
 
 
 def minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,9 +198,11 @@ def minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins (partial aggregation combines map-side, so the shuffle
     carries K strings per doc per partition — not K× the shingle
     set). ~2× faster than exploding a seeds dimension and equivalent
-    value-for-value.
+    value-for-value. Shingles are taken non-distinct: MIN absorbs
+    duplicates, so the pre-aggregation dedup shuffle of the full
+    shingle set (the plan's largest intermediate) is pure waste.
     """
-    sh = shingles_df(spark, sf_dir)
+    sh = shingles_df(spark, sf_dir, distinct=False)
     projected = sh.select(
         "doc_id",
         *[
@@ -238,19 +256,20 @@ def minhash_band_keys(wide: DataFrame) -> DataFrame:
 
 
 def minhash_candidate_pairs(
-    wide: DataFrame, max_bucket_size: int | None = None
+    wide: DataFrame, max_bucket_size: int | None = _LSH_BUCKET_CAP
 ) -> DataFrame:
     """Distinct candidate (doc_a < doc_b) pairs from band collisions.
 
-    ``max_bucket_size``: optional hot-bucket cap — LSH's one scale
-    hazard is a ubiquitous band key (e.g. boilerplate text) whose
-    bucket of n docs expands to n²/2 pairs. Buckets larger than the
-    cap are dropped BEFORE pair expansion (one extra aggregation on
-    the band keys, negligible vs the join), bounding any single
-    bucket's output; dropped buckets are exact-duplicate-heavy and
-    are caught by ``dedup_fingerprint`` upstream. The registered
-    query runs uncapped so the DuckDB oracle stays exactly
-    replayable.
+    ``max_bucket_size`` (default ``_LSH_BUCKET_CAP``): hot-bucket cap
+    — LSH's one scale hazard is a ubiquitous band key (e.g.
+    boilerplate text) whose bucket of n docs expands to n²/2 pairs.
+    Buckets larger than the cap are dropped BEFORE pair expansion
+    (one extra aggregation on the band keys, negligible vs the join),
+    bounding any single bucket's output; dropped buckets are
+    exact-duplicate-heavy and are caught by ``dedup_fingerprint``
+    upstream. The registered query runs WITH the cap and the DuckDB
+    oracle replays the identical HAVING rule; pass ``None`` for the
+    uncapped exact-recall variant.
     """
     bands = minhash_band_keys(wide)
     if max_bucket_size is not None:
@@ -297,9 +316,15 @@ def _sql_minhash_bands() -> str:
     """
 
 
+# Mirrors minhash_candidate_pairs incl. the hot-bucket HAVING cap.
 _SQL_MINHASH_CAND = f"""
-    (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-     FROM ({_sql_minhash_bands()}) a JOIN ({_sql_minhash_bands()}) b
+    (WITH mb AS ({_sql_minhash_bands()}),
+     ok AS (SELECT band, bkey FROM mb GROUP BY band, bkey
+            HAVING COUNT(*) <= {_LSH_BUCKET_CAP})
+     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+     FROM mb a
+     JOIN ok ON a.band = ok.band AND a.bkey = ok.bkey
+     JOIN mb b
        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
 """
 
@@ -324,8 +349,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs r=1 banding, which is what keeps hot buckets from expanding
     quadratically at 100 TB. Candidate generation is a self-equi-join
     on (band, bkey): the shuffle carries b compact keys per document,
-    never the corpus and never all pairs. ``minhash_candidate_pairs``
-    additionally takes a hot-bucket cap for skewed corpora.
+    never the corpus and never all pairs. The registered plan applies
+    the ``_LSH_BUCKET_CAP`` hot-bucket cap (mirrored in the oracle's
+    HAVING) so the plan with the green driver row is the one you'd
+    run on a skewed 100 TB corpus.
     """
     return minhash_candidate_pairs(minhash_wide(spark, sf_dir))
 
@@ -528,13 +555,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_pairs(
     halves: DataFrame,
     max_hamming: int = 6,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = _LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs from (doc_id, lo, hi) fingerprint halves:
     4 bands × 16-bit keys, equi-join per band, verify hamming.
 
-    ``max_bucket_size`` caps hot band buckets before pair expansion
-    (same rationale as ``minhash_candidate_pairs``)."""
+    ``max_bucket_size`` (default ``_LSH_BUCKET_CAP``) caps hot band
+    buckets before pair expansion (same rationale as
+    ``minhash_candidate_pairs``); ``None`` disables."""
     bands_idx = (
         halves.sparkSession.range(4)
         .select(F.col("id").cast("int").alias("band"))
@@ -594,10 +622,15 @@ def simhash_pairs(
              (CASE WHEN band < 2 THEN (lo >> (band * 16))
                    ELSE (hi >> ((band - 2) * 16)) END) & 65535 AS bkey
       FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bb
+    ), ok AS (
+      SELECT band, bkey FROM bands GROUP BY band, bkey
+      HAVING COUNT(*) <= {_LSH_BUCKET_CAP}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
-      FROM bands a JOIN bands b
+      FROM bands a
+      JOIN ok ON a.band = ok.band AND a.bkey = ok.bkey
+      JOIN bands b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -613,8 +646,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     4 bands *guarantee* recall for hamming ≤ 3 (pigeonhole); ≤ 6
     keeps high-but-not-total recall — the standard LSH tradeoff, and
-    the oracle applies the identical candidate rule so results
-    agree. The 16-bit band keyspace (65,536 values/band) is what
+    the oracle applies the identical candidate rule (including the
+    ``_LSH_BUCKET_CAP`` hot-bucket HAVING cap) so results agree.
+    The 16-bit band keyspace (65,536 values/band) is what
     survives scale-up: round-1's 8-bit keys put ~n/256 docs in every
     bucket, expanding pairs quadratically with corpus size.
     """
