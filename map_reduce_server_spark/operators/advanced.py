@@ -273,11 +273,11 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE/upsert emulation without a lakehouse format: updates ∪
+    """MERGE/upsert without a lakehouse format: updates ∪
     (base ANTI JOIN updates) — the CDC-apply pattern. At 100 TB both
     sides shuffle once on the key (or zero times if base is bucketed
     on it); with Delta/Iceberg on the classpath this becomes MERGE
-    INTO (see io/lakehouse.py)."""
+    INTO (see docs/LAKEHOUSE.md)."""
     cust = load_table(spark, sf_dir, "customer")
     updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
         "c_acctbal", F.round(F.col("c_acctbal") + 1000.0, 2)

@@ -48,15 +48,6 @@ def test_frame_sample_strides_blocks(spark, sf_small):
         assert len(r.frames) == 16
 
 
-def test_lakehouse_stubs(spark):
-    from map_reduce_server_spark.io import lakehouse
-
-    df = spark.range(1)
-    assert lakehouse.delta_available() is False
-    with pytest.raises(NotImplementedError, match="Delta"):
-        lakehouse.write_delta(df, "/tmp/never")
-
-
 def test_decode_fake_path_runs_distributed(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").limit(10)
     decoded = decode_payloads(with_synthetic_payload(docs), fake=True)
