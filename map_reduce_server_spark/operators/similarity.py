@@ -198,6 +198,92 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Probe deltas: the query's own bucket plus every Hamming-1 neighbor
+# (flip one hyperplane sign bit) — vectors near a hyperplane land on
+# either side, which is the single-probe recall hazard.
+_PROBE_DELTAS = [0] + [1 << j for j in range(_N_PLANES)]
+
+
+@register(
+    "ann_topk_lsh_multiprobe",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec,
+             {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, bucket AS qbucket
+          FROM e WHERE vec_id < {_N_QUERIES}),
+    probes AS (
+      SELECT query_id, qvec, xor(qbucket, delta) AS pbucket
+      FROM q CROSS JOIN (SELECT unnest({_PROBE_DELTAS}) AS delta) d
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(rnk AS INTEGER) AS rnk,
+           round(cos, 6) AS cos_sim
+    FROM (
+      SELECT query_id, vec_id,
+             {_SQL_COS.format(a='qvec', b='vec')} AS cos,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_SQL_COS.format(a='qvec', b='vec')} DESC, vec_id
+             ) AS rnk
+      FROM probes p JOIN e
+        ON e.bucket = p.pbucket AND e.vec_id <> p.query_id
+    ) t WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: probe the query's bucket AND its
+    Hamming-1 neighbor buckets (one sign-bit flip per hyperplane).
+
+    Single-probe LSH misses neighbors whose vector sits just across
+    one hyperplane; probing the H adjacent buckets recovers most of
+    that recall for (H+1)/2^H of the corpus scanned (5/16 here)
+    instead of 1/16 — still partition-prunable at 100 TB because the
+    probe set is an explicit equi-join key list, never a scan of all
+    buckets. Recall vs the exact baseline is pinned by
+    ``tests/test_ann_partition_pruning.py::test_multiprobe_recall``.
+    """
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("vec")))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    deltas = emb.sparkSession.createDataFrame(
+        [(d,) for d in _PROBE_DELTAS], "delta int"
+    )
+    probes = queries.crossJoin(F.broadcast(deltas)).select(
+        "query_id",
+        "qvec",
+        F.col("qbucket").bitwiseXOR(F.col("delta")).alias("pbucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("pbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qvec"), F.col("vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
