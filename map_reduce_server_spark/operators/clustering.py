@@ -41,6 +41,12 @@ def connected_components(
     chain converges in ~20 rounds). Non-convergence within
     ``max_iter`` RAISES instead of silently returning wrong labels.
     """
+    # Materialize the edge list ONCE before fanning out: nodes, adj,
+    # and labels all derive from it, and without this checkpoint each
+    # derivation re-evaluates the (potentially expensive) upstream
+    # candidate-pair pipeline — measured as ~2× the whole LSH stage
+    # inside dedup_cluster at sf0.1.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -123,7 +129,7 @@ def _sql_dedup_cluster_oracle() -> str:
     """
 
 
-@register("dedup_cluster", oracle=_sql_dedup_cluster_oracle())
+@register("dedup_cluster", oracle=_sql_dedup_cluster_oracle(), bench=True)
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate groups: connected components over MinHash-LSH
     candidate pairs; every document labeled with its group's smallest
