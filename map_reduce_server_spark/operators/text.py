@@ -353,6 +353,214 @@ def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns, written in the RE2 ∩ Java-regex dialect (no
+# lookarounds, no backrefs) so Spark and DuckDB match byte-for-byte.
+_RE_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_RE_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+# The synthetic corpus contains no PII, so the query first augments
+# each document with deterministic synthetic contact strings (same
+# expression in both engines) — the point is the operator shape:
+# count + redact at scan speed, no Python in the loop.
+_SQL_PII_AUG = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_SQL_PII_AUG} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_RE_EMAIL}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_RE_IPV4}')) AS INTEGER)
+             AS n_ipv4,
+           regexp_replace(regexp_replace(t, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                          '{_RE_IPV4}', '<IP>', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, IPv4) — the compliance
+    scrub stage of a training-data pipeline. Pure regexp built-ins:
+    at 100 TB this runs inside whole-stage codegen at scan speed and
+    never shuffles (narrow, per-row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _RE_EMAIL, "<EMAIL>"), _RE_IPV4, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_RE_EMAIL), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(aug, F.lit(_RE_IPV4), 0)).alias("n_ipv4"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def _ngram_col(n: int) -> Column:
+    """Word n-grams (non-distinct) from the shared tokenizer."""
+    toks = tokens_col(F.col("text"), keep_empty=False)
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _sql_ngrams(n: int) -> str:
+    parts = " || ' ' || ".join(
+        f"{_SQL_NE_TOKENS}[i + {j}]" if j else f"{_SQL_NE_TOKENS}[i]"
+        for j in range(n)
+    )
+    return (
+        f"list_transform(range(1, greatest(len({_SQL_NE_TOKENS}) "
+        f"- {n - 2}, 1)), i -> {parts})"
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_sql_ngrams(3)} AS grams FROM documents)
+    SELECT doc_id,
+           CAST(len(grams) AS INTEGER) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_grams,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                 / greatest(len(grams), 1), 6) AS dup_fraction,
+           CASE WHEN len(grams) > 0
+                 AND 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams) > 0.1
+                THEN 1 ELSE 0 END AS is_repetitive
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (duplicate 3-gram fraction) — the
+    Gopher-style repetitious-text filter. Per-row array ops only:
+    narrow, codegen, no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _ngram_col(3)
+    n = F.size(grams)
+    n_dist = F.size(F.array_distinct(grams))
+    dup_frac = F.lit(1.0) - n_dist.cast("double") / F.greatest(n, F.lit(1))
+    return docs.select(
+        "doc_id",
+        n.alias("n_grams"),
+        n_dist.alias("n_distinct_grams"),
+        F.round(dup_frac, 6).alias("dup_fraction"),
+        F.when(
+            (n > 0) & (F.lit(1.0) - n_dist.cast("double") / n > 0.1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_repetitive"),
+    )
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, unnest({_sql_ngrams(4)}) AS gram
+      FROM documents
+    ),
+    eval_g AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 = 0),
+    train_g AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT t.doc_id, COUNT(DISTINCT e.doc_id) AS n_eval_matches
+      FROM train_g t JOIN eval_g e ON t.gram = e.gram
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_eval_matches, 0) AS INTEGER) AS n_eval_matches,
+           CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    4-gram with the eval set (here: every 97th document; 4 is the
+    largest n with nonzero overlap on the synthetic corpus).
+
+    Scale shape: explode n-grams, equi-join train×eval on the gram —
+    never train×eval document pairs. The eval side is benchmark-sized
+    (thousands of docs), so its gram table broadcasts and the 100 TB
+    train side never shuffles; contamination is decided at the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_ngram_col(4)).alias("gram")
+    ).distinct()
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_g = grams.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    train_g = grams.filter(~is_eval)
+    hits = (
+        train_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("eval_id").alias("n_eval_matches"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_eval_matches", F.lit(0))
+            .cast("int")
+            .alias("n_eval_matches"),
+            F.when(F.col("n_eval_matches").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_contaminated"),
+        )
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source, lang FROM documents
+    WHERE {sql_md5_long("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+          < CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                 THEN 80 ELSE 20 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified domain sampling: per-source keep rates (80% for
+    even-numbered sources, 20% for odd) applied via a deterministic
+    document-id hash — the domain-mixing step of a training-data
+    pipeline. Unlike ``df.sample``, assignment is reproducible across
+    engines, runs, and cluster layouts, and it is a pure narrow
+    filter (pushed to the scan; zero shuffles at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(
+        F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
+    ) % 100
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(80)
+    ).otherwise(F.lit(20))
+    return docs.filter(bucket < rate).select("doc_id", "source", "lang")
+
+
 @register(
     "text_fingerprint",
     oracle=f"""

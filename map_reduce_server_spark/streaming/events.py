@@ -130,6 +130,84 @@ _STREAM_ORACLE = """
 """
 
 
+_STREAM_DEDUP_ORACLE = """
+    SELECT event_type,
+           CAST(CAST(floor(value) AS BIGINT) % 50 AS BIGINT) AS value_bucket,
+           CAST(MIN(event_id) AS BIGINT) AS keeper_id,
+           COUNT(*) AS n_copies,
+           CAST(MIN(ts) AS TIMESTAMP) AS first_ts
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register("stream_dedup_events", oracle=_STREAM_DEDUP_ORACLE)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with a deterministic keeper rule: key events by
+    a content fingerprint (event_type, bucketed value), keep the
+    smallest event_id and count copies — the streaming face of
+    ``dedup_exact``/``dedup_fingerprint``.
+
+    ``dropDuplicates`` keeps whichever row a partition happens to
+    deliver first (arrival-order-dependent, so no value oracle can
+    pin it); the MIN-aggregate formulation is order-independent and
+    therefore exactly replayable by the batch oracle, while still
+    running as true keyed streaming state in update mode through the
+    same idempotent foreachBatch delta sink as
+    ``stream_window_counts_incremental``. At scale, state is one row
+    per distinct key (the dedup table itself), and the sink writes
+    only updated keys per batch.
+    """
+    stream, stage = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.groupBy(
+            "event_type",
+            (F.floor("value").cast("bigint") % 50).alias("value_bucket"),
+        )
+        .agg(
+            F.min("event_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+            F.min("ts").alias("first_ts"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="mrss_stream_dedup_")
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"b{batch_id}"))
+        )
+
+    query = (
+        deduped.writeStream.outputMode("update")
+        .foreachBatch(_write_batch)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        shutil.rmtree(stage, ignore_errors=True)
+
+    from pyspark.sql import Window
+
+    deltas = spark.read.parquet(os.path.join(out, "b*"))
+    w = Window.partitionBy("event_type", "value_bucket").orderBy(
+        F.desc("batch_id")
+    )
+    final = (
+        deltas.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", "value_bucket", "keeper_id", "n_copies", "first_ts"
+        )
+        .cache()
+    )
+    final.count()  # materialize before the delta dir can be cleaned
+    shutil.rmtree(out, ignore_errors=True)
+    return final
+
+
 @register("stream_window_counts", oracle=_STREAM_ORACLE)
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the windowed aggregation as a real streaming query over the

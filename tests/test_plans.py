@@ -120,3 +120,19 @@ def test_ann_bruteforce_broadcasts_queries(spark, sf_small):
     df = registry.QUERIES["ann_topk_bruteforce"](spark, sf_small)
     plan = explain_str(df)
     assert "Broadcast" in plan  # query set must broadcast, corpus must not shuffle
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_small):
+    """The eval-set gram table is benchmark-sized; the 100 TB train
+    side must never shuffle for the contamination join."""
+    df = registry.QUERIES["text_decontaminate"](spark, sf_small)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_narrow(spark, sf_small):
+    """Deterministic hash sampling must be a pure scan+filter — no
+    exchange anywhere in the plan (zero shuffles at any scale)."""
+    df = registry.QUERIES["q_stratified_sample"](spark, sf_small)
+    plan = explain_str(df)
+    assert "Exchange" not in plan
