@@ -198,10 +198,147 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF (inverted-file) ANN: coarse quantize to centroids ------------------
+
+# Deterministic "training-free" coarse quantizer: the centroids are
+# corpus vectors picked by a fixed rule (vec_id in [N_QUERIES,
+# N_QUERIES + K)), so both engines agree bit-for-bit without running
+# k-means. A real deployment would swap in trained centroids; every
+# plan shape below (assign once, bucket by cell, probe nearest cells)
+# is unchanged by that swap.
+_IVF_K = 8  # number of coarse cells
+_IVF_NPROBE = 2  # cells probed per query
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    return emb.filter(
+        (F.col("vec_id") >= _N_QUERIES)
+        & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec"))
+
+
+def _sql_centroids() -> str:
+    return (
+        f"(SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec "
+        f"FROM embeddings WHERE vec_id >= {_N_QUERIES} "
+        f"AND vec_id < {_N_QUERIES + _IVF_K})"
+    )
+
+
 # Probe deltas: the query's own bucket plus every Hamming-1 neighbor
 # (flip one hyperplane sign bit) — vectors near a hyperplane land on
 # either side, which is the single-probe recall hazard.
 _PROBE_DELTAS = [0] + [1 << j for j in range(_N_PLANES)]
+
+
+_SQL_IVF = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    c AS (SELECT cent_id, cvec FROM {_sql_centroids()} cc),
+    cells AS (
+      SELECT vec_id, vec, cell FROM (
+        SELECT e.vec_id, e.vec, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS.format(a='e.vec', b='c.cvec')} DESC,
+                          c.cent_id) AS crn
+        FROM e CROSS JOIN c
+      ) t WHERE crn = 1
+    ),
+    probes AS (
+      SELECT query_id, qvec, cell FROM (
+        SELECT e.vec_id AS query_id, e.vec AS qvec, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS.format(a='e.vec', b='c.cvec')} DESC,
+                          c.cent_id) AS crn
+        FROM e CROSS JOIN c WHERE e.vec_id < {_N_QUERIES}
+      ) t WHERE crn <= {_IVF_NPROBE}
+    )
+    SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(cos, 6) AS cos_sim
+    FROM (
+      SELECT p.query_id, s.vec_id,
+             {_SQL_COS.format(a='p.qvec', b='s.vec')} AS cos,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY {_SQL_COS.format(a='p.qvec', b='s.vec')} DESC,
+                        s.vec_id) AS rnk
+      FROM probes p JOIN cells s
+        ON s.cell = p.cell AND s.vec_id <> p.query_id
+    ) t WHERE rnk <= {_TOP_K}
+"""
+
+
+@register("ann_topk_ivf", oracle=_SQL_IVF)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus to K
+    centroid cells, probe the query's nearest ``_IVF_NPROBE`` cells.
+
+    Scale shape: the K centroids broadcast, so corpus assignment is
+    ONE narrow pass (no shuffle of vectors); at 100 TB the corpus is
+    written ``partitionBy(cell)`` and a query reads nprobe/K of the
+    data via partition pruning — same storage trick as
+    ``ann_topk_lsh`` (proven in tests/test_ann_partition_pruning.py)
+    but with data-adaptive cells instead of data-oblivious
+    hyperplanes, which is what production IVF indexes use. Centroids
+    here are seed corpus vectors chosen by a fixed rule (not k-means)
+    so the DuckDB oracle replays the assignment exactly; trained
+    centroids drop in without changing any plan.
+    """
+    emb = _emb(spark, sf_dir)
+    cents = _centroids(emb)
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), "cent_id"
+    )
+    cells = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "vec",
+            "cent_id",
+            cosine(F.col("vec"), F.col("cvec")).alias("ccos"),
+        )
+        .withColumn("crn", F.row_number().over(assign_w))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "vec", F.col("cent_id").alias("cell"))
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            "cent_id",
+            cosine(F.col("vec"), F.col("cvec")).alias("ccos"),
+        )
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("ccos"), "cent_id"
+                )
+            ),
+        )
+        .filter(F.col("crn") <= _IVF_NPROBE)
+        .select("query_id", "qvec", F.col("cent_id").alias("cell"))
+    )
+    scored = cells.alias("s").join(
+        F.broadcast(probes.alias("p")),
+        (F.col("s.cell") == F.col("p.cell"))
+        & (F.col("s.vec_id") != F.col("p.query_id")),
+    ).select(
+        "p.query_id",
+        F.col("s.vec_id").alias("neighbor_id"),
+        cosine(F.col("p.qvec"), F.col("s.vec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
 
 
 @register(
