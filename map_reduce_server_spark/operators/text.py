@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_server_spark.functions.exact import sql_davg
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
@@ -366,6 +367,57 @@ _SQL_PII_AUG = (
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
     "'@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
 )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_NE_TOKENS}) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT COUNT(*) AS total FROM tok),
+    s AS (
+      SELECT doc_id, round(-ln(CAST(n AS DOUBLE) / total), 9) AS surp
+      FROM tok JOIN freq USING (token) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           {sql_davg('surp', scale=12)} AS avg_surprisal
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM quality score: each document's mean token
+    surprisal −ln p(token) under the corpus unigram distribution —
+    the CCNet-style language-model filter signal (outlier-high
+    surprisal ⇒ gibberish, outlier-low ⇒ boilerplate).
+
+    Scale shape: the vocabulary table is tiny and broadcasts; the
+    corpus shuffles once on token (frequency count) and once on
+    doc_id (per-doc mean). Per-token surprisal is rounded to 9 digits
+    (libm ln differs by 1 ulp across engines) and averaged via exact
+    decimal sums (functions/exact.py), so the score is bit-identical
+    on any partitioning — 1 core or 1000 executors.
+    """
+    from map_reduce_server_spark.functions.exact import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokens_col(F.col("text"), keep_empty=False)).alias("token"),
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = tok.count()  # scalar driver-side (a count, not data)
+    surp = tok.join(F.broadcast(freq), "token").select(
+        "doc_id",
+        F.round(
+            -F.log(F.col("n").cast("double") / F.lit(float(total))), 9
+        ).alias("surp"),
+    )
+    return surp.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        davg("surp", scale=12).alias("avg_surprisal"),
+    )
 
 
 @register(
