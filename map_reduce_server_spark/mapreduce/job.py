@@ -98,15 +98,29 @@ def _pipe_cmd(executable: str) -> str:
     return " ".join(shlex.quote(p) for p in shlex.split(executable))
 
 
+# Filename characters Hadoop path resolution mangles: ',' splits a
+# multi-path string into separate paths, and glob metacharacters are
+# expanded by globStatus instead of matched literally.
+_PATH_UNSAFE = set(",{}[]*?\\")
+
+
+def _needs_alias(name: str) -> bool:
+    return name.startswith(("_", ".")) or any(
+        c in _PATH_UNSAFE for c in name
+    )
+
+
 def _stage_hidden_aliases(
     files: list[str],
 ) -> tuple[list[str], dict[str, str]]:
     """Hadoop input formats silently skip files whose basename starts
     with ``_`` or ``.`` — even when the file is named explicitly —
-    while the reference processes them (its master lists with
-    ``os.listdir``, ``master/__main__.py:288-289``). Re-expose each
-    hidden file through a non-hidden symlink in a job-scoped staging
-    directory so the scan reads it.
+    and mis-resolve names containing ``,`` (multi-path separator) or
+    glob metacharacters, while the reference processes all of them
+    (its master lists with ``os.listdir``,
+    ``master/__main__.py:288-289``). Re-expose each such file through
+    a safely-named symlink in a job-scoped staging directory so the
+    scan reads it.
 
     Returns ``(scan_paths, alias_resolver)`` where ``scan_paths[i]``
     is the path to scan for ``files[i]`` and ``alias_resolver`` maps
@@ -123,7 +137,7 @@ def _stage_hidden_aliases(
     resolver: dict[str, str] = {}
     for rank, f in enumerate(files):
         resolver[os.path.abspath(f)] = f
-        if os.path.basename(f).startswith(("_", ".")):
+        if _needs_alias(os.path.basename(f)):
             if alias_dir is None:
                 alias_dir = tempfile.mkdtemp(prefix="mrs-hidden-")
             alias = os.path.join(alias_dir, f"f{rank:08d}")

@@ -374,6 +374,38 @@ def test_hidden_file_content_read(spark, tmp_path):
     assert got == expected
 
 
+@pytest.mark.parametrize("n_files", [3, 70])
+def test_unsafe_filenames(spark, tmp_path, n_files):
+    """Filenames containing ',' (Hadoop multi-path separator) or glob
+    metacharacters must be read literally, as the reference's
+    os.listdir-driven master does — both ingestion plans route them
+    through the alias staging."""
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(n_files):
+        (d / f"file{i:03d}").write_text(f"reg{i:03d}\n")
+    (d / "we,ird [x]*.txt").write_text("comma-glob-line\n")
+    (d / "br{ace}?.txt").write_text("brace-line\n")
+    out = str(tmp_path / "out")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=str(d),
+            output_directory=out,
+            mapper_executable="cat",
+            reducer_executable="cat",
+            num_mappers=3,
+            num_reducers=2,
+        ),
+    )
+    got = sorted(_read_outputs(out))
+    expected = sorted(
+        [f"reg{i:03d}" for i in range(n_files)]
+        + ["comma-glob-line", "brace-line"]
+    )
+    assert got == expected
+
+
 def test_multi_split_file_line_order(spark, tmp_path):
     """Pin the within-file ordering invariant the directory-scan plan
     relies on (``job.py`` ``_mapped_lines_directory`` docstring): when
