@@ -289,6 +289,58 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bucketed_join",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join through BUCKETED tables: both sides are
+    written ``bucketBy(8, orderkey)``/``sortBy`` once, after which
+    every join on the key is exchange-free (bucket co-location
+    replaces the per-query shuffle — pay the shuffle once at write
+    time, the decisive layout for repeated 100 TB fact joins;
+    no-Exchange plan pinned in tests/test_bucketing.py). Results are
+    identical to the plain join, which is exactly what the oracle
+    checks.
+    """
+    out = tempfile.mkdtemp(prefix="mrss_bucketed_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    (
+        li.write.mode("overwrite")
+        .option("path", os.path.join(out, "li"))
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("mrss_li_bucketed")
+    )
+    (
+        orders.write.mode("overwrite")
+        .option("path", os.path.join(out, "ord"))
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("mrss_ord_bucketed")
+    )
+    joined = spark.table("mrss_li_bucketed").join(
+        spark.table("mrss_ord_bucketed"),
+        spark.table("mrss_li_bucketed").l_orderkey
+        == spark.table("mrss_ord_bucketed").o_orderkey,
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
+
+
+@register(
     "q_posexplode",
     oracle="""
     WITH t AS (
