@@ -434,13 +434,17 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_SQL_COS.format(a='a.vec', b='b.vec')}, 6) AS cos_sim
     FROM e a JOIN e b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_SQL_COS.format(a='a.vec', b='b.vec')} >= 0.92
+    WHERE {_SQL_COS.format(a='a.vec', b='b.vec')} >= 0.45
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucket candidates, verify
-    cosine ≥ 0.92. Same bucketing as ann_topk_lsh, so at scale the
-    self-join is bucket-co-partitioned (no all-pairs shuffle)."""
+    cosine ≥ 0.45. Same bucketing as ann_topk_lsh, so at scale the
+    self-join is bucket-co-partitioned (no all-pairs shuffle).
+    (Threshold sits above the corpus's p99.9 pairwise cosine — max
+    is 0.513 on these random near-orthogonal vectors — so the output
+    is sparse but NON-empty; the conventional 0.9x near-dup cutoff
+    could never fire here and made the query trivially empty.)"""
     emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("vec")))
     a = emb.alias("a")
     b = emb.alias("b")
@@ -456,6 +460,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cos"),
         )
-        .filter(F.col("cos") >= 0.92)
+        .filter(F.col("cos") >= 0.45)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
     )
