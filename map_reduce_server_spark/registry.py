@@ -87,7 +87,9 @@ _DRIVER_GREEN_R2 = frozenset({
     "q_try_funcs", "q_map_funcs", "q_string_funcs", "q_date_funcs",
     "q_json_funcs", "q_array_funcs", "q_like_regexp", "q_string_funcs2",
     "q_union_by_name", "q_null_funcs", "q_sessionize",
-    "ann_topk_bruteforce", "ann_topk_lsh", "dedup_embedding_cosine",
+    # dedup_embedding_cosine was r2-green but its threshold changed
+    # in round 3 — keep it OUT of this set so it re-verifies.
+    "ann_topk_bruteforce", "ann_topk_lsh",
     "q_scalar_subquery", "q_correlated_exists", "q_unpivot",
     "q_range_join", "wordcount", "grep", "text_token_stats",
     "text_quality", "text_lang_id", "text_tfidf", "text_bpe_tokens",
