@@ -136,3 +136,42 @@ def test_stratified_sample_is_narrow(spark, sf_small):
     df = registry.QUERIES["q_stratified_sample"](spark, sf_small)
     plan = explain_str(df)
     assert "Exchange" not in plan
+
+
+def test_q6_full_pushdown_no_shuffle_joins(spark, sf_small):
+    """Q6 is the canonical pushdown probe: every predicate must reach
+    the parquet scan and the plan must contain no join at all."""
+    df = registry.QUERIES["q6_forecast_revenue"](spark, sf_small)
+    plan = explain_str(df)
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "Join" not in plan
+
+
+def test_q19_disjunction_stays_equi_join(spark, sf_small):
+    """Q19's OR-of-ANDs shares p_partkey = l_partkey across all
+    branches; the plan must keep the equi join with the disjunction
+    as a residual, never degrade to a cartesian/nested-loop product."""
+    df = registry.QUERIES["q19_disjunctive_revenue"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q4_semi_join_not_aggregate_rewrite(spark, sf_small):
+    """EXISTS must decorrelate into a LeftSemi join (one pass over
+    lineitem, no distinct/aggregate materialization of the subquery)."""
+    df = registry.QUERIES["q4_order_priority"](spark, sf_small)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join(spark, sf_small):
+    df = registry.QUERIES["q22_dormant_customers"](spark, sf_small)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
