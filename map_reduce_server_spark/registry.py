@@ -60,6 +60,7 @@ def load_all() -> None:
     from map_reduce_server_spark.operators import (  # noqa: F401
         advanced,
         clustering,
+        curation,
         dedup,
         multimodal,
         relational,
@@ -116,6 +117,8 @@ _NEW_AWAITING_WINDOW = frozenset({
     "q13_customer_distribution", "q14_promo_revenue",
     "q17_small_qty_revenue", "q18_large_orders",
     "q19_disjunctive_revenue", "q22_dormant_customers",
+    "dedup_minhash_keep_one", "q_domain_mixture", "q_profile_columns",
+    "q_scd2_customer_orders",
 })
 
 
