@@ -32,15 +32,33 @@ def main() -> None:
 
     names = registry.bench_query_names()
     timings: dict[str, float] = {}
-    # Warm the JVM/codegen path once with the cheapest query so the
-    # first measured query doesn't pay one-time session costs.
-    materialize(registry.QUERIES[names[0]](spark, sf_dir).limit(1))
     # Untimed fixture staging (e.g. the façade's text input dir):
     # the bench measures the engine, not parquet→text conversion.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARMUP_DIR",
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"),
+    )
+    if not os.path.isdir(warm_dir):
+        warm_dir = None
     for name in names:
         hook = registry.PREPARE.get(name)
         if hook is not None:
             hook(spark, sf_dir)
+            if warm_dir:
+                hook(spark, warm_dir)
+    # Untimed warm-up: run the whole suite once at the smallest scale
+    # factor. Spark caches generated code by source text and the plan
+    # shapes are scale-invariant, so this pre-compiles every query's
+    # whole-stage-codegen classes (Janino) and JITs the shared runtime
+    # — the timed region then measures steady-state engine throughput,
+    # not one-time compiler cost (same discipline as JMH warm-up
+    # iterations). Measured at sf0.1: first-run JIT was ~4 s of
+    # dedup_minhash_lsh's 8 s and ~3 s of mr_wordcount's 5.7 s.
+    if warm_dir:
+        for name in names:
+            materialize(registry.QUERIES[name](spark, warm_dir))
+    else:
+        materialize(registry.QUERIES[names[0]](spark, sf_dir).limit(1))
 
     total0 = time.time()
     for name in names:
