@@ -71,7 +71,7 @@ def load_all() -> None:
         udf,
     )
     from map_reduce_server_spark.mapreduce import queries  # noqa: F401
-    from map_reduce_server_spark.streaming import events  # noqa: F401
+    from map_reduce_server_spark.streaming import events, joins  # noqa: F401
 
     _LOADED = True
 
@@ -118,7 +118,8 @@ _NEW_AWAITING_WINDOW = frozenset({
     "q17_small_qty_revenue", "q18_large_orders",
     "q19_disjunctive_revenue", "q22_dormant_customers",
     "dedup_minhash_keep_one", "q_domain_mixture", "q_profile_columns",
-    "q_scd2_customer_orders",
+    "q_scd2_customer_orders", "stream_static_enrich",
+    "stream_stream_interval_join",
 })
 
 
