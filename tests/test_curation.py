@@ -1,0 +1,76 @@
+"""Curation-pipeline properties beyond oracle parity: survivor-set
+arithmetic for keep-one dedup and mixture bounds for the domain
+rebalancer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_server_spark import registry
+from map_reduce_server_spark.tables import load_table
+
+registry.load_all()
+
+
+def test_keep_one_partitions_the_corpus(spark, sf_small):
+    """Group sizes must sum to the corpus size (every document is in
+    exactly one group), keepers must be real doc_ids, and each keeper
+    must be the minimum of its own group."""
+    docs = load_table(spark, sf_small, "documents")
+    survivors = registry.QUERIES["dedup_minhash_keep_one"](spark, sf_small)
+    total = survivors.agg(F.sum("n_members")).first()[0]
+    assert total == docs.count()
+    # keepers ⊆ corpus
+    missing = survivors.join(
+        docs, survivors.keep_doc_id == docs.doc_id, "left_anti"
+    ).count()
+    assert missing == 0
+
+
+def test_keep_one_consistent_with_cluster(spark, sf_small):
+    """keep-one must be exactly the per-cluster min of dedup_cluster."""
+    clustered = registry.QUERIES["dedup_cluster"](spark, sf_small)
+    expected = sorted(
+        (r.cluster_id, r.n)
+        for r in clustered.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    got = sorted(
+        (r.keep_doc_id, r.n_members)
+        for r in registry.QUERIES["dedup_minhash_keep_one"](
+            spark, sf_small
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_domain_mixture_bounds(spark, sf_small):
+    """Each source's survivor count must be ≤ its input count and
+    within binomial noise of the smallest source's size; survivors
+    must be a subset of the corpus."""
+    docs = load_table(spark, sf_small, "documents")
+    before = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    target = min(before.values())
+    mixed = registry.QUERIES["q_domain_mixture"](spark, sf_small)
+    after = {
+        r.source: r.n
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for source, n_before in before.items():
+        n_after = after.get(source, 0)
+        assert n_after <= n_before
+        # 5-sigma binomial tolerance around the exact-rational target
+        import math
+
+        p = target / n_before
+        sigma = math.sqrt(n_before * p * (1 - p))
+        assert abs(n_after - target) <= max(5 * sigma, 5), (
+            source, n_before, n_after, target
+        )
+    # the smallest source survives whole
+    smallest = min(before, key=before.get)
+    assert after[smallest] == before[smallest]

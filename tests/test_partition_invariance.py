@@ -16,6 +16,8 @@ REPRESENTATIVE = [
     "q_window_funcs",       # window ordering with tiebreaks
     "dedup_minhash_lsh",    # hash-join candidate generation
     "q_topk_per_group",     # rank ≤ k
+    "q_domain_mixture",     # exact-rational hash sampling
+    "q_scd2_customer_orders",  # window lead with unique tiebreak
 ]
 
 
