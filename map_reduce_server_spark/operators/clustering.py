@@ -153,3 +153,145 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "doc_id").alias("cluster_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration, exact-decimal contribution sums)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+# Supplier node ids are offset into a disjoint range so the bipartite
+# graph's two key spaces never collide (c_custkey and s_suppkey
+# overlap numerically).
+_PR_SUPP_OFFSET = 1_000_000
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected customer↔supplier edges from the order
+    flow (orders⋈lineitem), suppliers offset into their own id range."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _PR_SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = _PR_ITERS,
+    damping: float = _PR_DAMPING,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list (src, dst).
+
+    Every node in ``edges`` has out-degree ≥ 1 (the trade graph is
+    symmetrized), so there is no dangling-mass term. Per iteration:
+    ``r(v) ← (1−d)/N + d·Σ_{u→v} r(u)/deg(u)``. The contribution sum
+    is an exact DECIMAL(38,18) aggregate — order-independent, so the
+    result is bit-stable across partitionings AND replayable by a SQL
+    engine; per-contribution double arithmetic (division, damping) is
+    identical on identical inputs. Fixed iteration count (not a
+    convergence test) keeps the computation a finite, oracle-
+    expressible unrolled recurrence.
+
+    Scale: each iteration is one shuffle join on (node) plus an
+    aggregate — the same join every time, so at 100 TB both sides can
+    be pre-partitioned on node id and the exchange reused;
+    localCheckpoint truncates lineage so the plan stays O(1) deep.
+    """
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+    ranks = deg.select(
+        "node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank")
+    ).localCheckpoint(eager=True)
+    adj = edges.join(
+        deg.withColumnRenamed("node", "src"), "src"
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            adj.join(ranks, adj.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(
+                F.sum(F.col("c").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("in_mass")
+            )
+        )
+        ranks = ranks.select("node").join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+            ).alias("rank"),
+        ).localCheckpoint(eager=True)
+    return ranks
+
+
+def _sql_pagerank_oracle() -> str:
+    """The same recurrence unrolled as CTEs (DuckDB has no loops)."""
+    edges = f"""
+      (WITH p AS (SELECT DISTINCT o_custkey AS src,
+                         l_suppkey + {_PR_SUPP_OFFSET} AS dst
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       SELECT src, dst FROM p
+       UNION ALL SELECT dst, src FROM p)
+    """
+    sql = f"""
+    WITH edges AS ({edges}),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    r0 AS (SELECT node, 1.0 / (SELECT CAST(n_nodes AS DOUBLE) FROM n)
+                    AS rank FROM deg)
+    """
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f"""
+        , r{i} AS (
+          SELECT d.node,
+                 (1.0 - {_PR_DAMPING}) / (SELECT CAST(n_nodes AS DOUBLE) FROM n)
+                 + {_PR_DAMPING} * COALESCE(m.in_mass, 0.0) AS rank
+          FROM deg d LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(r.rank / d2.deg AS DECIMAL(38,18)))
+                        AS DOUBLE) AS in_mass
+            FROM edges e
+            JOIN {prev} r ON e.src = r.node
+            JOIN deg d2 ON e.src = d2.node
+            GROUP BY e.dst
+          ) m ON d.node = m.node)
+        """
+        prev = f"r{i}"
+    sql += f"""
+    SELECT node, ROUND(rank, 12) AS rank FROM {prev}
+    """
+    return sql
+
+
+@register("graph_pagerank", oracle=_sql_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph — the second
+    iterative-algorithm pattern (after connected components): a
+    driver loop of pure DataFrame joins with lineage truncation,
+    deterministic by exact-decimal mass sums, and value-checked
+    against the oracle's unrolled recurrence."""
+    ranks = pagerank(_trade_edges(spark, sf_dir))
+    return ranks.select("node", F.round("rank", 12).alias("rank"))

@@ -68,3 +68,37 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+def test_pagerank_hand_computed_star(spark):
+    """3-node path graph a-b-c (symmetrized): after any number of
+    iterations the center holds more mass than the leaves, ranks sum
+    to 1, and one exact iteration is verifiable by hand:
+    r1(leaf) = 0.05 + 0.85·(r0(b)/2) ; r1(center) = 0.05 + 0.85·(r0(a)+r0(c))."""
+    from map_reduce_server_spark.operators.clustering import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["src", "dst"]
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, iters=1, damping=0.85).collect()
+    }
+    third = 1.0 / 3.0
+    exp_leaf = 0.15 / 3 + 0.85 * (third / 2)
+    exp_center = 0.15 / 3 + 0.85 * (third + third)
+    assert abs(got[1] - exp_leaf) < 1e-12
+    assert abs(got[3] - exp_leaf) < 1e-12
+    assert abs(got[2] - exp_center) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_mass_conserved(spark, sf_small):
+    """On the symmetrized trade graph (no dangling nodes) total rank
+    mass stays 1 through every iteration."""
+    from map_reduce_server_spark import registry as reg
+    from pyspark.sql import functions as F
+
+    ranks = reg.QUERIES["graph_pagerank"](spark, sf_small)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-6
