@@ -657,3 +657,128 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = _roundtrip(spark, nation, "orc")
     return back.groupBy("n_regionkey").agg(F.count("*").alias("n_nations"))
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+    WITH changelog AS (
+      SELECT o_custkey AS key, o_orderdate AS ts, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS payload
+      FROM orders
+    ),
+    latest AS (
+      SELECT key, op, payload, n_ops FROM (
+        SELECT key, op, payload,
+               ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY ts DESC, seq DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY key) AS n_ops
+        FROM changelog) t
+      WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           l.payload AS last_price,
+           CAST(l.n_ops AS BIGINT) AS n_ops
+    FROM customer c JOIN latest l ON c.c_custkey = l.key
+    WHERE l.op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application — the engine-level core of a MERGE /
+    lakehouse upsert-delete (docs/LAKEHOUSE.md): given an ordered
+    stream of Update/Delete ops per key, the latest op wins; keys
+    whose latest op is a delete drop out of the snapshot.
+
+    One window pass over the changelog (ordered by event time with a
+    unique sequence tie-break — engine-independent winner), then one
+    join against the snapshot. At 100 TB the changelog shuffles once
+    on key; the snapshot join is the same shuffle, so AQE can reuse
+    the exchange. The changelog here is synthesized deterministically
+    from ``orders`` (every 19th order a delete) so the oracle replays
+    it exactly.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    changelog = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 19 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("payload"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("ts"), F.desc("seq"))
+    wc = Window.partitionBy("key")
+    latest = (
+        changelog.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        cust.join(latest, cust.c_custkey == latest.key)
+        .filter(F.col("op") != "D")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("payload").alias("last_price"),
+            F.col("n_ops").cast("bigint").alias("n_ops"),
+        )
+    )
+
+
+@register(
+    "q_time_rollup",
+    oracle=f"""
+    SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+           COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts),
+           COUNT(*), {sql_dsum('value')}
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'month', date_trunc('month', ts),
+           COUNT(*), {sql_dsum('value')}
+    FROM events GROUP BY 2
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the hypertable continuous-aggregate
+    cascade): hour → day → month, where each coarser grain is
+    aggregated FROM the next finer one, never from raw events.
+
+    The raw table is scanned once (hourly grain); day sums hourly
+    rows (24× fewer), month sums daily rows — at 100 TB the cascade
+    aggregates ~1/24th then ~1/30th of the previous level instead of
+    rescanning the fact three times like the oracle's UNION ALL. The
+    sums stay DECIMAL through the cascade (associative → identical to
+    direct aggregation, which is exactly what the oracle computes)
+    and are cast to double only at the output edge.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.col("value").cast("decimal(30,2)").alias("v"),
+    )
+    hourly = ev.groupBy("bucket").agg(
+        F.count("*").alias("n_events"), F.sum("v").alias("sv")
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    monthly = (
+        daily.groupBy(F.date_trunc("month", "bucket").alias("bucket"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    def _finish(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("sv").cast("double").alias("total_value"),
+        )
+    return (
+        _finish(hourly, "hour")
+        .unionByName(_finish(daily, "day"))
+        .unionByName(_finish(monthly, "month"))
+    )
