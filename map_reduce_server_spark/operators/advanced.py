@@ -782,3 +782,71 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_finish(daily, "day"))
         .unionByName(_finish(monthly, "month"))
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type
+                          WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+                          WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+                          ELSE 'e' END, ''
+                        ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CASE WHEN regexp_matches(path, 's.*c.*v.*p') THEN 4
+           WHEN regexp_matches(path, 's.*c.*v') THEN 3
+           WHEN regexp_matches(path, 's.*c') THEN 2
+           WHEN regexp_matches(path, 's') THEN 1
+           ELSE 0 END AS stage_reached,
+      COUNT(*) AS n_users
+    FROM seq GROUP BY 1
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (sequence detection): how far does each user
+    get through signup → click → view → purchase, where stages must
+    occur in event-time order but arbitrary events may interleave?
+
+    Each user's event-type sequence (time-ordered with the unique
+    event_id tie-break) is compacted to a one-char-per-event string,
+    and funnel membership is a subsequence regex — the MATCH_RECOGNIZE
+    pattern expressed portably. One shuffle on user_id; the per-user
+    string is bounded by the user's event count, and the regexes run
+    JVM-side inside codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    initial = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select("user_id", "ts", "event_id", initial.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "ch"))
+                ).getField("ch"),
+            ).alias("path")
+        )
+    )
+    stage = (
+        F.when(F.col("path").rlike("s.*c.*v.*p"), 4)
+        .when(F.col("path").rlike("s.*c.*v"), 3)
+        .when(F.col("path").rlike("s.*c"), 2)
+        .when(F.col("path").rlike("s"), 1)
+        .otherwise(0)
+    )
+    return (
+        seq.select(stage.alias("stage_reached"))
+        .groupBy("stage_reached")
+        .agg(F.count("*").alias("n_users"))
+    )
