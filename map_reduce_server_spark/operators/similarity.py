@@ -421,10 +421,8 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    WITH e AS (
+_SQL_COS_PAIRS = f"""
+    (WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec,
              label,
              {_sql_bucket('embedding::DOUBLE[]')} AS bucket
@@ -434,8 +432,13 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_SQL_COS.format(a='a.vec', b='b.vec')}, 6) AS cos_sim
     FROM e a JOIN e b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_SQL_COS.format(a='a.vec', b='b.vec')} >= 0.45
-    """,
+    WHERE {_SQL_COS.format(a='a.vec', b='b.vec')} >= 0.45)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"SELECT vec_a, vec_b, cos_sim FROM {_SQL_COS_PAIRS} p",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucket candidates, verify
@@ -462,4 +465,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.45)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT vec_a, vec_b FROM {_SQL_COS_PAIRS} p),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    )
+    SELECT v.vec_id,
+           CAST(COALESCE(c.component, v.vec_id) AS BIGINT) AS cluster_id
+    FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node
+    """,
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup groups: connected components over the
+    embedding-cosine near-dup graph — the vector-space twin of
+    ``dedup_cluster`` (which clusters the token-shingle MinHash
+    graph). Pairs come from the bucket-co-partitioned cosine join;
+    the transitive closure runs on 8-byte vec_ids only, and the
+    oracle replays closure + min-label as a recursive CTE."""
+    from map_reduce_server_spark.operators.clustering import (
+        connected_components,
+    )
+
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    emb = _emb(spark, sf_dir).select("vec_id")
+    return emb.join(comp, emb.vec_id == comp.node, "left").select(
+        "vec_id",
+        F.coalesce("component", "vec_id").alias("cluster_id"),
     )

@@ -120,7 +120,7 @@ _NEW_AWAITING_WINDOW = frozenset({
     "dedup_minhash_keep_one", "q_domain_mixture", "q_profile_columns",
     "q_scd2_customer_orders", "stream_static_enrich",
     "stream_stream_interval_join", "graph_pagerank", "q_cdc_apply",
-    "q_time_rollup", "q_funnel",
+    "q_time_rollup", "q_funnel", "dedup_semantic_cluster",
 })
 
 
