@@ -759,9 +759,14 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("bucket"),
         F.col("value").cast("decimal(30,2)").alias("v"),
     )
+    # Materialize the hourly grain ONCE: the three output branches
+    # (hour/day/month) all derive from it, and without this
+    # checkpoint each union branch re-evaluates the subtree — the
+    # plan showed THREE raw scans instead of one (pinned in
+    # tests/test_plans.py::test_time_rollup_single_scan).
     hourly = ev.groupBy("bucket").agg(
         F.count("*").alias("n_events"), F.sum("v").alias("sv")
-    )
+    ).localCheckpoint(eager=True)
     daily = (
         hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket"))
         .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))

@@ -175,3 +175,29 @@ def test_q22_anti_join(spark, sf_small):
     plan = explain_str(df)
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def n_parquet_scans(plan: str) -> int:
+    """Count scans via the formatted explain's detail sections —
+    each scan appears once as "(N) Scan parquet" (the tree section
+    lists it a second time, so a raw substring count double-counts)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+
+
+def test_profile_columns_single_scan(spark, sf_small):
+    """The one-pass profiling claim, pinned: multi-column
+    null/distinct/min/max must read the fact table exactly once
+    (Catalyst Expand), not once per column like the oracle."""
+    df = registry.QUERIES["q_profile_columns"](spark, sf_small)
+    assert n_parquet_scans(explain_str(df)) == 1
+
+
+def test_time_rollup_single_scan(spark, sf_small):
+    """The rollup cascade reads raw events once (checkpointed hourly
+    grain); day and month aggregate the previous grain, never rescan
+    the fact. Without the checkpoint each union branch re-evaluated
+    the subtree: three raw scans."""
+    df = registry.QUERIES["q_time_rollup"](spark, sf_small)
+    assert n_parquet_scans(explain_str(df)) == 0  # checkpointed RDD, no parquet scan at all
