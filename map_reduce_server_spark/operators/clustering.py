@@ -211,9 +211,13 @@ def pagerank(
     be pre-partitioned on node id and the exchange reused;
     localCheckpoint truncates lineage so the plan stays O(1) deep.
     """
+    # Materialize the edge list once: deg, the rank init, and the
+    # adjacency build below all derive from it, and without this the
+    # (possibly join-produced) edge subtree re-evaluates three times.
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
-    )
+    ).localCheckpoint(eager=True)
     n_nodes = deg.count()
     base = (1.0 - damping) / n_nodes
     ranks = deg.select(
