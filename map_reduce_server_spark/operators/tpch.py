@@ -463,8 +463,18 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#11") & (F.col("p_size") < 15)
     )
-    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        (F.lit(0.4) * davg("l_quantity", ndigits=6)).alias("qty_threshold")
+    # Compute the per-part average ONLY for partkeys that survive the
+    # brand/size filter (semi join first): the unfiltered per-part
+    # table has one row per partkey — tens of millions at 100 TB,
+    # far beyond broadcastable — while the filtered key set is ~1/25
+    # of a brand. Result-identical: unfiltered partkeys never reach
+    # the final join anyway.
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("avg_partkey"))
+        .agg(
+            (F.lit(0.4) * davg("l_quantity", ndigits=6)).alias("qty_threshold")
+        )
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
