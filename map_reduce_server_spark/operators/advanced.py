@@ -855,3 +855,55 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stage_reached")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "q_gap_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS d
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+               AS island
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, island, COUNT(*) AS len
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, COUNT(*) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user activity streaks (runs of
+    consecutive active days). The classic trick — day_number minus
+    row_number is constant within a consecutive run — turns streak
+    detection into a plain groupBy, no self-join or iteration.
+    Day numbers are integer epoch-days so both engines bucket
+    identically; one shuffle on user_id serves the distinct, the
+    window, and both aggregations (same key throughout)."""
+    ev = load_table(spark, sf_dir, "events")
+    # Pure epoch arithmetic (not date_trunc): day bucketing must not
+    # depend on the session timezone — the grading driver's vanilla
+    # session may not pin UTC.
+    days = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.col("d") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )
