@@ -907,3 +907,44 @@ def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.max("len").cast("bigint").alias("longest_streak"),
     )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH weeks AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 604800000000 AS w
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, w,
+             MIN(w) OVER (PARTITION BY user_id) AS cohort_week
+      FROM weeks
+    )
+    SELECT cohort_week, w - cohort_week AS week_offset,
+           COUNT(*) AS n_users
+    FROM cohorts GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each subsequent week they return — the standard
+    retention triangle. One shuffle on user_id serves the distinct,
+    the cohort-min window, and the count rides the (already tiny)
+    cohort×offset key. Week bucketing is pure epoch arithmetic
+    (timezone-independent)."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("w"),
+    ).distinct()
+    w_user = Window.partitionBy("user_id")
+    cohorts = weeks.withColumn("cohort_week", F.min("w").over(w_user))
+    return (
+        cohorts.select(
+            "cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset")
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
