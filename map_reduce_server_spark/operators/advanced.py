@@ -948,3 +948,39 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "q_equidepth_histogram",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           {sql_dsum('o_totalprice')} AS total
+    FROM buckets GROUP BY bucket
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram over order values via
+    NTILE — the profiling complement to q_histogram's equi-width
+    buckets. The window ORDER BY ends in the unique o_orderkey so
+    rows tied on price land in the same bucket on every engine.
+    Note the global sort: fine for a profiling pass; at 100 TB the
+    approx_percentile route (q_percentiles) is the cheap alternative
+    when exact bucket edges aren't required."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )

@@ -121,7 +121,7 @@ _NEW_AWAITING_WINDOW = frozenset({
     "q_scd2_customer_orders", "stream_static_enrich",
     "stream_stream_interval_join", "graph_pagerank", "q_cdc_apply",
     "q_time_rollup", "q_funnel", "dedup_semantic_cluster",
-    "q_gap_islands", "q_retention_cohorts",
+    "q_gap_islands", "q_retention_cohorts", "q_equidepth_histogram",
 })
 
 
