@@ -511,3 +511,118 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.coalesce("component", "vec_id").alias("cluster_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings (fixed-iteration Lloyd's, portable arithmetic)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2  # assignments; centroids update (iters - 1) times
+
+
+def _km_seed_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic seeds: the K lowest-vec_id vectors, labeled by
+    their seed vec_id (stable cluster labels across iterations)."""
+    return (
+        emb.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(F.col("vec_id").alias("cluster"), F.col("vec").alias("cvec"))
+    )
+
+
+def _km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each vector to the max-cosine centroid. Similarity is
+    rounded to 9 digits and ties break on the smaller cluster label,
+    so the argmax is engine-independent."""
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "vec",
+        "cluster",
+        F.round(cosine(F.col("vec"), F.col("cvec")), 9).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cluster")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cluster")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Element-wise centroid means in long format: exact decimal sums
+    per (cluster, dim) — order-independent, so identical on any
+    partitioning and any engine — re-packed to arrays ordered by dim."""
+    long = assigned.select(
+        "cluster", F.posexplode("vec").alias("dim", "v")
+    )
+    means = long.groupBy("cluster", "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    return means.groupBy("cluster").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "m")))
+        .getField("m")
+        .alias("cvec")
+    )
+
+
+def _sql_kmeans_oracle() -> str:
+    """The same fixed recurrence unrolled as CTEs. DuckDB zips
+    same-level unnests, so (value, dim) pairs come from
+    unnest(vec) + unnest(range(0, len(vec))) in lockstep — matching
+    Spark's 0-based posexplode."""
+    assign = """
+      SELECT vec_id, vec, cluster FROM (
+        SELECT e.vec_id, e.vec, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({cos}, 9) DESC, c.cluster) AS rn
+        FROM e CROSS JOIN {cents} c) t
+      WHERE rn = 1
+    """
+    cos = _SQL_COS.format(a="e.vec", b="c.cvec")
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster, vec AS cvec FROM e
+           ORDER BY vec_id LIMIT {_KM_K}),
+    a1 AS ({assign.format(cos=cos, cents='c0')}),
+    lng AS (SELECT cluster, unnest(vec) AS v,
+                   unnest(range(0, len(vec))) AS dim
+            FROM a1),
+    m1 AS (SELECT cluster, dim,
+                  CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*) AS m
+           FROM lng GROUP BY cluster, dim),
+    c1 AS (SELECT cluster, list(m ORDER BY dim) AS cvec
+           FROM m1 GROUP BY cluster),
+    a2 AS ({assign.format(cos=cos, cents='c1')})
+    SELECT a.vec_id, a.cluster FROM a2 a
+    """
+    return sql
+
+
+@register("kmeans_embeddings", oracle=_sql_kmeans_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the embedding corpus
+    (K=8, two assignment passes) — the iterative-ML-on-DataFrames
+    pattern: centroids stay a broadcast 8-row side, vectors never
+    shuffle for assignment (crossJoin against the broadcast
+    constant-sized side + per-vector window argmax), and the only
+    shuffle is the (cluster, dim) centroid mean. Deterministic end to
+    end: seed centroids by lowest vec_id, rounded-cosine argmax with
+    label tie-break, exact decimal means — so even this clustering
+    is value-checked against the oracle's unrolled recurrence, not
+    rows-counted. Fixed iterations keep it SQL-expressible; a
+    convergence-loop variant would follow dedup_cluster's
+    rows-only pattern instead.
+    """
+    emb = _emb(spark, sf_dir)
+    cents = _km_seed_centroids(emb)
+    assigned = _km_assign(emb, cents)
+    for _ in range(_KM_ITERS - 1):
+        cents = _km_update(assigned)
+        assigned = _km_assign(emb, cents)
+    return assigned.select("vec_id", "cluster")
