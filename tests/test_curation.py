@@ -74,3 +74,16 @@ def test_domain_mixture_bounds(spark, sf_small):
     # the smallest source survives whole
     smallest = min(before, key=before.get)
     assert after[smallest] == before[smallest]
+
+
+def test_kmeans_assigns_every_vector(spark, sf_small):
+    """Every embedding gets exactly one cluster; labels are drawn
+    from the K seed ids."""
+    from map_reduce_server_spark.operators.similarity import _KM_K
+
+    emb_n = load_table(spark, sf_small, "embeddings").count()
+    assigned = registry.QUERIES["kmeans_embeddings"](spark, sf_small)
+    rows = assigned.collect()
+    assert len(rows) == emb_n
+    assert len({r.vec_id for r in rows}) == emb_n
+    assert len({r.cluster for r in rows}) <= _KM_K
