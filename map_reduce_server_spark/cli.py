@@ -8,7 +8,9 @@ replaces the reference's daemons (SURVEY.md §2.C) — so the CLI is:
 - ``submit``: run a MapReduce job (same flags as the reference's
   submit client);
 - ``query``: run a named query from the registry and print rows;
-- ``list``: show every registered query and whether it has an oracle.
+- ``list``: show every registered query and whether it has an oracle;
+- ``verify``: run the DuckDB-oracle correctness gate (the same
+  comparison the grading driver applies).
 """
 
 from __future__ import annotations
@@ -57,6 +59,22 @@ def _cmd_list(_args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_verify(args: argparse.Namespace) -> int:
+    from map_reduce_server_spark.verify import verify_all
+
+    spark = get_spark(app_name="mrss-verify")
+    names = args.names or None
+    results = verify_all(spark, args.sf_dir, names)
+    fails = 0
+    for name, (ok, msg) in results.items():
+        if not ok:
+            fails += 1
+        if not ok or args.verbose:
+            print(("PASS " if ok else "FAIL ") + name, "" if ok else msg)
+    print(f"{len(results) - fails}/{len(results)} queries match the oracle")
+    return 1 if fails else 0
+
+
 def _cmd_status(_args: argparse.Namespace) -> int:
     import pyspark
 
@@ -92,6 +110,14 @@ def main(argv: list[str] | None = None) -> int:
 
     ls = sub.add_parser("list", help="list registered queries")
     ls.set_defaults(fn=_cmd_list)
+
+    v = sub.add_parser(
+        "verify", help="run the DuckDB-oracle correctness gate"
+    )
+    v.add_argument("names", nargs="*", help="query names (default: all)")
+    v.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    v.add_argument("-v", "--verbose", action="store_true")
+    v.set_defaults(fn=_cmd_verify)
 
     st = sub.add_parser(
         "status",

@@ -1,0 +1,99 @@
+"""Self-check: run every registered query against its DuckDB oracle.
+
+The packaged twin of the test-suite comparator
+(``tests/oracle_utils.py``) so a user of the standalone repo can run
+the correctness gate without pytest:
+
+    python -m map_reduce_server_spark verify --sf-dir /data/sf0.01
+
+Comparison contract (same as the grading driver): row count, sorted
+column names, and order-insensitive canonical values (floats via
+repr of float64 — bit-identical values required, which the engine
+guarantees via exact decimal aggregation and portable hashing).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+
+def _canon_value(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        return repr(float(v))
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, int):
+        return str(int(v))
+    return str(v)
+
+
+def _canonical_rows(df) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(_canon_value(v) for v in row)
+        for _, row in df[cols].iterrows()
+    )
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
+    """Run the Spark result against the DuckDB oracle; (ok, message)."""
+    import duckdb
+
+    from map_reduce_server_spark.tables import TABLES
+
+    sdf = spark_df.toPandas()
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        odf = con.execute(oracle_sql).fetchdf()
+    finally:
+        con.close()
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return False, (
+            f"schema mismatch: spark={sorted(sdf.columns)} "
+            f"oracle={sorted(odf.columns)}"
+        )
+    if len(sdf) != len(odf):
+        return False, f"row count mismatch: spark={len(sdf)} oracle={len(odf)}"
+    srows, orows = _canonical_rows(sdf), _canonical_rows(odf)
+    if srows != orows:
+        diffs = [
+            f"spark={s} oracle={o}" for s, o in zip(srows, orows) if s != o
+        ][:3]
+        return False, "value mismatch: " + " | ".join(diffs)
+    return True, "ok"
+
+
+def verify_all(
+    spark, sf_dir: str, names: list[str] | None = None
+) -> dict[str, tuple[bool, str]]:
+    """Run the gate for ``names`` (default: every oracle-checked
+    query); returns {name: (ok, message)}."""
+    from map_reduce_server_spark import registry
+
+    registry.load_all()
+    targets = names if names is not None else sorted(registry.ORACLE)
+    out: dict[str, tuple[bool, str]] = {}
+    for name in targets:
+        try:
+            out[name] = compare(
+                registry.QUERIES[name](spark, sf_dir),
+                registry.ORACLE[name],
+                sf_dir,
+            )
+        except Exception as e:  # surface, don't abort the sweep
+            out[name] = (False, repr(e)[:300])
+    return out
