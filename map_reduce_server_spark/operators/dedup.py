@@ -659,3 +659,113 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, expanding pairs quadratically with corpus size.
     """
     return simhash_pairs(simhash_halves(spark, sf_dir))
+
+
+# --- prefix-filtered exact Jaccard (PPJoin-style) ---------------------------
+
+_PJ_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    freq AS (SELECT shingle, COUNT(*) AS f FROM sh GROUP BY shingle),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ranked AS (
+      SELECT s.doc_id, s.shingle,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                ORDER BY f, s.shingle) AS r
+      FROM sh s JOIN freq USING (shingle)
+    ),
+    prefix AS (
+      SELECT r.doc_id, r.shingle
+      FROM ranked r JOIN sz USING (doc_id)
+      WHERE r.r <= sz.n // 2 + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE)
+                 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+          >= {_PJ_THRESHOLD}
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.5 pairs with PPJoin-style prefix filtering —
+    the scale path for exact set-similarity joins.
+
+    ``dedup_ngram_jaccard`` joins on EVERY shared shingle, so a stop
+    shingle shared by k documents alone contributes k²/2 join rows.
+    Prefix filtering orders each document's shingles by ascending
+    global frequency (tie-break: the shingle itself — a total order
+    both engines agree on) and generates candidates only from each
+    document's first ⌊n/2⌋+1 shingles: any pair with J ≥ t must
+    share a prefix element (prefix length n − ⌈t·n⌉ + 1, here
+    integer-exact as n//2 + 1), so recall is provably 100% while
+    frequent shingles — precisely the quadratic ones — drop out of
+    candidate generation unless they are rare enough to sit in a
+    prefix. Verification then counts common shingles only for
+    candidate pairs. The per-doc ranking window partitions by doc_id
+    (no global sort); tests pin prefix-vs-full equality on the real
+    corpus.
+    """
+    sh = shingles_df(spark, sf_dir)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("f", "shingle")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("r", F.row_number().over(w))
+    )
+    prefix = (
+        ranked.join(sz, "doc_id")
+        .filter(F.col("r") <= F.expr("n div 2") + 1)
+        .select("doc_id", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    j = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(j >= _PJ_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )

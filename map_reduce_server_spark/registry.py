@@ -122,7 +122,7 @@ _NEW_AWAITING_WINDOW = frozenset({
     "stream_stream_interval_join", "graph_pagerank", "q_cdc_apply",
     "q_time_rollup", "q_funnel", "dedup_semantic_cluster",
     "q_gap_islands", "q_retention_cohorts", "q_equidepth_histogram",
-    "kmeans_embeddings",
+    "kmeans_embeddings", "dedup_jaccard_prefix",
 })
 
 

@@ -87,3 +87,52 @@ def test_kmeans_assigns_every_vector(spark, sf_small):
     assert len(rows) == emb_n
     assert len({r.vec_id for r in rows}) == emb_n
     assert len({r.cluster for r in rows}) <= _KM_K
+
+
+def test_jaccard_prefix_filter_loses_nothing(spark, sf_small):
+    """Prefix filtering is an optimization, not an approximation:
+    the candidate-pruned result must exactly equal the brute-force
+    every-shared-shingle join filtered to the same threshold."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_server_spark.operators.dedup import (
+        _PJ_THRESHOLD,
+        shingles_df,
+    )
+
+    sh = shingles_df(spark, sf_small)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    j = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    brute = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(j >= _PJ_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+        .collect()
+    }
+    pruned = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in registry.QUERIES["dedup_jaccard_prefix"](
+            spark, sf_small
+        ).collect()
+    }
+    assert pruned == brute
+    assert brute  # the corpus contains qualifying pairs
