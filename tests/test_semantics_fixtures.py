@@ -92,3 +92,103 @@ def test_cdc_apply_latest_op_wins(spark, sf_small):
         for r in registry.QUERIES["q_cdc_apply"](spark, sf_small).collect()
     }
     assert got == expected
+
+
+def test_pagerank_matches_numpy_replay(spark):
+    """Random 30-node graph: the DataFrame PageRank must match a
+    dense NumPy power-iteration replay of the same recurrence."""
+    import random
+
+    import numpy as np
+
+    from map_reduce_server_spark.operators.clustering import (
+        _PR_DAMPING,
+        _PR_ITERS,
+        pagerank,
+    )
+
+    rng = random.Random(7)
+    n = 30
+    undirected = {
+        tuple(sorted((rng.randrange(n), rng.randrange(n))))
+        for _ in range(60)
+    }
+    undirected = {(a, b) for a, b in undirected if a != b}
+    edges = [(a, b) for a, b in undirected] + [
+        (b, a) for a, b in undirected
+    ]
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    deg = {v: 0 for v in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    base = (1.0 - _PR_DAMPING) / len(nodes)
+    for _ in range(_PR_ITERS):
+        nxt = np.full(len(nodes), base)
+        for s, d in edges:
+            nxt[idx[d]] += _PR_DAMPING * r[idx[s]] / deg[s]
+        r = nxt
+    got = {
+        row.node: row.rank
+        for row in pagerank(
+            spark.createDataFrame(edges, ["src", "dst"])
+        ).collect()
+    }
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+
+
+def test_prefix_filter_lossless_on_random_corpora(spark):
+    """Hypothesis: for random tiny documents, prefix-filtered
+    candidates must retain every pair with Jaccard >= the threshold
+    (checked against an all-pairs Python computation on shingles)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_server_spark.operators.dedup import (
+        _PJ_THRESHOLD,
+        dedup_jaccard_prefix,
+    )
+
+    token = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    doc = st.lists(token, min_size=3, max_size=8).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=6))
+    def check(texts):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        def shingle_set(t):
+            toks = [x for x in t.lower().split(" ") if x]
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+
+        expected = set()
+        for i, ta in enumerate(texts):
+            for j in range(i + 1, len(texts)):
+                sa, sb = shingle_set(ta), shingle_set(texts[j])
+                if not sa or not sb:
+                    continue
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= _PJ_THRESHOLD:
+                    expected.add((i, j))
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ).withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("t")
+        ).withColumn("n_chars", F.length("text"))
+        with tempfile.TemporaryDirectory() as d:
+            df.coalesce(1).write.mode("overwrite").parquet(
+                f"{d}/documents.parquet"
+            )
+            got = {
+                (r.doc_a, r.doc_b)
+                for r in dedup_jaccard_prefix(spark, d).collect()
+            }
+        assert got == expected
+
+    check()
