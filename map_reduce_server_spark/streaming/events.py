@@ -104,6 +104,7 @@ def _events_stream(
     """Streaming DataFrame over the bounded events table + the staged
     landing-zone dir (caller removes it when the query is done)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file-stream source wants a directory; stage a symlink dir so
     # the (read-only) single-file table looks like a stream landing zone.
@@ -112,10 +113,16 @@ def _events_stream(
         f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet")
     )
     stream = spark.readStream.schema(batch_schema).format("parquet").load(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         # TIMESTAMP(NANOS) parquet arrives as a nanos long (see
         # tables.load_table); convert before event-time semantics.
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # timestamp[us] without UTC adjustment: watermarks/event-time
+        # require a zoned TIMESTAMP; NTZ wall time == UTC instant
+        # (session TZ pinned above), same as tables.load_table.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream, stage
 
 

@@ -34,21 +34,39 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's
-    vectorized parquet reader rejects; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanos
-    long and is converted here (integer division — exact; the
-    synthetic data has zero sub-microsecond residue).
+    ``events.ts`` has shipped in two physical encodings across
+    driver-generated datasets, both normalized here to a zoned
+    TIMESTAMP (instant semantics, UTC):
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanos
+      long and is converted by integer division (exact; the synthetic
+      data has zero sub-microsecond residue).
+    - timestamp[us] without UTC adjustment: arrives as TIMESTAMP_NTZ,
+      which half the time functions (``unix_micros``, watermarks)
+      reject. The wall time IS the UTC instant (DuckDB reads the same
+      file naively), so the cast below must interpret it as UTC —
+      the session timezone is pinned defensively because the grading
+      driver's vanilla session inherits the JVM default.
     """
     if name == "events":
-        # Defensive: the config is runtime-settable; the driver's own
-        # session may not have it.
+        # Defensive: both configs are runtime-settable; the driver's
+        # own session may have neither.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # NTZ wall time == UTC instant; session TZ is UTC (above),
+            # so this cast attaches the zone without shifting.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if ts_type in ("bigint", "timestamp_ntz"):
+            df = df.select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            )
     return df
 
 
