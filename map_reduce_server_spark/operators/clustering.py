@@ -52,21 +52,27 @@ def connected_components(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # undirected adjacency (both directions + self-loop keeps isolated
-    # correctness trivially and simplifies the min computation)
+    # Undirected adjacency (both directions + self-loop keeps isolated
+    # correctness trivially and simplifies the min computation). NOT
+    # deduplicated: min-propagation is idempotent to repeated
+    # neighbors, and distinct() would shuffle the largest CC
+    # intermediate once more for zero semantic effect.
     adj = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
-        .distinct()
     )
     # localCheckpoint each iteration: truncates the lineage so the
     # logical plan stays O(1) deep instead of O(iterations) — without
     # it Catalyst re-analyzes an exponentially growing tree.
     adj = adj.localCheckpoint(eager=True)
-    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint(
-        eager=True
-    )
+    # Seed labels with one propagation for free: min over neighbors
+    # (self-loop included) IS iteration 1's pre-jump candidate, and
+    # this aggregate costs the same single shuffle the identity init
+    # would — one fewer loop round on every graph.
+    labels = adj.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("component")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         # candidate label for each node: min over neighbors' labels
         # (self-loop includes the node's own label)
