@@ -222,3 +222,173 @@ def q_scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quantile quality gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_quality_gate",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             round(CAST(len(list_distinct(list_filter(
+                       string_split(lower(text), ' '), x -> x <> '')))
+                    AS DOUBLE)
+                   / greatest(len(list_filter(string_split(lower(text), ' '),
+                                              x -> x <> '')), 1), 6) AS score
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, source, score,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY score, doc_id) AS pr
+      FROM scored)
+    SELECT doc_id, source, score FROM ranked WHERE pr >= 0.25
+    """,
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quantile filtering: score every document (distinct-
+    token ratio — the cheap lexical-diversity proxy) and drop the
+    bottom quartile WITHIN each source. Quantile gating per domain —
+    rather than one global threshold — is the standard guard against a
+    verbose domain swamping a terse one.
+
+    The cut is rank-based (percent_rank with a doc_id tie-break), not
+    value-interpolated: engines disagree on percentile interpolation
+    but not on ranks over a totally-ordered partition, so the kept set
+    is bit-identical. Scale: one window shuffle partitioned by source
+    — parallel across domains; a skewed giant domain re-partitions by
+    (source, score-range) first.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    score = F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+    scored = docs.select("doc_id", "source", score.alias("score"))
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.25)
+        .select("doc_id", "source", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing (context-window manifest)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per training sequence
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // {_PACK_BUDGET} AS BIGINT) AS seq_id
+      FROM sized)
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed
+    GROUP BY source, seq_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences
+    (manifest form): within each source, documents in doc_id order are
+    assigned to sequence ``floor(tokens_before / budget)`` — the
+    streaming concat-then-chunk packing every pretraining pipeline
+    runs, with documents kept atomic (a sequence may overshoot the
+    budget by at most one document's tail; nothing is split).
+
+    Scale: the running sum is windowed PER SOURCE, so the prefix scan
+    parallelizes across domains instead of serializing the corpus
+    through one partition; at 100 TB the same recurrence runs per
+    (source, day) shard. Output is the (source, seq_id) manifest a
+    shard writer consumes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    sized = docs.select(
+        "doc_id", "source", F.size(toks).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.select(
+        "source",
+        "n_tokens",
+        (
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            / F.lit(_PACK_BUDGET)
+        ).cast("bigint").alias("seq_id"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard manifest (training-shard writer planning)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 64
+
+
+@register(
+    "q_training_shards",
+    oracle=f"""
+    SELECT {sql_md5_long("'shard:' || CAST(doc_id AS VARCHAR)")} % {_N_SHARDS}
+             AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    GROUP BY shard_id
+    """,
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-shard manifest: every document is assigned
+    to ``md5(doc_id) % {n}`` and the manifest reports per-shard volume
+    — the planning step before ``df.repartition(n, shard).write``
+    produces balanced training shards whose membership never changes
+    when the corpus is re-processed (content-addressed, not
+    zipWithIndex/row_number, so it is stable under re-partitioning and
+    incremental appends).
+
+    Scale: one aggregate on an 8-byte derived key; the manifest is n
+    rows. The hash gate is the same md5-mod family the mixture/split
+    ops use — one primitive, many curation stages.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = md5_long(
+        F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+    ) % _N_SHARDS
+    return (
+        docs.select(shard.alias("shard_id"), "doc_id", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

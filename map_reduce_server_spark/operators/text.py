@@ -629,3 +629,144 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
     return docs.select("doc_id", md5_long(normalized).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-order n-gram novelty (incremental-crawl dedup signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(list_filter(string_split(lower(text), ' '),
+                                                 x -> x <> '')) - 1, 1)),
+               i -> list_filter(string_split(lower(text), ' '), x -> x <> '')[i]
+                    || ' ' ||
+                    list_filter(string_split(lower(text), ' '), x -> x <> '')[i+1]
+                    || ' ' ||
+                    list_filter(string_split(lower(text), ' '), x -> x <> '')[i+2]
+             )) AS shingle
+      FROM documents),
+    first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT d.doc_id,
+           CAST(COALESCE(COUNT(sh.shingle), 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_novel,
+           round(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(sh.shingle), 6) AS novelty
+    FROM documents d
+    LEFT JOIN sh ON d.doc_id = sh.doc_id
+    LEFT JOIN first f ON sh.shingle = f.shingle
+    GROUP BY d.doc_id
+    """,
+)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty in corpus order: the fraction of a doc's
+    distinct 3-gram shingles whose FIRST occurrence (minimum doc_id
+    anywhere in the corpus) is this document. The incremental-crawl
+    signal — a near-zero novelty doc is boilerplate of what came
+    before, without needing pairwise comparison.
+
+    Scale: one shuffle on shingles for the global first-occurrence
+    aggregate (compact min per key), one shingle-key join back —
+    exactly the dedup-family plan shape, never all-pairs. Docs with
+    fewer than 3 tokens have no shingles: n_shingles = 0, novelty
+    NULL.
+    """
+    from map_reduce_server_spark.operators.dedup import shingles_df
+
+    sh = shingles_df(spark, sf_dir, distinct=True)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        "novelty",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate against the corpus top-K vocabulary
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 1000
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({{ne_tokens}}) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM tok GROUP BY token
+      ORDER BY COUNT(*) DESC, token LIMIT {_OOV_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """.replace("{ne_tokens}", _SQL_NE_TOKENS),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate: the corpus's top-K tokens by frequency
+    form the vocabulary (total order count DESC, token ASC — the
+    boundary tie is deterministic); each document reports how many of
+    its token OCCURRENCES fall outside it. The tokenizer-fit signal a
+    training pipeline uses to spot domain drift.
+
+    Scale: vocabulary = one token-count shuffle + TakeOrdered top-K
+    (never a global sort), then a broadcast join — K rows — against
+    the exploded token stream; per-doc aggregation absorbs the
+    explosion. Zero-token documents are absent from the output (no
+    occurrences to rate).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokens_col(F.col("text"), keep_empty=False)).alias("token"),
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(_OOV_VOCAB_K)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("bigint")).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
+        )
+    )

@@ -201,3 +201,55 @@ def test_time_rollup_single_scan(spark, sf_small):
     the subtree: three raw scans."""
     df = registry.QUERIES["q_time_rollup"](spark, sf_small)
     assert n_parquet_scans(explain_str(df)) == 0  # checkpointed RDD, no parquet scan at all
+
+
+def test_q21_no_cartesian_two_fact_shuffles(spark, sf_small):
+    # The double-EXISTS rewrite must stay equi-join aggregates — a
+    # naive translation self-joins lineitem three times (or worse,
+    # goes cartesian on the <> residual).
+    df = registry.QUERIES["q21_waiting_suppliers"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_broadcasts_dims_no_cartesian(spark, sf_small):
+    df = registry.QUERIES["q2_min_cost_supplier"](spark, sf_small)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    # supplier+nation+region bundle, part, and the per-part min are
+    # all broadcast sides.
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q9_broadcasts_dims(spark, sf_small):
+    df = registry.QUERIES["q9_product_profit"](spark, sf_small)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_join_chain(spark, sf_small):
+    # Both IN subqueries must become (broadcast) semi joins, not
+    # aggregated-IN materializations through the driver.
+    df = registry.QUERIES["q20_part_promotion"](spark, sf_small)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_windows_per_source(spark, sf_small):
+    # The prefix sum must be partitioned by source — a global window
+    # (empty PartitionBy) serializes the corpus through one task.
+    df = registry.QUERIES["q_pack_sequences"](spark, sf_small)
+    plan = explain_str(df, mode="simple")
+    # the physical Window node's spec must start with the source
+    # partition column, and the exchange hashes on source
+    assert "windowspecdefinition(source" in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_oov_vocab_is_broadcast(spark, sf_small):
+    df = registry.QUERIES["text_oov_rate"](spark, sf_small)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
