@@ -638,6 +638,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_novelty",
+    bench=True,
     oracle="""
     WITH sh AS (
       SELECT DISTINCT doc_id,

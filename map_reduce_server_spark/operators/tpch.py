@@ -1040,6 +1040,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY numwait DESC, s_name
     LIMIT 100
     """,
+    bench=True,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21: the hardest classic shape — a correlated EXISTS and
