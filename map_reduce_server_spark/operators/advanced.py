@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.exact import dsum, sql_dsum
+from map_reduce_server_spark.functions.hashing import sql_md5_long
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -983,4 +984,309 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
             dsum("o_totalprice").alias("total"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based event debounce (burst leading-edge thinning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_debounce_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, event_type, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts > lag(ts) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id)
+                       + INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS is_leader
+      FROM events)
+    SELECT event_id, user_id, event_type, ts
+    FROM flagged WHERE is_leader = 1
+    """,
+)
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst thinning: keep only the LEADING event of every activity
+    burst per (user, event_type) — an event survives iff the previous
+    same-key event is more than 10 minutes older (or absent). The
+    ingest-side duplicate-storm guard (retry storms, double-clicks)
+    that runs before any content-level dedup.
+
+    One window shuffle on (user_id, event_type) with an event_id
+    tie-break — per-key partitions stay small at any corpus size, so
+    this is embarrassingly parallel at 100 TB. (Within a burst every
+    event is suppressed even when the burst outlasts the window —
+    inactivity-gap semantics, same family as q_sessionize.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap-fill onto a daily spine (timeseries backfill)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_locf_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(date_trunc('day', ts)) AS TIMESTAMP) AS d0,
+             CAST(MAX(date_trunc('day', ts)) AS TIMESTAMP) AS d1
+      FROM events),
+    spine AS (
+      SELECT u.user_id, CAST(g.d AS TIMESTAMP) + INTERVAL 1 DAY
+               - INTERVAL 1 MICROSECOND AS probe_ts,
+             CAST(g.d AS TIMESTAMP) AS day
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(generate_series(
+                    (SELECT d0 FROM bounds), (SELECT d1 FROM bounds),
+                    INTERVAL 1 DAY)) AS d) g),
+    tagged AS (
+      SELECT user_id, ts, value, NULL AS day, event_id,
+             1 AS is_event FROM events
+      UNION ALL
+      SELECT user_id, probe_ts AS ts, NULL AS value, day,
+             NULL AS event_id, 0 AS is_event FROM spine),
+    filled AS (
+      SELECT user_id, day, is_event,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, is_event DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS locf_value
+      FROM tagged)
+    SELECT user_id, day, round(locf_value, 6) AS locf_value
+    FROM filled WHERE is_event = 0
+    """,
+)
+def q_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap-fill: for every user and
+    every day of the corpus span, the value of the user's most recent
+    event at or before that day's end (NULL until the first event).
+    The timeseries backfill that turns sparse event streams into a
+    dense daily panel for training.
+
+    Plan: the daily spine (users x days — tiny vs the event stream) is
+    UNIONed under the events and a single per-user ordered window
+    carries values forward past the probe rows; probe rows are then
+    kept. One window shuffle on user_id; the (ts, is_event DESC,
+    event_id) order is total, so same-instant ties resolve
+    identically on every engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(days)).select(
+        "user_id",
+        (
+            F.col("day") + F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 1 MICROSECOND")
+        ).alias("ts"),
+        "day",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_event"),
+    )
+    tagged = ev.select(
+        "user_id", "ts", "value",
+        F.lit(None).cast("timestamp").alias("day"),
+        "event_id", F.lit(1).alias("is_event"),
+    ).unionByName(spine)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_event"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn(
+        "locf_value", F.last("value", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("is_event") == 0).select(
+        "user_id", "day", F.round("locf_value", 6).alias("locf_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session concurrency (sweep line over session intervals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_session_concurrency",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts > lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                       + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered),
+    sessions AS (
+      SELECT user_id, session_no, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM numbered GROUP BY user_id, session_no),
+    deltas AS (
+      SELECT s_start AS t, 1 AS delta, user_id, session_no FROM sessions
+      UNION ALL
+      SELECT s_end + INTERVAL 1 MICROSECOND, -1, user_id, session_no
+      FROM sessions),
+    swept AS (
+      SELECT t,
+             SUM(delta) OVER (ORDER BY t, delta DESC, user_id, session_no
+                              ROWS UNBOUNDED PRECEDING) AS concurrent
+      FROM deltas)
+    SELECT CAST(date_trunc('hour', t) AS TIMESTAMP) AS hour,
+           CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY 1
+    """,
+)
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour, sweep-line formulation:
+    sessionize (30-min gap), emit +1 at session start and -1 just
+    after session end, running-sum the deltas in global time order,
+    take the per-hour max. The capacity-planning / load-profile query
+    interval data always needs.
+
+    The sweep's prefix sum is a GLOBAL window — ordered by a total
+    key (t, delta DESC, user, session) so ties are engine-exact. At
+    100 TB the same recurrence runs two-pass: range-partition by time,
+    per-partition sums, then broadcast per-partition offsets; the
+    registered single-window form is the sf-scale plan (change-point
+    volume = 2x sessions, far below event volume).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = (
+        ev.withColumn("prev_ts", F.lag("ts").over(wu))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts")
+                    > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("is_new").over(
+                wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sessions = numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    starts = sessions.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("delta"),
+        "user_id", "session_no",
+    )
+    ends = sessions.select(
+        (F.col("s_end") + F.expr("INTERVAL 1 MICROSECOND")).alias("t"),
+        F.lit(-1).alias("delta"), "user_id", "session_no",
+    )
+    wsweep = Window.orderBy(
+        "t", F.desc("delta"), "user_id", "session_no"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = starts.unionByName(ends).withColumn(
+        "concurrent", F.sum("delta").over(wsweep)
+    )
+    return swept.groupBy(
+        F.date_trunc("hour", "t").alias("hour")
+    ).agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixture (uniform <- alpha -> natural)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.5  # 1.0 = natural proportions, 0.0 = uniform
+
+
+@register(
+    "q_mixture_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_source) AS BIGINT) AS n_total,
+                   SUM(POWER(CAST(n_source AS DOUBLE), {_MIX_ALPHA}))
+                     AS z FROM counts),
+    quota AS (
+      SELECT source, n_source,
+             CAST(FLOOR((SELECT n_total FROM tot) / 2.0
+                        * POWER(CAST(n_source AS DOUBLE), {_MIX_ALPHA})
+                        / (SELECT z FROM tot)) AS BIGINT) AS n_keep
+      FROM counts)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN quota USING (source)
+    WHERE {{h}} % n_source < LEAST(n_keep, n_source)
+    """.replace(
+        "{h}", sql_md5_long("'temp:' || CAST(d.doc_id AS VARCHAR)")
+    ),
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture resampling: thin each source toward
+    quota ∝ n_source^α (α=0.5 — the multilingual-pretraining standard
+    for up-weighting small domains without flattening completely),
+    targeting half the corpus. The keep decision is the same exact
+    integer hash gate as q_domain_mixture (``md5 % n_source <
+    quota``), so membership is deterministic under any partitioning;
+    quotas come from one tiny broadcast aggregate. The float part
+    (POWER, one divide, FLOOR) runs on identical doubles in any
+    engine, so quota boundaries are bit-stable too.
+    """
+    from map_reduce_server_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_source"))
+    tot = counts.agg(
+        F.sum("n_source").alias("n_total"),
+        F.sum(F.pow(F.col("n_source").cast("double"), F.lit(_MIX_ALPHA)))
+        .alias("z"),
+    )
+    quota = (
+        counts.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_source",
+            F.floor(
+                F.col("n_total") / F.lit(2.0)
+                * F.pow(F.col("n_source").cast("double"), F.lit(_MIX_ALPHA))
+                / F.col("z")
+            ).cast("bigint").alias("n_keep"),
+        )
+    )
+    h = md5_long(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+    return (
+        docs.join(F.broadcast(quota), "source")
+        .filter(h % F.col("n_source") < F.least("n_keep", "n_source"))
+        .select("doc_id", "source")
     )
