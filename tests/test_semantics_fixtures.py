@@ -192,3 +192,155 @@ def test_prefix_filter_lossless_on_random_corpora(spark):
         assert got == expected
 
     check()
+
+
+def _write_events(spark, d, rows):
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    ).withColumn("value", F.col("event_id").cast("double")).withColumn(
+        "props", F.lit("{}")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+
+def _write_docs(spark, d, rows):
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source"]
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+
+def test_debounce_gap_semantics(spark):
+    """Gap is measured from the previous EVENT (not the previous kept
+    event): a burst at 0/5/9 min keeps only its leader because every
+    inter-event gap stays under 10 min; the 16-min quiet spell before
+    25 min reopens the window."""
+    import tempfile
+
+    rows = [
+        (1, _ts(1, 0), 1, "click"),
+        (2, _ts(1, 5), 1, "click"),   # 5 min after ev1  -> suppressed
+        (3, _ts(1, 9), 1, "click"),   # 4 min after ev2  -> suppressed
+        (4, _ts(1, 25), 1, "click"),  # 16 min after ev3 -> kept
+        (5, _ts(1, 7), 1, "view"),    # other type: independent leader
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, rows)
+        kept = {
+            r.event_id
+            for r in registry.QUERIES["q_debounce_events"](spark, d).collect()
+        }
+    assert kept == {1, 4, 5}
+
+
+def test_locf_gapfill_carries_and_leads_null(spark):
+    """Day panel: values carry forward across empty days; days before
+    a user's first event stay NULL; the span covers the whole corpus,
+    not just the user's own range."""
+    import tempfile
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12), 1, "click"),  # value 1.0
+        (2, dt.datetime(2024, 1, 3, 12), 1, "click"),  # value 2.0
+        (3, dt.datetime(2024, 1, 4, 12), 2, "click"),  # value 3.0
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, rows)
+        got = {
+            (r.user_id, r.day.day): r.locf_value
+            for r in registry.QUERIES["q_locf_gapfill"](spark, d).collect()
+        }
+    assert got == {
+        (1, 1): 1.0, (1, 2): 1.0, (1, 3): 2.0, (1, 4): 2.0,
+        (2, 1): None, (2, 2): None, (2, 3): None, (2, 4): 3.0,
+    }
+
+
+def test_session_concurrency_hand_computed(spark):
+    """Three overlapping sessions in one hour: [10:00,10:20],
+    [10:10,10:10], [10:20,10:20]. Ends are inclusive (+1 us), so the
+    peak is 2 (at 10:10 and again at 10:20), never 3."""
+    import tempfile
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 1, "click"),
+        (2, dt.datetime(2024, 1, 1, 10, 20), 1, "click"),
+        (3, dt.datetime(2024, 1, 1, 10, 10), 2, "click"),
+        (4, dt.datetime(2024, 1, 1, 10, 20), 4, "click"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, rows)
+        got = {
+            (r.hour.hour): r.peak_concurrent
+            for r in registry.QUERIES["q_session_concurrency"](
+                spark, d
+            ).collect()
+        }
+    assert got == {10: 2}
+
+
+def test_pack_sequences_budget_boundary(spark):
+    """300+300 fits sequence 0 (600 > 512 only AFTER the second doc
+    is placed — docs are atomic); the third doc starts sequence 1."""
+    import tempfile
+
+    mk = lambda n: " ".join(["w"] * n)
+    rows = [
+        (1, mk(300), "en", "s1"),
+        (2, mk(300), "en", "s1"),
+        (3, mk(300), "en", "s1"),
+        (4, mk(10), "en", "s2"),  # other source packs independently
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        got = {
+            (r.source, r.seq_id): (r.n_docs, r.n_tokens)
+            for r in registry.QUERIES["q_pack_sequences"](spark, d).collect()
+        }
+    assert got == {
+        ("s1", 0): (2, 600), ("s1", 1): (1, 300), ("s2", 0): (1, 10),
+    }
+
+
+def test_novelty_first_occurrence_rule(spark):
+    """Novelty credits the MINIMUM doc_id per shingle: an exact dup of
+    an earlier doc scores 0; a doc sharing half its shingles scores
+    0.5; a doc too short for any shingle gets NULL."""
+    import tempfile
+
+    rows = [
+        (1, "a b c d", "en", "s"),   # shingles {a b c, b c d}: both novel
+        (2, "a b c d", "en", "s"),   # same shingles, later id -> 0.0
+        (3, "a b c x", "en", "s"),   # {a b c (seen), b c x (novel)} -> 0.5
+        (4, "a b", "en", "s"),       # no shingles -> NULL
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        got = {
+            r.doc_id: (r.n_shingles, r.n_novel, r.novelty)
+            for r in registry.QUERIES["text_novelty"](spark, d).collect()
+        }
+    assert got == {
+        1: (2, 2, 1.0), 2: (2, 0, 0.0), 3: (2, 1, 0.5), 4: (0, 0, None),
+    }
+
+
+def test_quality_gate_drops_bottom_quartile(spark):
+    """Four docs with distinct-token ratios .25/.5/.75/1.0: percent
+    rank 0 is strictly below the 0.25 cut, so exactly the worst doc
+    drops."""
+    import tempfile
+
+    rows = [
+        (1, "a a a a", "en", "s"),   # ratio 0.25 -> pr 0.0  -> dropped
+        (2, "a b a b", "en", "s"),   # 0.5  -> pr 1/3
+        (3, "a b c a", "en", "s"),   # 0.75 -> pr 2/3
+        (4, "a b c d", "en", "s"),   # 1.0  -> pr 1.0
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        kept = {
+            r.doc_id
+            for r in registry.QUERIES["q_quality_gate"](spark, d).collect()
+        }
+    assert kept == {2, 3, 4}
