@@ -626,3 +626,87 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = _km_update(assigned)
         assigned = _km_assign(emb, cents)
     return assigned.select("vec_id", "cluster")
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (storage/serving compression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx
+      FROM e)
+    SELECT vec_id,
+           round(mx, 9) AS max_abs,
+           CASE WHEN mx > 0
+                THEN list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5)
+                                                 AS INTEGER))
+                ELSE list_transform(v, x -> 0) END AS q,
+           CASE WHEN mx > 0
+                THEN round(list_max(list_transform(v,
+                       x -> abs(x - floor(x * 127.0 / mx + 0.5) * mx / 127.0))),
+                     9)
+                ELSE 0.0 END AS max_err
+    FROM m
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale by 127/max|x|,
+    round half-up, report the max reconstruction error — the 4×
+    storage/serving compression every large ANN index applies before
+    sharding. Rounding is ``floor(x+0.5)`` explicitly (not ROUND) so
+    both engines place half-way values identically, and the error
+    bound max_err ≤ max_abs/254 is checked by the oracle's replay.
+
+    Scale: embarrassingly parallel (no shuffle at all) — pure
+    map-side ``transform``/``aggregate`` higher-order functions inside
+    codegen; output carries int8-range values + one double per vector.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    mx = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    df = emb.select("vec_id", v.alias("v"), mx.alias("mx"))
+    quant = F.when(
+        F.col("mx") > 0,
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * 127.0 / F.col("mx") + 0.5).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0)))
+    err = F.when(
+        F.col("mx") > 0,
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.abs(
+                        x
+                        - F.floor(x * 127.0 / F.col("mx") + 0.5)
+                        * F.col("mx")
+                        / 127.0
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "vec_id",
+        F.round("mx", 9).alias("max_abs"),
+        quant.alias("q"),
+        err.alias("max_err"),
+    )
