@@ -298,3 +298,80 @@ def stream_window_counts_incremental(
     final.count()  # materialize before the delta dir can be cleaned
     shutil.rmtree(out, ignore_errors=True)
     return final
+
+
+_STREAM_TRENDING_ORACLE = """
+    WITH counts AS (
+      SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600)
+                  AS TIMESTAMP) AS w_start,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT w_start, event_type, n_events,
+             row_number() OVER (PARTITION BY w_start
+                                ORDER BY n_events DESC, event_type) AS rnk
+      FROM counts)
+    SELECT w_start, event_type, n_events, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("stream_trending_topk", oracle=_STREAM_TRENDING_ORACLE)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard: top-3 event types per 10-minute window,
+    maintained streaming-side. Ranking is not incrementally
+    maintainable (one count update can reorder a whole window), so the
+    scale pattern splits: the STREAM maintains per-(window, type)
+    counts in update mode through the idempotent foreachBatch delta
+    sink — tiny keyed state, only touched keys written per batch —
+    and the rank is the cheap serving-side query over the maintained
+    table (windows × types rows, not events). The tie rule
+    (count DESC, event_type) is total, so top-3 is engine-exact.
+    """
+    stream, stage = _events_stream(spark, sf_dir)
+    counts = stream.groupBy(
+        F.window("ts", "10 minutes").getField("start").alias("w_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    out = tempfile.mkdtemp(prefix="mrss_stream_trend_")
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"b{batch_id}"))
+        )
+
+    query = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(_write_batch)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        shutil.rmtree(stage, ignore_errors=True)
+
+    from pyspark.sql import Window
+
+    deltas = spark.read.parquet(os.path.join(out, "b*"))
+    latest = Window.partitionBy("w_start", "event_type").orderBy(
+        F.desc("batch_id")
+    )
+    table = (
+        deltas.withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .select("w_start", "event_type", "n_events")
+    )
+    rank_w = Window.partitionBy("w_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    final = (
+        table.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= 3)
+        .cache()
+    )
+    final.count()  # materialize before the delta dir is removed
+    shutil.rmtree(out, ignore_errors=True)
+    return final
