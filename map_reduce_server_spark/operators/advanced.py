@@ -1290,3 +1290,57 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h % F.col("n_source") < F.least("n_keep", "n_source"))
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned layout write + partition-pruned read
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_partitioned_layout",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+    GROUP BY 1, 2
+    """,
+)
+def q_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned layout round-trip: orders written
+    hive-partitioned by order year (``.write.partitionBy("o_year")``),
+    then read back with a year predicate that must prune to 2 of the
+    7 year directories — the layout decision that turns a 100 TB scan
+    into a per-partition scan. Directory pruning (PartitionFilters,
+    zero rows read outside the selected years) is pinned in
+    ``tests/test_plans.py::test_partitioned_layout_prunes``.
+
+    The year column is materialized at WRITE time (partition values
+    live in directory names, not data files), so the read-side filter
+    is a pure metadata operation. The aggregate after the round-trip
+    must equal the direct aggregate — the oracle never sees the
+    intermediate layout.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    )
+    tmp = tempfile.mkdtemp(prefix="mrss_partlayout_")
+    path = os.path.join(tmp, "data")
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = (
+        spark.read.parquet(path)
+        .filter(F.col("o_year").isin(1996, 1997))
+        .groupBy("o_year", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .cache()
+    )
+    back.count()  # materialize before cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return back

@@ -253,3 +253,27 @@ def test_oov_vocab_is_broadcast(spark, sf_small):
     df = registry.QUERIES["text_oov_rate"](spark, sf_small)
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_partitioned_layout_prunes(spark, sf_small, tmp_path):
+    # Re-create the layout the query uses and assert the year filter
+    # becomes a PartitionFilter (directory pruning), not a data filter.
+    from map_reduce_server_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderstatus", "o_totalprice",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    )
+    path = str(tmp_path / "orders_by_year")
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("o_year").isin(1996, 1997))
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "o_year" in seg
+    # and the filter is NOT pushed as a data-file filter (either no
+    # PushedFilters section at all, or one that omits o_year)
+    if "PushedFilters" in plan:
+        pushed = plan.split("PushedFilters")[1].split("\n")[0]
+        assert "o_year" not in pushed
