@@ -344,3 +344,37 @@ def test_quality_gate_drops_bottom_quartile(spark):
             for r in registry.QUERIES["q_quality_gate"](spark, d).collect()
         }
     assert kept == {2, 3, 4}
+
+
+def test_quantize_int8_hand_values(spark):
+    """[1.0, -0.5, 0.0]: scale = 127/1.0; -0.5 -> floor(-63.5+0.5) =
+    -63 (round-half-up toward +inf, NOT away from zero); an all-zero
+    vector quantizes to zeros with zero error."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    rows = [(1, [1.0, -0.5, 0.0], 0), (2, [0.0, 0.0, 0.0], 1)]
+    df = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        from map_reduce_server_spark import registry as reg
+
+        got = {
+            r.vec_id: (r.max_abs, list(r.q), r.max_err)
+            for r in reg.QUERIES["embedding_quantize_int8"](
+                spark, d
+            ).collect()
+        }
+    assert got[1][0] == 1.0
+    assert got[1][1] == [127, -63, 0]
+    # reconstruction error of -63/127 vs -0.5 = 0.5 - 63/127
+    assert abs(got[1][2] - (0.5 - 63.0 / 127.0)) < 1e-9
+    assert got[2] == (0.0, [0, 0, 0], 0.0)
