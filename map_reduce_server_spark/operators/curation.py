@@ -392,3 +392,71 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time correct enrichment (feature-store as-of lookup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_point_in_time_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_custkey AS user_id, o_orderdate AS ts,
+             o_orderkey AS okey, NULL AS event_id, 0 AS is_event
+      FROM orders
+      UNION ALL
+      SELECT user_id, ts, NULL AS okey, event_id, 1 AS is_event
+      FROM events),
+    filled AS (
+      SELECT user_id, ts, event_id, is_event,
+             last_value(okey IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, is_event, okey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS asof_orderkey
+      FROM tagged)
+    SELECT CAST(event_id AS BIGINT) AS event_id, user_id, ts,
+           CAST(asof_orderkey AS BIGINT) AS asof_orderkey
+    FROM filled WHERE is_event = 1
+    """,
+)
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correct enrichment: every event picks up the
+    user's most recent order key AS OF the event timestamp — the
+    feature-store join that prevents training-serving leakage (a
+    feature computed after the label's timestamp must never be
+    visible).
+
+    Scalable formulation: no join at all. Dimension updates (orders)
+    and lookups (events) union into one per-user time-ordered stream
+    and a single window pass carries the latest order key forward
+    past each event row; ties at the same instant order updates
+    BEFORE lookups (as-of is inclusive) and same-instant updates by
+    ascending key so the LAST one wins deterministically. One shuffle
+    on user_id regardless of how many fact rows enrich.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_event"),
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("okey"),
+        "event_id", F.lit(1).alias("is_event"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = orders.unionByName(events).withColumn(
+        "asof_orderkey", F.last("okey", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("is_event") == 1).select(
+        "event_id", "user_id", "ts", "asof_orderkey"
+    )
