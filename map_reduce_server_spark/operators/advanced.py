@@ -1344,3 +1344,110 @@ def q_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     back.count()  # materialize before cleanup
     shutil.rmtree(tmp, ignore_errors=True)
     return back
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (sliding distinct via contribution explode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rolling_active_users",
+    oracle="""
+    WITH contrib AS (
+      SELECT DISTINCT
+             CAST(date_trunc('day', ts) AS TIMESTAMP)
+               + to_days(CAST(o.off AS INTEGER)) AS day,
+             user_id
+      FROM events
+      CROSS JOIN (SELECT unnest(range(7)) AS off) o),
+    days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                    AS day FROM events)
+    SELECT c.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c JOIN days d ON c.day = d.day
+    GROUP BY c.day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users per day. Sliding-window
+    COUNT(DISTINCT) has no incremental form (distinct doesn't
+    subtract), so the scalable formulation EXPLODES each (user, day)
+    activity into the 7 window-end days it contributes to, dedups,
+    and counts — shuffle volume is 7x the daily-active pairs (tiny vs
+    raw events), never a per-day rescan of the event log. Days with
+    no events anchor no window (joined back to observed days only).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    days = daily.select("day").distinct()
+    return (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (sequence bigram model)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) /
+                 SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM pairs
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: bigram counts via one lead() window, row-normalized to
+    probabilities. The sequence-model summary (and data-drift check)
+    for behavioral event streams.
+
+    Scale: one window shuffle on user_id for the bigrams, one
+    aggregate on (from, to) — the matrix is |types|² rows; the
+    normalizing window runs over that tiny aggregate, not the events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wnorm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wnorm), 6
+        ).alias("p"),
+    )
