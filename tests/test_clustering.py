@@ -102,3 +102,42 @@ def test_pagerank_mass_conserved(spark, sf_small):
     ranks = reg.QUERIES["graph_pagerank"](spark, sf_small)
     total = ranks.agg(F.sum("rank")).first()[0]
     assert abs(total - 1.0) < 1e-6
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Random sparse graphs: the DataFrame fixpoint must agree with a
+    plain union-find replay — exercises shapes (forests, multi-cycles,
+    isolated self-loops, duplicate edges) the hand fixtures don't."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 50))
+        ]
+        # duplicate some edges deliberately (adjacency is not distinct)
+        edges += edges[: len(edges) // 3]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        expected = {x: find(x) for x in touched}
+        got = {
+            (r.node, r.component)
+            for r in connected_components(
+                spark.createDataFrame(edges, ["src", "dst"])
+            ).collect()
+        }
+        assert got == set(expected.items()), (trial, edges)

@@ -136,3 +136,43 @@ def test_jaccard_prefix_filter_loses_nothing(spark, sf_small):
     }
     assert pruned == brute
     assert brute  # the corpus contains qualifying pairs
+
+
+def test_pack_sequences_conservation(spark, sf_small):
+    """Invariants over the real corpus: per-source token totals are
+    conserved by packing, sequence ids are contiguous from 0, and
+    every sequence except possibly the last per source reaches the
+    budget once its successor exists (no premature bin starts)."""
+    from map_reduce_server_spark import registry
+    from map_reduce_server_spark.operators.curation import _PACK_BUDGET
+    from pyspark.sql import functions as F
+    from map_reduce_server_spark.tables import load_table
+
+    manifest = {
+        (r.source, r.seq_id): (r.n_docs, r.n_tokens)
+        for r in registry.QUERIES["q_pack_sequences"](
+            spark, sf_small
+        ).collect()
+    }
+    docs = load_table(spark, sf_small, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    truth = {
+        r.source: r.total
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(toks)).alias("total"))
+        .collect()
+    }
+    by_source: dict[str, dict[int, tuple]] = {}
+    for (src, seq), v in manifest.items():
+        by_source.setdefault(src, {})[seq] = v
+    assert set(by_source) == set(truth)
+    for src, seqs in by_source.items():
+        ids = sorted(seqs)
+        assert ids == list(range(len(ids))), src  # contiguous from 0
+        assert sum(v[1] for v in seqs.values()) == truth[src], src
+        # every non-final sequence must have crossed the budget
+        # boundary together with its successor's existence
+        running = 0
+        for i in ids[:-1]:
+            running += seqs[i][1]
+            assert running >= (i + 1) * _PACK_BUDGET, (src, i)
