@@ -59,3 +59,34 @@ def test_simhash_bucket_cap(spark):
     capped = simhash_pairs(halves, max_bucket_size=10)
     got = {(r.doc_a, r.doc_b, r.hamming) for r in capped.collect()}
     assert got == {(100, 101, 1)}
+
+
+def test_lsh_recall_vs_exact_jaccard(spark, sf_small):
+    """Quantified recall: of all document pairs with exact 3-gram
+    Jaccard >= 0.7, the banded MinHash candidates (b=6, r=2 -> catch
+    probability 1-(1-J^2)^6 >= 98% at J=0.7) must retain at least
+    90%. Deterministic: the hash family is fixed, so this measures
+    the actual corpus, not a random draw."""
+    from map_reduce_server_spark import registry
+    from map_reduce_server_spark.operators.dedup import shingles_df
+
+    sh = shingles_df(spark, sf_small, distinct=True).collect()
+    sets: dict[int, set] = {}
+    for r in sh:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    ids = sorted(sets)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= 0.7:
+                truth.add((a, b))
+    assert truth, "fixture corpus must contain near-dup pairs"
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_minhash_lsh"](
+            spark, sf_small
+        ).collect()
+    }
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9, (recall, sorted(truth - cand)[:10])
