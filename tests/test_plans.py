@@ -277,3 +277,13 @@ def test_partitioned_layout_prunes(spark, sf_small, tmp_path):
     if "PushedFilters" in plan:
         pushed = plan.split("PushedFilters")[1].split("\n")[0]
         assert "o_year" not in pushed
+
+
+def test_point_in_time_join_is_joinless_single_shuffle(spark, sf_small):
+    """The as-of enrichment must stay the union+window formulation:
+    zero join operators and exactly one hash exchange (user_id) —
+    the property that makes it O(stream) at any dimension cardinality."""
+    df = registry.QUERIES["q_point_in_time_join"](spark, sf_small)
+    plan = explain_str(df, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
