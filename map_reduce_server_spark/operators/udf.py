@@ -155,3 +155,17 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# Worker-side functions in this module must not require the repo on
+# the Python worker's sys.path (vanilla sessions launched from a
+# foreign cwd) — ship them by value inside task closures, same as
+# operators/multimodal.py.
+import sys as _sys  # noqa: E402
+
+try:
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass

@@ -68,3 +68,17 @@ def running_counts_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# Worker-side functions in this module must not require the repo on
+# the Python worker's sys.path (vanilla sessions launched from a
+# foreign cwd) — ship them by value inside task closures, same as
+# operators/multimodal.py.
+import sys as _sys  # noqa: E402
+
+try:
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
