@@ -710,3 +710,87 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant.alias("q"),
         err.alias("max_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN over int8-reconstructed vectors (quantized serving path)
+# ---------------------------------------------------------------------------
+
+_SQL_RECON = (
+    "list_transform(vec, x -> floor(x * 127.0 / mx + 0.5) * mx / 127.0)"
+)
+
+
+@register(
+    "ann_topk_quantized",
+    oracle=f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    m AS (SELECT vec_id, vec,
+                 list_max(list_transform(vec, x -> abs(x))) AS mx
+          FROM e0),
+    e AS (SELECT vec_id, {_SQL_RECON} AS rvec FROM m WHERE mx > 0),
+    q AS (SELECT vec_id AS query_id, rvec AS qvec FROM e
+          WHERE vec_id < {_N_QUERIES})
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(rnk AS INTEGER) AS rnk,
+           round(cos, 6) AS cos_sim
+    FROM (
+      SELECT query_id, vec_id,
+             {_SQL_COS.format(a='qvec', b='rvec')} AS cos,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_SQL_COS.format(a='qvec', b='rvec')} DESC, vec_id
+             ) AS rnk
+      FROM q CROSS JOIN e
+      WHERE vec_id <> query_id
+    ) t WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over int8-RECONSTRUCTED vectors — what an index
+    serving quantized embeddings (embedding_quantize_int8) actually
+    returns. Reconstruction q*scale/127 is deterministic double math,
+    so even the approximation is value-checked against the oracle;
+    recall vs the float baseline is quantified in
+    ``tests/test_vector_functions.py``. Same plan as the float
+    brute force: broadcast queries, corpus scans once, never shuffles
+    vectors.
+    """
+    emb = _emb(spark, sf_dir)
+    mx = F.aggregate(
+        F.transform(F.col("vec"), lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    recon = emb.select("vec_id", F.col("vec"), mx.alias("mx")).filter(
+        F.col("mx") > 0
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("vec"),
+            lambda x: F.floor(x * 127.0 / F.col("mx") + 0.5)
+            * F.col("mx")
+            / 127.0,
+        ).alias("rvec"),
+    )
+    queries = recon.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("rvec").alias("qvec")
+    )
+    scored = (
+        recon.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qvec"), F.col("rvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rnk",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )

@@ -44,3 +44,25 @@ def test_dot_norm_cosine_match_numpy(vec_df):
             np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
         )
         assert math.isclose(r.c, expected_c, rel_tol=1e-12)
+
+
+def test_quantized_ann_recall_vs_float(spark, sf_small):
+    """Int8 reconstruction must preserve neighbor structure: per
+    query, the quantized top-5 overlaps the float top-5 by >= 3 of 5
+    on the fixture corpus (deterministic — fixed hash-free math)."""
+    from map_reduce_server_spark import registry
+
+    registry.load_all()
+
+    def topk(name):
+        out: dict[int, set] = {}
+        for r in registry.QUERIES[name](spark, sf_small).collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topk("ann_topk_bruteforce")
+    quant = topk("ann_topk_quantized")
+    assert set(exact) == set(quant)
+    for q in exact:
+        overlap = len(exact[q] & quant[q])
+        assert overlap >= 3, (q, exact[q], quant[q])
