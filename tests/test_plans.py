@@ -287,3 +287,37 @@ def test_point_in_time_join_is_joinless_single_shuffle(spark, sf_small):
     plan = explain_str(df, mode="simple")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# Queries whose GLOBAL (partition-less) window is intentional and
+# documented: the equi-depth histogram's NTILE needs a global rank by
+# construction, and the concurrency sweep's prefix sum runs over
+# change points (2x sessions, far below event volume) with the
+# two-pass range-partitioned form documented in its docstring.
+_GLOBAL_WINDOW_ALLOWLIST = {"q_equidepth_histogram", "q_session_concurrency"}
+
+
+def test_no_unintentional_global_windows(spark, sf_small):
+    """Registry-wide lint: a window without PARTITION BY serializes
+    the whole input through one task — the classic silent 100 TB
+    killer. Every occurrence must be on the explicit allowlist.
+    (stream_*/mr_* excluded: calling them executes side effects;
+    their windows are post-hoc reconciliation over tiny state.)"""
+    import re
+
+    offenders = set()
+    for name in registry.QUERIES:
+        if name.startswith("stream_") or name.startswith("mr_"):
+            continue
+        plan = explain_str(registry.QUERIES[name](spark, sf_small),
+                           mode="simple")
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0].strip()
+            if re.search(r"(ASC|DESC)", first) or first.startswith(
+                "specifiedwindowframe"
+            ):
+                offenders.add(name)
+                break
+    assert offenders <= _GLOBAL_WINDOW_ALLOWLIST, (
+        offenders - _GLOBAL_WINDOW_ALLOWLIST
+    )
