@@ -297,27 +297,35 @@ def test_point_in_time_join_is_joinless_single_shuffle(spark, sf_small):
 _GLOBAL_WINDOW_ALLOWLIST = {"q_equidepth_histogram", "q_session_concurrency"}
 
 
-def test_no_unintentional_global_windows(spark, sf_small):
-    """Registry-wide lint: a window without PARTITION BY serializes
-    the whole input through one task — the classic silent 100 TB
-    killer. Every occurrence must be on the explicit allowlist.
-    (stream_*/mr_* excluded: calling them executes side effects;
-    their windows are post-hoc reconciliation over tiny state.)"""
+def test_no_unintentional_global_windows_or_cartesians(spark, sf_small):
+    """Registry-wide lint, one plan sweep, two hazards: (a) a window
+    without PARTITION BY serializes the whole input through one task;
+    (b) a CartesianProduct (non-broadcast cross join) is quadratic.
+    Global windows must be on the explicit allowlist; cartesians are
+    never allowed (broadcast crossJoins against scalar/tiny sides
+    compile to BroadcastNestedLoopJoin, which is fine and not
+    flagged). (stream_*/mr_* excluded: calling them executes side
+    effects; their windows are post-hoc reconciliation over tiny
+    state.)"""
     import re
 
-    offenders = set()
+    window_offenders = set()
+    cartesian_offenders = set()
     for name in registry.QUERIES:
         if name.startswith("stream_") or name.startswith("mr_"):
             continue
         plan = explain_str(registry.QUERIES[name](spark, sf_small),
                            mode="simple")
+        if "CartesianProduct" in plan:
+            cartesian_offenders.add(name)
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
             first = m.group(1).split(",")[0].strip()
             if re.search(r"(ASC|DESC)", first) or first.startswith(
                 "specifiedwindowframe"
             ):
-                offenders.add(name)
+                window_offenders.add(name)
                 break
-    assert offenders <= _GLOBAL_WINDOW_ALLOWLIST, (
-        offenders - _GLOBAL_WINDOW_ALLOWLIST
+    assert window_offenders <= _GLOBAL_WINDOW_ALLOWLIST, (
+        window_offenders - _GLOBAL_WINDOW_ALLOWLIST
     )
+    assert not cartesian_offenders, cartesian_offenders
