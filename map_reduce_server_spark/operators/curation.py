@@ -460,3 +460,84 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.filter(F.col("is_event") == 1).select(
         "event_id", "user_id", "ts", "asof_orderkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (pipeline validation gate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_data_expectations",
+    oracle="""
+    SELECT 'lineitem_quantity_in_range' AS rule,
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                AS BIGINT) AS n_violations,
+           COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) = 0
+             AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*) = COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_references_customer',
+           CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'events_value_not_null_nonneg',
+           CAST(COUNT(*) FILTER (WHERE value IS NULL OR value < 0)
+                AS BIGINT),
+           COUNT(*) FILTER (WHERE value IS NULL OR value < 0) = 0
+    FROM events
+    UNION ALL
+    SELECT 'documents_doc_id_unique_not_null',
+           CAST((COUNT(*) - COUNT(DISTINCT doc_id))
+                + COUNT(*) FILTER (WHERE doc_id IS NULL) AS BIGINT),
+           COUNT(*) = COUNT(DISTINCT doc_id)
+           AND COUNT(*) FILTER (WHERE doc_id IS NULL) = 0
+    FROM documents
+    """,
+)
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite validation (the Great-Expectations pattern as
+    one query): each rule reports its violation count and a pass
+    flag — range check, key uniqueness, referential integrity,
+    null/sign constraints. The gate a pipeline runs BEFORE publishing
+    a snapshot; at 100 TB each rule is one aggregate (or anti-join)
+    over its table, and unrelated rules parallelize as independent
+    stages of the same job.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rule(name: str, n_violations):
+        return (
+            F.lit(name).alias("rule"),
+            n_violations.cast("bigint").alias("n_violations"),
+            (n_violations == 0).alias("passed"),
+        )
+
+    qty_bad = F.sum(
+        ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+    )
+    r1 = li.agg(*rule("lineitem_quantity_in_range", qty_bad))
+    dup = F.count("*") - F.count_distinct("o_orderkey")
+    r2 = orders.agg(*rule("orders_orderkey_unique", dup))
+    orphans = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    ).agg(*rule("orders_custkey_references_customer", F.count("*")))
+    val_bad = F.sum(
+        (F.col("value").isNull() | (F.col("value") < 0)).cast("long")
+    )
+    r4 = ev.agg(*rule("events_value_not_null_nonneg", val_bad))
+    doc_bad = (F.count("*") - F.count_distinct("doc_id")) + F.sum(
+        F.col("doc_id").isNull().cast("long")
+    )
+    r5 = docs.agg(*rule("documents_doc_id_unique_not_null", doc_bad))
+    return r1.unionByName(r2).unionByName(orphans).unionByName(r4).unionByName(r5)
