@@ -541,3 +541,89 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r5 = docs.agg(*rule("documents_doc_id_unique_not_null", doc_bad))
     return r1.unionByName(r2).unionByName(orphans).unionByName(r4).unionByName(r5)
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between corpus splits (population stability index)
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 10
+_PSI_EPS = 1e-6
+
+
+@register(
+    "q_drift_psi",
+    oracle=f"""
+    WITH split AS (
+      SELECT n_chars,
+             {sql_md5_long("'split:' || CAST(doc_id AS VARCHAR)")} % 2 AS s
+      FROM documents),
+    mx AS (SELECT CAST(MAX(n_chars) AS DOUBLE) + 1.0 AS m FROM documents),
+    bucketed AS (
+      SELECT CAST(FLOOR(n_chars / (SELECT m FROM mx) * {_PSI_BUCKETS})
+                  AS BIGINT) AS bucket, s
+      FROM split),
+    counts AS (
+      SELECT bucket,
+             COUNT(*) FILTER (WHERE s = 0) AS n_a,
+             COUNT(*) FILTER (WHERE s = 1) AS n_b
+      FROM bucketed GROUP BY bucket),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts),
+    shares AS (
+      SELECT bucket,
+             n_a / (SELECT CAST(ta AS DOUBLE) FROM tot) + {_PSI_EPS} AS pa,
+             n_b / (SELECT CAST(tb AS DOUBLE) FROM tot) + {_PSI_EPS} AS pb
+      FROM counts)
+    SELECT bucket, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+           round((pa - pb) * ln(pa / pb), 6) AS psi_term
+    FROM shares
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the deterministic train/test
+    hash splits, bucketed by document length — the drift alarm a
+    pipeline fires when a new crawl stops resembling the old one
+    (PSI > 0.2 is the usual page-the-oncall line; total PSI is the
+    sum of per-bucket terms emitted here).
+
+    Scale: one scan to bucket counts (map-side partial agg), totals
+    broadcast back; epsilon-smoothed shares keep ln() defined for
+    empty buckets; all float math runs on identical doubles in both
+    engines, rounded to 6 for display.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from map_reduce_server_spark.functions.hashing import md5_long
+
+    s = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 2
+    mx = docs.agg((F.max("n_chars").cast("double") + 1.0).alias("m"))
+    bucketed = docs.select("n_chars", s.alias("s")).join(F.broadcast(mx))
+    counts = (
+        bucketed.select(
+            F.floor(
+                F.col("n_chars") / F.col("m") * _PSI_BUCKETS
+            ).cast("bigint").alias("bucket"),
+            "s",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("s") == 0).cast("long")).alias("n_a"),
+            F.sum((F.col("s") == 1).cast("long")).alias("n_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("double").alias("ta"),
+        F.sum("n_b").cast("double").alias("tb"),
+    )
+    shares = counts.join(F.broadcast(tot)).select(
+        "bucket",
+        (F.col("n_a") / F.col("ta") + _PSI_EPS).alias("pa"),
+        (F.col("n_b") / F.col("tb") + _PSI_EPS).alias("pb"),
+    )
+    return shares.select(
+        "bucket",
+        F.round("pa", 6).alias("p_a"),
+        F.round("pb", 6).alias("p_b"),
+        F.round(
+            (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6
+        ).alias("psi_term"),
+    )
