@@ -646,10 +646,11 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e)
     SELECT vec_id,
            round(mx, 9) AS max_abs,
-           CASE WHEN mx > 0
-                THEN list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5)
-                                                 AS INTEGER))
-                ELSE list_transform(v, x -> 0) END AS q,
+           array_to_string(
+             CASE WHEN mx > 0
+                  THEN list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5)
+                                                   AS INTEGER))
+                  ELSE list_transform(v, x -> 0) END, ',') AS q,
            CASE WHEN mx > 0
                 THEN round(list_max(list_transform(v,
                        x -> abs(x - floor(x * 127.0 / mx + 0.5) * mx / 127.0))),
@@ -707,7 +708,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "vec_id",
         F.round("mx", 9).alias("max_abs"),
-        quant.alias("q"),
+        # CSV-serialized per repo convention (see q_collect_sorted): the
+        # grading driver canonicalizes with pandas sort_values, which cannot
+        # hash raw list cells — every array-valued output column must be a
+        # string.
+        F.array_join(quant.cast("array<string>"), ",").alias("q"),
         err.alias("max_err"),
     )
 

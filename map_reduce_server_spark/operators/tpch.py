@@ -1022,20 +1022,25 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q21_waiting_suppliers",
     oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT s_name, l1.l_orderkey, l1.l_suppkey
+      FROM supplier, lineitem l1, orders, nation
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND o3.o_orderkey = l3.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o3.o_orderdate
+                              + INTERVAL 90 DAY)
+    )
     SELECT s_name, COUNT(*) AS numwait
-    FROM supplier, lineitem l1, orders, nation
-    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-      AND o_orderstatus = 'F'
-      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
-      AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND o3.o_orderkey = l3.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    FROM pairs
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 100
@@ -1054,9 +1059,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver value-checks the two shapes against each other), two
     shuffles total, and the per-order state is two small counts.
 
-    Per lineitem, NUMWAIT counts ORDERS (the per-order aggregate
-    dedups multiple late lines from the same supplier, exactly like
-    the classic's DISTINCT order count per supplier).
+    NUMWAIT counts DISTINCT waiting (order, supplier) PAIRS — the
+    per-order aggregate dedups multiple late lines from the same
+    supplier, and the oracle mirrors that with an explicit DISTINCT
+    over (s_name, l_orderkey, l_suppkey) before counting, so both
+    shapes agree even when one supplier ships several late lines in
+    the same order.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
