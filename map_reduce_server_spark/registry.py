@@ -76,12 +76,13 @@ def load_all() -> None:
     _LOADED = True
 
 
-# Driver verification history (CORRECTNESS_r0{1,2,3}.json): the
+# Driver verification history (CORRECTNESS_r0{1,2,3,4}.json): the
 # driver samples a ~50-query registry prefix each round, so
 # ``all_queries``/``all_oracles`` order the registry stalest-first —
-# queries with NO driver row yet, then queries last verified in
-# round 2, then the round-3-verified tail. Local oracle-parity tests
-# always cover all queries regardless of this ordering.
+# queries with NO driver row yet first, then by the round of their
+# freshest green row (round-2 greens before round-3 greens before
+# round-4 greens). Local oracle-parity tests always cover all
+# queries regardless of this ordering.
 
 # The 49 queries hash-verified green by CORRECTNESS_r03.json — the
 # freshest driver rows, ordered LAST.
@@ -128,18 +129,41 @@ _DRIVER_GREEN_R2 = frozenset({
 })
 
 
+# The 49 queries hash-verified green by CORRECTNESS_r04.json — the
+# freshest driver rows, ordered LAST. (embedding_quantize_int8 had a
+# round-4 row but it was an err, so it stays in the never-green head.)
+_DRIVER_GREEN_R4 = frozenset({
+    "ann_topk_quantized", "dedup_jaccard_prefix", "dedup_minhash_keep_one",
+    "dedup_semantic_cluster", "graph_pagerank", "kmeans_embeddings",
+    "q10_returned_items", "q11_important_stock", "q12_priority_lines",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_parts_supplier", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_part_promotion",
+    "q22_dormant_customers", "q2_min_cost_supplier", "q4_order_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q_cdc_apply", "q_copurchase_triangles",
+    "q_data_expectations", "q_debounce_events", "q_domain_mixture",
+    "q_drift_psi", "q_equidepth_histogram", "q_event_transitions",
+    "q_funnel", "q_gap_islands", "q_locf_gapfill", "q_mixture_temperature",
+    "q_pack_sequences", "q_partitioned_layout", "q_point_in_time_join",
+    "q_profile_columns", "q_quality_gate", "q_retention_cohorts",
+    "q_rolling_active_users", "q_scd2_customer_orders",
+    "q_session_concurrency", "q_time_rollup", "q_training_shards",
+    "text_novelty", "text_oov_rate",
+})
+
+_EVER_GREEN = _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
+
+
 def _stale_first(d: dict) -> dict:
-    # Head: no driver row at all (the 28 queries added during round 3
-    # after that round's window was full, plus anything added in
-    # round 4). Mid: last verified in round 2. Tail: round-3 green.
-    head = {
-        k: v
-        for k, v in d.items()
-        if k not in _DRIVER_GREEN_R2 and k not in _DRIVER_GREEN_R3
-    }
-    mid = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R2}
-    tail = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R3}
-    return {**head, **mid, **tail}
+    # Head: no green driver row at all (round-5 additions, the 4
+    # queries that missed every window so far, and round 4's one err
+    # row). Then round-2 greens (stalest), round-3, round-4 last.
+    head = {k: v for k, v in d.items() if k not in _EVER_GREEN}
+    r2 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R2}
+    r3 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R3}
+    r4 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R4}
+    return {**head, **r2, **r3, **r4}
 
 
 def all_queries() -> dict[str, QueryFn]:
