@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.exact import dsum, sql_dsum
-from map_reduce_server_spark.functions.hashing import sql_md5_long
+from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -954,6 +954,88 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_equidepth_histogram",
     oracle=f"""
+    WITH s AS (
+      SELECT o_totalprice AS p, o_orderkey AS k FROM orders
+      WHERE {sql_md5_long("'eqd:' || CAST(o_orderkey AS VARCHAR)")} % 50 = 0),
+    r AS (
+      SELECT p, k, ROW_NUMBER() OVER (ORDER BY p, k) AS rn,
+             COUNT(*) OVER () AS m
+      FROM s),
+    b AS (
+      SELECT r.p, r.k
+      FROM r, (SELECT unnest(generate_series(1, 9)) AS i) ix
+      WHERE r.rn = (ix.i * r.m) // 10),
+    a AS (
+      SELECT o.o_totalprice AS p, o.o_orderkey AS k,
+             1 + (SELECT COUNT(*) FROM b
+                  WHERE b.p < o.o_totalprice
+                     OR (b.p = o.o_totalprice AND b.k < o.o_orderkey))
+               AS bucket
+      FROM orders o)
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(p) AS lo, MAX(p) AS hi,
+           {sql_dsum('p')} AS total
+    FROM a GROUP BY bucket
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (≈equal-count) histogram over order values, built
+    the way a 100 TB engine has to build it: boundaries come from a
+    DETERMINISTIC hash sample (md5(o_orderkey) % 50 == 0, ~2% of
+    rows), the sample alone is ranked (a sort of 2% of the data, the
+    same trick a range-partitioner's sampler uses), the 9 boundary
+    (price, key) pairs at positions floor(i·m/10) are folded into a
+    single broadcast array row, and every row buckets itself with a
+    codegen ``size(filter(...))`` over that array — full-table work
+    is one scan + one 10-key aggregate, NO global sort of the table.
+    The hash sample (not TABLESAMPLE) keeps both engines' boundaries
+    bit-identical, so the oracle value-checks the whole pipeline.
+    Boundary ties break on the unique o_orderkey, making bucket
+    assignment total-order-stable on every engine. The NTILE-exact
+    profiling twin lives at ``q_equidepth_histogram_exact``."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = md5_long(F.concat(F.lit("eqd:"), F.col("o_orderkey").cast("string")))
+    s = orders.filter((h % 50) == 0).select(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
+    ranked = s.select(
+        "p",
+        "k",
+        F.row_number().over(Window.orderBy("p", "k")).alias("rn"),
+        F.expr("count(*) over ()").alias("m"),
+    )
+    bounds = ranked.filter(
+        F.expr("array_contains(transform(sequence(1, 9), i -> (i * m) div 10), rn)")
+    )
+    barr = bounds.agg(
+        F.sort_array(F.collect_list(F.struct("p", "k"))).alias("bs")
+    )
+    below = F.size(
+        F.filter(
+            F.col("bs"),
+            lambda b: (b["p"] < F.col("o_totalprice"))
+            | (
+                (b["p"] == F.col("o_totalprice"))
+                & (b["k"] < F.col("o_orderkey"))
+            ),
+        )
+    )
+    return (
+        orders.crossJoin(F.broadcast(barr))
+        .withColumn("bucket", (F.lit(1) + below).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
+
+
+@register(
+    "q_equidepth_histogram_exact",
+    oracle=f"""
     WITH buckets AS (
       SELECT o_totalprice,
              NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
@@ -965,14 +1047,14 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM buckets GROUP BY bucket
     """,
 )
-def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (equal-count) histogram over order values via
-    NTILE — the profiling complement to q_histogram's equi-width
-    buckets. The window ORDER BY ends in the unique o_orderkey so
-    rows tied on price land in the same bucket on every engine.
-    Note the global sort: fine for a profiling pass; at 100 TB the
-    approx_percentile route (q_percentiles) is the cheap alternative
-    when exact bucket edges aren't required."""
+def q_equidepth_histogram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth histogram via NTILE — the profiling twin of
+    ``q_equidepth_histogram``. The window ORDER BY ends in the unique
+    o_orderkey so rows tied on price land in the same bucket on every
+    engine. This variant DELIBERATELY plans a global sort (NTILE over
+    the whole table collapses to one range-sorted partition): keep it
+    for exact small-table profiling; the registered sampled-boundary
+    variant is the 100 TB path."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
