@@ -224,11 +224,22 @@ def pagerank(
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     ).localCheckpoint(eager=True)
-    n_nodes = deg.count()
-    base = (1.0 - damping) / n_nodes
-    ranks = deg.select(
-        "node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank")
-    ).localCheckpoint(eager=True)
+    # Node count folds in as a broadcast 1-row aggregate over the
+    # (checkpointed, node-sized) degree table — no eager count job.
+    n1 = deg.agg(F.count("*").alias("n_nodes"))
+    basedf = n1.select(
+        (
+            (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes").cast("double")
+        ).alias("base")
+    )
+    ranks = (
+        deg.crossJoin(F.broadcast(n1))
+        .select(
+            "node",
+            (F.lit(1.0) / F.col("n_nodes").cast("double")).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
     adj = edges.join(
         deg.withColumnRenamed("node", "src"), "src"
     ).localCheckpoint(eager=True)
@@ -246,13 +257,19 @@ def pagerank(
                 .alias("in_mass")
             )
         )
-        ranks = ranks.select("node").join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
-            ).alias("rank"),
-        ).localCheckpoint(eager=True)
+        ranks = (
+            ranks.select("node")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(basedf))
+            .select(
+                "node",
+                (
+                    F.col("base")
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
     return ranks
 
 
@@ -382,12 +399,12 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         e3,
         (F.col("wg.u") == F.col("e3.u")) & (F.col("wg.w") == F.col("e3.v")),
     )
-    n_e = e.count()
     return (
         wedges.agg(F.count("*").alias("n_wedges"))
         .join(F.broadcast(tris.agg(F.count("*").alias("n_triangles"))))
+        .join(F.broadcast(e.agg(F.count("*").alias("n_edges"))))
         .select(
-            F.lit(n_e).cast("bigint").alias("n_edges"),
+            F.col("n_edges").cast("bigint"),
             F.col("n_wedges").cast("bigint"),
             F.col("n_triangles").cast("bigint"),
         )

@@ -280,8 +280,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("n_in_doc"))
     doclen = tf.groupBy("doc_id").agg(F.sum("n_in_doc").alias("doc_len"))
-    df = tf.groupBy("token").agg(F.count("*").alias("n_docs_with"))
-    n_docs = docs.count()  # scalar driver-side (a count, not data)
+    # Fold the corpus size into the (vocabulary-sized) broadcast df
+    # side as a 1-row aggregate — one plan, no separate eager count job.
+    n = docs.agg(F.count("*").alias("n_docs"))
+    df = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("n_docs_with"))
+        .crossJoin(F.broadcast(n))
+    )
     return (
         tf.join(doclen, "doc_id")
         .join(F.broadcast(df), "token")
@@ -290,7 +296,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             F.round(
                 (F.col("n_in_doc").cast("double") / F.col("doc_len"))
-                * F.log(F.lit(float(n_docs)) / F.col("n_docs_with")),
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("n_docs_with")
+                ),
                 6,
             ).alias("tfidf"),
         )
@@ -407,11 +415,16 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens_col(F.col("text"), keep_empty=False)).alias("token"),
     )
     freq = tok.groupBy("token").agg(F.count("*").alias("n"))
-    total = tok.count()  # scalar driver-side (a count, not data)
-    surp = tok.join(F.broadcast(freq), "token").select(
+    # Total token count = sum over the tiny vocabulary table, folded in
+    # as a broadcast 1-row aggregate — no separate eager count job and
+    # no second scan of the token stream.
+    total = freq.agg(F.sum("n").alias("total"))
+    freqt = freq.crossJoin(F.broadcast(total))
+    surp = tok.join(F.broadcast(freqt), "token").select(
         "doc_id",
         F.round(
-            -F.log(F.col("n").cast("double") / F.lit(float(total))), 9
+            -F.log(F.col("n").cast("double") / F.col("total").cast("double")),
+            9,
         ).alias("surp"),
     )
     return surp.groupBy("doc_id").agg(
