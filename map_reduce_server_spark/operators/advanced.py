@@ -11,7 +11,6 @@ reference + the north-star extension list.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -19,6 +18,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.exact import dsum, sql_dsum
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
+from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -599,10 +599,8 @@ def _roundtrip(
         .options(**reader_opts)
         .schema(df.schema)
         .load(path)
-        .cache()
     )
-    back.count()  # materialize before cleanup
-    shutil.rmtree(tmp, ignore_errors=True)
+    cleanup_at_exit(tmp)  # keep the files until the DF is dead
     return back
 
 
@@ -1421,10 +1419,8 @@ def q_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             dsum("o_totalprice").alias("total"),
         )
-        .cache()
     )
-    back.count()  # materialize before cleanup
-    shutil.rmtree(tmp, ignore_errors=True)
+    cleanup_at_exit(tmp)  # keep the layout until the DF is dead
     return back
 
 

@@ -24,6 +24,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
 from map_reduce_server_spark.registry import register
 
 _WINDOW = "5 minutes"
@@ -208,10 +209,8 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "value_bucket", "keeper_id", "n_copies", "first_ts"
         )
-        .cache()
     )
-    final.count()  # materialize before the delta dir can be cleaned
-    shutil.rmtree(out, ignore_errors=True)
+    cleanup_at_exit(out)  # keep the delta files until the DF is dead
     return final
 
 
@@ -293,10 +292,8 @@ def stream_window_counts_incremental(
         deltas.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("w_start", "event_type", "n_events", "total_value")
-        .cache()
     )
-    final.count()  # materialize before the delta dir can be cleaned
-    shutil.rmtree(out, ignore_errors=True)
+    cleanup_at_exit(out)  # keep the delta files until the DF is dead
     return final
 
 
@@ -367,11 +364,8 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_w = Window.partitionBy("w_start").orderBy(
         F.desc("n_events"), "event_type"
     )
-    final = (
-        table.withColumn("rnk", F.row_number().over(rank_w))
-        .filter(F.col("rnk") <= 3)
-        .cache()
+    final = table.withColumn("rnk", F.row_number().over(rank_w)).filter(
+        F.col("rnk") <= 3
     )
-    final.count()  # materialize before the delta dir is removed
-    shutil.rmtree(out, ignore_errors=True)
+    cleanup_at_exit(out)  # keep the delta files until the DF is dead
     return final

@@ -28,6 +28,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
 from map_reduce_server_spark.registry import register
 
 
@@ -50,9 +51,8 @@ def _run_to_parquet(stream_df: DataFrame, prefix: str) -> str:
 
 
 def _collect_result(spark: SparkSession, out: str, stage: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(out, "data")).cache()
-    df.count()  # materialize before the dirs are cleaned
-    shutil.rmtree(out, ignore_errors=True)
+    df = spark.read.parquet(os.path.join(out, "data"))
+    cleanup_at_exit(out)  # keep the sink files until the DF is dead
     shutil.rmtree(stage, ignore_errors=True)
     return df
 
