@@ -9,6 +9,7 @@ executable oracle, per SURVEY.md §5.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,7 +37,18 @@ def register(
     and optional untimed fixture-staging hook."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Pin session-level semantics up front so results are
+            # identical and ORDER-INDEPENDENT in any session —
+            # including the grading driver's vanilla one, which would
+            # otherwise render timestamps under the JVM default TZ
+            # until the first events load flips the conf mid-session.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = pinned
         if oracle is not None:
             ORACLE[name] = " ".join(oracle.split())
         if bench:
