@@ -18,9 +18,14 @@ hand-built graphs (tests/test_clustering.py).
 
 from __future__ import annotations
 
+import os
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -167,6 +172,7 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITERS = 3
 _PR_DAMPING = 0.85
+_PR_BUCKETS = 32  # bucket count for bucketed_adjacency mode
 # Supplier node ids are offset into a disjoint range so the bipartite
 # graph's two key spaces never collide (c_custkey and s_suppkey
 # overlap numerically).
@@ -199,6 +205,7 @@ def pagerank(
     edges: DataFrame,
     iters: int = _PR_ITERS,
     damping: float = _PR_DAMPING,
+    bucketed_adjacency: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list (src, dst).
 
@@ -212,10 +219,23 @@ def pagerank(
     convergence test) keeps the computation a finite, oracle-
     expressible unrolled recurrence.
 
-    Scale: each iteration is one shuffle join on (node) plus an
-    aggregate — the same join every time, so at 100 TB both sides can
-    be pre-partitioned on node id and the exchange reused;
-    localCheckpoint truncates lineage so the plan stays O(1) deep.
+    Scale: each iteration is one join plus one aggregate, all on
+    compact (id, double) columns. The per-iteration lineage cut
+    (``localCheckpoint``) is load-bearing — lazily composed
+    iterations share attribute ids between ``adj`` and the
+    ``adj``-derived ranks, and Spark silently misresolves that
+    self-join — but a checkpointed scan advertises
+    ``UnknownPartitioning``, so the checkpointed sides are
+    re-shuffled every iteration (measured; see SCALING.md). With the
+    default ``iters=3`` those re-shuffles are cheaper than any
+    durable layout. For high iteration counts,
+    ``bucketed_adjacency=True`` writes the adjacency ONCE as a
+    bucketed table (bucketed by src): every iteration's join then
+    derives its partitioning from the bucketed scan — zero exchange
+    over the dominant side, verified by
+    ``tests/test_plans.py::test_pagerank_bucketed_adjacency_no_shuffle``.
+    The last iteration is returned un-checkpointed: callers aggregate
+    or collect it anyway, and the final plan stays inspectable.
     """
     # Materialize the edge list once: deg, the rank init, and the
     # adjacency build below all derive from it, and without this the
@@ -240,10 +260,30 @@ def pagerank(
         )
         .localCheckpoint(eager=True)
     )
-    adj = edges.join(
-        deg.withColumnRenamed("node", "src"), "src"
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
+    adj = edges.join(deg.withColumnRenamed("node", "src"), "src")
+    if bucketed_adjacency:
+        # Write-once bucketed adjacency: the iteration join's
+        # partitioning comes from the bucketed scan, so the dominant
+        # side never re-shuffles. Worth it when iters is large; the
+        # default checkpointed path wins at iters=3 (the one-time
+        # write costs more than three shuffles of the same bytes).
+        spark = edges.sparkSession
+        tmp = tempfile.mkdtemp(prefix="mrss_pr_adj_")
+        tname = f"pr_adj_{uuid.uuid4().hex[:8]}"
+        (
+            adj.write.bucketBy(_PR_BUCKETS, "src")
+            .sortBy("src")
+            .option("path", os.path.join(tmp, "t"))
+            .mode("overwrite")
+            .saveAsTable(tname)
+        )
+        # The table entry lives for the session (the returned plan
+        # still reads it); backing files are removed at exit.
+        cleanup_at_exit(tmp)
+        adj = spark.table(tname)
+    else:
+        adj = adj.localCheckpoint(eager=True)
+    for i in range(iters):
         contrib = (
             adj.join(ranks, adj.src == ranks.node)
             .select(
@@ -257,7 +297,7 @@ def pagerank(
                 .alias("in_mass")
             )
         )
-        ranks = (
+        nxt = (
             ranks.select("node")
             .join(contrib, "node", "left")
             .crossJoin(F.broadcast(basedf))
@@ -268,8 +308,11 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # Cut lineage between iterations (self-join safety + O(1)
+        # plan depth) — but return the last one lazy: callers
+        # consume it exactly once and its plan stays inspectable.
+        ranks = nxt.localCheckpoint(eager=True) if i < iters - 1 else nxt
     return ranks
 
 
@@ -313,7 +356,7 @@ def _sql_pagerank_oracle() -> str:
     return sql
 
 
-@register("graph_pagerank", oracle=_sql_pagerank_oracle())
+@register("graph_pagerank", oracle=_sql_pagerank_oracle(), bench=True)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer↔supplier trade graph — the second
     iterative-algorithm pattern (after connected components): a
@@ -333,6 +376,7 @@ _TRI_MINSUP = 2  # a pair must co-occur in >= this many orders
 
 @register(
     "q_copurchase_triangles",
+    bench=True,
     oracle=f"""
     WITH e AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v

@@ -668,6 +668,7 @@ _PJ_THRESHOLD = 0.5
 
 @register(
     "dedup_jaccard_prefix",
+    bench=True,
     oracle=f"""
     WITH sh AS ({_SQL_SHINGLES}),
     freq AS (SELECT shingle, COUNT(*) AS f FROM sh GROUP BY shingle),

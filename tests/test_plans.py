@@ -290,11 +290,17 @@ def test_point_in_time_join_is_joinless_single_shuffle(spark, sf_small):
 
 
 # Queries whose GLOBAL (partition-less) window is intentional and
-# documented: the equi-depth histogram's NTILE needs a global rank by
-# construction, and the concurrency sweep's prefix sum runs over
-# change points (2x sessions, far below event volume) with the
-# two-pass range-partitioned form documented in its docstring.
-_GLOBAL_WINDOW_ALLOWLIST = {"q_equidepth_histogram", "q_session_concurrency"}
+# documented: the sampled equi-depth histogram ranks only its ~2%
+# boundary sample (range-partitioner style); its _exact NTILE twin
+# needs a global rank by construction; the concurrency sweep's prefix
+# sum runs over change points (2x sessions, far below event volume)
+# with the two-pass range-partitioned form documented in its
+# docstring.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    "q_equidepth_histogram",
+    "q_equidepth_histogram_exact",
+    "q_session_concurrency",
+}
 
 
 def test_no_unintentional_global_windows_or_cartesians(spark, sf_small):
@@ -329,3 +335,48 @@ def test_no_unintentional_global_windows_or_cartesians(spark, sf_small):
         window_offenders - _GLOBAL_WINDOW_ALLOWLIST
     )
     assert not cartesian_offenders, cartesian_offenders
+
+
+def test_pagerank_iteration_shuffle_inventory(spark, sf_small):
+    """Pin what IS true of the default (checkpointed) PageRank path:
+    a checkpointed scan advertises UnknownPartitioning, so one
+    iteration re-shuffles the adjacency (by src) and rank (by node)
+    sides plus the contribution aggregate — at most 4 hash exchanges,
+    all over compact (id, double) columns. The returned DataFrame is
+    the LAST iteration un-checkpointed, so its plan is exactly one
+    iteration's."""
+    import re
+
+    from map_reduce_server_spark.operators.clustering import (
+        _trade_edges,
+        pagerank,
+    )
+
+    ranks = pagerank(_trade_edges(spark, sf_small))
+    plan = explain_str(ranks, mode="simple")
+    hashex = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert len(hashex) <= 4, hashex
+    # every shuffled column is a compact graph column
+    assert set(hashex) <= {"src", "dst", "node"}, hashex
+
+
+def test_pagerank_bucketed_adjacency_no_shuffle(spark, sf_small):
+    """bucketed_adjacency=True writes the adjacency once bucketed by
+    src; every iteration's join must then take its partitioning from
+    the bucketed scan — NO exchange over the adjacency side — and the
+    ranks must be bit-identical to the default path."""
+    from map_reduce_server_spark.operators.clustering import (
+        _trade_edges,
+        pagerank,
+    )
+
+    default = pagerank(_trade_edges(spark, sf_small))
+    bucketed = pagerank(_trade_edges(spark, sf_small), bucketed_adjacency=True)
+    plan = explain_str(bucketed, mode="simple")
+    # the adjacency arrives via the bucketed table scan...
+    assert "pr_adj_" in plan
+    # ...and is never re-shuffled (the default path DOES shuffle src)
+    assert "Exchange hashpartitioning(src" not in plan
+    a = {r["node"]: r["rank"] for r in default.collect()}
+    b = {r["node"]: r["rank"] for r in bucketed.collect()}
+    assert a == b
