@@ -1,13 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata + Pandas-UDF decode stages.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic stub (documented NotImplementedError for real codecs,
-a byte-derived fake for tests) — but the Spark-side plumbing is
-real: BinaryType columns, metadata structs, Arrow-batched
-``mapInPandas`` with a declared output schema, and partition-size
-awareness (binary payloads make rows big → repartition by byte
-budget, not row count, at scale).
+The PNG path is REAL end to end: a pure-stdlib codec
+(:mod:`..functions.png` — chunk framing, CRC-32, DEFLATE, scanline
+unfiltering, nearest-neighbor resize) runs inside Arrow-batched
+``mapInPandas`` stages and is value-checked by oracles that recompute
+pixel statistics from the md5 hex the images are built from. jpeg/wav
+decode still needs codec libraries the container lacks, so those
+paths stay deterministic stubs (documented NotImplementedError for
+real codecs, a byte-derived fake for tests). The Spark-side plumbing
+is real throughout: BinaryType columns, metadata structs, declared
+output schemas, and partition-size awareness (binary payloads make
+rows big → repartition by byte budget, not row count, at scale).
 """
 
 from __future__ import annotations
@@ -18,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_server_spark.functions import png
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -124,12 +129,30 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage — real codecs absent, so this is an explicit stub
-    (the Spark-side contract — binary in, binary out, same schema —
-    is what matters for pipeline plumbing)."""
-    raise NotImplementedError(
-        "image resize needs PIL/libvips (not in container); the stage "
-        "contract is mapInPandas over (doc_id, payload) -> (doc_id, payload)"
+    """REAL resize stage for PNG payloads: decode (CRC-validated,
+    DEFLATE-inflated), nearest-neighbor resample, re-encode — all via
+    the pure-stdlib codec in :mod:`..functions.png`, Arrow-batched.
+    The stage contract is binary in → binary out on (doc_id, payload).
+    Non-PNG payloads raise inside the codec (jpeg/wav stay env-gated
+    in :func:`decode_batch`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+
+            def rs(b: bytes) -> bytes:
+                w, h, px = png.decode_rgb8(bytes(b))
+                return png.encode_rgb8(
+                    width,
+                    height,
+                    png.resize_nearest_rgb8(px, w, h, width, height),
+                )
+
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["payload"].map(rs)}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id bigint, payload binary"
     )
 
 
@@ -151,6 +174,130 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
 
     return df.select("doc_id", "payload").mapInPandas(
         run, schema="doc_id bigint, frames binary"
+    )
+
+
+# --- real PNG codec path ----------------------------------------------------
+
+_PNG_W, _PNG_H = 4, 3  # synthetic image dims: 36 RGB bytes from md5 hex
+_RS_W, _RS_H = 2, 2
+
+_SQL_PIX_HEX = "md5(text) || md5('x' || text) || md5('y' || text)"
+
+
+def with_png_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL 4x3 RGB PNG per document (pure-stdlib encoder;
+    pixels = first 36 bytes of three chained md5 digests, so the
+    oracle can recompute every pixel from SQL)."""
+    pix_hex = F.substring(
+        F.concat(
+            F.md5(F.col("text")),
+            F.md5(F.concat(F.lit("x"), F.col("text"))),
+            F.md5(F.concat(F.lit("y"), F.col("text"))),
+        ),
+        1,
+        _PNG_W * _PNG_H * 3 * 2,
+    )
+    flat = docs.select("doc_id", pix_hex.alias("pix_hex"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["pix_hex"].map(
+                lambda h: png.encode_rgb8(_PNG_W, _PNG_H, bytes.fromhex(h))
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def png_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real PNG payloads: CRC-checked parse +
+    inflate + unfilter, then per-image pixel statistics."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dec = pdf["payload"].map(lambda b: png.decode_rgb8(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": dec.map(lambda t: t[0]).astype("int32"),
+                    "height": dec.map(lambda t: t[1]).astype("int32"),
+                    "mean_px": dec.map(
+                        lambda t: sum(t[2]) / len(t[2])
+                    ).astype("float64"),
+                    "max_px": dec.map(lambda t: max(t[2])).astype("int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id bigint, width int, height int, "
+        "mean_px double, max_px int",
+    )
+
+
+@register(
+    "multimodal_decode_png",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, list_transform(range(1, 37),
+               i -> CAST(('0x' || substr({_SQL_PIX_HEX}, i*2-1, 2))
+                    AS BIGINT)) AS bs
+      FROM documents)
+    SELECT doc_id, 4 AS width, 3 AS height,
+           round(CAST(list_sum(bs) AS DOUBLE) / 36, 6) AS mean_px,
+           CAST(list_max(bs) AS INTEGER) AS max_px
+    FROM px
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip: encode each document's md5-derived
+    pixels as an actual PNG file (signature, chunks, CRC-32, DEFLATE)
+    and decode it back with the pure-stdlib parser — the one modality
+    whose real decode needs no external codec library. The oracle
+    recomputes the identical pixel statistics straight from the md5
+    hex, so a bug anywhere in encode, chunk framing, compression, or
+    unfiltering breaks the hash match. jpeg/wav remain honestly
+    env-gated (see :func:`decode_batch`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = png_stats(with_png_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        "max_px",
+    )
+
+
+@register(
+    "multimodal_resize_png",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, list_transform([1,2,3, 7,8,9, 13,14,15, 19,20,21],
+               i -> CAST(('0x' || substr({_SQL_PIX_HEX}, i*2-1, 2))
+                    AS BIGINT)) AS bs
+      FROM documents)
+    SELECT doc_id, 2 AS width, 2 AS height,
+           round(CAST(list_sum(bs) AS DOUBLE) / 12, 6) AS mean_px,
+           CAST(list_max(bs) AS INTEGER) AS max_px
+    FROM px
+    """,
+)
+def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full image pipeline: encode → REAL resize stage (decode,
+    nearest-neighbor 4x3 → 2x2, re-encode) → decode + stats. The
+    oracle selects exactly the 12 bytes nearest-neighbor sampling
+    keeps (src = floor(dst·src/dst) ⇒ rows {{0,1}}, cols {{0,2}}), so
+    the resampling arithmetic is value-checked too."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(with_png_payload(docs), _RS_W, _RS_H)
+    return png_stats(resized).select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        "max_px",
     )
 
 

@@ -30,12 +30,17 @@ def test_decode_real_codecs_are_stubbed():
         decode_batch(pdf, fake=False)
 
 
-def test_resize_is_stubbed(spark, sf_small):
+def test_resize_rejects_non_png_payload(spark, sf_small):
+    """resize_images is now a real PNG stage; the synthetic md5-byte
+    payloads are not PNGs, so the codec must reject them (the real
+    guard for the still-env-gated jpeg/wav modalities)."""
+    from pyspark.errors import PythonException
+
     from map_reduce_server_spark.operators.multimodal import resize_images
 
     docs = load_table(spark, sf_small, "documents").limit(1)
-    with pytest.raises(NotImplementedError, match="resize"):
-        resize_images(with_synthetic_payload(docs), 64, 64)
+    with pytest.raises(PythonException, match="bad signature"):
+        resize_images(with_synthetic_payload(docs), 64, 64).collect()
 
 
 def test_frame_sample_strides_blocks(spark, sf_small):
@@ -57,3 +62,92 @@ def test_decode_fake_path_runs_distributed(spark, sf_small):
         assert r.byte_len == 32
         assert 0 <= r.width <= 255
         assert 0 <= r.height <= 255
+
+
+# --- pure-stdlib PNG codec --------------------------------------------------
+
+
+def test_png_roundtrip_identity():
+    from map_reduce_server_spark.functions import png
+
+    w, h = 5, 4
+    pixels = bytes(range(w * h * 3))
+    data = png.encode_rgb8(w, h, pixels)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert png.decode_rgb8(data) == (w, h, pixels)
+
+
+def test_png_crc_corruption_detected():
+    import pytest
+
+    from map_reduce_server_spark.functions import png
+
+    data = bytearray(png.encode_rgb8(2, 2, bytes(12)))
+    # flip one bit inside the IDAT payload (after the 8-byte sig +
+    # 25-byte IHDR chunk + 8-byte IDAT header)
+    data[8 + 25 + 8] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        png.decode_rgb8(bytes(data))
+
+
+def test_png_decode_sub_and_up_filters():
+    """The decoder must reconstruct Sub/Up-filtered scanlines — build
+    a raw stream with explicit filter types and compare against the
+    unfiltered reference image."""
+    import struct
+    import zlib
+
+    from map_reduce_server_spark.functions import png
+
+    w, h = 3, 3
+    pixels = bytes((y * 40 + x * 7) % 256 for y in range(h) for x in range(w * 3))
+    stride = w * 3
+    rows = [pixels[y * stride : (y + 1) * stride] for y in range(h)]
+    raw = bytearray()
+    # row 0: None; row 1: Sub (delta vs 3 bytes left); row 2: Up
+    raw += b"\x00" + rows[0]
+    sub = bytearray(rows[1])
+    for i in range(stride - 1, 2, -1):
+        sub[i] = (sub[i] - sub[i - 3]) & 0xFF
+    raw += b"\x01" + bytes(sub)
+    up = bytes((rows[2][i] - rows[1][i]) & 0xFF for i in range(stride))
+    raw += b"\x02" + up
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert png.decode_rgb8(data) == (w, h, pixels)
+
+
+def test_png_resize_nearest():
+    from map_reduce_server_spark.functions import png
+
+    # 2x2 image with distinct corner colors -> 4x4 repeats each corner
+    px = bytes([1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4])
+    out = png.resize_nearest_rgb8(px, 2, 2, 4, 4)
+    assert out[:3] == bytes([1, 1, 1])  # top-left
+    assert out[9:12] == bytes([2, 2, 2])  # top-right
+    assert out[36:39] == bytes([3, 3, 3])  # bottom-left
+    assert out[45:48] == bytes([4, 4, 4])  # bottom-right
+    assert len(out) == 4 * 4 * 3
+
+
+def test_real_png_pipeline_matches_fake_free_oracle(spark, sf_small):
+    """The registered PNG queries run the real codec worker-side."""
+    from map_reduce_server_spark import registry
+
+    df = registry.QUERIES["multimodal_decode_png"](spark, sf_small)
+    row = df.orderBy("doc_id").first()
+    assert row["width"] == 4 and row["height"] == 3
+    assert 0.0 <= row["mean_px"] <= 255.0
