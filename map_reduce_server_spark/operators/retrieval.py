@@ -1,0 +1,447 @@
+"""Retrieval-stack operators: BM25, hybrid lexical+vector fusion,
+matryoshka-truncated ANN, and repeated-span detection.
+
+The RAG-era complement to the dedup/ANN family: score documents for a
+query (BM25), fuse lexical and vector rankings (reciprocal-rank
+fusion), serve a cheap first-pass ANN over truncated embeddings
+(matryoshka-style), and surface the exact-substring duplication
+signal (Lee et al.'s dedup criterion) per document.
+
+Scale shape shared by all four: corpora never shuffle their payloads
+— token streams reduce to compact (doc_id, stat) rows before any
+join; candidate sets are top-k-sized and broadcast; rank arithmetic
+is join-counting over those broadcast sets (no global window); float
+work is rounded at engine-portable points (ln is 1-ulp across libm
+implementations).
+
+No counterpart exists in the reference (its only text operator is
+wordcount/grep — SURVEY.md §2.B); these follow the north-star
+extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
+from map_reduce_server_spark.functions.vector import cosine
+from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.tables import load_table
+
+# --- shared text plumbing (same contract as operators/text.py) --------------
+
+_SQL_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+        ).alias("token"),
+    )
+
+
+# --- BM25 -------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "filter", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _sql_bm25_scored() -> str:
+    """Scored-docs CTE shared by the BM25 query and the RRF oracle.
+
+    Per-term partial scores are rounded to 9 digits (they contain an
+    ``ln``) and added in FIXED term order, so the fold is bit-identical
+    across engines and partitionings.
+    """
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    add = " + ".join(
+        f"COALESCE(MAX(CASE WHEN token = '{t}' THEN s END), 0.0)"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE token IN ({terms}) GROUP BY doc_id, token),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+              FROM tf GROUP BY token),
+    part AS (
+      SELECT tf.doc_id, tf.token,
+             round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl / avgdl)),
+               9) AS s
+      FROM tf JOIN dl USING (doc_id)
+      JOIN dfreq USING (token) CROSS JOIN stats),
+    scored AS (
+      SELECT doc_id, round({add}, 6) AS score
+      FROM part GROUP BY doc_id)
+    """
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+    WITH {_sql_bm25_scored()}
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query, top
+    {k} docs — the lexical half of every RAG stack.
+
+    Scale shape: the token stream reduces to (doc_id, dl) and the
+    3-term (doc_id, token, tf) table in one shuffle each; corpus size
+    and avgdl fold in as a broadcast 1-row aggregate; document-
+    frequency is a 3-row broadcast. Per-term partials pivot to FIXED
+    expression order before summing (float addition is not
+    commutative-associative across engines), each partial rounds its
+    ``ln`` to 9 digits, and the global top-k is TakeOrdered with a
+    doc_id tie-break — no global window, no full sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return _bm25_scored(docs).orderBy(F.desc("score"), "doc_id").limit(
+        _BM25_TOPK
+    )
+
+
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, score) for docs matching ≥1 BM25 query term."""
+    tok = _tokens(docs)
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    part = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            ).alias("s"),
+        )
+    )
+    add = None
+    for t in _BM25_TERMS:
+        term = F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+        )
+        add = term if add is None else add + term
+    return part.groupBy("doc_id").agg(F.round(add, 6).alias("score"))
+
+
+# --- hybrid retrieval: BM25 ⊕ cosine via reciprocal-rank fusion -------------
+
+_RRF_K = 60
+_RRF_CAND = 50
+_RRF_TOPK = 10
+_RRF_QVEC = 0  # vec_id of the query embedding; doc_id aligns with vec_id
+
+_SQL_COS = (
+    "list_dot_product({a}, {b}) / "
+    "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b}))"
+)
+
+
+def _join_rank(cands: DataFrame, score: str, key: str) -> DataFrame:
+    """rank = 1 + |{better candidate}| via a broadcast self-join over
+    the top-k-sized candidate set — no global window, deterministic
+    through the (score DESC, key) total order."""
+    a = cands.alias("a")
+    b = cands.alias("b")
+    better = (F.col(f"b.{score}") > F.col(f"a.{score}")) | (
+        (F.col(f"b.{score}") == F.col(f"a.{score}"))
+        & (F.col(f"b.{key}") < F.col(f"a.{key}"))
+    )
+    return (
+        a.join(F.broadcast(b), better, "left")
+        .groupBy(F.col(f"a.{key}").alias(key), F.col(f"a.{score}").alias(score))
+        .agg(F.count(F.col(f"b.{key}")).alias("n_better"))
+        .select(key, (F.col("n_better") + 1).cast("int").alias("rnk"))
+    )
+
+
+@register(
+    "q_hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH {_sql_bm25_scored()},
+    bm_top AS (SELECT doc_id, score FROM scored
+               ORDER BY score DESC, doc_id LIMIT {_RRF_CAND}),
+    bm_rank AS (
+      SELECT a.doc_id,
+             CAST(1 + (SELECT COUNT(*) FROM bm_top b
+                       WHERE b.score > a.score
+                          OR (b.score = a.score AND b.doc_id < a.doc_id))
+                  AS INTEGER) AS rnk
+      FROM bm_top a),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    qv AS (SELECT vec AS qvec FROM e WHERE vec_id = {_RRF_QVEC}),
+    cos_scored AS (
+      SELECT vec_id AS doc_id,
+             round({_SQL_COS.format(a='qvec', b='vec')}, 9) AS cos
+      FROM e CROSS JOIN qv WHERE vec_id <> {_RRF_QVEC}),
+    cos_top AS (SELECT doc_id, cos FROM cos_scored
+                ORDER BY cos DESC, doc_id LIMIT {_RRF_CAND}),
+    cos_rank AS (
+      SELECT a.doc_id,
+             CAST(1 + (SELECT COUNT(*) FROM cos_top b
+                       WHERE b.cos > a.cos
+                          OR (b.cos = a.cos AND b.doc_id < a.doc_id))
+                  AS INTEGER) AS rnk
+      FROM cos_top a),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, cs.doc_id) AS doc_id,
+             round(COALESCE(1.0 / ({_RRF_K} + bm.rnk), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + cs.rnk), 0.0), 9) AS rrf
+      FROM bm_rank bm FULL OUTER JOIN cos_rank cs ON bm.doc_id = cs.doc_id)
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+    """,
+)
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse BM25 and cosine candidate lists with
+    reciprocal-rank fusion (1/(60+rank), the parameter-free fusion
+    every hybrid RAG stack starts from). Documents and embeddings
+    align on doc_id = vec_id; the query is the fixed BM25 term set
+    plus embedding #{q} as the query vector.
+
+    Scale shape: each leg reduces the corpus to a top-50 candidate
+    set (TakeOrdered — no global sort); ranks come from a broadcast
+    self-join count over those 50 rows; the fusion is a full outer
+    join of two 50-row sets. The expensive parts — token stream and
+    one corpus scan for cosine — are single-pass, shuffle only
+    compact stats, and the vector side broadcasts one query row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bm_top = (
+        _bm25_scored(docs).orderBy(F.desc("score"), "doc_id").limit(_RRF_CAND)
+    )
+    bm_rank = _join_rank(bm_top, "score", "doc_id")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    qv = emb.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("vec").alias("qvec")
+    )
+    cos_top = (
+        emb.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qvec"), F.col("vec")), 9).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(_RRF_CAND)
+    )
+    cos_rank = _join_rank(cos_top, "cos", "doc_id")
+    bm = bm_rank.select("doc_id", F.col("rnk").alias("bm_rnk"))
+    cs = cos_rank.select("doc_id", F.col("rnk").alias("cos_rnk"))
+    fused = bm.join(cs, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("bm_rnk")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("cos_rnk")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(_RRF_TOPK)
+
+
+# --- matryoshka-truncated ANN ----------------------------------------------
+
+_MRL_DIM = 16
+_MRL_QUERIES = 8
+_MRL_TOPK = 5
+
+
+@register(
+    "ann_topk_matryoshka",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      (embedding::DOUBLE[])[1:{_MRL_DIM}] AS vec
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM e
+          WHERE vec_id < {_MRL_QUERIES})
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(rnk AS INTEGER) AS rnk,
+           round(cos, 6) AS cos_sim
+    FROM (
+      SELECT query_id, vec_id,
+             {_SQL_COS.format(a='qvec', b='vec')} AS cos,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_SQL_COS.format(a='qvec', b='vec')} DESC, vec_id
+             ) AS rnk
+      FROM q CROSS JOIN e
+      WHERE vec_id <> query_id
+    ) t WHERE rnk <= {_MRL_TOPK}
+    """,
+)
+def ann_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style first-pass ANN: cosine top-k over the FIRST
+    {d} of 64 dimensions — the 4× cheaper retrieval pass that MRL-
+    trained embeddings make possible (truncate, retrieve broad, then
+    re-rank survivors with the full vector — the re-rank is exactly
+    ``ann_topk_bruteforce``). Cosine self-normalizes, so truncation
+    needs no explicit re-norm. Same broadcast-queries/corpus-stays-
+    put shape as the other ANN variants; the scored stream carries
+    16-dim slices, and WindowGroupLimit prunes per-partition before
+    the rank shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, _MRL_DIM).alias(
+            "vec"
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") < _MRL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qvec"), F.col("vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MRL_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+# --- repeated-span detection (exact-substring dedup signal) -----------------
+
+_SPAN_W = 5  # window length in tokens
+
+
+@register(
+    "text_dup_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+    wins AS (
+      SELECT DISTINCT doc_id,
+             {sql_md5_long("win")} AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(ts) - {_SPAN_W - 2}, 1)),
+                 i -> list_aggregate(ts[i:i+{_SPAN_W - 1}],
+                                     'string_agg', ' '))) AS win
+        FROM toks) t),
+    shared AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+    per_doc AS (
+      SELECT w.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(COUNT(s.h) AS BIGINT) AS n_dup_windows
+      FROM wins w LEFT JOIN shared s ON w.h = s.h
+      GROUP BY w.doc_id)
+    SELECT doc_id, n_windows, n_dup_windows,
+           round(CAST(n_dup_windows AS DOUBLE) / n_windows, 6) AS dup_ratio
+    FROM per_doc
+    """,
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal per document: the fraction
+    of a doc's distinct {w}-token windows that appear verbatim in
+    another document (or again in itself) — the criterion behind
+    suffix-array substring dedup (train-data memorization risk),
+    computed at shingle granularity.
+
+    Scale shape: windows hash to 60-bit ints immediately (the string
+    never shuffles); DISTINCT per doc, one count per hash, and a
+    semi-join-shaped LEFT JOIN back to flag shared windows. A
+    hot-window cap is unnecessary: the join key is the window ITSELF
+    (an equality pairing with its own count, not a pair explosion).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+        ).alias("ts"),
+    )
+    wins = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    # starts 1..L-(w-1): Spark sequence is END-INCLUSIVE
+                    # where the oracle's range() is end-exclusive.
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size("ts") - (_SPAN_W - 1), F.lit(1)),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("ts", i, F.lit(_SPAN_W))
+                    ),
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", md5_long(F.col("win")).alias("h"))
+        .distinct()
+    )
+    shared = wins.groupBy("h").agg(F.count("*").alias("n")).filter(
+        F.col("n") >= 2
+    )
+    per_doc = (
+        wins.join(shared.select("h"), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    totals = wins.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                / F.col("n_windows"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

@@ -76,6 +76,7 @@ def load_all() -> None:
         dedup,
         multimodal,
         relational,
+        retrieval,
         similarity,
         subqueries,
         text,
