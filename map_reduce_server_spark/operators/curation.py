@@ -627,3 +627,65 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6
         ).alias("psi_term"),
     )
+
+
+# --- weighted sampling (A-ES exponential keys) ------------------------------
+
+_WS_TOPK = 5
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(n_chars AS DOUBLE) AS wt,
+             ({sql_md5_long("'ws:' || CAST(doc_id AS VARCHAR)")}
+              % 1000000 + 1) / 1000000.0 AS u
+      FROM documents),
+    k AS (SELECT doc_id, source,
+                 round(ln(u) / wt, 9) AS sample_key
+          FROM w),
+    r AS (SELECT doc_id, source, sample_key,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY sample_key DESC, doc_id) AS rnk
+          FROM k)
+    SELECT source, doc_id, sample_key, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= {_WS_TOPK}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via the A-ES exponential
+    key (Efraimidis–Spirakis): rank docs per source by ln(u)/weight
+    with a DETERMINISTIC md5-derived uniform u — the importance
+    sampler behind quality-weighted data mixing, reproducible on any
+    partitioning because the randomness is a pure hash of doc_id.
+    (ln(u)/w orders identically to the textbook u^(1/w) and spends
+    one transcendental instead of two; u is one of 10^6 fixed
+    rationals, and the key rounds to 9 digits — the repo's standard
+    libm-portability guard.)
+
+    Scale shape: one narrow scan computes keys, one window shuffle on
+    source ranks them, and WindowGroupLimit prunes every partition to
+    k before the shuffle — the same top-k plan every per-group rank
+    uses here.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        md5_long(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+        % 1000000
+        + 1
+    ) / 1000000.0
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.round(
+            F.log(u) / F.col("n_chars").cast("double"), 9
+        ).alias("sample_key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("sample_key"), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _WS_TOPK)
+        .select("source", "doc_id", "sample_key", "rnk")
+    )

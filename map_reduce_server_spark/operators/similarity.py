@@ -799,3 +799,87 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space drift monitor (split-vs-split centroid comparison)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_drift",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    s AS (SELECT vec_id, vec,
+                 {{h}} % 2 AS split
+          FROM e),
+    x AS (SELECT split, pos, vec[pos] AS val
+          FROM s, (SELECT unnest(range(1, {{dim1}})) AS pos) p),
+    m AS (SELECT split, pos,
+                 CAST(SUM(CAST(val AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*)
+                   AS mu
+          FROM x GROUP BY split, pos),
+    c AS (SELECT split, array_agg(mu ORDER BY pos) AS cvec
+          FROM m GROUP BY split),
+    pair AS (SELECT a.cvec AS c0, b.cvec AS c1
+             FROM c a, c b WHERE a.split = 0 AND b.split = 1)
+    SELECT round(list_dot_product(c0, c1) /
+                 sqrt(list_dot_product(c0, c0) * list_dot_product(c1, c1)),
+                 9) AS centroid_cos,
+           round(list_max(list_transform(range(1, {{dim1}}),
+                                         i -> abs(c0[i] - c1[i]))), 9)
+             AS max_dim_delta
+    FROM pair
+    """.format(
+        h="CAST(('0x' || substr(md5('es:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)",
+        dim1=65,
+    ),
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift: split the corpus by a deterministic
+    hash, compute each half's centroid with EXACT per-dimension
+    decimal sums, and report centroid cosine + the largest per-
+    dimension delta — the embedding-side complement of q_drift_psi
+    (which monitors a scalar feature). In production the two "splits"
+    are yesterday's corpus vs today's; a centroid_cos dip or a
+    spiking dimension flags an upstream encoder or ingest change.
+
+    Scale shape: vectors never move whole — posexplode reduces them
+    to (split, dim, value) and the only shuffle is the 2×64-key
+    mean aggregate; the two 64-dim centroids then compare in a
+    broadcast pair join. Exact decimal sums make the centroid
+    bit-identical on any partitioning — monitoring that must not
+    flap with cluster layout.
+    """
+    from map_reduce_server_spark.functions.hashing import md5_long
+
+    emb = _emb(spark, sf_dir)
+    split = md5_long(
+        F.concat(F.lit("es:"), F.col("vec_id").cast("string"))
+    ) % 2
+    x = emb.select(
+        split.alias("split"), F.posexplode("vec").alias("pos", "val")
+    )
+    m = x.groupBy("split", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,9)")).cast("double")
+            / F.count("*")
+        ).alias("mu")
+    )
+    c = m.groupBy("split").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mu"))),
+            lambda s: s["mu"],
+        ).alias("cvec")
+    )
+    c0 = c.filter(F.col("split") == 0).select(F.col("cvec").alias("c0"))
+    c1 = c.filter(F.col("split") == 1).select(F.col("cvec").alias("c1"))
+    delta = F.aggregate(
+        F.zip_with(F.col("c0"), F.col("c1"), lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    return c0.crossJoin(F.broadcast(c1)).select(
+        F.round(cosine(F.col("c0"), F.col("c1")), 9).alias("centroid_cos"),
+        F.round(delta, 9).alias("max_dim_delta"),
+    )
