@@ -165,7 +165,14 @@ _DRIVER_GREEN_R4 = frozenset({
     "text_novelty", "text_oov_rate",
 })
 
-_EVER_GREEN = _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
+# Queries whose RESULT changed after their last green driver row
+# (round-5 rework): their stale green row no longer certifies the
+# current code, so they rejoin the never-verified head.
+_CHANGED_R5 = frozenset({"q_equidepth_histogram"})
+
+_EVER_GREEN = (
+    _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
+) - _CHANGED_R5
 
 
 def _stale_first(d: dict) -> dict:
@@ -173,9 +180,9 @@ def _stale_first(d: dict) -> dict:
     # queries that missed every window so far, and round 4's one err
     # row). Then round-2 greens (stalest), round-3, round-4 last.
     head = {k: v for k, v in d.items() if k not in _EVER_GREEN}
-    r2 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R2}
-    r3 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R3}
-    r4 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R4}
+    r2 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R2 - _CHANGED_R5}
+    r3 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R3 - _CHANGED_R5}
+    r4 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R4 - _CHANGED_R5}
     return {**head, **r2, **r3, **r4}
 
 
