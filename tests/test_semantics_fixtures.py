@@ -368,7 +368,8 @@ def test_quantize_int8_hand_values(spark):
         from map_reduce_server_spark import registry as reg
 
         got = {
-            r.vec_id: (r.max_abs, list(r.q), r.max_err)
+            # q is CSV-serialized (driver-canonicalizer portability)
+            r.vec_id: (r.max_abs, [int(x) for x in r.q.split(",")], r.max_err)
             for r in reg.QUERIES["embedding_quantize_int8"](
                 spark, d
             ).collect()
