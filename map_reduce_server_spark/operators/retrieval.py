@@ -445,3 +445,104 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# --- ANN recall evaluation (index-tuning harness) ---------------------------
+
+# Composes two registered pipelines' oracles verbatim; importing
+# similarity here (no cycle — it does not import retrieval) guarantees
+# its registrations exist even though registry.load_all() imports
+# retrieval first.
+from map_reduce_server_spark import registry as _registry  # noqa: E402
+from map_reduce_server_spark.operators import similarity as _sim  # noqa: E402,F401
+
+
+@register(
+    "q_ann_recall",
+    oracle=f"""
+    WITH bf AS (SELECT query_id, neighbor_id
+                FROM ({_registry.ORACLE["ann_topk_bruteforce"]}) t),
+         mr AS (SELECT query_id, neighbor_id
+                FROM ({_registry.ORACLE["ann_topk_matryoshka"]}) t)
+    SELECT bf.query_id,
+           round(CAST(COUNT(mr.neighbor_id) AS DOUBLE) / 5, 6)
+             AS recall_at_5
+    FROM bf LEFT JOIN mr
+      ON bf.query_id = mr.query_id AND bf.neighbor_id = mr.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the matryoshka first-pass index against exact
+    brute-force cosine, per query — the evaluation harness every ANN
+    deployment runs before picking truncation depth / nprobe at scale.
+    Composes two registered pipelines (their oracles compose the same
+    way), so the measurement itself is hash-verified: a drift in
+    either index OR in the metric breaks the match.
+
+    Scale shape: both legs end at 8×5-row candidate sets; the recall
+    join touches 40 rows.
+    """
+    from map_reduce_server_spark.operators.similarity import (
+        ann_topk_bruteforce,
+    )
+
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    mr = ann_topk_matryoshka(spark, sf_dir).select(
+        F.col("query_id").alias("m_qid"), F.col("neighbor_id").alias("m_nid")
+    )
+    return (
+        bf.join(
+            mr,
+            (F.col("query_id") == F.col("m_qid"))
+            & (F.col("neighbor_id") == F.col("m_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.round(F.count("m_nid").cast("double") / 5, 6).alias(
+                "recall_at_5"
+            )
+        )
+    )
+
+
+# --- hashing-trick featurization --------------------------------------------
+
+_FH_BUCKETS = 32
+
+
+@register(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token
+                 FROM documents),
+    b AS (SELECT doc_id,
+                 {sql_md5_long("'fh:' || token")} % {_FH_BUCKETS} AS bucket
+          FROM tok)
+    SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY doc_id, bucket
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: tokens hash into {b} fixed
+    buckets, counted per document — the bounded-width featurizer
+    (Weinberger et al.) that needs no vocabulary pass, so it
+    streams over 100 TB with a single (doc_id, bucket) aggregate.
+    The md5-derived bucket makes the feature map engine-portable
+    (vs Spark's murmur-based HashingTF, which no oracle could
+    replay).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+    return (
+        tok.select(
+            "doc_id",
+            (
+                md5_long(F.concat(F.lit("fh:"), F.col("token")))
+                % _FH_BUCKETS
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )

@@ -883,3 +883,43 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine(F.col("c0"), F.col("c1")), 9).alias("centroid_cos"),
         F.round(delta, 9).alias("max_dim_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Class balance / inverse-frequency weights over the labeled corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_label_balance",
+    oracle="""
+    WITH c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+               FROM embeddings GROUP BY label),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot,
+                 CAST(COUNT(*) AS DOUBLE) AS k FROM c)
+    SELECT label, n,
+           round(n / tot, 6) AS share,
+           round(tot / (k * n), 9) AS class_weight
+    FROM c CROSS JOIN t
+    """,
+)
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit + sklearn-style 'balanced' class weights
+    (tot / (n_classes * n_c)) over the labeled embedding corpus — the
+    pre-training check that decides whether a sampler needs
+    reweighting. One tiny aggregate + a broadcast 1-row total; the
+    weights feed q_weighted_sample-style samplers downstream."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count("*").alias("n"))
+    t = c.agg(
+        F.sum("n").cast("double").alias("tot"),
+        F.count("*").cast("double").alias("k"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+        F.round(F.col("tot") / (F.col("k") * F.col("n")), 9).alias(
+            "class_weight"
+        ),
+    )
