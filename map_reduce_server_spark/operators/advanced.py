@@ -1529,3 +1529,64 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wnorm), 6
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (interval-weighted metric over event streams)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nt
+      FROM events),
+    w AS (SELECT user_id, value, nt - t AS dt
+          FROM x WHERE nt IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           round(CAST(SUM(CAST(value * dt AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(dt AS DECIMAL(38,6))) AS DOUBLE),
+                 6) AS twa
+    FROM w GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the metric per user: each reading is
+    weighted by how long it was current (gap to the next event) —
+    the correct aggregate for irregularly-sampled gauges (billing
+    meters, utilization), where a plain AVG over-weights bursts.
+
+    Scale shape: one window shuffle on user_id (lead), then an
+    aggregate on the same key — partitions stay user-sized. Weights
+    are integer MICROSECONDS (no float epoch round-trip), and both
+    the value·dt products and the dt total accumulate in exact
+    decimal, so the ratio is bit-identical on any partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nt"),
+    ).filter(F.col("nt").isNotNull())
+    dt = F.col("nt") - F.col("t")
+    return (
+        x.select("user_id", "value", dt.alias("dt"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(
+                F.sum(
+                    (F.col("value") * F.col("dt")).cast("decimal(38,6)")
+                ).cast("double")
+                / F.sum(F.col("dt").cast("decimal(38,6)")).cast("double"),
+                6,
+            ).alias("twa"),
+        )
+    )

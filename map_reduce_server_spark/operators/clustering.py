@@ -453,3 +453,89 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_triangles").cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over co-purchase pairs
+# ---------------------------------------------------------------------------
+
+_MB_MINSUP = 3  # pair must co-occur in >= this many orders
+
+
+@register(
+    "q_market_basket",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS n_orders FROM li),
+    isup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS sup
+             FROM li GROUP BY p),
+    pairs AS (
+      SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS sup_uv
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= {_MB_MINSUP}),
+    rules AS (
+      SELECT u, v, sup_uv,
+             round(CAST(sup_uv AS DOUBLE) / su.sup, 6) AS conf_u_v,
+             round(CAST(sup_uv AS DOUBLE) / sv.sup, 6) AS conf_v_u,
+             round(n_orders * sup_uv / (su.sup * sv.sup), 6) AS lift
+      FROM pairs
+      JOIN isup su ON u = su.p
+      JOIN isup sv ON v = sv.p
+      CROSS JOIN n)
+    SELECT u, v, sup_uv, conf_u_v, conf_v_u, lift FROM rules
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-purchase graph: support,
+    bidirectional confidence and lift for every part pair sharing
+    ≥ {s} orders — the classic MapReduce-era frequent-itemset
+    workload at pair granularity.
+
+    Scale shape: the distinct (order, part) projection is the only
+    corpus-sized shuffle; pair generation is the SAME support-
+    thresholded ordered self-join as q_copurchase_triangles (the
+    threshold bounds the quadratic hazard); item supports are a
+    per-part aggregate joined back onto the (already tiny) rule set,
+    and the order count folds in as a broadcast 1-row aggregate.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = li.agg(F.count_distinct("o").cast("double").alias("n_orders"))
+    isup = li.groupBy("p").agg(F.count("*").alias("sup"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("sup_uv"))
+        .filter(F.col("sup_uv") >= _MB_MINSUP)
+    )
+    su = isup.select(F.col("p").alias("u"), F.col("sup").alias("sup_u"))
+    sv = isup.select(F.col("p").alias("v"), F.col("sup").alias("sup_v"))
+    return (
+        pairs.join(su, "u")
+        .join(sv, "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "u",
+            "v",
+            "sup_uv",
+            F.round(F.col("sup_uv").cast("double") / F.col("sup_u"), 6).alias(
+                "conf_u_v"
+            ),
+            F.round(F.col("sup_uv").cast("double") / F.col("sup_v"), 6).alias(
+                "conf_v_u"
+            ),
+            F.round(
+                F.col("n_orders")
+                * F.col("sup_uv")
+                / (F.col("sup_u") * F.col("sup_v")),
+                6,
+            ).alias("lift"),
+        )
+    )

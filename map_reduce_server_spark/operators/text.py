@@ -784,3 +784,94 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
         )
     )
+
+
+# --- Zipf rank-frequency fit ------------------------------------------------
+
+_ZIPF_TOPK = 100
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_NE_TOKENS}) AS token FROM documents),
+    freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+             FROM tok GROUP BY token),
+    top AS (SELECT token, n FROM freq
+            ORDER BY n DESC, token LIMIT {_ZIPF_TOPK}),
+    ranked AS (
+      SELECT token, n,
+             1 + (SELECT COUNT(*) FROM top b
+                  WHERE b.n > a.n OR (b.n = a.n AND b.token < a.token))
+               AS rnk
+      FROM top a),
+    pts AS (SELECT round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+                   round(ln(CAST(n AS DOUBLE)), 9) AS y
+            FROM ranked),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+                 CAST(SUM(CAST(x AS DECIMAL(30,9))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(30,9))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x * y AS DECIMAL(30,9))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(x * x AS DECIMAL(30,9))) AS DOUBLE) AS sxx
+          FROM pts)
+    SELECT CAST(k AS BIGINT) AS n_points,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k,
+                 6) AS intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) against ln(rank)
+    over the top-{k} tokens — natural corpora fit slope ≈ −1, and a
+    deviation flags synthetic, templated, or scrubbed text (a cheap
+    corpus-health check next to q_drift_psi).
+
+    Scale shape: one token-count shuffle, a TakeOrdered top-100 (no
+    global sort), ranks by broadcast self-join count over those 100
+    rows, and the regression reduces to five exact-decimal power sums
+    of 9-rounded logs — deterministic on any partitioning, closed
+    form, no iterative solver.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokens_col(F.col("text"), keep_empty=False)).alias("token"),
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    top = freq.orderBy(F.desc("n"), "token").limit(_ZIPF_TOPK)
+    a, b = top.alias("a"), top.alias("b")
+    better = (F.col("b.n") > F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b.token") < F.col("a.token"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), better, "left")
+        .groupBy(F.col("a.token").alias("token"), F.col("a.n").alias("n"))
+        .agg((F.count(F.col("b.token")) + 1).alias("rnk"))
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 9).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum(F.col("x").cast("decimal(30,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,9)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,9)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,9)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("k").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
+            "intercept"
+        ),
+    )
