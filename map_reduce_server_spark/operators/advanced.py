@@ -1590,3 +1590,120 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twa"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (purchase → most recent preceding click)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events)
+    SELECT event_id, user_id, ts, last_click_ts,
+           CAST(CASE WHEN last_click_ts IS NOT NULL
+                     THEN epoch_us(ts) - epoch_us(last_click_ts) END
+                AS BIGINT) AS lag_us
+    FROM x WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the
+    user's most recent STRICTLY-PRECEDING click (frame ends at 1
+    PRECEDING — a click in the same instant doesn't attribute to
+    itself-adjacent purchases), with the conversion lag in integer
+    microseconds. The ad-analytics staple, expressed as the same
+    single-window carry-forward shape as q_asof_join: one shuffle on
+    user_id, no join against the click stream at all.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    x = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(click_ts).over(w).alias("last_click_ts"),
+    )
+    return x.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_click_ts",
+        F.when(
+            F.col("last_click_ts").isNotNull(),
+            F.unix_micros("ts") - F.unix_micros("last_click_ts"),
+        )
+        .cast("bigint")
+        .alias("lag_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed engagement score (exponential decay, deterministic)
+# ---------------------------------------------------------------------------
+
+_LTV_HALF_LIFE_DAYS = 7.0
+
+
+@register(
+    "q_user_ltv_decay",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS now FROM events),
+    x AS (
+      SELECT user_id,
+             round(value * exp(-ln(2.0) / {_LTV_HALF_LIFE_DAYS}
+                               * ((epoch_us(now) - epoch_us(ts))
+                                  // 86400000000)), 9) AS contrib
+      FROM events CROSS JOIN mx)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(contrib AS DECIMAL(30,9))) AS DOUBLE), 6)
+             AS decayed_value
+    FROM x GROUP BY user_id
+    """,
+)
+def q_user_ltv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: each event's value decays with a
+    {h}-day half-life from the corpus's latest timestamp (age
+    bucketed to whole days, so the exponent is one of a few hundred
+    integers — exp() stays libm-portable after the 9-digit round).
+    The reference point folds in as a broadcast 1-row MAX aggregate;
+    per-event contributions then sum in exact decimal per user — the
+    score a retention model or replay-weighted sampler consumes.
+
+    One narrow scan + one user_id aggregate; no window needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now"))
+    age_days = (
+        F.unix_micros("now") - F.unix_micros("ts")
+    ) / F.lit(86400000000)
+    lam = 0.6931471805599453 / _LTV_HALF_LIFE_DAYS  # ln 2 / half-life
+    contrib = F.round(
+        F.col("value") * F.exp(-F.lit(lam) * F.floor(age_days)), 9
+    )
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", contrib.alias("contrib"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(30,9)")).cast("double"),
+                6,
+            ).alias("decayed_value"),
+        )
+    )
