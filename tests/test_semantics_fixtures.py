@@ -379,3 +379,123 @@ def test_quantize_int8_hand_values(spark):
     # reconstruction error of -63/127 vs -0.5 = 0.5 - 63/127
     assert abs(got[1][2] - (0.5 - 63.0 / 127.0)) < 1e-9
     assert got[2] == (0.0, [0, 0, 0], 0.0)
+
+
+def test_dup_spans_hand_values(spark):
+    """doc 1 and 2 share one verbatim 5-token window; doc 3 shares
+    nothing. Ratios are over each doc's DISTINCT windows."""
+    import tempfile
+
+    rows = [
+        (1, "a b c d e f", "en", "s"),     # windows: abcde, bcdef
+        (2, "z a b c d e", "en", "s"),     # windows: zabcd, abcde
+        (3, "p q r s t", "en", "s"),       # window:  pqrst
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        got = {
+            r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_ratio)
+            for r in registry.QUERIES["text_dup_spans"](spark, d).collect()
+        }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 0, 0.0)
+
+
+def test_bm25_orders_by_saturating_tf(spark):
+    """More matching terms beats one repeated term (tf saturates);
+    docs without any query term never appear."""
+    import tempfile
+
+    rows = [
+        (1, "join filter window x", "en", "s"),   # all 3 terms
+        (2, "join join join join", "en", "s"),    # 1 term, high tf
+        (3, "nothing relevant here", "en", "s"),  # no terms
+        (4, "join filter y z", "en", "s"),        # 2 terms
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        out = registry.QUERIES["text_bm25"](spark, d).collect()
+    scores = {r.doc_id: r.score for r in out}
+    assert 3 not in scores
+    assert scores[1] > scores[4] > scores[2]
+
+
+def test_market_basket_hand_values(spark):
+    """3 orders of {10,20}, 1 of {10,30}: only (10,20) reaches
+    min-support 3; conf(10→20)=3/4, conf(20→10)=1, lift=4·3/(4·3)."""
+    import tempfile
+
+    rows = []
+    oid = 0
+    for _ in range(3):
+        oid += 1
+        rows += [(oid, 10), (oid, 20)]
+    oid += 1
+    rows += [(oid, 10), (oid, 30)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    for col, val in [
+        ("l_suppkey", 1), ("l_linenumber", 1), ("l_quantity", 1.0),
+        ("l_extendedprice", 1.0), ("l_discount", 0.0), ("l_tax", 0.0),
+    ]:
+        li = li.withColumn(col, F.lit(val))
+    li = li.withColumn("l_returnflag", F.lit("N")).withColumn(
+        "l_linestatus", F.lit("O")
+    ).withColumn("l_shipdate", F.lit(dt.datetime(2024, 1, 1)))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        li.coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        out = registry.QUERIES["q_market_basket"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.u, r.v, r.sup_uv) == (10, 20, 3)
+    assert r.conf_u_v == 0.75 and r.conf_v_u == 1.0
+    assert r.lift == 1.0  # 4 orders * 3 / (4 * 3)
+
+
+def test_time_weighted_avg_hand_values(spark):
+    """Readings 10 (held 30s) then 20 (held 10s): TWA = (10·30 +
+    20·10)/40 = 12.5; the final reading carries no weight."""
+    import tempfile
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 7, "click", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 30), 7, "click", 20.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 0, 0, 40), 7, "click", 99.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = registry.QUERIES["q_time_weighted_avg"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0].n_intervals == 2
+    assert out[0].twa == 12.5
+
+
+def test_attribution_strictly_preceding(spark):
+    """A purchase attributes to the latest click BEFORE it; a user
+    with no prior click yields NULL lag."""
+    import tempfile
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 7, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 5, 0), 7, "click", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 0, 6, 0), 7, "purchase", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 0, 1, 0), 8, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.event_id: r.lag_us
+            for r in registry.QUERIES["q_attribution_last_touch"](
+                spark, d
+            ).collect()
+        }
+    assert got[3] == 60_000_000  # attributed to the 0:05 click
+    assert got[4] is None
