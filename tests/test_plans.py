@@ -380,3 +380,34 @@ def test_pagerank_bucketed_adjacency_no_shuffle(spark, sf_small):
     a = {r["node"]: r["rank"] for r in default.collect()}
     b = {r["node"]: r["rank"] for r in bucketed.collect()}
     assert a == b
+
+
+def test_single_partition_exchanges_are_aggregate_combines(spark, sf_small):
+    """Registry-wide lint #2: an Exchange SinglePartition is only
+    acceptable as the final combine of a GLOBAL AGGREGATE (its child
+    is a partial HashAggregate over map-side-combined rows — a few
+    rows per task, any scale). A single-partition exchange feeding
+    anything else funnels RAW data through one task; the only
+    sanctioned cases are the allowlisted global windows."""
+    offenders = []
+    for name in registry.QUERIES:
+        if (
+            name.startswith("stream_")
+            or name.startswith("mr_")
+            or name in _GLOBAL_WINDOW_ALLOWLIST
+        ):
+            continue
+        plan = explain_str(registry.QUERIES[name](spark, sf_small),
+                           mode="simple")
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            if not any(
+                agg in child
+                for agg in ("HashAggregate", "SortAggregate",
+                            "ObjectHashAggregate")
+            ):
+                offenders.append((name, child.strip()[:80]))
+    assert not offenders, offenders
