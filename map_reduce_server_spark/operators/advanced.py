@@ -1707,3 +1707,81 @@ def q_user_ltv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Whole-warehouse coverage report (one audit query over all 10 tables)
+# ---------------------------------------------------------------------------
+
+_AUDIT_PKS = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def _sql_audit_one(table: str, pk: tuple[str, ...]) -> str:
+    cols = ", ".join(pk)
+    return f"""
+    SELECT '{table}' AS table_name,
+           CAST((SELECT COUNT(*) FROM {table}) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {cols}
+                                       FROM {table}) t) AS BIGINT)
+             AS pk_distinct,
+           CAST((SELECT COUNT(*) FROM {table}
+                 WHERE {" OR ".join(f"{c} IS NULL" for c in pk)})
+                AS BIGINT) AS pk_nulls
+    """
+
+
+@register(
+    "q_coverage_report",
+    oracle=" UNION ALL ".join(
+        _sql_audit_one(t, pk) for t, pk in _AUDIT_PKS.items()
+    ),
+)
+def q_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide integrity audit in ONE query: per table, row
+    count, primary-key distinct count, and PK null count — the
+    always-on data-quality dashboard feeding q_data_expectations'
+    per-table gates. (The synthetic lineitem is KNOWN to carry
+    duplicate (orderkey, linenumber) pairs — this report is where
+    that shows up as pk_distinct < n_rows.)
+
+    Scale shape: each table contributes one partial-aggregated
+    global count triple (distinct via a per-table pre-aggregate on
+    the PK — compact keys); the union is 10 single-row legs that can
+    run concurrently. Nothing wide ever moves.
+    """
+    legs = []
+    for table, pk in _AUDIT_PKS.items():
+        df = load_table(spark, sf_dir, table)
+        null_pred = None
+        for c in pk:
+            cond = F.col(c).isNull()
+            null_pred = cond if null_pred is None else (null_pred | cond)
+        legs.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.count_distinct(*[F.col(c) for c in pk]).alias(
+                    "pk_distinct"
+                ),
+                F.sum(null_pred.cast("long")).alias("pk_nulls"),
+            ).select(
+                F.lit(table).alias("table_name"),
+                "n_rows",
+                "pk_distinct",
+                "pk_nulls",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
