@@ -1785,3 +1785,121 @@ def q_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (sessions x incident windows, hour-bucketized)
+# ---------------------------------------------------------------------------
+
+_IVL_HOUR_US = 3_600_000_000
+_IVL_GAP_US = 1_800_000_000  # 30-min session gap
+_IVL_MIN_ERRORS = 3
+
+
+@register(
+    "q_interval_overlap_join",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+               FROM events),
+    x AS (SELECT user_id, event_id, t,
+                 CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > {_IVL_GAP_US}
+                      THEN 1 ELSE 0 END AS brk
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    sl AS (SELECT user_id, t,
+                  SUM(brk) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id) AS sid
+           FROM x),
+    sessions AS (SELECT user_id, sid,
+                        MIN(t) AS s_start, MAX(t) AS s_end
+                 FROM sl GROUP BY user_id, sid),
+    errw AS (SELECT t // {_IVL_HOUR_US} AS h,
+                    CAST(COUNT(*) AS BIGINT) AS n_errors
+             FROM e WHERE event_type = 'error'
+             GROUP BY 1 HAVING COUNT(*) >= {_IVL_MIN_ERRORS}),
+    cov AS (SELECT user_id, s_start, s_end,
+                   unnest(range(s_start // {_IVL_HOUR_US},
+                                s_end // {_IVL_HOUR_US} + 1)) AS h
+            FROM sessions)
+    SELECT user_id,
+           CAST(s_start AS BIGINT) AS s_start,
+           CAST(s_end AS BIGINT) AS s_end,
+           CAST(h * {_IVL_HOUR_US} AS BIGINT) AS w_start_us,
+           CAST(least(s_end, (h + 1) * {_IVL_HOUR_US})
+                - greatest(s_start, h * {_IVL_HOUR_US}) AS BIGINT)
+             AS overlap_us,
+           n_errors
+    FROM cov JOIN errw USING (h)
+    """,
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT a theta join: which user
+    sessions overlap which high-error incident windows, and by how
+    much — the incident-impact query every ops team runs, and the
+    canonical hard case for distributed joins (naive overlap
+    predicates degrade to per-key nested loops).
+
+    Scale shape: both interval sets bucketize to epoch-HOURS —
+    sessions explode into the hours they span (bounded by session
+    length / bucket width), incident windows are already hour-keyed
+    — so the overlap join becomes a plain equi-join on the hour
+    bucket, hash-distributed and AQE-skew-splittable; each matched
+    pair then computes its exact overlap arithmetically. All times
+    are integer microseconds end to end (no float epochs, no
+    timezone surface).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        t.alias("t"),
+        F.lag(t).over(w).alias("pt"),
+    ).withColumn(
+        "brk",
+        F.when(
+            F.col("pt").isNull() | (F.col("t") - F.col("pt") > _IVL_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sl = x.select("user_id", "t", F.sum("brk").over(ws).alias("sid"))
+    sessions = sl.groupBy("user_id", "sid").agg(
+        F.min("t").alias("s_start"), F.max("t").alias("s_end")
+    )
+    errw = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.expr(f"unix_micros(ts) div {_IVL_HOUR_US}").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_errors"))
+        .filter(F.col("n_errors") >= _IVL_MIN_ERRORS)
+    )
+    cov = sessions.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start div {_IVL_HOUR_US}"),
+                F.expr(f"s_end div {_IVL_HOUR_US}"),
+            )
+        ).alias("h"),
+    )
+    return cov.join(errw, "h").select(
+        "user_id",
+        "s_start",
+        "s_end",
+        (F.col("h") * _IVL_HOUR_US).alias("w_start_us"),
+        (
+            F.least(F.col("s_end"), (F.col("h") + 1) * _IVL_HOUR_US)
+            - F.greatest(F.col("s_start"), F.col("h") * _IVL_HOUR_US)
+        ).alias("overlap_us"),
+        "n_errors",
+    )

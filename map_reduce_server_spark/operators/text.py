@@ -875,3 +875,94 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# --- bigram-LM quality score ------------------------------------------------
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_NE_TOKENS} AS ts FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ts), 1)),
+                    i -> ts[i] || ' ' || ts[i+1])) AS bigram,
+             unnest(list_transform(range(1, greatest(len(ts), 1)),
+                    i -> ts[i])) AS tok1
+      FROM toks WHERE len(ts) >= 2),
+    cb AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cab
+           FROM bg GROUP BY bigram),
+    cu AS (SELECT tok1 AS token, CAST(COUNT(*) AS BIGINT) AS ca
+           FROM bg GROUP BY tok1),
+    v AS (SELECT CAST(COUNT(DISTINCT tk) AS DOUBLE) AS vocab
+          FROM (SELECT unnest({_SQL_NE_TOKENS}) AS tk FROM documents) t),
+    s AS (
+      SELECT bg.doc_id,
+             round(-ln((cab + 1.0) / (ca + vocab)), 9) AS surp
+      FROM bg JOIN cb USING (bigram) JOIN cu ON bg.tok1 = cu.token
+      CROSS JOIN v)
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           {sql_davg('surp', scale=12)} AS avg_surprisal
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM quality score with add-one smoothing: each
+    document's mean -ln p(w_i | w_{i-1}) under the corpus bigram
+    distribution — one Markov order beyond text_unigram_logprob, and
+    a sharper gibberish/boilerplate separator (real LM filters are
+    n-gram KenLM models; the pipeline shape is identical).
+
+    Scale shape: the bigram stream shuffles once to count C(a,b) and
+    once per doc for the mean; the conditioning-token counts derive
+    from the SAME bigram stream (no second corpus pass), vocabulary
+    size folds in as a broadcast 1-row aggregate, and per-bigram
+    surprisal is rounded to 9 before exact-decimal averaging — the
+    same libm-portability contract as the unigram scorer.
+    """
+    from map_reduce_server_spark.functions.exact import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text"), keep_empty=False).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.struct(
+                    F.concat(
+                        F.element_at("ts", i),
+                        F.lit(" "),
+                        F.element_at("ts", i + F.lit(1)),
+                    ).alias("bigram"),
+                    F.element_at("ts", i).alias("tok1"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.bigram").alias("bigram"), F.col("p.tok1").alias("tok1"))
+    cb = bg.groupBy("bigram").agg(F.count("*").alias("cab"))
+    cu = bg.groupBy("tok1").agg(F.count("*").alias("ca"))
+    tok = docs.select(
+        F.explode(tokens_col(F.col("text"), keep_empty=False)).alias("t")
+    )
+    v = tok.agg(F.count_distinct("t").cast("double").alias("vocab"))
+    s = (
+        bg.join(cb, "bigram")
+        .join(cu, "tok1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log((F.col("cab") + 1.0) / (F.col("ca") + F.col("vocab"))),
+                9,
+            ).alias("surp"),
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        davg("surp", scale=12).alias("avg_surprisal"),
+    )
