@@ -777,3 +777,119 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(j >= _PJ_THRESHOLD)
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
     )
+
+
+# --- asymmetric containment (doc-inside-doc detection) ----------------------
+
+_CT_THRESHOLD = 0.8
+_CT_FREQ_CAP = 1000  # prefix shingles with global freq above this are skipped
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    freq AS (SELECT shingle, COUNT(*) AS f FROM sh GROUP BY shingle),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ranked AS (
+      SELECT s.doc_id, s.shingle, f,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                ORDER BY f, s.shingle) AS r
+      FROM sh s JOIN freq USING (shingle)),
+    prefix AS (
+      SELECT r.doc_id, r.shingle
+      FROM ranked r JOIN sz USING (doc_id)
+      WHERE r.r <= sz.n // 2 + 1 AND r.f <= {_CT_FREQ_CAP}),
+    cand AS (
+      SELECT DISTINCT p.doc_id AS doc_a, s.doc_id AS doc_b
+      FROM prefix p JOIN sh s ON p.shingle = s.shingle
+      WHERE p.doc_id < s.doc_id
+      UNION
+      SELECT DISTINCT s.doc_id AS doc_a, p.doc_id AS doc_b
+      FROM prefix p JOIN sh s ON p.shingle = s.shingle
+      WHERE s.doc_id < p.doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / sa.n, 6) AS c_a_in_b,
+           round(CAST(n_common AS DOUBLE) / sb.n, 6) AS c_b_in_a
+    FROM common
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / sa.n >= {_CT_THRESHOLD}
+       OR CAST(n_common AS DOUBLE) / sb.n >= {_CT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment C(A,B) = |A∩B|/|A| ≥
+    {t} in either direction — catches a short document embedded in a
+    long one (quotes, boilerplate wrappers, chunked re-posts), which
+    symmetric Jaccard structurally misses (a 10-shingle doc inside a
+    1000-shingle doc has J ≈ 0.01).
+
+    Candidate generation: containment ≥ t guarantees any
+    (1−t)·|A|+1-element prefix of A (in ANY global order) intersects
+    B's FULL shingle set — our Jaccard prefix (n//2+1 ≥ 0.2n+1 at
+    t=0.8) over-covers, so recall is complete EXCEPT where the
+    frequency cap bites: prefix shingles with global frequency >
+    {cap} are skipped (the k²-hazard guard, same policy as the LSH
+    bucket cap, mirrored in the oracle so both engines agree
+    exactly). The probe joins doc prefixes against the full shingle
+    table — compact keys, hash-distributed, AQE-splittable — then
+    exact intersection counts verify only the candidates.
+    """
+    sh = shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("f", "shingle")
+    ranked = sh.join(freq, "shingle").withColumn("r", F.row_number().over(w))
+    prefix = (
+        ranked.join(sz, "doc_id")
+        .filter(
+            (F.col("r") <= F.expr("n div 2") + 1)
+            & (F.col("f") <= _CT_FREQ_CAP)
+        )
+        .select("doc_id", "shingle")
+    )
+    p = prefix.alias("p")
+    s = sh.alias("s")
+    hit = p.join(s, F.col("p.shingle") == F.col("s.shingle")).select(
+        F.col("p.doc_id").alias("x"), F.col("s.doc_id").alias("y")
+    )
+    cand = (
+        hit.filter(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
+        .union(
+            hit.filter(F.col("y") < F.col("x")).select(
+                F.col("y").alias("doc_a"), F.col("x").alias("doc_b")
+            )
+        )
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    ca = F.col("n_common").cast("double") / F.col("n_a")
+    cb = F.col("n_common").cast("double") / F.col("n_b")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((ca >= _CT_THRESHOLD) | (cb >= _CT_THRESHOLD))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 6).alias("c_a_in_b"),
+            F.round(cb, 6).alias("c_b_in_a"),
+        )
+    )

@@ -10,7 +10,7 @@ whole-stage codegen: no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.exact import sql_davg
@@ -965,4 +965,75 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_bigrams"),
         davg("surp", scale=12).alias("avg_surprisal"),
+    )
+
+
+# --- per-document keyword extraction (top-k TF-IDF terms) -------------------
+
+_KW_TOPK = 3
+
+
+@register(
+    "text_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_NE_TOKENS}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS n_in_doc FROM tok
+      GROUP BY doc_id, token
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(SUM(n_in_doc) AS BIGINT) AS doc_len FROM tf
+      GROUP BY doc_id
+    ),
+    df AS (
+      SELECT token, COUNT(*) AS n_docs_with FROM tf GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round((CAST(tf.n_in_doc AS DOUBLE) / doc_len)
+                   * ln(CAST(n_docs AS DOUBLE) / n_docs_with), 6) AS tfidf
+      FROM tf
+      JOIN doclen USING (doc_id)
+      JOIN df USING (token)
+      CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rnk
+      FROM scored)
+    SELECT doc_id,
+           string_agg(token, ',' ORDER BY rnk) AS keywords
+    FROM ranked WHERE rnk <= {_KW_TOPK}
+    GROUP BY doc_id
+    """,
+)
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-{k} TF-IDF terms,
+    rank-ordered and CSV-serialized — the tagging/routing signal a
+    corpus index or mixture labeler consumes downstream.
+
+    Scale shape: inherits text_tfidf's plan (two compact-key
+    shuffles, broadcast df/corpus-size sides), then a doc-partitioned
+    rank with WindowGroupLimit pruning to k per partition before the
+    shuffle, and an ordered in-group fold (sort_array over (rnk,
+    token) structs) serializes the keywords — arrays never leave the
+    plan, per the driver-canonicalizer contract.
+    """
+    scored = text_tfidf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KW_TOPK)
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rnk", "token"))),
+                lambda s: s["token"],
+            ),
+            ",",
+        ).alias("keywords")
     )
