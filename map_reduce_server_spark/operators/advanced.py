@@ -1903,3 +1903,141 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("overlap_us"),
         "n_errors",
     )
+
+
+# ---------------------------------------------------------------------------
+# Full correlation matrix in one scan (power-sum generalization of q_corr)
+# ---------------------------------------------------------------------------
+
+_CM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _sql_corr_matrix() -> str:
+    sums = ["COUNT(*) AS n"]
+    for c in _CM_COLS:
+        sums.append(f"{sql_dsum(c, scale=6)} AS s_{c}")
+    for i, a in enumerate(_CM_COLS):
+        for b in _CM_COLS[i:]:
+            sums.append(f"{sql_dsum(f'{a} * {b}', scale=9)} AS s_{a}_{b}")
+    legs = []
+    for i, a in enumerate(_CM_COLS):
+        for b in _CM_COLS[i + 1 :]:
+            legs.append(f"""
+            SELECT '{a}' AS col_a, '{b}' AS col_b,
+                   round((n * s_{a}_{b} - s_{a} * s_{b})
+                         / sqrt((n * s_{a}_{a} - s_{a} * s_{a})
+                                * (n * s_{b}_{b} - s_{b} * s_{b})), 6)
+                     AS pearson
+            FROM s""")
+    return (
+        "WITH s AS (SELECT "
+        + ", ".join(sums)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(legs)
+    )
+
+
+@register("q_corr_matrix", oracle=_sql_corr_matrix())
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of all {k} numeric lineitem
+    measures from ONE scan: a single aggregate computes every power
+    sum (k sums + k(k+1)/2 cross sums, all exact decimal), and the
+    6 pairwise correlations unpivot from that 1-row result — the
+    profiling matrix that naive implementations compute with k²/2
+    separate passes. The unpivot side is one row: zero extra
+    data movement, deterministic on any partitioning.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n")]
+    for c in _CM_COLS:
+        aggs.append(dsum(F.col(c), scale=6).alias(f"s_{c}"))
+    for i, a in enumerate(_CM_COLS):
+        for b in _CM_COLS[i:]:
+            aggs.append(
+                dsum(F.col(a) * F.col(b), scale=9).alias(f"s_{a}_{b}")
+            )
+    s = li.agg(*aggs)
+    legs = []
+    for i, a in enumerate(_CM_COLS):
+        for b in _CM_COLS[i + 1 :]:
+            n = F.col("n")
+            num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            den = F.sqrt(
+                (n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (
+                    n * F.col(f"s_{b}_{b}")
+                    - F.col(f"s_{b}") * F.col(f"s_{b}")
+                )
+            )
+            legs.append(
+                s.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(num / den, 6).alias("pearson"),
+                )
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_benford_check",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+          GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+    SELECT digit, n,
+           round(n / total, 6) AS observed,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected,
+           round((n / total - ln(1.0 + 1.0 / digit) / ln(10.0))
+                 * (n / total - ln(1.0 + 1.0 / digit) / ln(10.0))
+                 / (ln(1.0 + 1.0 / digit) / ln(10.0)), 9) AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+)
+def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order values: observed vs expected
+    first-digit shares (expected = log10(1 + 1/d)) with per-digit
+    chi-square terms — the classic anomaly screen for fabricated or
+    re-scaled financial data, run here as a data-quality monitor
+    next to q_drift_psi.
+
+    Scale shape: digit extraction is string arithmetic on the
+    truncated integer part (identical in both engines — no float
+    formatting), the aggregate is 9 groups, and the total folds in
+    as a broadcast 1-row sum.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    # floor() explicitly: Spark's double->bigint cast truncates while
+    # DuckDB's rounds — floor is the one semantics both engines share.
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    expected = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    obs = F.col("n") / F.col("total")
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round((obs - expected) * (obs - expected) / expected, 9).alias(
+            "chi2_term"
+        ),
+    )
