@@ -1,0 +1,368 @@
+"""Statistical-audit operators: inequality, independence, robust
+outliers, backtested forecasting, and blocked fuzzy matching.
+
+These extend the warehouse-analytics surface the reference's
+map/sort/reduce pipeline could only approximate with hand-written
+executables (reference ``tests/testdata/exec/*`` are the closest
+analogue — free-form per-line scoring scripts); here each is a
+declarative DataFrame plan Catalyst can push down and parallelize.
+
+Determinism contract (shared with every oracle in this repo): any
+float reduction over a group is either (a) a sum of DECIMAL-cast
+terms (associative, partitioning-invariant) or (b) arithmetic on
+already-reduced scalars — never a raw double sum whose value depends
+on partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.tables import load_table
+
+
+@register(
+    "q_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c_nationkey AS nationkey, o_custkey AS custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT nationkey, rev,
+             ROW_NUMBER() OVER (PARTITION BY nationkey
+                                ORDER BY rev, custkey) AS i
+      FROM rev)
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(CAST(rev AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS total_rev,
+           round((2.0 * CAST(SUM(CAST(i * rev AS DECIMAL(38,2))) AS DOUBLE)
+                  - (COUNT(*) + 1.0)
+                    * CAST(SUM(CAST(rev AS DECIMAL(30,2))) AS DOUBLE))
+                 / (COUNT(*)
+                    * CAST(SUM(CAST(rev AS DECIMAL(30,2))) AS DOUBLE)),
+                 6) AS gini
+    FROM ranked JOIN nation ON nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue (Lorenz-rank
+    formula ``G = (2*Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)`` over
+    revenue sorted ascending, ties broken by custkey so the rank —
+    and therefore the statistic — is unique).
+
+    Scale: one shuffle to aggregate revenue per customer, one
+    window partitioned BY NATION (each partition sorts independently
+    — never a global sort), then a 25-row broadcast join to name the
+    nation. Both Σ terms are decimal sums, so the result is identical
+    under any partitioning of a 100 TB orders table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("rev", "custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    srev = F.sum(F.col("rev").cast("decimal(30,2)")).cast("double")
+    sirev = F.sum((F.col("i") * F.col("rev")).cast("decimal(38,2)")).cast(
+        "double"
+    )
+    n = F.count("*")
+    return (
+        ranked.join(
+            F.broadcast(nation),
+            F.col("nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            n.cast("bigint").alias("n_customers"),
+            F.round(srev, 2).alias("total_rev"),
+            F.round((2.0 * sirev - (n + 1.0) * srev) / (n * srev), 6).alias(
+                "gini"
+            ),
+        )
+    )
+
+
+@register(
+    "q_crosstab_chisq",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT status, priority, observed,
+             SUM(observed) OVER (PARTITION BY status) AS row_total,
+             SUM(observed) OVER (PARTITION BY priority) AS col_total,
+             SUM(observed) OVER () AS grand
+      FROM obs),
+    cells AS (
+      SELECT status, priority, observed,
+             round(CAST(row_total AS DOUBLE) * col_total / grand, 6)
+               AS expected,
+             round(POWER(observed - CAST(row_total AS DOUBLE) * col_total
+                                    / grand, 2)
+                   / (CAST(row_total AS DOUBLE) * col_total / grand), 6)
+               AS contribution
+      FROM m)
+    SELECT status, priority, observed, expected, contribution,
+           CAST(SUM(CAST(contribution AS DECIMAL(30,6))) OVER ()
+                AS DOUBLE) AS chi2
+    FROM cells
+    """,
+)
+def q_crosstab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table chi-squared independence audit between order
+    status and priority: per-cell observed/expected counts and
+    contribution, plus the global χ² statistic on every row.
+
+    Scale: the only full-data pass is the initial groupBy (partial
+    aggregation map-side); everything after runs on the tiny
+    |status|×|priority| cell grid, so the window functions cost
+    nothing. The χ² total sums DECIMAL-cast rounded contributions —
+    an associative reduction, stable under any row order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").cast("bigint").alias("observed"))
+    )
+    m = (
+        obs.withColumn(
+            "row_total",
+            F.sum("observed").over(Window.partitionBy("status")),
+        )
+        .withColumn(
+            "col_total",
+            F.sum("observed").over(Window.partitionBy("priority")),
+        )
+        .withColumn(
+            "grand",
+            F.sum("observed").over(
+                Window.partitionBy()
+            ),
+        )
+    )
+    expected = (
+        F.col("row_total").cast("double") * F.col("col_total") / F.col("grand")
+    )
+    cells = m.select(
+        "status",
+        "priority",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            F.pow(F.col("observed") - expected, F.lit(2)) / expected, 6
+        ).alias("contribution"),
+    )
+    return cells.withColumn(
+        "chi2",
+        F.sum(F.col("contribution").cast("decimal(30,6)"))
+        .over(Window.partitionBy())
+        .cast("double"),
+    )
+
+
+@register(
+    "q_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, med.med,
+             abs(e.value - med.med) AS adev
+      FROM events e JOIN med ON e.event_type = med.event_type),
+    mad AS (
+      SELECT event_type, any_value(med) AS med,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT dev.event_type,
+           round(mad.med, 6) AS median_value,
+           round(mad.mad, 6) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN dev.adev > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type, mad.med, mad.mad
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute
+    deviation (MAD), flagging |x − median| > 3·1.4826·MAD — the
+    estimator of choice when the mean/stddev are themselves dragged
+    by the outliers being hunted.
+
+    Scale: two grouped exact-percentile aggregations with a broadcast
+    join of the per-type medians in between (|event_type| is tiny).
+    Exact interpolated percentiles match DuckDB's ``quantile_cont``
+    bit-for-bit on identical inputs, as already proven by
+    ``q_percentiles``; at 100 TB the drop-in relaxation is
+    ``approx_percentile`` with a bounded error.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+            "n",
+            "n_outliers",
+        )
+    )
+
+
+@register(
+    "q_forecast_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS actual
+      FROM events GROUP BY 1, 2),
+    fc AS (
+      SELECT event_type, d, actual,
+             LAG(actual, 7) OVER (PARTITION BY event_type ORDER BY d)
+               AS forecast
+      FROM daily)
+    SELECT event_type,
+           CAST(COUNT(forecast) AS BIGINT) AS n_scored_days,
+           round(CAST(SUM(CAST(abs(actual - forecast) AS DECIMAL(30,6)))
+                      AS DOUBLE) / COUNT(forecast), 6) AS mae,
+           round(CAST(SUM(CAST(abs(actual - forecast) / actual
+                               AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(forecast), 6) AS mape
+    FROM fc
+    GROUP BY event_type
+    """,
+)
+def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue
+    per event type with the value 7 days (one season) earlier, and
+    score MAE/MAPE over every day that has a forecast — the baseline
+    every fancier forecaster must beat.
+
+    Scale: the daily rollup collapses the fact table to
+    |event_type|×|days| rows BEFORE the window, so the LAG runs on a
+    trivially small frame; error sums are decimal-cast (MAPE terms at
+    scale 12 to keep the per-day quotient exact enough to round to
+    6). Daily actuals are themselves exact decimal sums, so both
+    engines interpolate from identical doubles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("actual")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    fc = daily.withColumn("forecast", F.lag("actual", 7).over(w))
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return fc.groupBy("event_type").agg(
+        F.count("forecast").cast("bigint").alias("n_scored_days"),
+        F.round(
+            F.sum(err.cast("decimal(30,6)")).cast("double")
+            / F.count("forecast"),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.sum((err / F.col("actual")).cast("decimal(30,12)")).cast(
+                "double"
+            )
+            / F.count("forecast"),
+            6,
+        ).alias("mape"),
+    )
+
+
+@register(
+    "q_fuzzy_name_match",
+    oracle="""
+    WITH names AS (
+      SELECT p_name AS name, split_part(p_name, ' ', 1) AS block,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+           a.n_parts * b.n_parts AS n_row_pairs
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over the part-name vocabulary:
+    candidate pairs share a blocking key (first word), survive an
+    edit-distance ≤ 3 filter, and report how many raw row pairs each
+    name-level match covers.
+
+    Scale: the classic ER optimization — dedupe to the DISTINCT name
+    vocabulary first (orders of magnitude smaller than the part
+    table), block, and only then pay the quadratic comparison inside
+    blocks. The name table is broadcast-joined to itself; the raw
+    part table is touched exactly once. Production refinement for
+    skewed blocks is a second blocking key (name length band), noted
+    but unnecessary at this vocabulary size.
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(
+        F.col("p_name").alias("name"),
+        F.split("p_name", " ").getItem(0).alias("block"),
+    ).agg(F.count("*").cast("bigint").alias("n_parts"))
+    a = names.alias("a")
+    b = F.broadcast(names.alias("b"))
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            dist.cast("bigint").alias("dist"),
+            (F.col("a.n_parts") * F.col("b.n_parts")).alias("n_row_pairs"),
+        )
+    )

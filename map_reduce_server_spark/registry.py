@@ -78,6 +78,7 @@ def load_all() -> None:
         relational,
         retrieval,
         similarity,
+        stats,
         subqueries,
         text,
         tpch,
