@@ -1037,3 +1037,171 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("keywords")
     )
+
+
+@register(
+    "text_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_NE_TOKENS}) AS token FROM documents),
+    tc AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(log2(CAST(SUM(c) AS DOUBLE))
+                 - CAST(SUM(CAST(c * log2(CAST(c AS DOUBLE))
+                                 AS DECIMAL(30,12))) AS DOUBLE) / SUM(c),
+                 6) AS token_entropy_bits
+    FROM tc GROUP BY doc_id
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits)
+    — the information-density quality signal that separates natural
+    prose from boilerplate/keyword-stuffed spam. Uses the identity
+    H = log2(N) − (Σ c·log2 c)/N so only one grouped pass over
+    (doc, token) counts is needed.
+
+    Scale: explode → two hash aggregations keyed by doc_id (the
+    second is map-side-combinable on the same key, so AQE coalesces
+    to one effective shuffle). The Σ c·log2 c term is decimal-cast —
+    associative, partitioning-invariant — and log2 on identical
+    integer counts is bit-identical across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens_col(F.col("text"), keep_empty=False)).alias(
+                "token"
+            ),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n = F.sum("c")
+    return tc.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(
+            F.log2(n.cast("double"))
+            - F.sum(
+                (F.col("c") * F.log2(F.col("c").cast("double"))).cast(
+                    "decimal(30,12)"
+                )
+            ).cast("double")
+            / n,
+            6,
+        ).alias("token_entropy_bits"),
+    )
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             greatest(len({_SQL_NE_TOKENS}), 1) AS words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS sentences,
+             greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS syllables
+      FROM documents)
+    SELECT doc_id, CAST(words AS BIGINT) AS words,
+           CAST(sentences AS BIGINT) AS sentences,
+           CAST(syllables AS BIGINT) AS syllables,
+           round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                 - 84.6 * (CAST(syllables AS DOUBLE) / words), 6)
+             AS flesch_score
+    FROM t
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, with syllables approximated
+    as vowel-group runs — the standard cheap readability gate in a
+    text-quality stack (exact syllabification needs a dictionary;
+    the vowel-run proxy is the accepted streaming-scale stand-in).
+
+    Scale: embarrassingly parallel — three regexp counts and one
+    arithmetic expression per row, all inside whole-stage codegen;
+    no shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.greatest(
+        F.size(tokens_col(F.col("text"), keep_empty=False)), F.lit(1)
+    )
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("bigint").alias("words"),
+        sentences.cast("bigint").alias("sentences"),
+        syllables.cast("bigint").alias("syllables"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (words.cast("double") / sentences)
+            - 84.6 * (syllables.cast("double") / words),
+            6,
+        ).alias("flesch_score"),
+    )
+
+
+_BPE_TOPK = 20
+
+
+@register(
+    "text_bpe_train",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_NE_TOKENS}) AS tok FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                                   i -> substr(tok, CAST(i AS INT), 2)))
+               AS pair
+      FROM tok WHERE length(tok) >= 2),
+    counted AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair)
+    SELECT pair, n, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT pair, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+      FROM counted) t
+    WHERE rnk <= {_BPE_TOPK}
+    """,
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One training round of byte-pair encoding: count every adjacent
+    character pair inside every token across the corpus and rank the
+    top-{k} merge candidates (count desc, pair asc — a total order,
+    so the winner set is unique). Iterating this op IS the BPE
+    tokenizer-training loop; one round exercises the full plan shape.
+
+    Scale: explode to pairs → map-side-combined count on a key space
+    bounded by |alphabet|² (tiny), then a top-k over that bounded
+    aggregate — the global "sort" touches only the pair vocabulary,
+    never the corpus. Complements text_bpe_tokens (which APPLIES
+    merges; reference analogue: the wc executables' whitespace
+    tokenizer, tests/testdata/exec/wc_map.sh:12).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens_col(F.col("text"), keep_empty=False)).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.orderBy(F.desc("n"), "pair")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _BPE_TOPK)
+    )
