@@ -366,3 +366,142 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.n_parts") * F.col("b.n_parts")).alias("n_row_pairs"),
         )
     )
+
+
+@register(
+    "q_ab_test_welch",
+    oracle="""
+    WITH split AS (
+      SELECT CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 2 AS grp,
+             n_chars AS x
+      FROM documents),
+    s AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sx2
+      FROM split GROUP BY grp),
+    m AS (
+      SELECT grp, n, sx / n AS mean,
+             (sx2 - sx * sx / n) / (n - 1) AS var
+      FROM s),
+    pair AS (
+      SELECT a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+             b.n AS n_b, b.mean AS mean_b, b.var AS var_b
+      FROM m a JOIN m b ON a.grp = 0 AND b.grp = 1)
+    SELECT n_a, round(mean_a, 6) AS mean_a, n_b,
+           round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+           round(POWER(var_a / n_a + var_b / n_b, 2)
+                 / (POWER(var_a / n_a, 2) / (n_a - 1)
+                    + POWER(var_b / n_b, 2) / (n_b - 1)), 6) AS welch_df
+    FROM pair
+    """,
+)
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test of document length between the
+    engine's deterministic hash splits (same ``md5('split:'||id) % 2``
+    gate as q_drift_psi / text_train_test_split) — the experiment
+    readout that decides whether an A/B difference is noise. Variance
+    comes from the one-pass sufficient statistics (Σx, Σx², n), both
+    DECIMAL-exact, so the t statistic is partitioning-invariant.
+
+    Scale: a single scan producing two (n, Σx, Σx²) triples, then
+    scalar arithmetic on a 2-row table self-joined into one row.
+    This is the canonical "sufficient statistics, not data, move"
+    pattern: the shuffle payload is 6 numbers.
+    """
+    from map_reduce_server_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    grp = (
+        md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 2
+    )
+    s = (
+        docs.select(grp.alias("grp"), F.col("n_chars").alias("x"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("x").cast("decimal(30,0)")).cast("double").alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sx2"),
+        )
+    )
+    m = s.select(
+        "grp",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        ((F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias("var"),
+    )
+    a = m.filter(F.col("grp") == 0).alias("a")
+    b = m.filter(F.col("grp") == 1).alias("b")
+    se2 = F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n_a"),
+        F.round(F.col("a.mean"), 6).alias("mean_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("b.mean"), 6).alias("mean_b"),
+        F.round((F.col("a.mean") - F.col("b.mean")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2, F.lit(2))
+            / (
+                F.pow(F.col("a.var") / F.col("a.n"), F.lit(2))
+                / (F.col("a.n") - 1)
+                + F.pow(F.col("b.var") / F.col("b.n"), F.lit(2))
+                / (F.col("b.n") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "q_skyline_parts",
+    oracle="""
+    WITH pmax AS (
+      SELECT p_retailprice AS price, MAX(p_size) AS msize
+      FROM part GROUP BY p_retailprice),
+    sky AS (
+      SELECT price, msize,
+             MAX(msize) OVER (ORDER BY price
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+      FROM pmax)
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN sky
+      ON p.p_retailprice = sky.price AND p.p_size = sky.msize
+    WHERE sky.prev_max IS NULL OR sky.msize > sky.prev_max
+    """,
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of parts: cheapest-for-their-size frontier
+    (minimize retail price, maximize size; a part survives iff no
+    other part is ≤ price AND ≥ size with one strict — exact ties on
+    both axes all survive).
+
+    Scale: the skyline is computed on the DISTINCT-price maxima
+    (groupBy price → max size), so the running-max window sorts only
+    |distinct prices| rows — never the part table; survivors join
+    back by (price, size) equi-keys. At 100 TB the distinct-price
+    table still fits one stage; if it didn't, the standard
+    refinement is per-partition local skyline (monotone filter) then
+    merge, which this plan's group-then-window structure already
+    mirrors.
+    """
+    part = load_table(spark, sf_dir, "part")
+    pmax = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("msize")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    sky = pmax.withColumn("prev_max", F.max("msize").over(w)).filter(
+        F.col("prev_max").isNull() | (F.col("msize") > F.col("prev_max"))
+    )
+    return part.join(
+        F.broadcast(sky),
+        (part.p_retailprice == sky.price) & (part.p_size == sky.msize),
+    ).select("p_partkey", "p_retailprice", "p_size")
