@@ -505,3 +505,258 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(sky),
         (part.p_retailprice == sky.price) & (part.p_size == sky.msize),
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^{-1} Σ 1/k!) —
+# written as shared literals so both engines compare the SAME doubles.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+_N_BOOT = 20
+
+
+def _sql_uniform(tag: str, id_expr: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('{tag}:' || {id_expr}), 1, 15)) AS BIGINT)"
+        " % 1000000 + 1) / 1000000.0"
+    )
+
+
+def _sql_poisson(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT doc_id, n_chars AS x, r
+      FROM documents, range({_N_BOOT}) t(r)),
+    weighted AS (
+      SELECT r,
+             {_sql_poisson(_sql_uniform("bs", "CAST(r AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"))}
+               AS w, x
+      FROM reps),
+    per_rep AS (
+      SELECT r,
+             round(CAST(SUM(CAST(w * x AS DECIMAL(38,0))) AS DOUBLE)
+                   / SUM(w), 9) AS m
+      FROM weighted GROUP BY r),
+    full_mean AS (
+      SELECT round(CAST(SUM(CAST(n_chars AS DECIMAL(30,0))) AS DOUBLE)
+                   / COUNT(*), 9) AS pe
+      FROM documents)
+    SELECT CAST({_N_BOOT} AS BIGINT) AS n_replicas,
+           (SELECT pe FROM full_mean) AS point_estimate,
+           round(CAST(SUM(CAST(m AS DECIMAL(30,12))) AS DOUBLE)
+                 / {_N_BOOT}, 6) AS boot_mean,
+           round(sqrt((CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE)
+                       - POWER(CAST(SUM(CAST(m AS DECIMAL(30,12)))
+                                    AS DOUBLE), 2) / {_N_BOOT})
+                      / ({_N_BOOT} - 1)), 6) AS boot_se,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM per_rep
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of the mean document length:
+    each of 20 replicas weights every row by Poisson(1) drawn from an
+    md5-derived uniform (the streaming-scale bootstrap — no
+    resampling pass, no shared RNG state), then the replica means
+    yield a standard error and a percentile CI.
+
+    Scale: the 20× row expansion happens map-side (explode of a
+    literal range) and is absorbed immediately by a 20-group partial
+    aggregation — the shuffle carries 20 rows of sufficient
+    statistics no matter the corpus size. Replica means are rounded
+    to 9 digits before the summary pass (libm-portability guard,
+    same policy as q_weighted_sample's keys); all sums DECIMAL.
+    """
+    from map_reduce_server_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT - 1))).alias("r"),
+    )
+    u = (
+        md5_long(
+            F.concat(
+                F.lit("bs:"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        % 1000000
+        + 1
+    ) / 1000000.0
+    w = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS_CDF[k], F.lit(k)).otherwise(w)
+    per_rep = (
+        reps.withColumn("w", w)
+        .groupBy("r")
+        .agg(
+            F.round(
+                F.sum((F.col("w") * F.col("x")).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.sum("w"),
+                9,
+            ).alias("m")
+        )
+    )
+    full_mean = docs.agg(
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(30,0)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("pe")
+    )
+    sm = F.sum(F.col("m").cast("decimal(30,12)")).cast("double")
+    sm2 = F.sum((F.col("m") * F.col("m")).cast("decimal(38,18)")).cast(
+        "double"
+    )
+    return (
+        per_rep.crossJoin(F.broadcast(full_mean))
+        .groupBy()
+        .agg(
+            F.lit(_N_BOOT).cast("bigint").alias("n_replicas"),
+            F.any_value("pe").alias("point_estimate"),
+            F.round(sm / _N_BOOT, 6).alias("boot_mean"),
+            F.round(
+                F.sqrt(
+                    (sm2 - F.pow(sm, F.lit(2)) / _N_BOOT) / (_N_BOOT - 1)
+                ),
+                6,
+            ).alias("boot_se"),
+            F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+            F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+        )
+    )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+    rfm AS (
+      SELECT user_id,
+             date_diff('day', CAST(MAX(ts) AS DATE),
+                       CAST((SELECT tmax FROM mx) AS DATE)) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             round(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2)
+               AS monetary
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary,
+           CASE WHEN recency_days <= 7 AND frequency >= 100
+                  THEN 'champion'
+                WHEN recency_days <= 7 THEN 'recent'
+                WHEN frequency >= 100 THEN 'loyal'
+                WHEN recency_days > 21 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM rfm
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) feature extraction with
+    rule-based segmentation — the canonical churn/value labeling pass
+    a marketing or retention model trains on.
+
+    Scale: one grouped aggregation per user (map-side combinable);
+    the corpus max timestamp is a broadcast 1-row aggregate
+    (crossJoin pattern), so no second scan and no driver action.
+    Fixed rule thresholds keep the op single-pass — quantile-based
+    scoring would add one `approx_percentile` pass over the
+    already-aggregated user table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    rfm = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(F.col("tmax").cast("date"), F.col("last_ts").cast("date"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return rfm.withColumn(
+        "segment",
+        F.when(
+            (F.col("recency_days") <= 7) & (F.col("frequency") >= 100),
+            "champion",
+        )
+        .when(F.col("recency_days") <= 7, "recent")
+        .when(F.col("frequency") >= 100, "loyal")
+        .when(F.col("recency_days") > 21, "at_risk")
+        .otherwise("regular"),
+    )
+
+
+@register(
+    "q_dp_count_release",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type),
+    noised AS (
+      SELECT event_type, n,
+             {_sql_uniform("dp", "event_type")} - 0.5 AS v
+      FROM c)
+    SELECT event_type, n,
+           round(n - sign(v) * ln(1.0 - 2.0 * abs(v)), 6) AS noisy_n
+    FROM noised
+    """,
+)
+def q_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: per-type event counts
+    with Laplace(1/ε) noise (ε=1, sensitivity 1) drawn by inverse
+    CDF from an md5-derived uniform — deterministic here so the
+    oracle can verify the MECHANISM's plan; a production release
+    would draw fresh randomness and drop the true ``n`` column
+    (both noted so the op is honest about what it demonstrates).
+
+    Scale: the aggregate is the whole cost; noise is O(|groups|)
+    scalar math after the shuffle. This is the aggregate-then-noise
+    shape every DP analytics system (e.g. plume-style pipelines)
+    uses — noise must be added post-aggregation, once per released
+    statistic, never per row.
+    """
+    from map_reduce_server_spark.functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    u = (md5_long(F.concat(F.lit("dp:"), F.col("event_type"))) % 1000000 + 1) / 1000000.0
+    v = u - 0.5
+    return c.select(
+        "event_type",
+        "n",
+        F.round(
+            F.col("n")
+            - F.signum(v) * F.log(F.lit(1.0) - 2.0 * F.abs(v)),
+            6,
+        ).alias("noisy_n"),
+    )
