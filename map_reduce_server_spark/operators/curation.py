@@ -689,3 +689,79 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _WS_TOPK)
         .select("source", "doc_id", "sample_key", "rnk")
     )
+
+
+_SNAP_CUTOFF = "1998-01-01"
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_CUTOFF}'
+      GROUP BY 1),
+    new AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+      FROM orders GROUP BY 1)
+    SELECT new.custkey,
+           CASE WHEN old.custkey IS NULL THEN 'added'
+                WHEN old.rev <> new.rev THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           round(CAST(old.rev AS DOUBLE), 2) AS old_rev,
+           round(CAST(new.rev AS DOUBLE), 2) AS new_rev,
+           round(CAST(new.rev - COALESCE(old.rev, 0) AS DOUBLE), 2)
+             AS delta
+    FROM new LEFT JOIN old ON new.custkey = old.custkey
+    WHERE old.custkey IS NULL OR old.rev <> new.rev
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-materialization audit: diff a derived table
+    (revenue per customer) between the snapshot as of ``_SNAP_CUTOFF``
+    and the current one, classifying every key as added / changed /
+    unchanged and emitting the delta for the changed set — the check
+    a pipeline runs before publishing an incremental refresh against
+    a full recompute. (Removed keys cannot occur under append-only
+    facts, so the join is LEFT from the new side; a general
+    bidirectional diff would go FULL OUTER with a 'removed' branch.)
+
+    Scale: both snapshots are partial-agg rollups of the same fact
+    scan (Catalyst reuses the scan), joined on the 8-byte group key;
+    deltas are exact decimal subtraction. The WHERE keeps output
+    proportional to churn, not to table size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    old = (
+        orders.filter(F.col("o_orderdate") < F.lit(_SNAP_CUTOFF).cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("old_rev_d"))
+    )
+    new = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("new_rev_d")
+    )
+    joined = new.join(old, "custkey", "left")
+    return (
+        joined.withColumn(
+            "status",
+            F.when(F.col("old_rev_d").isNull(), "added")
+            .when(F.col("old_rev_d") != F.col("new_rev_d"), "changed")
+            .otherwise("unchanged"),
+        )
+        .filter(F.col("status") != "unchanged")
+        .select(
+            "custkey",
+            "status",
+            F.round(F.col("old_rev_d").cast("double"), 2).alias("old_rev"),
+            F.round(F.col("new_rev_d").cast("double"), 2).alias("new_rev"),
+            F.round(
+                (
+                    F.col("new_rev_d")
+                    - F.coalesce(F.col("old_rev_d"), F.lit(0))
+                ).cast("double"),
+                2,
+            ).alias("delta"),
+        )
+    )

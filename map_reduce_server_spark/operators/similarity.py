@@ -923,3 +923,83 @@ def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "class_weight"
         ),
     )
+
+
+def _registry_oracle_bf() -> str:
+    # ann_topk_bruteforce registers earlier in this module, so its
+    # oracle is available by the time this decorator evaluates.
+    from map_reduce_server_spark.registry import ORACLE
+
+    return ORACLE["ann_topk_bruteforce"]
+
+
+@register(
+    "q_knn_classifier",
+    oracle=f"""
+    WITH nn AS (SELECT query_id, neighbor_id
+                FROM ({_registry_oracle_bf()}) t),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    votes AS (
+      SELECT nn.query_id, lab.label,
+             CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM nn JOIN lab ON nn.neighbor_id = lab.vec_id
+      GROUP BY 1, 2),
+    best AS (
+      SELECT query_id, label AS predicted_label, n_votes
+      FROM (SELECT query_id, label, n_votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n_votes DESC, label) AS r
+            FROM votes) t
+      WHERE r = 1)
+    SELECT best.query_id, q.label AS true_label,
+           best.predicted_label, best.n_votes,
+           CASE WHEN q.label = best.predicted_label
+                THEN 1 ELSE 0 END AS correct
+    FROM best JOIN lab q ON best.query_id = q.vec_id
+    """,
+)
+def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification of the benchmark query
+    vectors from their top-{k} cosine neighbors' labels (ties break
+    to the smallest label — a total order both engines share) —
+    the label-propagation / weak-supervision primitive that turns a
+    similarity index into an annotator.
+
+    Scale: composes the registered brute-force top-k (corpus never
+    shuffles; swap in ann_topk_ivf for the approximate serving path
+    — same downstream vote), then all remaining joins and the vote
+    run on |queries|×k rows. The label side joins by vec_id —
+    broadcastable at any corpus size where labels fit an executor;
+    beyond that it is a plain equi-join on the 8-byte key.
+    """
+    nn = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    lab = _emb_labels(spark, sf_dir)
+    votes = (
+        nn.join(lab, nn.neighbor_id == lab.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("bigint").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "label")
+    best = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+    truth = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return best.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        "predicted_label",
+        "n_votes",
+        F.when(F.col("true_label") == F.col("predicted_label"), 1)
+        .otherwise(0)
+        .alias("correct"),
+    )
+
+
+def _emb_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_server_spark.tables import load_table as _lt
+
+    return _lt(spark, sf_dir, "embeddings").select("vec_id", "label")
