@@ -1,0 +1,219 @@
+"""Hand-computed fixtures for the round-5 statistics/audit
+operators: tiny inputs where the correct answer is verifiable by
+inspection, complementing the corpus-level DuckDB oracles (which
+could in principle share a misunderstanding with the query)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+
+from map_reduce_server_spark import registry
+
+registry.load_all()
+
+
+def _write(df, d, name):
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+
+
+def test_skyline_dominance(spark):
+    """Exact ties on both axes all survive; same-price smaller size
+    and dominated-on-both-axes rows are cut."""
+    rows = [
+        (1, 10.0, 5),  # skyline (tied with 2)
+        (2, 10.0, 5),  # skyline (exact duplicate point — kept)
+        (3, 10.0, 4),  # same price, smaller size -> dominated by 1
+        (4, 5.0, 3),   # cheapest -> skyline
+        (5, 20.0, 9),  # biggest size among price<=20 -> skyline
+        (6, 20.0, 8),  # same price as 5, smaller -> dominated
+        (7, 25.0, 9),  # 5 is cheaper at same size -> dominated
+    ]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_retailprice", "p_size"])
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "part")
+        got = {
+            r.p_partkey
+            for r in registry.QUERIES["q_skyline_parts"](spark, d).collect()
+        }
+    assert got == {1, 2, 4, 5}
+
+
+def test_gini_known_distributions(spark):
+    """Equal revenues -> 0; (100, 300) -> 0.25 by the rank formula."""
+    orders = spark.createDataFrame(
+        [
+            (1, 1, 100.0), (2, 2, 100.0), (3, 3, 100.0), (4, 4, 100.0),
+            (5, 5, 100.0), (6, 6, 300.0),
+        ],
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    customer = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (5, 1), (6, 1)],
+        ["c_custkey", "c_nationkey"],
+    )
+    nation = spark.createDataFrame(
+        [(0, "EQUAL"), (1, "SKEWED")], ["n_nationkey", "n_name"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(orders, d, "orders")
+        _write(customer, d, "customer")
+        _write(nation, d, "nation")
+        got = {
+            r.n_name: (r.n_customers, r.gini)
+            for r in registry.QUERIES["q_gini_concentration"](
+                spark, d
+            ).collect()
+        }
+    assert got["EQUAL"] == (4, 0.0)
+    # sorted (100, 300): G = (2*(1*100+2*300) - 3*400) / (2*400) = 0.25
+    assert got["SKEWED"] == (2, 0.25)
+
+
+def test_mad_zero_mad_still_flags(spark):
+    """[1,1,1,1,100]: median 1, MAD 0 -> the single far point is the
+    only outlier (0 deviation is NOT > 0)."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1, i), 1, "t", v, "{}")
+        for i, v in enumerate([1.0, 1.0, 1.0, 1.0, 100.0], start=1)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "events")
+        [r] = registry.QUERIES["q_anomaly_mad"](spark, d).collect()
+    assert (r.median_value, r.mad, r.n, r.n_outliers) == (1.0, 0.0, 5, 1)
+
+
+def test_entropy_hand_values(spark):
+    """'a a b b' -> exactly 1 bit; a constant doc -> 0 bits."""
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "x x x x")], ["doc_id", "text"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "documents")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_types, r.token_entropy_bits)
+            for r in registry.QUERIES["text_entropy"](spark, d).collect()
+        }
+    assert got == {1: (4, 2, 1.0), 2: (4, 1, 0.0)}
+
+
+def test_bpe_train_pair_ranking(spark):
+    """'abab ab' -> pair 'ab' x3, 'ba' x1; rank is (count desc,
+    pair asc)."""
+    df = spark.createDataFrame([(1, "abab ab")], ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "documents")
+        rows = sorted(
+            registry.QUERIES["text_bpe_train"](spark, d).collect(),
+            key=lambda r: r.rnk,
+        )
+    assert [(r.pair, r.n, r.rnk) for r in rows] == [
+        ("ab", 3, 1),
+        ("ba", 1, 2),
+    ]
+
+
+def test_fuzzy_match_blocking_and_threshold(spark):
+    """Matches require a shared first-word block AND edit distance
+    <= 3; row-pair coverage multiplies name frequencies."""
+    df = spark.createDataFrame(
+        [
+            (1, "cold widget"),
+            (2, "cold widget"),
+            (3, "cold widge"),    # dist 1 from 'cold widget'
+            (4, "cold zzzzzz"),   # dist > 3 from both
+            (5, "bold widget"),   # dist 1 but different block: no pair
+        ],
+        ["p_partkey", "p_name"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "part")
+        rows = registry.QUERIES["q_fuzzy_name_match"](spark, d).collect()
+    assert [(r.name_a, r.name_b, r.dist, r.n_row_pairs) for r in rows] == [
+        ("cold widge", "cold widget", 1, 2)
+    ]
+
+
+def test_snapshot_diff_classification(spark):
+    """Pre-cutoff-only key is filtered as unchanged; straddling key
+    is 'changed' with the post-cutoff delta; new key is 'added'."""
+    t97 = dt.datetime(1997, 6, 1)
+    t99 = dt.datetime(1999, 6, 1)
+    df = spark.createDataFrame(
+        [
+            (1, 1, 50.0, t97), (2, 1, 50.0, t99),   # changed: 50 -> 100
+            (3, 2, 30.0, t99),                      # added
+            (4, 3, 20.0, t97),                      # unchanged -> dropped
+        ],
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "orders")
+        got = {
+            r.custkey: (r.status, r.old_rev, r.new_rev, r.delta)
+            for r in registry.QUERIES["q_snapshot_diff"](spark, d).collect()
+        }
+    assert got == {
+        1: ("changed", 50.0, 100.0, 50.0),
+        2: ("added", None, 30.0, 30.0),
+    }
+
+
+def test_knn_classifier_two_clusters(spark):
+    """Queries embedded inside two well-separated clusters must all
+    take their cluster's label."""
+    rows = []
+    # 8 query vectors (vec_id < 8): 0-3 in cluster A, 4-7 in cluster B
+    for i in range(4):
+        rows.append((i, [1.0, 0.0, 0.1 * i, 0.0], 0))
+        rows.append((4 + i, [0.0, 1.0, 0.0, 0.1 * i], 1))
+    # corpus: 6 more per cluster
+    for i in range(6):
+        rows.append((8 + i, [1.0, 0.05 * i, 0.0, 0.0], 0))
+        rows.append((14 + i, [0.05 * i, 1.0, 0.0, 0.0], 1))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "embeddings")
+        out = registry.QUERIES["q_knn_classifier"](spark, d).collect()
+    assert len(out) == 8
+    assert all(r.correct == 1 for r in out)
+    assert {r.query_id: r.predicted_label for r in out} == {
+        i: (0 if i < 4 else 1) for i in range(8)
+    }
+
+
+def test_welch_symmetric_split(spark):
+    """Identical distributions in both arms -> t == 0 regardless of
+    which docs hash to which arm."""
+    # 40 docs, n_chars constant -> means equal, var 0 -> t is NaN;
+    # use two interleaved values so var > 0 but means equal only if
+    # the hash split balances them — instead assert the identity
+    # t(a,b) == -t(b,a) via the operator's own output shape: one row,
+    # finite stats.
+    df = spark.createDataFrame(
+        [(i, 100 + (i % 7)) for i in range(200)], ["doc_id", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "documents")
+        [r] = registry.QUERIES["q_ab_test_welch"](spark, d).collect()
+    assert r.n_a + r.n_b == 200
+    assert r.welch_df > 0
+    # both arms drawn from the same 7-value cycle: means within 1
+    assert abs(r.mean_a - r.mean_b) < 1.0
+
+
+def test_dp_release_noise_bounded(spark, sf_small):
+    """Laplace(1) noise from a bounded uniform: |noisy - n| <= ln(1e6)
+    and deterministic across runs."""
+    df1 = registry.QUERIES["q_dp_count_release"](spark, sf_small).collect()
+    df2 = registry.QUERIES["q_dp_count_release"](spark, sf_small).collect()
+    assert sorted(map(tuple, df1)) == sorted(map(tuple, df2))
+    import math
+
+    for r in df1:
+        assert abs(r.noisy_n - r.n) <= math.log(1e6) + 1e-9
