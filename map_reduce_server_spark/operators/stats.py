@@ -117,10 +117,13 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     / grand, 2)
                    / (CAST(row_total AS DOUBLE) * col_total / grand), 6)
                AS contribution
-      FROM m)
+      FROM m),
+    tot AS (
+      SELECT CAST(SUM(CAST(contribution AS DECIMAL(30,6))) AS DOUBLE)
+               AS chi2
+      FROM cells)
     SELECT status, priority, observed, expected, contribution,
-           CAST(SUM(CAST(contribution AS DECIMAL(30,6))) OVER ()
-                AS DOUBLE) AS chi2
+           (SELECT chi2 FROM tot) AS chi2
     FROM cells
     """,
 )
@@ -131,9 +134,11 @@ def q_crosstab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the only full-data pass is the initial groupBy (partial
     aggregation map-side); everything after runs on the tiny
-    |status|×|priority| cell grid, so the window functions cost
-    nothing. The χ² total sums DECIMAL-cast rounded contributions —
-    an associative reduction, stable under any row order.
+    |status|×|priority| cell grid. The grand total and the χ² sum
+    are broadcast 1-row aggregates (house pattern), not global
+    windows, and the χ² total sums DECIMAL-cast rounded
+    contributions — an associative reduction, stable under any row
+    order.
     """
     orders = load_table(spark, sf_dir, "orders")
     obs = (
@@ -143,6 +148,7 @@ def q_crosstab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("observed"))
     )
+    grand = obs.agg(F.sum("observed").alias("grand"))
     m = (
         obs.withColumn(
             "row_total",
@@ -152,12 +158,7 @@ def q_crosstab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "col_total",
             F.sum("observed").over(Window.partitionBy("priority")),
         )
-        .withColumn(
-            "grand",
-            F.sum("observed").over(
-                Window.partitionBy()
-            ),
-        )
+        .crossJoin(F.broadcast(grand))
     )
     expected = (
         F.col("row_total").cast("double") * F.col("col_total") / F.col("grand")
@@ -171,12 +172,12 @@ def q_crosstab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("observed") - expected, F.lit(2)) / expected, 6
         ).alias("contribution"),
     )
-    return cells.withColumn(
-        "chi2",
+    chi2 = cells.agg(
         F.sum(F.col("contribution").cast("decimal(30,6)"))
-        .over(Window.partitionBy())
-        .cast("double"),
+        .cast("double")
+        .alias("chi2")
     )
+    return cells.crossJoin(F.broadcast(chi2))
 
 
 @register(

@@ -300,6 +300,12 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "q_equidepth_histogram",
     "q_equidepth_histogram_exact",
     "q_session_concurrency",
+    # running max over DISTINCT prices (a grouped aggregate), never
+    # the base table — documented in the docstring
+    "q_skyline_parts",
+    # row_number over the character-pair vocabulary, bounded by
+    # |alphabet|^2 regardless of corpus size
+    "text_bpe_train",
 }
 
 
@@ -411,3 +417,54 @@ def test_single_partition_exchanges_are_aggregate_combines(spark, sf_small):
             ):
                 offenders.append((name, child.strip()[:80]))
     assert not offenders, offenders
+
+
+def test_gini_window_partitioned_not_global(spark, sf_small):
+    """The Lorenz rank must partition by nation — a global-sort
+    window would serialize the whole customer table at scale."""
+    df = registry.QUERIES["q_gini_concentration"](spark, sf_small)
+    plan = explain_str(df)
+    assert "Window" in plan
+    # every Sort feeding the window is nationkey-prefixed, not global
+    for frag in plan.split("Sort ")[1:]:
+        head = frag.split("\n")[0]
+        if "rev" in head:
+            assert "nationkey" in head
+
+
+def test_skyline_window_over_distinct_prices_only(spark, sf_small):
+    """The running-max window must consume the price-grouped
+    aggregate, never the raw part table (the whole point of the
+    group-then-window plan)."""
+    df = registry.QUERIES["q_skyline_parts"](spark, sf_small)
+    plan = explain_str(df, "extended")
+    # logical shape: Window sits above an Aggregate on p_retailprice
+    opt = plan.split("== Optimized Logical Plan ==")[1]
+    assert opt.index("Window") < opt.index("Aggregate")
+    assert "BroadcastHashJoin" in explain_str(df)
+
+
+def test_bootstrap_shuffle_is_replica_sized(spark, sf_small):
+    """The 20x explode must be absorbed by partial aggregation:
+    exactly one exchange keyed by r (plus the scalar broadcast), and
+    no exchange carrying doc_id."""
+    df = registry.QUERIES["q_bootstrap_ci"](spark, sf_small)
+    plan = explain_str(df)
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        key = frag.split(",")[0]
+        assert "doc_id" not in key
+    assert "partial" in plan.lower()  # map-side combine present
+
+
+def test_fuzzy_match_broadcasts_vocabulary(spark, sf_small):
+    df = registry.QUERIES["q_fuzzy_name_match"](spark, sf_small)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    # blocking key join, never a cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_classifier_no_python_eval(spark, sf_small):
+    df = registry.QUERIES["q_knn_classifier"](spark, sf_small)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan
