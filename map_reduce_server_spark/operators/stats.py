@@ -725,7 +725,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type),
     noised AS (
       SELECT event_type, n,
-             {_sql_uniform("dp", "event_type")} - 0.5 AS v
+             (CAST(('0x' || substr(md5('dp:' || event_type), 1, 15))
+                   AS BIGINT) % 999999 + 1) / 1000000.0 - 0.5 AS v
       FROM c)
     SELECT event_type, n,
            round(n - sign(v) * ln(1.0 - 2.0 * abs(v)), 6) AS noisy_n
@@ -750,7 +751,9 @@ def q_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
-    u = (md5_long(F.concat(F.lit("dp:"), F.col("event_type"))) % 1000000 + 1) / 1000000.0
+    # modulus 999999 (not 1e6): keeps u in [1e-6, 0.999999] so the
+    # Laplace inverse CDF is finite on both tails.
+    u = (md5_long(F.concat(F.lit("dp:"), F.col("event_type"))) % 999999 + 1) / 1000000.0
     v = u - 0.5
     return c.select(
         "event_type",
