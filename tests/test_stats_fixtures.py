@@ -217,3 +217,49 @@ def test_dp_release_noise_bounded(spark, sf_small):
 
     for r in df1:
         assert abs(r.noisy_n - r.n) <= math.log(1e6) + 1e-9
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # price grid
+            st.integers(min_value=0, max_value=6),   # size grid
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_skyline_matches_bruteforce(spark, pts):
+    """Property: the operator's survivor set equals the O(n²)
+    brute-force dominance definition on small random point sets
+    (dense grids force plenty of exact ties on both axes)."""
+
+    def dominated(i):
+        pi, si = pts[i]
+        return any(
+            (pj <= pi and sj >= si and (pj < pi or sj > si))
+            for j, (pj, sj) in enumerate(pts)
+            if j != i
+        )
+
+    expect = {i for i in range(len(pts)) if not dominated(i)}
+    df = spark.createDataFrame(
+        [(i, float(p), s) for i, (p, s) in enumerate(pts)],
+        ["p_partkey", "p_retailprice", "p_size"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "part")
+        got = {
+            r.p_partkey
+            for r in registry.QUERIES["q_skyline_parts"](spark, d).collect()
+        }
+    assert got == expect
