@@ -340,10 +340,14 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the classic ER optimization — dedupe to the DISTINCT name
     vocabulary first (orders of magnitude smaller than the part
     table), block, and only then pay the quadratic comparison inside
-    blocks. The name table is broadcast-joined to itself; the raw
-    part table is touched exactly once. Production refinement for
-    skewed blocks is a second blocking key (name length band), noted
-    but unnecessary at this vocabulary size.
+    blocks; the raw part table is touched exactly once. The
+    self-join strategy is deliberately left to the optimizer: at a
+    bounded vocabulary it broadcasts (statistics-driven), and if the
+    vocabulary ever approached table size a forced broadcast would
+    OOM where the fallback shuffle join on the block key still runs.
+    Production refinement for skewed blocks is a second blocking key
+    (name length band), noted but unnecessary at this vocabulary
+    size.
     """
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy(
@@ -351,7 +355,7 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("p_name", " ").getItem(0).alias("block"),
     ).agg(F.count("*").cast("bigint").alias("n_parts"))
     a = names.alias("a")
-    b = F.broadcast(names.alias("b"))
+    b = names.alias("b")
     dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
     return (
         a.join(
