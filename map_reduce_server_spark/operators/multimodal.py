@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_server_spark.functions import png
+from map_reduce_server_spark.functions import png, wavcodec
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -389,3 +389,137 @@ try:  # pyspark vendors cloudpickle >= 2.0 which has this hook
     _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # pragma: no cover - older pickler, ref semantics
     pass
+
+
+# --- real WAV codec path ----------------------------------------------------
+
+_WAV_N = 32          # samples per clip
+_WAV_RATE = 8000     # frame rate written into the RIFF header
+
+# 32 16-bit samples need 64 bytes = four chained md5 digests.
+_SQL_WAV_HEX = (
+    "md5(text) || md5('a' || text) || md5('b' || text) || md5('c' || text)"
+)
+# sample i (1-based): little-endian signed int16 from hex byte pair
+# (2i-1, 2i) -> hex chars (4i-3..4i-2) low byte, (4i-1..4i) high byte.
+_SQL_WAV_SAMPLES = f"""
+  list_transform(range(1, {_WAV_N} + 1), i ->
+    CAST(('0x' || substr({_SQL_WAV_HEX}, i*4-3, 2)) AS BIGINT)
+    + 256 * CAST(('0x' || substr({_SQL_WAV_HEX}, i*4-1, 2)) AS BIGINT)
+    - CASE WHEN CAST(('0x' || substr({_SQL_WAV_HEX}, i*4-1, 2)) AS BIGINT)
+                >= 128 THEN 65536 ELSE 0 END)
+"""
+
+
+def with_wav_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL mono 16-bit PCM WAV per document (stdlib
+    ``wave`` writer; samples = 64 bytes of four chained md5 digests
+    as little-endian int16, so the oracle can recompute every sample
+    from SQL)."""
+    hex_col = F.concat(
+        F.md5(F.col("text")),
+        F.md5(F.concat(F.lit("a"), F.col("text"))),
+        F.md5(F.concat(F.lit("b"), F.col("text"))),
+        F.md5(F.concat(F.lit("c"), F.col("text"))),
+    )
+    flat = docs.select("doc_id", hex_col.alias("sample_hex"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        for pdf in batches:
+            payload = pdf["sample_hex"].map(
+                lambda h: wavcodec.encode_pcm16(
+                    list(
+                        _struct.unpack(
+                            f"<{_WAV_N}h", bytes.fromhex(h)
+                        )
+                    ),
+                    _WAV_RATE,
+                )
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def wav_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real WAV payloads: RIFF parse + PCM unpack,
+    then per-clip sample statistics (the audio-quality screen a
+    speech-data pipeline runs before transcription)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dec = pdf["payload"].map(lambda b: wavcodec.decode_pcm16(bytes(b)))
+            samples = dec.map(lambda t: t[1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "framerate": dec.map(lambda t: t[0]).astype("int32"),
+                    "n_samples": samples.map(len).astype("int32"),
+                    "mean_abs": samples.map(
+                        lambda s: sum(abs(x) for x in s) / len(s)
+                    ).astype("float64"),
+                    "max_abs": samples.map(
+                        lambda s: max(abs(x) for x in s)
+                    ).astype("int32"),
+                    "zero_crossings": samples.map(
+                        lambda s: sum(
+                            1
+                            for i in range(len(s) - 1)
+                            if (s[i] < 0) != (s[i + 1] < 0)
+                        )
+                    ).astype("int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id bigint, framerate int, n_samples int, "
+        "mean_abs double, max_abs int, zero_crossings int",
+    )
+
+
+@register(
+    "multimodal_decode_wav",
+    oracle=f"""
+    WITH sm AS (
+      SELECT doc_id, {_SQL_WAV_SAMPLES} AS s FROM documents)
+    SELECT doc_id, {_WAV_RATE} AS framerate,
+           {_WAV_N} AS n_samples,
+           round(CAST(list_sum(list_transform(s, x -> abs(x))) AS DOUBLE)
+                 / {_WAV_N}, 6) AS mean_abs,
+           CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER)
+             AS max_abs,
+           CAST(len(list_filter(range(1, {_WAV_N}), i ->
+                    (s[i] < 0) <> (s[i+1] < 0))) AS INTEGER)
+             AS zero_crossings
+    FROM sm
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round-trip: encode each document's
+    md5-derived samples as an actual RIFF/WAVE file (stdlib ``wave``
+    writer) and decode it back through the stdlib reader — the audio
+    analogue of multimodal_decode_png, closing the second modality
+    with a genuine codec instead of an env-gated stub. The oracle
+    recomputes the identical int16 samples straight from the md5
+    hex, so a bug anywhere in header framing, frame accounting, or
+    LE-PCM packing breaks the hash match. Compressed audio (mp3/ogg)
+    remains honestly env-gated (see :func:`decode_batch`).
+
+    Scale: embarrassingly parallel Arrow-batched mapInPandas, no
+    shuffle; payloads live only inside a task. The stats schema
+    (framerate, n/mean/max, zero-crossing rate) is the standard
+    cheap audio-quality screen before any model-based scoring.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = wav_stats(with_wav_payload(docs))
+    return stats.select(
+        "doc_id",
+        "framerate",
+        "n_samples",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "max_abs",
+        "zero_crossings",
+    )
