@@ -6,9 +6,10 @@ REAL codec path: real signature, chunk layout, CRC-32 validation,
 DEFLATE decompression and scanline unfiltering, not a byte-derived
 fake. Scope is honest: 8-bit truecolor RGB (color type 2), filter
 types 0–2 on decode (the encoder emits 0), no interlacing — the
-subset the synthetic corpus produces. Anything else raises, and the
-non-PNG modalities (jpeg/wav) keep their documented env-gated stubs
-in :mod:`..operators.multimodal`.
+subset the synthetic corpus produces. Anything else raises. WAV audio has its own
+real-stdlib codec (``wavcodec.py``); the remaining modalities
+(jpeg, compressed audio, video) keep their documented env-gated
+stubs in :mod:`..operators.multimodal`.
 """
 
 from __future__ import annotations

@@ -257,7 +257,8 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose real decode needs no external codec library. The oracle
     recomputes the identical pixel statistics straight from the md5
     hex, so a bug anywhere in encode, chunk framing, compression, or
-    unfiltering breaks the hash match. jpeg/wav remain honestly
+    unfiltering breaks the hash match. WAV gets the same treatment in
+    multimodal_decode_wav; jpeg/compressed audio remain honestly
     env-gated (see :func:`decode_batch`)."""
     docs = load_table(spark, sf_dir, "documents")
     stats = png_stats(with_png_payload(docs))
