@@ -768,3 +768,131 @@ def q_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("noisy_n"),
     )
+
+
+# --- time-series subsequence similarity search ------------------------------
+
+_TSS_W = 7        # window length (days)
+_TSS_TOPK = 10
+# z-normalized query pattern: a linear 7-day ramp [1..7] has mean 4
+# and population std exactly 2, so q_i = (i-4)/2 — "find the
+# strongest 7-day uptrends".
+_TSS_Q = tuple((i - 4) / 2 for i in range(1, 8))
+
+
+@register(
+    "q_ts_similarity_search",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    win AS (
+      SELECT event_type, d AS start_day,
+             list(v) OVER (PARTITION BY event_type ORDER BY d
+                           ROWS BETWEEN CURRENT ROW
+                           AND {_TSS_W - 1} FOLLOWING) AS s
+      FROM daily),
+    full_win AS (
+      SELECT * FROM win WHERE len(s) = {_TSS_W}),
+    stats AS (
+      SELECT event_type, start_day, s,
+             CAST(list_sum(list_transform(s,
+                    x -> CAST(x AS DECIMAL(30,2)))) AS DOUBLE)
+               / {_TSS_W} AS m,
+             CAST(list_sum(list_transform(s,
+                    x -> CAST(x * x AS DECIMAL(38,4)))) AS DOUBLE)
+               / {_TSS_W} AS m2
+      FROM full_win),
+    zdist AS (
+      SELECT event_type, start_day,
+             round(CAST(list_sum(list_transform(range(1, {_TSS_W} + 1),
+                    i -> CAST(POWER((s[i] - m) / sqrt(m2 - m * m)
+                                    - ([{", ".join(map(str, _TSS_Q))}])[i],
+                              2) AS DECIMAL(38,12))))
+                   AS DOUBLE), 6) AS zdist2
+      FROM stats WHERE m2 - m * m > 0)
+    SELECT event_type, CAST(start_day AS TIMESTAMP) AS start_day, zdist2
+    FROM zdist
+    ORDER BY zdist2, event_type, start_day
+    LIMIT {_TSS_TOPK}
+    """,
+)
+def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} time-series subsequence similarity search: slide a
+    7-day window over each event type's daily revenue series and
+    rank windows by z-normalized Euclidean distance to a query
+    pattern (a linear ramp — i.e. find the strongest week-long
+    uptrends). The UCR-suite/Matrix-Profile primitive, restated as a
+    window + higher-order-function plan (cf. the distributed
+    data-series search literature, e.g. Odyssey VLDB'23).
+
+    Scale: the fact table collapses to |type|×|days| daily points
+    BEFORE any window; subsequence extraction is a per-type ordered
+    frame (never global); z-normalization uses decimal-exact window
+    sums; the global top-k is TakeOrdered over the bounded window
+    table — no global sort, no rank column, total tie order
+    (dist, type, day). Flat windows (zero variance) are excluded —
+    z-normalization is undefined there.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, _TSS_W - 1)
+    )
+    win = daily.select(
+        "event_type",
+        F.col("d").alias("start_day"),
+        F.collect_list("v").over(w).alias("s"),
+    ).filter(F.size("s") == _TSS_W)
+    dec_sum = lambda arr: F.aggregate(  # noqa: E731 — exact decimal fold
+        arr,
+        F.lit(0).cast("decimal(38,12)"),
+        lambda a, x: (a + x).cast("decimal(38,12)"),
+    ).cast("double")
+    m = (
+        dec_sum(F.transform(F.col("s"), lambda x: x.cast("decimal(30,2)")))
+        / _TSS_W
+    )
+    m2 = (
+        dec_sum(
+            F.transform(F.col("s"), lambda x: (x * x).cast("decimal(38,4)"))
+        )
+        / _TSS_W
+    )
+    stats = win.select(
+        "event_type", "start_day", "s", m.alias("m"), m2.alias("m2")
+    ).filter(F.col("m2") - F.col("m") * F.col("m") > 0)
+    qarr = F.array(*[F.lit(q) for q in _TSS_Q])
+    std = F.sqrt(F.col("m2") - F.col("m") * F.col("m"))
+    zdist2 = F.round(
+        F.aggregate(
+            F.transform(
+                F.col("s"),
+                lambda x, i: F.pow(
+                    (x - F.col("m")) / std - F.element_at(qarr, i + 1),
+                    F.lit(2),
+                ).cast("decimal(38,12)"),
+            ),
+            F.lit(0).cast("decimal(38,12)"),
+            lambda a, x: (a + x).cast("decimal(38,12)"),
+        ).cast("double"),
+        6,
+    )
+    return (
+        stats.select(
+            "event_type",
+            F.col("start_day").cast("timestamp").alias("start_day"),
+            zdist2.alias("zdist2"),
+        )
+        .orderBy("zdist2", "event_type", "start_day")
+        .limit(_TSS_TOPK)
+    )
