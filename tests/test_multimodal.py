@@ -151,3 +151,35 @@ def test_real_png_pipeline_matches_fake_free_oracle(spark, sf_small):
     row = df.orderBy("doc_id").first()
     assert row["width"] == 4 and row["height"] == 3
     assert 0.0 <= row["mean_px"] <= 255.0
+
+
+def test_wavcodec_roundtrip():
+    """Pure-codec property: encode→decode is the identity on
+    samples and framerate, across edge values (int16 extremes)."""
+    from map_reduce_server_spark.functions import wavcodec
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345, 7] * 4
+    payload = wavcodec.encode_pcm16(samples, 8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    rate, out = wavcodec.decode_pcm16(payload)
+    assert rate == 8000
+    assert out == samples
+
+
+def test_wavcodec_rejects_stereo():
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    from map_reduce_server_spark.functions import wavcodec
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    with _pytest.raises(ValueError):
+        wavcodec.decode_pcm16(buf.getvalue())
