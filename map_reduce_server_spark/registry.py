@@ -176,11 +176,32 @@ _EVER_GREEN = (
 ) - _CHANGED_R5
 
 
+# Queries that have missed EVERY driver window since they were
+# registered (rounds 2–4) plus round 4's one err row: pinned to the
+# very front of the head so a shorter-than-expected window can never
+# skip them again (they would otherwise sort by module import order,
+# which puts the streaming trio dead last).
+_OLDEST_UNVERIFIED = (
+    "q21_waiting_suppliers",
+    "stream_trending_topk",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
+    "embedding_quantize_int8",
+)
+
+
 def _stale_first(d: dict) -> dict:
     # Head: no green driver row at all (round-5 additions, the 4
     # queries that missed every window so far, and round 4's one err
-    # row). Then round-2 greens (stalest), round-3, round-4 last.
-    head = {k: v for k, v in d.items() if k not in _EVER_GREEN}
+    # row) — oldest never-verified first. Then round-2 greens
+    # (stalest), round-3, round-4 last.
+    oldest = {k: d[k] for k in _OLDEST_UNVERIFIED if k in d}
+    head = {
+        k: v
+        for k, v in d.items()
+        if k not in _EVER_GREEN and k not in oldest
+    }
+    head = {**oldest, **head}
     r2 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R2 - _CHANGED_R5}
     r3 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R3 - _CHANGED_R5}
     r4 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R4 - _CHANGED_R5}
