@@ -263,3 +263,120 @@ def test_skyline_matches_bruteforce(spark, pts):
             for r in registry.QUERIES["q_skyline_parts"](spark, d).collect()
         }
     assert got == expect
+
+
+def test_benford_known_digits(spark):
+    """[1.5, 19, 150, 2.5] -> digit 1 x3 (obs .75), digit 2 x1
+    (obs .25); expected shares are the Benford logs."""
+    df = spark.createDataFrame(
+        [(1, 1, 1.5), (2, 2, 19.0), (3, 3, 150.0), (4, 4, 2.5)],
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "orders")
+        got = {
+            r.digit: (r.n, r.observed, r.expected)
+            for r in registry.QUERIES["q_benford_check"](spark, d).collect()
+        }
+    assert got[1] == (3, 0.75, 0.30103)
+    assert got[2] == (1, 0.25, 0.176091)
+
+
+def test_seasonal_naive_constant_series_zero_error(spark):
+    """A constant daily series is perfectly predicted by lag-7:
+    7 scored days, MAE = MAPE = 0."""
+    rows = [
+        (day, dt.datetime(2024, 1, day, 12), 1, "t", 10.0, "{}")
+        for day in range(1, 15)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "events")
+        [r] = registry.QUERIES["q_forecast_seasonal_naive"](
+            spark, d
+        ).collect()
+    assert (r.n_scored_days, r.mae, r.mape) == (7, 0.0, 0.0)
+
+
+def test_chisq_independent_table_is_zero(spark):
+    """Perfectly proportional counts (10,20 | 30,60) -> every cell's
+    expected equals observed -> chi2 == 0."""
+    rows = []
+    k = 0
+    for status, priority, n in [
+        ("A", "P1", 10), ("A", "P2", 20), ("B", "P1", 30), ("B", "P2", 60),
+    ]:
+        for _ in range(n):
+            k += 1
+            rows.append((k, k, status, priority))
+    df = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "orders")
+        out = registry.QUERIES["q_crosstab_chisq"](spark, d).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.contribution == 0.0
+        assert r.chi2 == 0.0
+        assert r.expected == float(r.observed)
+
+
+def test_rfm_segment_rules(spark):
+    """Rule matrix: recent+frequent -> champion; stale+rare ->
+    at_risk; middling -> regular."""
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # user 1: 100 events on the last day -> champion
+    for _ in range(100):
+        eid += 1
+        rows.append((eid, base, 1, "t", 1.0, "{}"))
+    # user 2: 5 events 30 days earlier -> at_risk
+    for _ in range(5):
+        eid += 1
+        rows.append((eid, base - dt.timedelta(days=30), 2, "t", 2.0, "{}"))
+    # user 3: 5 events 10 days earlier -> regular
+    for _ in range(5):
+        eid += 1
+        rows.append((eid, base - dt.timedelta(days=10), 3, "t", 3.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "events")
+        got = {
+            r.user_id: (r.segment, r.recency_days, r.frequency, r.monetary)
+            for r in registry.QUERIES["q_rfm_segments"](spark, d).collect()
+        }
+    assert got[1] == ("champion", 0, 100, 100.0)
+    assert got[2] == ("at_risk", 30, 5, 10.0)
+    assert got[3] == ("regular", 10, 5, 15.0)
+
+
+def test_ts_search_finds_planted_ramp(spark):
+    """A 7-day linear ramp z-normalizes exactly onto the query
+    pattern -> distance 0 and rank 1; a flat series is excluded
+    (zero variance)."""
+    rows = []
+    eid = 0
+    for day in range(1, 8):
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 1, day, 12), 1, "ramp", 10.0 * day, "{}")
+        )
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 1, day, 12), 1, "flat", 5.0, "{}")
+        )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "events")
+        out = registry.QUERIES["q_ts_similarity_search"](spark, d).collect()
+    assert len(out) == 1  # flat window has zero variance -> excluded
+    assert out[0].event_type == "ramp"
+    assert out[0].zdist2 == 0.0
