@@ -18,6 +18,10 @@ REPRESENTATIVE = [
     "q_topk_per_group",     # rank ≤ k
     "q_domain_mixture",     # exact-rational hash sampling
     "q_scd2_customer_orders",  # window lead with unique tiebreak
+    "q_bootstrap_ci",       # decimal-exact replica folds
+    "q_gini_concentration", # decimal Lorenz sums + per-nation rank
+    "q_ts_similarity_search",  # decimal array folds + TakeOrdered
+    "q_bucketed_join",      # exchange-free co-located join
 ]
 
 
