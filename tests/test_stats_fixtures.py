@@ -380,3 +380,39 @@ def test_ts_search_finds_planted_ramp(spark):
     assert len(out) == 1  # flat window has zero variance -> excluded
     assert out[0].event_type == "ramp"
     assert out[0].zdist2 == 0.0
+
+
+def test_containment_asymmetric(spark):
+    """A's 3 shingles all inside B's 5 -> C(A in B)=1.0 (reported),
+    C(B in A)=0.6; an unrelated doc pairs with nobody."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # shingles: abc bcd cde
+            (2, "a b c d e f g"),      # + def efg
+            (3, "x y z w v u"),        # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "documents")
+        rows = registry.QUERIES["dedup_containment"](spark, d).collect()
+    assert [(r.doc_a, r.doc_b, r.c_a_in_b, r.c_b_in_a) for r in rows] == [
+        (1, 2, 1.0, 0.6)
+    ]
+
+
+def test_ltv_decay_half_life(spark):
+    """An event exactly one half-life (7 days) old contributes half
+    its value; a fresh event contributes all of it."""
+    now = dt.datetime(2024, 3, 1, 12)
+    df = spark.createDataFrame(
+        [
+            (1, now, 1, "t", 8.0, "{}"),
+            (2, now - dt.timedelta(days=7), 1, "t", 8.0, "{}"),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "events")
+        [r] = registry.QUERIES["q_user_ltv_decay"](spark, d).collect()
+    assert (r.user_id, r.n_events, r.decayed_value) == (1, 2, 12.0)
