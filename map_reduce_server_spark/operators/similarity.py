@@ -973,7 +973,9 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond that it is a plain equi-join on the 8-byte key.
     """
     nn = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    lab = _emb_labels(spark, sf_dir)
+    from map_reduce_server_spark.tables import load_table as _lt
+
+    lab = _lt(spark, sf_dir, "embeddings").select("vec_id", "label")
     votes = (
         nn.join(lab, nn.neighbor_id == lab.vec_id)
         .groupBy("query_id", "label")
@@ -998,8 +1000,3 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("correct"),
     )
 
-
-def _emb_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from map_reduce_server_spark.tables import load_table as _lt
-
-    return _lt(spark, sf_dir, "embeddings").select("vec_id", "label")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -260,33 +261,39 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS actual
       FROM events GROUP BY 1, 2),
     fc AS (
-      SELECT event_type, d, actual,
-             LAG(actual, 7) OVER (PARTITION BY event_type ORDER BY d)
-               AS forecast
-      FROM daily)
+      SELECT a.event_type, a.d, a.actual, b.actual AS forecast
+      FROM daily a LEFT JOIN daily b
+        ON a.event_type = b.event_type
+       AND b.d = a.d - INTERVAL 7 DAY)
     SELECT event_type,
            CAST(COUNT(forecast) AS BIGINT) AS n_scored_days,
            round(CAST(SUM(CAST(abs(actual - forecast) AS DECIMAL(30,6)))
                       AS DOUBLE) / COUNT(forecast), 6) AS mae,
-           round(CAST(SUM(CAST(abs(actual - forecast) / actual
-                               AS DECIMAL(30,12))) AS DOUBLE)
-                 / COUNT(forecast), 6) AS mape
+           round(CAST(SUM(CASE WHEN actual <> 0
+                          THEN CAST(abs(actual - forecast) / abs(actual)
+                                    AS DECIMAL(30,12)) END) AS DOUBLE)
+                 / COUNT(CASE WHEN forecast IS NOT NULL AND actual <> 0
+                         THEN 1 END), 6) AS mape
     FROM fc
     GROUP BY event_type
     """,
 )
 def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast backtest: predict each day's revenue
-    per event type with the value 7 days (one season) earlier, and
-    score MAE/MAPE over every day that has a forecast — the baseline
-    every fancier forecaster must beat.
+    per event type with the value exactly 7 CALENDAR days earlier
+    (a date-keyed self-join, not LAG(7) over observed rows — a
+    gapped series must not slide the season off alignment), scoring
+    MAE over every forecastable day and MAPE over the forecastable
+    days with nonzero actuals (a zero-revenue day would otherwise
+    divide by zero — excluded in both engines identically).
 
     Scale: the daily rollup collapses the fact table to
-    |event_type|×|days| rows BEFORE the window, so the LAG runs on a
-    trivially small frame; error sums are decimal-cast (MAPE terms at
-    scale 12 to keep the per-day quotient exact enough to round to
-    6). Daily actuals are themselves exact decimal sums, so both
-    engines interpolate from identical doubles.
+    |event_type|×|days| rows BEFORE the join, so the seasonal lookup
+    is an equi-join on a trivially small table; error sums are
+    decimal-cast (MAPE terms at scale 12 to keep the per-day
+    quotient exact enough to round to 6). Daily actuals are
+    themselves exact decimal sums, so both engines compare identical
+    doubles.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -296,9 +303,16 @@ def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("actual")
     )
-    w = Window.partitionBy("event_type").orderBy("d")
-    fc = daily.withColumn("forecast", F.lag("actual", 7).over(w))
+    prior = daily.select(
+        "event_type",
+        F.date_add("d", 7).alias("d"),
+        F.col("actual").alias("forecast"),
+    )
+    fc = daily.join(prior, ["event_type", "d"], "left")
     err = F.abs(F.col("actual") - F.col("forecast"))
+    scored_nz = F.when(
+        F.col("forecast").isNotNull() & (F.col("actual") != 0), 1
+    )
     return fc.groupBy("event_type").agg(
         F.count("forecast").cast("bigint").alias("n_scored_days"),
         F.round(
@@ -307,10 +321,13 @@ def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mae"),
         F.round(
-            F.sum((err / F.col("actual")).cast("decimal(30,12)")).cast(
-                "double"
-            )
-            / F.count("forecast"),
+            F.sum(
+                F.when(
+                    F.col("actual") != 0,
+                    (err / F.abs(F.col("actual"))).cast("decimal(30,12)"),
+                )
+            ).cast("double")
+            / F.count(scored_nz),
             6,
         ).alias("mape"),
     )
@@ -373,12 +390,15 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SPLIT_GRP = sql_md5_long("'split:' || CAST(doc_id AS VARCHAR)")
+_SQL_DP_HASH = sql_md5_long("'dp:' || event_type")
+
+
 @register(
     "q_ab_test_welch",
-    oracle="""
+    oracle=f"""
     WITH split AS (
-      SELECT CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
-                   1, 15)) AS BIGINT) % 2 AS grp,
+      SELECT {_SQL_SPLIT_GRP} % 2 AS grp,
              n_chars AS x
       FROM documents),
     s AS (
@@ -417,8 +437,6 @@ def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the canonical "sufficient statistics, not data, move"
     pattern: the shuffle payload is 6 numbers.
     """
-    from map_reduce_server_spark.functions.hashing import md5_long
-
     docs = load_table(spark, sf_dir, "documents")
     grp = (
         md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
@@ -526,10 +544,8 @@ _N_BOOT = 20
 
 
 def _sql_uniform(tag: str, id_expr: str) -> str:
-    return (
-        f"(CAST(('0x' || substr(md5('{tag}:' || {id_expr}), 1, 15)) AS BIGINT)"
-        " % 1000000 + 1) / 1000000.0"
-    )
+    h = sql_md5_long(f"'{tag}:' || {id_expr}")
+    return f"({h} % 1000000 + 1) / 1000000.0"
 
 
 def _sql_poisson(u: str) -> str:
@@ -586,8 +602,6 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 9 digits before the summary pass (libm-portability guard,
     same policy as q_weighted_sample's keys); all sums DECIMAL.
     """
-    from map_reduce_server_spark.functions.hashing import md5_long
-
     docs = load_table(spark, sf_dir, "documents")
     reps = docs.select(
         "doc_id",
@@ -729,8 +743,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type),
     noised AS (
       SELECT event_type, n,
-             (CAST(('0x' || substr(md5('dp:' || event_type), 1, 15))
-                   AS BIGINT) % 999999 + 1) / 1000000.0 - 0.5 AS v
+             ({_SQL_DP_HASH} % 999999 + 1)
+               / 1000000.0 - 0.5 AS v
       FROM c)
     SELECT event_type, n,
            round(n - sign(v) * ln(1.0 - 2.0 * abs(v)), 6) AS noisy_n
@@ -751,8 +765,6 @@ def q_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses — noise must be added post-aggregation, once per released
     statistic, never per row.
     """
-    from map_reduce_server_spark.functions.hashing import md5_long
-
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
     # modulus 999999 (not 1e6): keeps u in [1e-6, 0.999999] so the
@@ -791,10 +803,15 @@ _TSS_Q = tuple((i - 4) / 2 for i in range(1, 8))
       SELECT event_type, d AS start_day,
              list(v) OVER (PARTITION BY event_type ORDER BY d
                            ROWS BETWEEN CURRENT ROW
-                           AND {_TSS_W - 1} FOLLOWING) AS s
+                           AND {_TSS_W - 1} FOLLOWING) AS s,
+             max(d) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_TSS_W - 1} FOLLOWING) AS last_d
       FROM daily),
     full_win AS (
-      SELECT * FROM win WHERE len(s) = {_TSS_W}),
+      SELECT * FROM win
+      WHERE len(s) = {_TSS_W}
+        AND last_d = start_day + INTERVAL {_TSS_W - 1} DAY),
     stats AS (
       SELECT event_type, start_day, s,
              CAST(list_sum(list_transform(s,
@@ -823,7 +840,9 @@ def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     7-day window over each event type's daily revenue series and
     rank windows by z-normalized Euclidean distance to a query
     pattern (a linear ramp — i.e. find the strongest week-long
-    uptrends). The UCR-suite/Matrix-Profile primitive, restated as a
+    uptrends). Windows must cover exactly 7 CONSECUTIVE calendar
+    days — a gapped series may not stitch non-adjacent days into a
+    "week" (frame-span check in both engines). The UCR-suite/Matrix-Profile primitive, restated as a
     window + higher-order-function plan (cf. the distributed
     data-series search literature, e.g. Odyssey VLDB'23).
 
@@ -852,7 +871,13 @@ def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("d").alias("start_day"),
         F.collect_list("v").over(w).alias("s"),
-    ).filter(F.size("s") == _TSS_W)
+        F.max("d").over(w).alias("last_d"),
+    ).filter(
+        (F.size("s") == _TSS_W)
+        # a gapped series must not stitch non-consecutive days into
+        # one "week": the frame must span exactly W calendar days
+        & (F.datediff("last_d", "start_day") == _TSS_W - 1)
+    )
     dec_sum = lambda arr: F.aggregate(  # noqa: E731 — exact decimal fold
         arr,
         F.lit(0).cast("decimal(38,12)"),

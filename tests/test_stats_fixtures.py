@@ -187,24 +187,42 @@ def test_knn_classifier_two_clusters(spark):
     }
 
 
-def test_welch_symmetric_split(spark):
-    """Identical distributions in both arms -> t == 0 regardless of
-    which docs hash to which arm."""
-    # 40 docs, n_chars constant -> means equal, var 0 -> t is NaN;
-    # use two interleaved values so var > 0 but means equal only if
-    # the hash split balances them — instead assert the identity
-    # t(a,b) == -t(b,a) via the operator's own output shape: one row,
-    # finite stats.
-    df = spark.createDataFrame(
-        [(i, 100 + (i % 7)) for i in range(200)], ["doc_id", "n_chars"]
-    )
+def test_welch_matches_python_replay(spark):
+    """Replay the md5 hash split and the Welch formulas in plain
+    Python and demand the operator's exact rounded statistics."""
+    import hashlib
+
+    rows = [(i, 100 + (i % 7)) for i in range(200)]
+
+    def grp(doc_id):
+        h = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16) % 2
+
+    arms = {0: [], 1: []}
+    for i, x in rows:
+        arms[grp(i)].append(x)
+    stats = {}
+    for g, xs in arms.items():
+        n = len(xs)
+        sx = float(sum(xs))
+        sx2 = float(sum(x * x for x in xs))
+        mean = sx / n
+        var = (sx2 - sx * sx / n) / (n - 1)
+        stats[g] = (n, mean, var)
+    (na, ma, va), (nb, mb, vb) = stats[0], stats[1]
+    se2 = va / na + vb / nb
+    t = round((ma - mb) / se2**0.5, 6)
+    dof = round(se2**2 / ((va / na) ** 2 / (na - 1)
+                          + (vb / nb) ** 2 / (nb - 1)), 6)
+
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
     with tempfile.TemporaryDirectory() as d:
         _write(df, d, "documents")
         [r] = registry.QUERIES["q_ab_test_welch"](spark, d).collect()
-    assert r.n_a + r.n_b == 200
-    assert r.welch_df > 0
-    # both arms drawn from the same 7-value cycle: means within 1
-    assert abs(r.mean_a - r.mean_b) < 1.0
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert (r.mean_a, r.mean_b) == (round(ma, 6), round(mb, 6))
+    assert r.t_stat == t
+    assert r.welch_df == dof
 
 
 def test_dp_release_noise_bounded(spark, sf_small):
