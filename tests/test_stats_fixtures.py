@@ -434,3 +434,46 @@ def test_ltv_decay_half_life(spark):
         _write(df, d, "events")
         [r] = registry.QUERIES["q_user_ltv_decay"](spark, d).collect()
     assert (r.user_id, r.n_events, r.decayed_value) == (1, 2, 12.0)
+
+
+def test_seasonal_naive_gap_stays_calendar_aligned(spark):
+    """A missing day must not slide the season: with value == day
+    number, every scored day's error is exactly 7, and days whose
+    d-7 is the gap (or pre-history) are not scored at all."""
+    days = [d for d in range(1, 16) if d != 8]  # gap at day 8
+    rows = [
+        (d, dt.datetime(2024, 1, d, 12), 1, "t", float(d), "{}")
+        for d in days
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "events")
+        [r] = registry.QUERIES["q_forecast_seasonal_naive"](
+            spark, d
+        ).collect()
+    # scored: days 9-14 (day 15 needs missing day 8; days 1-7 have no
+    # prior season). A row-based LAG(7) would have scored day 15
+    # against day 7 and misaligned everything after the gap.
+    assert r.n_scored_days == 6
+    assert r.mae == 7.0
+    expected_mape = round(sum(7.0 / d for d in range(9, 15)) / 6, 6)
+    assert abs(r.mape - expected_mape) < 2e-6
+
+
+def test_ts_search_rejects_gapped_window(spark):
+    """Seven observed days spanning EIGHT calendar days (one gap) is
+    not a week: the stitched pseudo-ramp must be excluded."""
+    days = [1, 2, 3, 5, 6, 7, 8]  # gap at day 4
+    rows = [
+        (i, dt.datetime(2024, 1, d, 12), 1, "ramp", 10.0 * d, "{}")
+        for i, d in enumerate(days, start=1)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "events")
+        out = registry.QUERIES["q_ts_similarity_search"](spark, d).collect()
+    assert out == []
