@@ -925,19 +925,17 @@ def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _registry_oracle_bf() -> str:
-    # ann_topk_bruteforce registers earlier in this module, so its
-    # oracle is available by the time this decorator evaluates.
-    from map_reduce_server_spark.registry import ORACLE
-
-    return ORACLE["ann_topk_bruteforce"]
+# Composes the registered brute-force oracle verbatim, same idiom as
+# retrieval.py's q_ann_recall (ann_topk_bruteforce registers earlier
+# in this module, so its oracle exists when this decorator evaluates).
+from map_reduce_server_spark import registry as _registry  # noqa: E402
 
 
 @register(
     "q_knn_classifier",
     oracle=f"""
     WITH nn AS (SELECT query_id, neighbor_id
-                FROM ({_registry_oracle_bf()}) t),
+                FROM ({_registry.ORACLE["ann_topk_bruteforce"]}) t),
     lab AS (SELECT vec_id, label FROM embeddings),
     votes AS (
       SELECT nn.query_id, lab.label,
@@ -973,9 +971,7 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond that it is a plain equi-join on the 8-byte key.
     """
     nn = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    from map_reduce_server_spark.tables import load_table as _lt
-
-    lab = _lt(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     votes = (
         nn.join(lab, nn.neighbor_id == lab.vec_id)
         .groupBy("query_id", "label")

@@ -373,18 +373,25 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("bigint").alias("n_parts"))
     a = names.alias("a")
     b = names.alias("b")
-    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
     return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.name") < F.col("b.name")),
         )
-        .filter(dist <= 3)
+        # materialize the O(len²) edit distance ONCE: Spark does not
+        # eliminate the common subexpression between a Filter and a
+        # later Project, so filtering on the raw expression would
+        # recompute the DP for every surviving pair.
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("a.name"), F.col("b.name")).cast("bigint"),
+        )
+        .filter(F.col("dist") <= 3)
         .select(
             F.col("a.name").alias("name_a"),
             F.col("b.name").alias("name_b"),
-            dist.cast("bigint").alias("dist"),
+            "dist",
             (F.col("a.n_parts") * F.col("b.n_parts")).alias("n_row_pairs"),
         )
     )
@@ -790,6 +797,16 @@ _TSS_TOPK = 10
 # and population std exactly 2, so q_i = (i-4)/2 — "find the
 # strongest 7-day uptrends".
 _TSS_Q = tuple((i - 4) / 2 for i in range(1, 8))
+# zdist2 is an explicit LEFT-TO-RIGHT sum of the 7 per-position terms
+# (identical IEEE double ops in both engines) — a decimal fold is NOT
+# exact here: the terms are irrational at any fixed scale, and Spark's
+# decimal addition rounds each partial sum at scale 11, while DuckDB's
+# list_sum keeps scale 12 — a near-boundary window could round to
+# different 6-dp values. Plain ordered double addition is bit-identical.
+_SQL_ZSUM = " + ".join(
+    f"POWER((s[{i}] - m) / sqrt(m2 - m * m) - ({q}), 2)"
+    for i, q in enumerate(_TSS_Q, start=1)
+)
 
 
 @register(
@@ -823,11 +840,7 @@ _TSS_Q = tuple((i - 4) / 2 for i in range(1, 8))
       FROM full_win),
     zdist AS (
       SELECT event_type, start_day,
-             round(CAST(list_sum(list_transform(range(1, {_TSS_W} + 1),
-                    i -> CAST(POWER((s[i] - m) / sqrt(m2 - m * m)
-                                    - ([{", ".join(map(str, _TSS_Q))}])[i],
-                              2) AS DECIMAL(38,12))))
-                   AS DOUBLE), 6) AS zdist2
+             round({_SQL_ZSUM}, 6) AS zdist2
       FROM stats WHERE m2 - m * m > 0)
     SELECT event_type, CAST(start_day AS TIMESTAMP) AS start_day, zdist2
     FROM zdist
@@ -896,22 +909,15 @@ def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = win.select(
         "event_type", "start_day", "s", m.alias("m"), m2.alias("m2")
     ).filter(F.col("m2") - F.col("m") * F.col("m") > 0)
-    qarr = F.array(*[F.lit(q) for q in _TSS_Q])
     std = F.sqrt(F.col("m2") - F.col("m") * F.col("m"))
-    zdist2 = F.round(
-        F.aggregate(
-            F.transform(
-                F.col("s"),
-                lambda x, i: F.pow(
-                    (x - F.col("m")) / std - F.element_at(qarr, i + 1),
-                    F.lit(2),
-                ).cast("decimal(38,12)"),
-            ),
-            F.lit(0).cast("decimal(38,12)"),
-            lambda a, x: (a + x).cast("decimal(38,12)"),
-        ).cast("double"),
-        6,
-    )
+    acc = None
+    for i, q in enumerate(_TSS_Q, start=1):
+        term = F.pow(
+            (F.element_at(F.col("s"), i) - F.col("m")) / std - F.lit(q),
+            F.lit(2),
+        )
+        acc = term if acc is None else acc + term
+    zdist2 = F.round(acc, 6)
     return (
         stats.select(
             "event_type",
