@@ -379,10 +379,11 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.name") < F.col("b.name")),
         )
-        # materialize the O(len²) edit distance ONCE: Spark does not
-        # eliminate the common subexpression between a Filter and a
-        # later Project, so filtering on the raw expression would
-        # recompute the DP for every surviving pair.
+        # Catalyst pushes the threshold back into the join condition
+        # regardless of how this is phrased (verified on the optimized
+        # plan), so levenshtein evaluates in the join filter and again
+        # in the projection FOR SURVIVORS ONLY — the right trade: the
+        # filter prunes inside the join, and survivors are few.
         .withColumn(
             "dist",
             F.levenshtein(F.col("a.name"), F.col("b.name")).cast("bigint"),
