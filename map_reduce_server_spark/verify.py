@@ -96,4 +96,26 @@ def verify_all(
             )
         except Exception as e:  # surface, don't abort the sweep
             out[name] = (False, repr(e)[:300])
+        release_session_blocks(spark)
     return out
+
+
+def release_session_blocks(spark) -> None:
+    """Drop blocks a consumed query left pinned in the session.
+
+    Iterative/multi-consumer operators ``localCheckpoint`` compact
+    intermediates (edge lists, shingle tables, rank vectors); the
+    blocks can only be released AFTER the result is consumed, which
+    the operator itself never sees. A long-lived session sweeping
+    many queries (this gate; any REPL doing the same) otherwise
+    accumulates dead blocks until the executor heap tips over —
+    observed as GCLocker allocation failures ~60 queries into an
+    sf0.1 sweep on a default-heap session. Call between queries once
+    the previous result has been fully read.
+    """
+    try:
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.catalog.clearCache()
+    except Exception:
+        pass  # cleanup must never fail the sweep
