@@ -61,3 +61,15 @@ def test_cli_unknown_query():
     res = _run_cli("query", "no_such_query")
     assert res.returncode == 2
     assert "unknown query" in res.stderr
+
+
+def test_verify_sweep_releases_blocks(spark, sf_small):
+    """After verify_all consumes a checkpoint-heavy query, no
+    persistent RDD blocks may remain pinned in the session — the
+    leak that OOMed long multi-query sweeps (verify.py)."""
+    from map_reduce_server_spark.verify import verify_all
+
+    results = verify_all(spark, sf_small, ["dedup_cluster"])
+    assert results["dedup_cluster"][0], results["dedup_cluster"][1]
+    leftover = spark.sparkContext._jsc.getPersistentRDDs()
+    assert leftover.size() == 0, f"{leftover.size()} blocks still pinned"
