@@ -46,17 +46,22 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales to any corpus where one user's history fits a partition.
     """
     ev = load_table(spark, sf_dir, "events")
+    # RANGE frame + MAX, not last() over a row frame: the as-of match
+    # is the greatest error ts <= this row's ts INCLUDING same-ts
+    # peers (DuckDB's ASOF `e.ts >= x.ts` includes ties; a row frame
+    # ordered by (ts, event_id) would miss a same-ts error with a
+    # larger event_id).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
     return ev.select(
         "event_id",
         "user_id",
         "ts",
-        F.last(err_ts, ignorenulls=True).over(w).alias("last_error_ts"),
+        F.max(err_ts).over(w).alias("last_error_ts"),
     )
 
 
@@ -83,10 +88,10 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     a handful of rows) and run the expand over that, making the
     expansion cost negligible while producing identical values.
     """
-    import uuid
-
     li = load_table(spark, sf_dir, "lineitem")
-    view = f"lineitem_gs_{uuid.uuid4().hex[:8]}"
+    # fixed name + OrReplace: repeated invocations in one session
+    # reuse the slot instead of accumulating uuid-named views
+    view = "lineitem_gs"
     li.createOrReplaceTempView(view)
     return spark.sql(
         f"""
@@ -310,6 +315,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks.
     """
     out = tempfile.mkdtemp(prefix="mrss_bucketed_")
+    cleanup_at_exit(out)  # keep the bucketed files until the DF is dead
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
@@ -960,7 +966,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER () AS m
       FROM s),
     b AS (
-      SELECT r.p, r.k
+      SELECT DISTINCT r.p, r.k
       FROM r, (SELECT unnest(generate_series(1, 9)) AS i) ix
       WHERE r.rn = (ix.i * r.m) // 10),
     a AS (
@@ -1343,8 +1349,6 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     (POWER, one divide, FLOOR) runs on identical doubles in any
     engine, so quota boundaries are bit-stable too.
     """
-    from map_reduce_server_spark.functions.hashing import md5_long
-
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").alias("n_source"))
     tot = counts.agg(
@@ -1677,7 +1681,7 @@ _LTV_HALF_LIFE_DAYS = 7.0
 )
 def q_user_ltv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted engagement: each event's value decays with a
-    {h}-day half-life from the corpus's latest timestamp (age
+    7-day half-life from the corpus's latest timestamp (age
     bucketed to whole days, so the exponent is one of a few hundred
     integers — exp() stays libm-portable after the 9-digit round).
     The reference point folds in as a broadcast 1-row MAX aggregate;
@@ -1770,9 +1774,14 @@ def q_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         legs.append(
             df.agg(
                 F.count("*").alias("n_rows"),
-                F.count_distinct(*[F.col(c) for c in pk]).alias(
-                    "pk_distinct"
-                ),
+                # distinct over a STRUCT: count_distinct(cols...)
+                # would skip any row with a NULL PK column, but the
+                # oracle's SELECT DISTINCT keeps null-containing
+                # tuples — and a null PK is exactly the defect this
+                # audit exists to surface.
+                F.count_distinct(
+                    F.struct(*[F.col(c) for c in pk])
+                ).alias("pk_distinct"),
                 F.sum(null_pred.cast("long")).alias("pk_nulls"),
             ).select(
                 F.lit(table).alias("table_name"),
