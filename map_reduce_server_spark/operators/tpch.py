@@ -34,9 +34,13 @@ predicates are adapted, plan shapes preserved):
 part↔supplier relation and unit costs from ``lineitem`` instead —
 plan shapes and subquery structure preserved, predicates adapted.)
 
-Scale stance (100 TB): every dimension join is an explicit
-``broadcast()``; fact-fact joins shuffle once on the join key and AQE
-handles skew; all aggregates use exact decimal sums (order-independent
+Scale stance (100 TB): BOUNDED dimension joins (region/nation/
+supplier, filtered part subsets, thresholded aggregates) carry an
+explicit ``broadcast()``; SF-LINEAR sides (customer, unfiltered
+part) deliberately do NOT — a hard hint overrides size checks and
+would OOM at scale, so those joins are left to AQE, which broadcasts
+exactly when the side actually fits; fact-fact joins shuffle once on
+the join key and AQE handles skew; all aggregates use exact decimal sums (order-independent
 across 1000 executors, ``functions/exact.py``); top-k runs as
 TakeOrdered after aggregation, never a global sort of the fact.
 """
@@ -52,14 +56,12 @@ from map_reduce_server_spark.functions.exact import (
     sql_davg,
     sql_dsum,
 )
+from map_reduce_server_spark.operators.relational import (
+    REVENUE,
+    _revenue_col,
+)
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
-
-REVENUE = "l_extendedprice * (1 - l_discount)"
-
-
-def _revenue_col() -> F.Column:
-    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
 
 
 def _ts(s: str) -> F.Column:
@@ -194,7 +196,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is SF-linear (excluded from BROADCAST_TABLES) —
+        # no hard hint; AQE broadcasts when it actually fits
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -262,7 +266,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"), "left_semi")
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .withColumn("o_year", F.year("o_orderdate"))
@@ -317,7 +321,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(_revenue_col(), scale=6).alias("revenue"))
@@ -431,7 +435,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     vol = _revenue_col()
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is SF-linear and unfiltered here — no hard hint
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -592,7 +597,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is SF-linear and unfiltered pre-join (the brand/size
+        # predicate references l_quantity too) — no hard hint
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(dsum(_revenue_col(), scale=6).alias("revenue"))
     )
@@ -716,6 +723,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             supply.sp_suppkey == F.col("s_suppkey"),
         )
+    )
+    # Bound the aggregate by the FILTERED part keys first (q17's
+    # pattern): an unfiltered per-partkey min over all supplied parts
+    # is far beyond broadcastable at scale; after the semi-join its
+    # row count is capped by the selective p_type/p_size predicate.
+    eu = eu.join(
+        F.broadcast(part.select("p_partkey")),
+        eu.sp_partkey == F.col("p_partkey"),
+        "left_semi",
     )
     per_part_min = eu.groupBy(F.col("sp_partkey").alias("mk")).agg(
         F.min("sp_cost").alias("min_cost")
