@@ -88,11 +88,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q1_SQL = f"""
+_Q1_SQL = """
     SELECT l_returnflag, l_linestatus,
-           {{dsum_qty}} AS sum_qty,
+           {dsum_qty} AS sum_qty,
            COUNT(*) AS count_order
-    FROM {{table}}
+    FROM {table}
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
 """
@@ -111,11 +111,10 @@ def q1_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_server_spark.tables import register_views
 
     register_views(spark, sf_dir)
+    # the helper's output is valid Spark SQL too — one recipe, both
+    # front doors, no drift
     return spark.sql(
-        _Q1_SQL.format(
-            dsum_qty="CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)",
-            table="lineitem",
-        )
+        _Q1_SQL.format(dsum_qty=sql_dsum("l_quantity"), table="lineitem")
     )
 
 
@@ -141,24 +140,21 @@ def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL returns no rows (every comparison is UNKNOWN), while NOT
     EXISTS ignores the NULLs — the classic correctness trap any SQL
     engine must honor."""
-    import uuid
-
-    tag = uuid.uuid4().hex[:8]
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(f"ord_nin_{tag}")
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
-        f"cust_nin_{tag}"
-    )
+    # fixed names + OrReplace: repeated invocations reuse the slots
+    # instead of accumulating uuid-named catalog entries
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_nin")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_nin")
     return spark.sql(
         f"""
         SELECT
-          (SELECT COUNT(*) FROM ord_nin_{tag}
+          (SELECT COUNT(*) FROM ord_nin
            WHERE o_custkey NOT IN
              (SELECT CASE WHEN c_custkey % 50 = 1 THEN NULL
                           ELSE c_custkey END
-              FROM cust_nin_{tag})) AS n_not_in_with_null,
-          (SELECT COUNT(*) FROM ord_nin_{tag} o
+              FROM cust_nin)) AS n_not_in_with_null,
+          (SELECT COUNT(*) FROM ord_nin o
            WHERE NOT EXISTS
-             (SELECT 1 FROM cust_nin_{tag} c
+             (SELECT 1 FROM cust_nin c
               WHERE (CASE WHEN c.c_custkey % 50 = 1 THEN NULL
                           ELSE c.c_custkey END) = o.o_custkey))
             AS n_not_exists
@@ -283,7 +279,14 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot event_type into per-user count columns."""
     ev = load_table(spark, sf_dir, "events")
     kinds = ["click", "view", "purchase", "signup", "error"]
-    out = ev.groupBy("user_id").pivot("event_type", kinds).count().na.fill(0)
+    # fill ONLY the pivoted count columns: a frame-wide fill would
+    # also rewrite a NULL user_id group key to 0
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, subset=kinds)
+    )
     for k in kinds:
         out = out.withColumnRenamed(k, f"n_{k}")
     return out
@@ -330,7 +333,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is SF-linear even segment-filtered — no hard hint;
+        # AQE broadcasts when the side actually fits
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_revenue_col(), scale=6).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -372,7 +377,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -625,8 +630,11 @@ def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     kw = F.array(*[F.lit(w) for w in ("the", "a", "join", "scan", "merge")])
     return docs.select(
         "doc_id",
-        F.array_join(
-            F.array_sort(F.array_intersect(toks, kw)), ","
+        # coalesce matches the oracle's coalesce(..., ''): NULL text
+        # must canonicalize to '' in both engines, not '<null>' here
+        F.coalesce(
+            F.array_join(F.array_sort(F.array_intersect(toks, kw)), ","),
+            F.lit(""),
         ).alias("common_kw"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.array_join(
@@ -852,8 +860,13 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_name").alias("name_lower"),
         F.length("p_name").alias("name_len"),
         F.substring("p_type", 1, 5).alias("type_prefix"),
-        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
-        F.regexp_replace("p_brand", "Brand#", "").cast("int").alias("brand_num"),
+        # literal replace (not regexp_replace): the oracle twin is
+        # DuckDB's literal replace(), and a future pattern containing
+        # regex metacharacters must not silently diverge
+        F.replace("p_brand", F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.replace("p_brand", F.lit("Brand#"), F.lit(""))
+        .cast("int")
+        .alias("brand_num"),
         F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
         F.trim(F.col("p_name")).alias("name_trim"),
         F.when(F.col("p_type").like("%BRASS%"), F.lit("brass"))
@@ -981,9 +994,18 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at(vec, 1), 6).alias("first_val"),
+        # get() (0-based, NULL out-of-bounds) matches DuckDB's
+        # embedding[1] on an empty array, where element_at would
+        # raise under ANSI mode
+        F.round(F.get(vec, 0), 6).alias("first_val"),
         F.round(
-            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x), 6
+            # empty array -> NULL, matching DuckDB list_sum([]);
+            # a bare 0.0-seeded fold would return 0.0 there
+            F.when(
+                F.size(vec) > 0,
+                F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x),
+            ),
+            6,
         ).alias("vec_sum"),
     )
 
