@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_server_spark.functions.exact import sql_davg
+from map_reduce_server_spark.functions.exact import davg, sql_davg
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
@@ -290,7 +290,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(doclen, "doc_id")
-        .join(F.broadcast(df), "token")
+        # the distinct-token vocabulary is unbounded on real corpora
+        # (Heaps' law) — no hard hint; AQE broadcasts when it fits
+        .join(df, "token")
         .select(
             "doc_id",
             "token",
@@ -407,8 +409,6 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sums (functions/exact.py), so the score is bit-identical
     on any partitioning — 1 core or 1000 executors.
     """
-    from map_reduce_server_spark.functions.exact import davg
-
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -420,7 +420,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no second scan of the token stream.
     total = freq.agg(F.sum("n").alias("total"))
     freqt = freq.crossJoin(F.broadcast(total))
-    surp = tok.join(F.broadcast(freqt), "token").select(
+    # unbounded vocabulary side — no hard hint (AQE decides)
+    surp = tok.join(freqt, "token").select(
         "doc_id",
         F.round(
             -F.log(F.col("n").cast("double") / F.col("total").cast("double")),
@@ -507,8 +508,9 @@ def _sql_ngrams(n: int) -> str:
     SELECT doc_id,
            CAST(len(grams) AS INTEGER) AS n_grams,
            CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_grams,
-           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
-                 / greatest(len(grams), 1), 6) AS dup_fraction,
+           CASE WHEN len(grams) > 0
+                THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / len(grams), 6) END AS dup_fraction,
            CASE WHEN len(grams) > 0
                  AND 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
                      / len(grams) > 0.1
@@ -524,12 +526,17 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = _ngram_col(3)
     n = F.size(grams)
     n_dist = F.size(F.array_distinct(grams))
-    dup_frac = F.lit(1.0) - n_dist.cast("double") / F.greatest(n, F.lit(1))
     return docs.select(
         "doc_id",
         n.alias("n_grams"),
         n_dist.alias("n_distinct_grams"),
-        F.round(dup_frac, 6).alias("dup_fraction"),
+        # NULL, not 1.0, when the doc has no 3-grams: a 2-token doc
+        # carries no repetition evidence (same convention as
+        # text_novelty's no-shingle NULL)
+        F.when(
+            n > 0,
+            F.round(F.lit(1.0) - n_dist.cast("double") / n, 6),
+        ).alias("dup_fraction"),
         F.when(
             (n > 0) & (F.lit(1.0) - n_dist.cast("double") / n > 0.1),
             F.lit(1),
@@ -566,21 +573,27 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest n with nonzero overlap on the synthetic corpus).
 
     Scale shape: explode n-grams, equi-join train×eval on the gram —
-    never train×eval document pairs. The eval side is benchmark-sized
-    (thousands of docs), so its gram table broadcasts and the 100 TB
-    train side never shuffles; contamination is decided at the scan.
+    never train×eval document pairs. Only the EVAL side dedups
+    (bounding the join build side); the train side is never globally
+    distinct-ed — n_eval_matches counts distinct eval DOCS, which
+    duplicates cannot change, so a corpus-wide shuffle of the largest
+    intermediate would buy nothing. No hard broadcast hint: a real
+    benchmark eval set is tiny and AQE broadcasts it; the synthetic
+    1/97 split is SF-linear, where a forced broadcast would OOM.
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", F.explode(_ngram_col(4)).alias("gram")
-    ).distinct()
+    )
     is_eval = F.col("doc_id") % 97 == 0
-    eval_g = grams.filter(is_eval).select(
-        F.col("doc_id").alias("eval_id"), "gram"
+    eval_g = (
+        grams.filter(is_eval)
+        .select(F.col("doc_id").alias("eval_id"), "gram")
+        .distinct()
     )
     train_g = grams.filter(~is_eval)
     hits = (
-        train_g.join(F.broadcast(eval_g), "gram")
+        train_g.join(eval_g, "gram")
         .groupBy("doc_id")
         .agg(F.count_distinct("eval_id").alias("n_eval_matches"))
     )
@@ -621,7 +634,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
     ) % 100
     rate = F.when(
-        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(80)
+        # substr-to-end, exactly like the oracle's substr(source, 4) —
+        # a bounded length would silently truncate a long numeric
+        # suffix in one engine only
+        F.expr("substr(source, 4)").cast("int") % 2 == 0, F.lit(80)
     ).otherwise(F.lit(20))
     return docs.filter(bucket < rate).select("doc_id", "source", "lang")
 
@@ -922,8 +938,6 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     surprisal is rounded to 9 before exact-decimal averaging — the
     same libm-portability contract as the unigram scorer.
     """
-    from map_reduce_server_spark.functions.exact import davg
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", tokens_col(F.col("text"), keep_empty=False).alias("ts")
