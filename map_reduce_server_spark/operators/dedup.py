@@ -24,6 +24,17 @@ from map_reduce_server_spark.tables import load_table
 # --- shared shingling (word 3-grams over non-empty lowercase tokens) -------
 
 _SQL_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+# Normalized-text duplicate-group key, shared by dedup_fingerprint and
+# dedup_keep_one (the two MUST define identical groups) and mirrored
+# below for their oracles.
+_SQL_NORM = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
+
+
+def norm_text_col() -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+
+
 _SQL_SHINGLES = f"""
   (SELECT DISTINCT doc_id,
           unnest(list_transform(range(1, greatest(len({_SQL_TOKS}) - 1, 1)),
@@ -88,7 +99,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH fp AS (
       SELECT doc_id,
-             {sql_md5_long("regexp_replace(lower(trim(text)), ' +', ' ', 'g')")}
+             {sql_md5_long(_SQL_NORM)}
                AS fingerprint
       FROM documents
     )
@@ -101,9 +112,8 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-fingerprint dedup: at 100 TB this shuffles 8-byte
     keys instead of documents — the scale path for exact dedup."""
     docs = load_table(spark, sf_dir, "documents")
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
     return (
-        docs.select("doc_id", md5_long(normalized).alias("fingerprint"))
+        docs.select("doc_id", md5_long(norm_text_col()).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
     )
@@ -140,7 +150,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle join gets prefix filtering / LSH (see
     ``dedup_minhash_lsh``) — this exact variant is the ground truth.
     """
-    sh = shingles_df(spark, sf_dir)
+    # three consumers (both self-join sides + sz): materialize once,
+    # same rationale as dedup_jaccard_prefix's measured −29%
+    sh = shingles_df(spark, sf_dir).localCheckpoint(eager=True)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -212,22 +224,6 @@ def minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return projected.groupBy("doc_id").agg(
         *[F.min(f"m{i}").alias(f"m{i}") for i in range(_MINHASH_K)]
-    )
-
-
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, seed, h): the signature row unpivoted for per-position
-    agreement counting (``dedup_minhash_estimate``)."""
-    wide = minhash_wide(spark, sf_dir)
-    return wide.unpivot(
-        ids=["doc_id"],
-        values=[f"m{i}" for i in range(_MINHASH_K)],
-        variableColumnName="seed_name",
-        valueColumnName="h",
-    ).select(
-        "doc_id",
-        F.substring("seed_name", 2, 6).cast("int").alias("seed"),
-        "h",
     )
 
 
@@ -367,7 +363,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, source FROM (
       SELECT doc_id, lang, source,
              row_number() OVER (
-               PARTITION BY {sql_md5_long("regexp_replace(lower(trim(text)), ' +', ' ', 'g')")}
+               PARTITION BY {sql_md5_long(_SQL_NORM)}
                ORDER BY doc_id
              ) AS rn
       FROM documents
@@ -381,10 +377,7 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact's aggregate form). One shuffle on the 8-byte
     fingerprint at any scale."""
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
-    w = Window.partitionBy(md5_long(normalized)).orderBy("doc_id")
+    w = Window.partitionBy(md5_long(norm_text_col())).orderBy("doc_id")
     return (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -666,6 +659,28 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PJ_THRESHOLD = 0.5
 
 
+def ranked_prefix(
+    sh: DataFrame, freq_cap: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Frequency-ordered prefix shingles (r ≤ n//2 + 1, ties on the
+    shingle itself) plus the per-doc size table — the candidate
+    generator shared by dedup_jaccard_prefix and dedup_containment
+    (the two MUST rank identically or their oracles desynchronize).
+    ``freq_cap`` additionally drops prefix shingles with global
+    frequency above the cap (containment's k²-hazard guard)."""
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("f", "shingle")
+    ranked = sh.join(freq, "shingle").withColumn("r", F.row_number().over(w))
+    cond = F.col("r") <= F.expr("n div 2") + 1
+    if freq_cap is not None:
+        cond = cond & (F.col("f") <= freq_cap)
+    prefix = (
+        ranked.join(sz, "doc_id").filter(cond).select("doc_id", "shingle", "n")
+    )
+    return prefix, sz
+
+
 @register(
     "dedup_jaccard_prefix",
     bench=True,
@@ -733,18 +748,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles of the corpus's largest intermediate).
     """
     sh = shingles_df(spark, sf_dir).localCheckpoint(eager=True)
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("doc_id").orderBy("f", "shingle")
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("r", F.row_number().over(w))
-    )
-    prefix = (
-        ranked.join(sz, "doc_id")
-        .filter(F.col("r") <= F.expr("n div 2") + 1)
-        .select("doc_id", "shingle", "n")
-    )
+    prefix, sz = ranked_prefix(sh)
     a = prefix.alias("a")
     b = prefix.alias("b")
     cand = (
@@ -808,13 +812,10 @@ _CT_FREQ_CAP = 1000  # prefix shingles with global freq above this are skipped
       FROM ranked r JOIN sz USING (doc_id)
       WHERE r.r <= sz.n // 2 + 1 AND r.f <= {_CT_FREQ_CAP}),
     cand AS (
-      SELECT DISTINCT p.doc_id AS doc_a, s.doc_id AS doc_b
+      SELECT DISTINCT least(p.doc_id, s.doc_id) AS doc_a,
+             greatest(p.doc_id, s.doc_id) AS doc_b
       FROM prefix p JOIN sh s ON p.shingle = s.shingle
-      WHERE p.doc_id < s.doc_id
-      UNION
-      SELECT DISTINCT s.doc_id AS doc_a, p.doc_id AS doc_b
-      FROM prefix p JOIN sh s ON p.shingle = s.shingle
-      WHERE s.doc_id < p.doc_id),
+      WHERE p.doc_id <> s.doc_id),
     common AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
       FROM cand c
@@ -833,7 +834,7 @@ _CT_FREQ_CAP = 1000  # prefix shingles with global freq above this are skipped
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC near-dup: shingle containment C(A,B) = |A∩B|/|A| ≥
-    {t} in either direction — catches a short document embedded in a
+    0.8 in either direction — catches a short document embedded in a
     long one (quotes, boilerplate wrappers, chunked re-posts), which
     symmetric Jaccard structurally misses (a 10-shingle doc inside a
     1000-shingle doc has J ≈ 0.01).
@@ -843,37 +844,25 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     B's FULL shingle set — our Jaccard prefix (n//2+1 ≥ 0.2n+1 at
     t=0.8) over-covers, so recall is complete EXCEPT where the
     frequency cap bites: prefix shingles with global frequency >
-    {cap} are skipped (the k²-hazard guard, same policy as the LSH
+    1000 are skipped (the k²-hazard guard, same policy as the LSH
     bucket cap, mirrored in the oracle so both engines agree
     exactly). The probe joins doc prefixes against the full shingle
     table — compact keys, hash-distributed, AQE-splittable — then
     exact intersection counts verify only the candidates.
     """
     sh = shingles_df(spark, sf_dir).localCheckpoint(eager=True)
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("doc_id").orderBy("f", "shingle")
-    ranked = sh.join(freq, "shingle").withColumn("r", F.row_number().over(w))
-    prefix = (
-        ranked.join(sz, "doc_id")
-        .filter(
-            (F.col("r") <= F.expr("n div 2") + 1)
-            & (F.col("f") <= _CT_FREQ_CAP)
-        )
-        .select("doc_id", "shingle")
-    )
+    prefix, sz = ranked_prefix(sh, freq_cap=_CT_FREQ_CAP)
     p = prefix.alias("p")
     s = sh.alias("s")
-    hit = p.join(s, F.col("p.shingle") == F.col("s.shingle")).select(
-        F.col("p.doc_id").alias("x"), F.col("s.doc_id").alias("y")
-    )
+    # one probe pass: least/greatest normalizes the unordered pair —
+    # the previous two filtered branches unioned the SAME join twice
+    # (exchange reuse saves the shuffle write, not the join compute)
     cand = (
-        hit.filter(F.col("x") < F.col("y"))
-        .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
-        .union(
-            hit.filter(F.col("y") < F.col("x")).select(
-                F.col("y").alias("doc_a"), F.col("x").alias("doc_b")
-            )
+        p.join(s, F.col("p.shingle") == F.col("s.shingle"))
+        .filter(F.col("p.doc_id") != F.col("s.doc_id"))
+        .select(
+            F.least(F.col("p.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+            F.greatest(F.col("p.doc_id"), F.col("s.doc_id")).alias("doc_b"),
         )
         .distinct()
     )
