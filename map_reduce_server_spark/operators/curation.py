@@ -15,6 +15,14 @@ each still fully oracle-checked:
   distinct count, min/max per column) in long format.
 - ``q_scd2_customer_orders`` — slowly-changing-dimension (type 2)
   interval build from an event-style fact.
+- ``q_quality_gate`` / ``q_pack_sequences`` / ``q_training_shards`` —
+  per-domain quantile filtering, greedy context-window packing, and
+  content-addressed shard manifests.
+- ``q_point_in_time_join`` — leakage-safe feature-store enrichment.
+- ``q_data_expectations`` / ``q_drift_psi`` — pre-publish validation
+  gate and split-drift monitoring.
+- ``q_weighted_sample`` / ``q_snapshot_diff`` — deterministic A-ES
+  weighted sampling and incremental-refresh auditing.
 
 The reference has no notion of any of this (its pipeline surface is
 wordcount/grep executables, reference ``tests/testdata/exec/``);
@@ -135,13 +143,15 @@ _PROFILE_COLS = (
 
 
 def _sql_profile_oracle() -> str:
+    # MIN/MAX over the NATIVE value, cast AFTERWARDS: casting first
+    # would make numeric profiles lexicographic ('10' < '9').
     parts = [
         f"""
         SELECT '{c}' AS column_name,
                CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
                CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-               MIN({tmpl.format(c=c, T='VARCHAR')}) AS min_val,
-               MAX({tmpl.format(c=c, T='VARCHAR')}) AS max_val
+               {tmpl.format(c=f'MIN({c})', T='VARCHAR')} AS min_val,
+               {tmpl.format(c=f'MAX({c})', T='VARCHAR')} AS max_val
         FROM orders
         """
         for c, tmpl in _PROFILE_COLS
@@ -164,12 +174,15 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     aggs = []
     for c, tmpl in _PROFILE_COLS:
-        val = F.expr(tmpl.format(c=c, T="STRING"))
         aggs += [
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__null"),
+            # count(when(...)) not sum(cast): 0, never NULL, on an
+            # empty table (matching the oracle's COUNT(*) - COUNT(c))
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__null"),
             F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(val).alias(f"{c}__min"),
-            F.max(val).alias(f"{c}__max"),
+            # aggregate the NATIVE value, cast the RESULT — min/max of
+            # the string cast would be lexicographic for numerics
+            F.expr(tmpl.format(c=f"MIN({c})", T="STRING")).alias(f"{c}__min"),
+            F.expr(tmpl.format(c=f"MAX({c})", T="STRING")).alias(f"{c}__max"),
         ]
     wide = orders.agg(*aggs)
     stack_args = ", ".join(
@@ -243,9 +256,11 @@ def q_scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT doc_id, source, score,
              percent_rank() OVER (PARTITION BY source
-                                  ORDER BY score, doc_id) AS pr
+                                  ORDER BY score, doc_id) AS pr,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
       FROM scored)
-    SELECT doc_id, source, score FROM ranked WHERE pr >= 0.25
+    SELECT doc_id, source, score FROM ranked
+    WHERE pr >= 0.25 OR n_src < 4
     """,
 )
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,9 +286,14 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = docs.select("doc_id", "source", score.alias("score"))
     w = Window.partitionBy("source").orderBy("score", "doc_id")
+    # sources smaller than 4 docs have no meaningful quartile — the
+    # bare pr >= 0.25 rule would delete 100% of a 1-doc domain
     return (
         scored.withColumn("pr", F.percent_rank().over(w))
-        .filter(F.col("pr") >= 0.25)
+        .withColumn(
+            "n_src", F.count("*").over(Window.partitionBy("source"))
+        )
+        .filter((F.col("pr") >= 0.25) | (F.col("n_src") < 4))
         .select("doc_id", "source", "score")
     )
 
@@ -523,8 +543,11 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_violations == 0).alias("passed"),
         )
 
-    qty_bad = F.sum(
-        ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+    # count(when(...)) not sum(cast): an EMPTY table must yield
+    # n_violations = 0 / passed = true (the oracle's FILTER count
+    # does), not NULL / NULL — a validation gate cannot emit UNKNOWN
+    qty_bad = F.count(
+        F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
     )
     r1 = li.agg(*rule("lineitem_quantity_in_range", qty_bad))
     dup = F.count("*") - F.count_distinct("o_orderkey")
@@ -532,12 +555,12 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphans = orders.join(
         cust, orders.o_custkey == cust.c_custkey, "left_anti"
     ).agg(*rule("orders_custkey_references_customer", F.count("*")))
-    val_bad = F.sum(
-        (F.col("value").isNull() | (F.col("value") < 0)).cast("long")
+    val_bad = F.count(
+        F.when(F.col("value").isNull() | (F.col("value") < 0), 1)
     )
     r4 = ev.agg(*rule("events_value_not_null_nonneg", val_bad))
-    doc_bad = (F.count("*") - F.count_distinct("doc_id")) + F.sum(
-        F.col("doc_id").isNull().cast("long")
+    doc_bad = (F.count("*") - F.count_distinct("doc_id")) + F.count(
+        F.when(F.col("doc_id").isNull(), 1)
     )
     r5 = docs.agg(*rule("documents_doc_id_unique_not_null", doc_bad))
     return r1.unionByName(r2).unionByName(orphans).unionByName(r4).unionByName(r5)
@@ -592,8 +615,6 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, rounded to 6 for display.
     """
     docs = load_table(spark, sf_dir, "documents")
-    from map_reduce_server_spark.functions.hashing import md5_long
-
     s = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 2
     mx = docs.agg((F.max("n_chars").cast("double") + 1.0).alias("m"))
     bucketed = docs.select("n_chars", s.alias("s")).join(F.broadcast(mx))

@@ -169,7 +169,9 @@ _DRIVER_GREEN_R4 = frozenset({
 # Queries whose RESULT changed after their last green driver row
 # (round-5 rework): their stale green row no longer certifies the
 # current code, so they rejoin the never-verified head.
-_CHANGED_R5 = frozenset({"q_equidepth_histogram"})
+# q_profile_columns: min/max now aggregate the NATIVE value (numeric
+# order), not the string cast (lexicographic) — values differ.
+_CHANGED_R5 = frozenset({"q_equidepth_histogram", "q_profile_columns"})
 
 _EVER_GREEN = (
     _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
