@@ -27,8 +27,34 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; arrays must be cast to array<double> first."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; arrays must be cast to array<double> first.
+
+    NULL (not NaN, not an error) when either vector is all-zero: the
+    explicit guard keeps both engines' zero-vector behavior identical
+    — raw 0/0 is NULL in Spark but NaN in DuckDB, and NaN sorts
+    ABOVE every real under DESC there, which would put a zero vector
+    at rank 1 of every oracle top-k. NULL sorts last and fails >=
+    filters in both engines. ``sql_cosine`` is the oracle twin; the
+    sqrt arrangement (sqrt(aa)*sqrt(bb), not sqrt(aa*bb)) must match
+    it to the last ulp because the ANN windows rank on the UNROUNDED
+    value.
+    """
+    aa = dot(a, a)
+    bb = dot(b, b)
+    return F.when(
+        (aa > 0) & (bb > 0), dot(a, b) / (F.sqrt(aa) * F.sqrt(bb))
+    )
+
+
+# DuckDB oracle twin of :func:`cosine` — same guard, same sqrt
+# arrangement. Keep the two in lockstep (ulp-level parity matters).
+SQL_COSINE = (
+    "CASE WHEN list_dot_product({a}, {a}) > 0"
+    " AND list_dot_product({b}, {b}) > 0"
+    " THEN list_dot_product({a}, {b}) /"
+    " (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    " END"
+)
 
 
 def as_double_array(col: Column) -> Column:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
-from map_reduce_server_spark.functions.vector import cosine
+from map_reduce_server_spark.functions.vector import SQL_COSINE, cosine
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -170,10 +170,7 @@ _RRF_CAND = 50
 _RRF_TOPK = 10
 _RRF_QVEC = 0  # vec_id of the query embedding; doc_id aligns with vec_id
 
-_SQL_COS = (
-    "list_dot_product({a}, {b}) / "
-    "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b}))"
-)
+_SQL_COS = SQL_COSINE  # shared oracle twin of functions.vector.cosine
 
 
 def _join_rank(cands: DataFrame, score: str, key: str) -> DataFrame:

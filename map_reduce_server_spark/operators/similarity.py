@@ -12,17 +12,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_server_spark.functions.vector import cosine
+from map_reduce_server_spark.functions.vector import SQL_COSINE, cosine
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
 _N_QUERIES = 8  # vec_id < 8 are the benchmark query vectors
 _TOP_K = 5
 
-_SQL_COS = (
-    "list_dot_product({a}, {b}) / "
-    "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b}))"
-)
+_SQL_COS = SQL_COSINE  # shared oracle twin of functions.vector.cosine
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,20 +94,24 @@ _SQL_PLANE = (
 )
 
 
+def _plane_values(j: int) -> list[float]:
+    """Plane j's components, precomputed driver-side with hashlib —
+    BIT-IDENTICAL to the SQL derivation (int(md5hex[:15], 16) is
+    exactly conv(substr(md5, 1, 15), 16, 10)), but folded into a
+    literal array: the in-expression form re-ran 4 planes × 64 dims
+    of md5 + base conversion PER CORPUS ROW because Catalyst does not
+    constant-fold higher-order-function subtrees."""
+    import hashlib
+
+    out = []
+    for d in range(1, _DIM + 1):
+        h = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2000001 - 1000000) / 1000000.0)
+    return out
+
+
 def _plane_col(j: int) -> Column:
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(_DIM)),
-        lambda d: (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{j}:"), d.cast("string"))), 1, 15),
-                16,
-                10,
-            ).cast("bigint")
-            % 2000001
-            - 1000000
-        )
-        / 1000000.0,
-    )
+    return F.array(*[F.lit(v) for v in _plane_values(j)])
 
 
 def _bucket_col(vec: Column) -> Column:
