@@ -425,7 +425,6 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_COS_PAIRS = f"""
     (WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec,
-             label,
              {_sql_bucket('embedding::DOUBLE[]')} AS bucket
       FROM embeddings
     )
