@@ -110,6 +110,9 @@ def _events_stream(
     # The file-stream source wants a directory; stage a symlink dir so
     # the (read-only) single-file table looks like a stream landing zone.
     stage = tempfile.mkdtemp(prefix="mrss_stream_")
+    # register up front: if anything between here and the caller's
+    # cleanup raises, the dir must still go at interpreter exit
+    cleanup_at_exit(stage)
     os.symlink(
         f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet")
     )
@@ -125,6 +128,23 @@ def _events_stream(
         # (session TZ pinned above), same as tables.load_table.
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream, stage
+
+
+def _read_deltas(spark: SparkSession, out: str, agg_schema) -> DataFrame:
+    """Read the foreachBatch delta files (``b*``), tolerating the
+    zero-batch case: a stream whose aggregation never emits leaves no
+    delta dirs, and a bare glob read would fail path resolution where
+    the oracle simply returns 0 rows."""
+    import glob as _glob
+
+    from pyspark.sql import types as T
+
+    delta_schema = T.StructType(
+        list(agg_schema.fields) + [T.StructField("batch_id", T.LongType())]
+    )
+    if not _glob.glob(os.path.join(out, "b*")):
+        return spark.createDataFrame([], delta_schema)
+    return spark.read.schema(delta_schema).parquet(os.path.join(out, "b*"))
 
 
 _STREAM_ORACLE = """
@@ -199,7 +219,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    deltas = spark.read.parquet(os.path.join(out, "b*"))
+    deltas = _read_deltas(spark, out, deduped.schema)
     w = Window.partitionBy("event_type", "value_bucket").orderBy(
         F.desc("batch_id")
     )
@@ -238,8 +258,13 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
         shutil.rmtree(stage, ignore_errors=True)
-    # Materialize into a static DataFrame before the sink is dropped.
-    return spark.table(sink)
+    # Materialize into a driver-built static DataFrame and DROP the
+    # memory-sink view: spark.table(sink) is lazy and would pin one
+    # complete-mode result set per invocation for the session's life.
+    rows = spark.table(sink).collect()
+    schema = spark.table(sink).schema
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(rows, schema)
 
 
 @register("stream_window_counts_incremental", oracle=_STREAM_ORACLE)
@@ -284,7 +309,7 @@ def stream_window_counts_incremental(
 
     from pyspark.sql import Window
 
-    deltas = spark.read.parquet(os.path.join(out, "b*"))
+    deltas = _read_deltas(spark, out, agg.schema)
     w = Window.partitionBy("w_start", "event_type").orderBy(
         F.desc("batch_id")
     )
@@ -352,7 +377,7 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    deltas = spark.read.parquet(os.path.join(out, "b*"))
+    deltas = _read_deltas(spark, out, counts.schema)
     latest = Window.partitionBy("w_start", "event_type").orderBy(
         F.desc("batch_id")
     )

@@ -36,6 +36,8 @@ def _run_to_parquet(stream_df: DataFrame, prefix: str) -> str:
     """Drive an append-mode streaming query to completion; return the
     output dir (caller reads + cleans)."""
     out = tempfile.mkdtemp(prefix=prefix)
+    # register up front: a failed micro-batch must not leak the dir
+    cleanup_at_exit(out)
     query = (
         stream_df.writeStream.outputMode("append")
         .format("parquet")
@@ -50,9 +52,13 @@ def _run_to_parquet(stream_df: DataFrame, prefix: str) -> str:
     return out
 
 
-def _collect_result(spark: SparkSession, out: str, stage: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(out, "data"))
-    cleanup_at_exit(out)  # keep the sink files until the DF is dead
+def _collect_result(
+    spark: SparkSession, out: str, stage: str, schema
+) -> DataFrame:
+    # explicit schema: a zero-match stream writes no data files, and
+    # a schemaless read would fail inference where the oracle simply
+    # returns 0 rows
+    df = spark.read.schema(schema).parquet(os.path.join(out, "data"))
     shutil.rmtree(stage, ignore_errors=True)
     return df
 
@@ -88,7 +94,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "value", "c_mktsegment", "c_acctbal")
     )
     out = _run_to_parquet(enriched, "mrss_enrich_")
-    return _collect_result(spark, out, stage)
+    return _collect_result(spark, out, stage, enriched.schema)
 
 
 @register(
@@ -163,4 +169,4 @@ def stream_stream_interval_join(
         )
     )
     out = _run_to_parquet(joined, "mrss_ssjoin_")
-    return _collect_result(spark, out, stage)
+    return _collect_result(spark, out, stage, joined.schema)

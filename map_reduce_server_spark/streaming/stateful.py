@@ -41,14 +41,28 @@ def _update_counts(
 ) -> Iterable[pd.DataFrame]:
     """Fold each micro-batch into (count, exact-cents total) state.
 
-    Cents (int64) instead of float accumulation: associative and
-    exact, so the running total is independent of batch boundaries —
-    the streaming analog of the engine's decimal-sum rule.
+    Cents (int64) instead of float accumulation: each value rounds
+    to cents independently (HALF_UP, matching decimal(30,2)), so the
+    integer total is associative and exact — independent of batch
+    boundaries, the streaming analog of the engine's decimal-sum
+    rule.
     """
     n, total_cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        total_cents += int(round(pdf["value"].sum() * 100))
+        # round each VALUE to cents (HALF_UP, like the engine's
+        # decimal(30,2) cast), then sum integers: a per-batch float
+        # sum rounded once would make the total depend on batch
+        # boundaries (and Python's round() half-evens, diverging
+        # from decimal HALF_UP on exact .005 cases)
+        import math
+
+        total_cents += int(
+            sum(
+                int(math.floor(abs(v) * 100 + 0.5)) * (1 if v >= 0 else -1)
+                for v in pdf["value"]
+            )
+        )
     state.update((n, total_cents))
     yield pd.DataFrame(
         {
