@@ -173,10 +173,11 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_ITERS = 3
 _PR_DAMPING = 0.85
 _PR_BUCKETS = 32  # bucket count for bucketed_adjacency mode
-# Supplier node ids are offset into a disjoint range so the bipartite
-# graph's two key spaces never collide (c_custkey and s_suppkey
-# overlap numerically).
-_PR_SUPP_OFFSET = 1_000_000
+# Parity node encoding: customer k -> 2k, supplier k -> 2k+1. The two
+# key spaces are disjoint at ANY scale factor — a fixed additive
+# offset (the previous scheme) silently collides once custkeys grow
+# past it (TPC-H custkeys reach 150k×SF), fusing customer and
+# supplier nodes in a way a same-offset oracle cannot detect.
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,8 +192,8 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + _PR_SUPP_OFFSET).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -319,8 +320,8 @@ def pagerank(
 def _sql_pagerank_oracle() -> str:
     """The same recurrence unrolled as CTEs (DuckDB has no loops)."""
     edges = f"""
-      (WITH p AS (SELECT DISTINCT o_custkey AS src,
-                         l_suppkey + {_PR_SUPP_OFFSET} AS dst
+      (WITH p AS (SELECT DISTINCT o_custkey * 2 AS src,
+                         l_suppkey * 2 + 1 AS dst
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
        SELECT src, dst FROM p
        UNION ALL SELECT dst, src FROM p)
@@ -374,9 +375,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_MINSUP = 2  # a pair must co-occur in >= this many orders
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    minsup: int = _TRI_MINSUP,
+    keep_support: bool = False,
+    li: DataFrame | None = None,
+) -> DataFrame:
     """Thresholded ordered co-purchase edge list (u < v, support ≥
-    ``_TRI_MINSUP`` orders).
+    ``minsup`` orders); pass ``keep_support`` for consumers that need
+    the pair count (q_market_basket), and ``li`` to share an
+    already-deduped (l_orderkey, l_partkey) projection.
 
     (orderkey, partkey) is deduped BEFORE the pair self-join, so each
     order contributes a pair at most once and support is a plain
@@ -386,14 +395,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying orderkeys through the pair explosion into a dedup
     aggregation buffer per (u, v).
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    if li is None:
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
     a = li.alias("a")
     b = li.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -403,9 +413,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= _TRI_MINSUP)
-        .select("u", "v")
+        .filter(F.col("sup") >= minsup)
     )
+    return pairs if keep_support else pairs.select("u", "v")
 
 
 @register(
@@ -455,13 +465,21 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e3 = e.alias("e3")
     wg = wedges.alias("wg")
-    tris = wg.join(
+    # ONE pass over the wedge join for both counts: the closing LEFT
+    # join preserves wedge multiplicity (edges are distinct (u,v)
+    # rows), so count(*) is the wedge count and count(matched) the
+    # triangle count — the previous two-branch form evaluated the
+    # quadratic-in-degree wedge join twice.
+    closed = wg.join(
         e3,
         (F.col("wg.u") == F.col("e3.u")) & (F.col("wg.w") == F.col("e3.v")),
+        "left",
     )
     return (
-        wedges.agg(F.count("*").alias("n_wedges"))
-        .join(F.broadcast(tris.agg(F.count("*").alias("n_triangles"))))
+        closed.agg(
+            F.count("*").alias("n_wedges"),
+            F.count(F.col("e3.u")).alias("n_triangles"),
+        )
         .join(F.broadcast(e.agg(F.count("*").alias("n_edges"))))
         .select(
             F.col("n_edges").cast("bigint"),
@@ -518,21 +536,23 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .select("l_orderkey", "l_partkey")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n = li.agg(F.count_distinct("o").cast("double").alias("n_orders"))
-    isup = li.groupBy("p").agg(F.count("*").alias("sup"))
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .agg(F.count("*").alias("sup_uv"))
-        .filter(F.col("sup_uv") >= _MB_MINSUP)
+    n = li.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
     )
-    su = isup.select(F.col("p").alias("u"), F.col("sup").alias("sup_u"))
-    sv = isup.select(F.col("p").alias("v"), F.col("sup").alias("sup_v"))
+    isup = li.groupBy("l_partkey").agg(F.count("*").alias("sup"))
+    pairs = _copurchase_edges(
+        spark, sf_dir, minsup=_MB_MINSUP, keep_support=True, li=li
+    ).withColumnRenamed("sup", "sup_uv")
+    su = isup.select(
+        F.col("l_partkey").alias("u"), F.col("sup").alias("sup_u")
+    )
+    sv = isup.select(
+        F.col("l_partkey").alias("v"), F.col("sup").alias("sup_v")
+    )
     return (
         pairs.join(su, "u")
         .join(sv, "v")
@@ -586,7 +606,9 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hundred values). No row of lineitem survives past the first
     aggregation.
     """
-    e = _copurchase_edges(spark, sf_dir)
+    # two consumers (u- and v-branch of the union): materialize once,
+    # same rationale as the triangles call site
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

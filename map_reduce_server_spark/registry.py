@@ -171,7 +171,11 @@ _DRIVER_GREEN_R4 = frozenset({
 # current code, so they rejoin the never-verified head.
 # q_profile_columns: min/max now aggregate the NATIVE value (numeric
 # order), not the string cast (lexicographic) — values differ.
-_CHANGED_R5 = frozenset({"q_equidepth_histogram", "q_profile_columns"})
+# graph_pagerank: parity node encoding (2k / 2k+1) replaced the
+# scale-unsafe additive supplier offset — node ids differ.
+_CHANGED_R5 = frozenset(
+    {"q_equidepth_histogram", "q_profile_columns", "graph_pagerank"}
+)
 
 _EVER_GREEN = (
     _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
