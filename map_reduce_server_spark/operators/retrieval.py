@@ -400,43 +400,46 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.col("text")), " "), lambda x: x != ""
         ).alias("ts"),
     )
+    win_arr = F.when(
+        # guard like dedup.shingles_df: a doc below the window width
+        # has NO windows — the unguarded sequence(1, greatest(...,1))
+        # fabricated one truncated window where the oracle's
+        # end-exclusive range() correctly yields none
+        F.size("ts") >= _SPAN_W,
+        F.transform(
+            # starts 1..L-(w-1): Spark sequence is END-INCLUSIVE
+            # where the oracle's range() is end-exclusive.
+            F.sequence(F.lit(1), F.size("ts") - (_SPAN_W - 1)),
+            lambda i: F.concat_ws(" ", F.slice("ts", i, F.lit(_SPAN_W))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     wins = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    # starts 1..L-(w-1): Spark sequence is END-INCLUSIVE
-                    # where the oracle's range() is end-exclusive.
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(F.size("ts") - (_SPAN_W - 1), F.lit(1)),
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", F.slice("ts", i, F.lit(_SPAN_W))
-                    ),
-                )
-            ).alias("win"),
-        )
+        toks.select("doc_id", F.explode(win_arr).alias("win"))
         .select("doc_id", md5_long(F.col("win")).alias("h"))
         .distinct()
+        # three consumers previously recomputed this explode+distinct;
+        # one materialization + one join-aggregate pass replaces the
+        # shared/per_doc/totals triple-plan
+        .localCheckpoint(eager=True)
     )
     shared = wins.groupBy("h").agg(F.count("*").alias("n")).filter(
         F.col("n") >= 2
     )
-    per_doc = (
-        wins.join(shared.select("h"), "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_dup_windows"))
+    marked = wins.join(
+        shared.select("h", F.lit(1).alias("is_dup")), "h", "left"
     )
-    totals = wins.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
     return (
-        totals.join(per_doc, "doc_id", "left")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("is_dup").alias("n_dup_windows"),
+        )
         .select(
             "doc_id",
             "n_windows",
-            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            "n_dup_windows",
             F.round(
-                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                F.col("n_dup_windows").cast("double")
                 / F.col("n_windows"),
                 6,
             ).alias("dup_ratio"),
@@ -462,7 +465,7 @@ from map_reduce_server_spark.operators import similarity as _sim  # noqa: E402,F
          mr AS (SELECT query_id, neighbor_id
                 FROM ({_registry.ORACLE["ann_topk_matryoshka"]}) t)
     SELECT bf.query_id,
-           round(CAST(COUNT(mr.neighbor_id) AS DOUBLE) / 5, 6)
+           round(CAST(COUNT(mr.neighbor_id) AS DOUBLE) / {_sim._TOP_K}, 6)
              AS recall_at_5
     FROM bf LEFT JOIN mr
       ON bf.query_id = mr.query_id AND bf.neighbor_id = mr.neighbor_id

@@ -529,3 +529,26 @@ def test_ngram_col_matches_shingles_df(spark):
             for r in shingles_df(spark, d).collect()
         }
     assert via_text == via_dedup
+
+
+def test_dup_spans_short_doc_has_no_windows(spark):
+    """A document below the 5-token window width contributes NO
+    windows (it must not fabricate a truncated pseudo-window), and
+    two identical long docs share all of theirs."""
+    df = spark.createDataFrame(
+        [
+            (1, "too short"),
+            (2, "one two three four five six"),
+            (3, "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "documents")
+        got = {
+            r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_ratio)
+            for r in registry.QUERIES["text_dup_spans"](spark, d).collect()
+        }
+    assert 1 not in got  # no fabricated window for the 2-token doc
+    assert got[2] == (2, 2, 1.0)
+    assert got[3] == (2, 2, 1.0)
