@@ -19,15 +19,32 @@ from pyspark.sql import DataFrame
 
 def write_numbered_text(df: DataFrame, output_dir: str) -> list[str]:
     """Write a single-string-column DataFrame as text files named
-    ``outputfile{NN}`` (one per partition), returning the paths."""
+    ``outputfile{NN}`` — exactly ONE per partition, numbered by
+    PARTITION ID, empty files included.
+
+    Spark's text writer skips empty partitions entirely; naming the
+    surviving part files sequentially would both drop files the
+    reference emits (it copies every reducer's output, empty or not,
+    ``master/__main__.py:456-463``) and mis-number the survivors
+    (reducer 2's data landing in ``outputfile02`` when reducer 1 was
+    empty). The partition id is authoritative: it is encoded in the
+    ``part-NNNNN-*`` filename.
+    """
+    n_parts = df.rdd.getNumPartitions()
     staging = os.path.join(output_dir, "_staging")
     df.write.mode("overwrite").text(staging)
     os.makedirs(output_dir, exist_ok=True)
-    parts = sorted(glob.glob(os.path.join(staging, "part-*")))
+    by_pid = {}
+    for part in glob.glob(os.path.join(staging, "part-*")):
+        pid = int(os.path.basename(part).split("-")[1])
+        by_pid[pid] = part
     out_paths = []
-    for i, part in enumerate(parts):
-        dest = os.path.join(output_dir, f"outputfile{i + 1:02d}")
-        shutil.move(part, dest)
+    for pid in range(n_parts):
+        dest = os.path.join(output_dir, f"outputfile{pid + 1:02d}")
+        if pid in by_pid:
+            shutil.move(by_pid[pid], dest)
+        else:
+            open(dest, "w").close()  # reference parity: empty file
         out_paths.append(dest)
     shutil.rmtree(staging, ignore_errors=True)
     return out_paths

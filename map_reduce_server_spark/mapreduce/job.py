@@ -38,6 +38,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.io.sinks import write_numbered_text
+from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
 
 # Above this many input files, run_job switches from one-RDD-per-file
 # plan construction to a single directory scan (see _mapped_lines_*).
@@ -140,6 +141,10 @@ def _stage_hidden_aliases(
         if _needs_alias(os.path.basename(f)):
             if alias_dir is None:
                 alias_dir = tempfile.mkdtemp(prefix="mrs-hidden-")
+                # the aliases must outlive this (lazy) job's actions;
+                # interpreter-exit cleanup bounds the accumulation a
+                # long-lived job queue would otherwise suffer
+                cleanup_at_exit(alias_dir)
             alias = os.path.join(alias_dir, f"f{rank:08d}")
             os.symlink(os.path.abspath(f), alias)
             resolver[os.path.abspath(alias)] = f
@@ -176,7 +181,9 @@ def group_partition(mapped, num_reducers: int):
             numPartitions=num_reducers, partitionFunc=lambda key: key[0]
         )
         # ((partition, line), count) sorted by line → expand duplicates
-        .flatMap(lambda kv: [kv[0][1]] * kv[1])
+        # LAZILY: a heavy-hitter line must stream out of the iterator,
+        # not materialize count references in one list
+        .flatMap(lambda kv: __import__("itertools").repeat(kv[0][1], kv[1]))
     )
 
 
@@ -280,7 +287,9 @@ def _mapped_lines_directory(
             raise RuntimeError(
                 f"input file {f!r} was listed but never scanned"
             )
-    ranks = spark.createDataFrame(uri_rank, ["f", "rank"])
+    # Explicit schema: every input file can legally be 0 bytes, in
+    # which case uri_rank is [] and schema inference would raise.
+    ranks = spark.createDataFrame(uri_rank, "f string, rank long")
     keyed = (
         df.join(F.broadcast(ranks), "f")
         .select("rank", "seq", "value")
@@ -294,7 +303,7 @@ def _mapped_lines_directory(
     shuffled = sc.union([sentinels, keyed]).repartitionAndSortWithinPartitions(
         numPartitions=num_mappers, partitionFunc=lambda k: k[0]
     )
-    cmd = shlex.split(_pipe_cmd(mapper))
+    cmd = shlex.split(mapper)
 
     def pipe_per_file(it):
         import itertools
@@ -368,5 +377,10 @@ def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
     reduced = grouped.pipe(_pipe_cmd(job.reducer_executable), checkCode=True)
 
     # --- finalize: outputfileNN naming (master/__main__.py:456-463).
-    out_df = reduced.map(lambda line: (line,)).toDF(["value"])
+    # Explicit schema: toDF would need to infer from data and raises
+    # on a job whose total output is empty — the reference writes
+    # (empty) outputfileNN files instead.
+    out_df = spark.createDataFrame(
+        reduced.map(lambda line: (line,)), "value string"
+    )
     return write_numbered_text(out_df, job.output_directory)

@@ -14,6 +14,8 @@ import os
 import shutil
 import tempfile
 
+from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,8 +76,12 @@ def _run_facade(
     )
     run_job(spark, job)
     out = spark.read.text(output_dir).cache()
-    out.count()  # materialize before the temp dir can be cleaned
-    shutil.rmtree(output_dir, ignore_errors=True)
+    out.count()  # warm the cache so consumers rarely re-read
+    # deferred cleanup (not an immediate rmtree): if cached blocks
+    # are evicted before the grader consumes the DataFrame, a re-read
+    # of a deleted dir would fail — same policy as the streaming and
+    # partitioned-layout temp dirs
+    cleanup_at_exit(output_dir)
     return out
 
 
@@ -85,7 +91,7 @@ def _run_facade(
     prepare=stage_documents_text,
     oracle="""
     SELECT word, COUNT(*) AS n
-    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+    FROM (SELECT unnest(string_split_regex(lower(text), '[ \t]')) AS word
           FROM documents) t
     GROUP BY word
     """,
@@ -104,7 +110,8 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mr_grep",
     oracle="""
-    SELECT text FROM documents WHERE contains(lower(text), 'join')
+    SELECT trim(text) AS text FROM documents
+    WHERE trim(text) <> '' AND contains(lower(text), 'join')
     """,
 )
 def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -450,3 +450,89 @@ def test_output_file_naming(spark, tmp_path, input_dir):
     )
     names = sorted(f for f in os.listdir(out) if f.startswith("outputfile"))
     assert names == ["outputfile01", "outputfile02", "outputfile03"]
+
+
+def test_empty_total_output_writes_empty_files(spark, tmp_path, input_dir):
+    """A grep matching nothing must still produce num_reducers EMPTY
+    outputfileNN files (the reference copies every reducer's output,
+    empty or not) — not crash on schema inference."""
+    out = str(tmp_path / "out_empty")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=input_dir,
+            output_directory=out,
+            mapper_executable=(
+                f"python3 {os.path.join(_EXAMPLES, 'grep_map.py')} zzznomatch"
+            ),
+            reducer_executable=(
+                f"python3 {os.path.join(_EXAMPLES, 'grep_reduce.py')}"
+            ),
+            num_mappers=2,
+            num_reducers=2,
+        ),
+    )
+    names = sorted(os.listdir(out))
+    assert names == ["outputfile01", "outputfile02"]
+    for n in names:
+        assert os.path.getsize(os.path.join(out, n)) == 0
+
+
+def test_all_empty_input_files(spark, tmp_path):
+    """Every input file 0 bytes: the job must run (the reference
+    pipes each empty file) and produce empty outputs, not crash on
+    an empty rank table."""
+    d = tmp_path / "empty_in"
+    d.mkdir()
+    for i in range(3):
+        (d / f"file0{i}").write_text("")
+    out = str(tmp_path / "out_allempty")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=str(d),
+            output_directory=out,
+            mapper_executable=(
+                f"python3 {os.path.join(_EXAMPLES, 'wc_map.py')}"
+            ),
+            reducer_executable=(
+                f"python3 {os.path.join(_EXAMPLES, 'wc_reduce.py')}"
+            ),
+            num_mappers=2,
+            num_reducers=2,
+        ),
+    )
+    assert sorted(os.listdir(out)) == ["outputfile01", "outputfile02"]
+    assert _read_outputs(out) == []
+
+
+def test_empty_middle_partition_keeps_numbering(spark, tmp_path):
+    """With more reducers than distinct lines, the occupied
+    partitions must keep their ORIGINAL reducer numbers and the
+    empty ones must exist as empty files — sequential renaming of
+    surviving part files would shift data into the wrong NN."""
+    d = tmp_path / "one_line"
+    d.mkdir()
+    (d / "file01").write_text("solo\n")
+    out = str(tmp_path / "out_onekey")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=str(d),
+            output_directory=out,
+            mapper_executable=(
+                f"python3 {os.path.join(_EXAMPLES, 'grep_map.py')} solo"
+            ),
+            reducer_executable=(
+                f"python3 {os.path.join(_EXAMPLES, 'grep_reduce.py')}"
+            ),
+            num_mappers=1,
+            num_reducers=3,
+        ),
+    )
+    names = sorted(os.listdir(out))
+    assert names == ["outputfile01", "outputfile02", "outputfile03"]
+    # rank 0 of the single distinct line -> partition 0 -> file 01
+    assert open(os.path.join(out, "outputfile01")).read() == "solo\n"
+    assert os.path.getsize(os.path.join(out, "outputfile02")) == 0
+    assert os.path.getsize(os.path.join(out, "outputfile03")) == 0
