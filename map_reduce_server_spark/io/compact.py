@@ -15,6 +15,18 @@ from pyspark.sql import DataFrame
 
 
 def _dir_bytes(path: str) -> int:
+    """Local-filesystem staging size. os.walk on a URI (hdfs://,
+    s3a://, even file:/) silently yields nothing — which would
+    collapse the rewrite to ONE serialized file and no-op the
+    staging cleanup — so refuse anything that is not a local dir;
+    cluster deployments measure via the Hadoop FileSystem API
+    instead (docstring of write_compacted).
+    """
+    if "://" in path or path.startswith("file:") or not os.path.isdir(path):
+        raise ValueError(
+            f"write_compacted measures staging size locally; {path!r} "
+            "is not a local directory (use the Hadoop FS API on a cluster)"
+        )
     total = 0
     for root, _, files in os.walk(path):
         for f in files:

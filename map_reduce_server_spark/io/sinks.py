@@ -34,12 +34,19 @@ def write_numbered_text(df: DataFrame, output_dir: str) -> list[str]:
     staging = os.path.join(output_dir, "_staging")
     df.write.mode("overwrite").text(staging)
     os.makedirs(output_dir, exist_ok=True)
+    # a previous wider run's outputfileNN must not survive a narrower
+    # re-run — a glob consumer would silently mix stale and new data
+    for old in glob.glob(os.path.join(output_dir, "outputfile*")):
+        os.remove(old)
     by_pid = {}
     for part in glob.glob(os.path.join(staging, "part-*")):
         pid = int(os.path.basename(part).split("-")[1])
         by_pid[pid] = part
     out_paths = []
-    for pid in range(n_parts):
+    # the write plan's partition count is authoritative if it exceeds
+    # the separately-evaluated n_parts (e.g. AQE coalescing differing
+    # between the two executions) — never drop a written part file
+    for pid in range(max(n_parts, max(by_pid, default=-1) + 1)):
         dest = os.path.join(output_dir, f"outputfile{pid + 1:02d}")
         if pid in by_pid:
             shutil.move(by_pid[pid], dest)

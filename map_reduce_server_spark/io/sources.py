@@ -20,7 +20,12 @@ def read_text_dir(spark: SparkSession, input_dir: str) -> DataFrame:
     ``file`` is the source file name (not full path), matching the
     reference's per-file task accounting (SURVEY.md §2.A#1).
     """
+    # input_file_name() returns a percent-ENCODED URI: decode the
+    # basename or 'my file.txt' comes back as 'my%20file.txt' and
+    # never matches an os.listdir-derived name
     return spark.read.text(input_dir).select(
-        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+        F.url_decode(
+            F.element_at(F.split(F.input_file_name(), "/"), -1)
+        ).alias("file"),
         F.col("value"),
     )

@@ -32,10 +32,9 @@ from map_reduce_server_spark.tables import load_table
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subqueries in projection and predicate."""
-    import uuid
-
     orders = load_table(spark, sf_dir, "orders")
-    view = f"orders_sq_{uuid.uuid4().hex[:8]}"
+    # fixed name + OrReplace: the repo's no-accumulation convention
+    view = "orders_sq"
     orders.createOrReplaceTempView(view)
     return spark.sql(
         f"""
@@ -68,18 +67,15 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS (Catalyst → semi/anti joins)."""
-    import uuid
-
-    tag = uuid.uuid4().hex[:8]
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView(f"cust_ce_{tag}")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(f"ord_ce_{tag}")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_ce")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_ce")
     return spark.sql(
         f"""
-        SELECT c_custkey, c_name FROM cust_ce_{tag} c
-        WHERE EXISTS (SELECT 1 FROM ord_ce_{tag} o
+        SELECT c_custkey, c_name FROM cust_ce c
+        WHERE EXISTS (SELECT 1 FROM ord_ce o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_totalprice > 100000)
-          AND NOT EXISTS (SELECT 1 FROM ord_ce_{tag} o2
+          AND NOT EXISTS (SELECT 1 FROM ord_ce o2
                           WHERE o2.o_custkey = c.c_custkey
                             AND o2.o_orderstatus = 'F'
                             AND o2.o_totalprice < 1000)
@@ -112,7 +108,9 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .pivot("event_type", kinds)
         .count()
-        .na.fill(0)
+        # subset: a frame-wide fill would rewrite a NULL user_id
+        # group key to 0 (same guard as q_pivot_events)
+        .na.fill(0, subset=kinds)
     )
     return wide.unpivot(
         ids=["user_id"],
@@ -161,7 +159,13 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("e_ts"),
             bucket.alias("e_cell"),
         )
-        .withColumn("probe_cell", F.explode(F.expr("sequence(e_cell - 1, e_cell + 1)")))
+        # explode_outer: an error with NULL ts has a NULL cell and a
+        # plain explode would DELETE the row, while the oracle's LEFT
+        # JOIN keeps it with n_nearby = 0
+        .withColumn(
+            "probe_cell",
+            F.explode_outer(F.expr("sequence(e_cell - 1, e_cell + 1)")),
+        )
     )
     joined = errors.join(
         probe,

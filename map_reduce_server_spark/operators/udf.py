@@ -53,7 +53,14 @@ def grouped_zscore(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     must fit one worker's memory — callers should pre-aggregate or
     bucket groups that can exceed it.
     """
-    out_schema = f"{group_col} string, {value_col} double, zscore double"
+    # derive the group/value types from the input schema — hardcoding
+    # "string" crashes the Arrow serializer for any non-string group
+    # column (e.g. a bigint user_id)
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (
+        f"{group_col} {in_fields[group_col]}, "
+        f"{value_col} {in_fields[value_col]}, zscore double"
+    )
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         std = pdf[value_col].std(ddof=1)
@@ -95,7 +102,12 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )
-    big = li.withColumn("salt", (F.col("l_linenumber") % salt_n).cast("int"))
+    # hash-derived salt: l_linenumber % 8 would never hit salt 0
+    # (TPC-H linenumbers are 1..7), wasting one replica of the small
+    # side and capping a hot key at 7-way splitting
+    big = li.withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(salt_n))
+    )
     small = orders.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
     )

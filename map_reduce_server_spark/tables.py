@@ -63,10 +63,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # NTZ wall time == UTC instant; session TZ is UTC (above),
             # so this cast attaches the zone without shifting.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        if ts_type in ("bigint", "timestamp_ntz"):
-            df = df.select(
-                "event_id", "ts", "user_id", "event_type", "value", "props"
-            )
+        # withColumn replaced ts IN PLACE above, so no re-select: a
+        # hardcoded column list would make the normalized schema
+        # differ from the native-timestamp branch for any events
+        # variant with extra/missing columns
     return df
 
 
