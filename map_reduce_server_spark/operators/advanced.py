@@ -958,9 +958,11 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_equidepth_histogram",
     oracle=f"""
-    WITH s AS (
-      SELECT o_totalprice AS p, o_orderkey AS k FROM orders
-      WHERE {sql_md5_long("'eqd:' || CAST(o_orderkey AS VARCHAR)")} % 50 = 0),
+    WITH c AS (
+      SELECT GREATEST(1, COUNT(*) // 10000) AS md FROM orders),
+    s AS (
+      SELECT o_totalprice AS p, o_orderkey AS k FROM orders, c
+      WHERE {sql_md5_long("'eqd:' || CAST(o_orderkey AS VARCHAR)")} % c.md = 0),
     r AS (
       SELECT p, k, ROW_NUMBER() OVER (ORDER BY p, k) AS rn,
              COUNT(*) OVER () AS m
@@ -985,22 +987,33 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (≈equal-count) histogram over order values, built
     the way a 100 TB engine has to build it: boundaries come from a
-    DETERMINISTIC hash sample (md5(o_orderkey) % 50 == 0, ~2% of
-    rows), the sample alone is ranked (a sort of 2% of the data, the
-    same trick a range-partitioner's sampler uses), the 9 boundary
-    (price, key) pairs at positions floor(i·m/10) are folded into a
-    single broadcast array row, and every row buckets itself with a
-    codegen ``size(filter(...))`` over that array — full-table work
-    is one scan + one 10-key aggregate, NO global sort of the table.
-    The hash sample (not TABLESAMPLE) keeps both engines' boundaries
-    bit-identical, so the oracle value-checks the whole pipeline.
-    Boundary ties break on the unique o_orderkey, making bucket
-    assignment total-order-stable on every engine. The NTILE-exact
-    profiling twin lives at ``q_equidepth_histogram_exact``."""
+    DETERMINISTIC COUNT-BOUNDED hash sample — the gate is
+    ``md5(o_orderkey) % greatest(1, n div 10000) == 0`` with n from a
+    cheap broadcast 1-row count aggregate, so the sample targets
+    ~10,000 rows in ABSOLUTE terms at any corpus size (a fixed-rate
+    sample would be 2 TB of a 100 TB table through one sort task).
+    Only that bounded sample is ranked (the same trick a
+    range-partitioner's sampler uses), the 9 boundary (price, key)
+    pairs at positions floor(i·m/10) are folded into a single
+    broadcast array row, and every row buckets itself with a codegen
+    ``size(filter(...))`` over that array — full-table work is one
+    count + one scan + one 10-key aggregate, NO global sort of the
+    table. The integer hash gate (not TABLESAMPLE) is mirrored in the
+    DuckDB oracle so both engines' boundaries are bit-identical and
+    the oracle value-checks the whole pipeline. Boundary ties break
+    on the unique o_orderkey, making bucket assignment
+    total-order-stable on every engine. The NTILE-exact profiling
+    twin lives at ``q_equidepth_histogram_exact``."""
     orders = load_table(spark, sf_dir, "orders")
     h = md5_long(F.concat(F.lit("eqd:"), F.col("o_orderkey").cast("string")))
-    s = orders.filter((h % 50) == 0).select(
-        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    cnt = orders.agg(F.count("*").alias("n_total_rows"))
+    gate = F.greatest(
+        F.lit(1).cast("bigint"), F.expr("n_total_rows div 10000")
+    )
+    s = (
+        orders.crossJoin(F.broadcast(cnt))
+        .filter((h % gate) == 0)
+        .select(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
     )
     ranked = s.select(
         "p",
@@ -1254,16 +1267,29 @@ def q_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per hour, sweep-line formulation:
     sessionize (30-min gap), emit +1 at session start and -1 just
-    after session end, running-sum the deltas in global time order,
-    take the per-hour max. The capacity-planning / load-profile query
-    interval data always needs.
+    after session end, prefix-sum the deltas in time order, take the
+    per-hour max. The capacity-planning / load-profile query interval
+    data always needs.
 
-    The sweep's prefix sum is a GLOBAL window — ordered by a total
-    key (t, delta DESC, user, session) so ties are engine-exact. At
-    100 TB the same recurrence runs two-pass: range-partition by time,
-    per-partition sums, then broadcast per-partition offsets; the
-    registered single-window form is the sf-scale plan (change-point
-    volume = 2x sessions, far below event volume).
+    The prefix sum is TWO-PASS RANGE-PARTITIONED — no global window
+    anywhere in the plan:
+
+    1. within-hour running sum: window PARTITIONED BY the hour bucket,
+       ordered by the total key (t, delta DESC, user, session) so ties
+       are engine-exact. The global running sum at any change point =
+       carry into its hour + this local run.
+    2. per-hour carry: hours aggregate to (hour, hour_sum, local_max)
+       — one row per hour WITH change points, bounded by the TIME
+       DOMAIN (#hours in the corpus' span), not data volume. The
+       carry recurrence splits again: a within-YEAR prefix window
+       (partitioned by year) plus a prior-years fold over a broadcast
+       single-row array of year totals (≤ #years entries, pure
+       ``aggregate(filter(...))`` codegen — no window, no driver
+       collect).
+
+    peak(hour) = prior_years_carry + within_year_carry + local_max.
+    All sums are integer-exact, so the result is bit-identical to the
+    single-window oracle formulation at any partitioning.
     """
     ev = load_table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1298,15 +1324,48 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_end") + F.expr("INTERVAL 1 MICROSECOND")).alias("t"),
         F.lit(-1).alias("delta"), "user_id", "session_no",
     )
-    wsweep = Window.orderBy(
+    deltas = starts.unionByName(ends).withColumn(
+        "hour", F.date_trunc("hour", "t")
+    )
+    # Pass 1: running sum WITHIN each hour partition (total tie order).
+    wlocal = Window.partitionBy("hour").orderBy(
         "t", F.desc("delta"), "user_id", "session_no"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    swept = starts.unionByName(ends).withColumn(
-        "concurrent", F.sum("delta").over(wsweep)
+    local = deltas.withColumn("local_run", F.sum("delta").over(wlocal))
+    # One row per hour: the hour's net delta and its local running max.
+    hours = local.groupBy("hour").agg(
+        F.sum("delta").alias("hour_sum"),
+        F.max("local_run").alias("local_max"),
     )
-    return swept.groupBy(
-        F.date_trunc("hour", "t").alias("hour")
-    ).agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
+    # Pass 2a: carry from earlier hours of the SAME year (partitioned).
+    hours = hours.withColumn("yr", F.year("hour"))
+    wyear = Window.partitionBy("yr").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hours = hours.withColumn(
+        "carry_in_year",
+        F.coalesce(F.sum("hour_sum").over(wyear), F.lit(0)),
+    )
+    # Pass 2b: carry from all PRIOR years — a broadcast single-row
+    # array of (yr, total) folded with codegen aggregate/filter.
+    year_totals = hours.groupBy("yr").agg(F.sum("hour_sum").alias("ysum"))
+    yarr = year_totals.agg(
+        F.sort_array(F.collect_list(F.struct("yr", "ysum"))).alias("ys")
+    )
+    prior = F.aggregate(
+        F.filter(F.col("ys"), lambda y: y["yr"] < F.col("yr")),
+        F.lit(0).cast("bigint"),
+        lambda acc, y: acc + y["ysum"],
+    )
+    return (
+        hours.crossJoin(F.broadcast(yarr))
+        .select(
+            "hour",
+            (prior + F.col("carry_in_year") + F.col("local_max"))
+            .cast("bigint")
+            .alias("peak_concurrent"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

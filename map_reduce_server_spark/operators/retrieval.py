@@ -92,6 +92,7 @@ def _sql_bm25_scored() -> str:
 
 @register(
     "text_bm25",
+    bench=True,
     oracle=f"""
     WITH {_sql_bm25_scored()}
     SELECT doc_id, score FROM scored
@@ -193,6 +194,7 @@ def _join_rank(cands: DataFrame, score: str, key: str) -> DataFrame:
 
 @register(
     "q_hybrid_retrieval_rrf",
+    bench=True,
     oracle=f"""
     WITH {_sql_bm25_scored()},
     bm_top AS (SELECT doc_id, score FROM scored

@@ -166,52 +166,64 @@ _DRIVER_GREEN_R4 = frozenset({
     "text_novelty", "text_oov_rate",
 })
 
+# The 50 queries hash-verified green by CORRECTNESS_r05.json — the
+# freshest driver rows, ordered LAST. Includes the 5 formerly
+# never-verified stragglers, round 4's one err row
+# (embedding_quantize_int8, fixed and green in r5), and the 3
+# _CHANGED_R5 reworks (q_equidepth_histogram, q_profile_columns,
+# graph_pagerank) — all re-certified on round-5 code.
+_DRIVER_GREEN_R5 = frozenset({
+    "ann_topk_matryoshka", "dedup_containment", "embedding_quantize_int8",
+    "graph_degree_stats", "graph_pagerank", "multimodal_decode_png",
+    "multimodal_decode_wav", "multimodal_resize_png",
+    "q21_waiting_suppliers", "q_ab_test_welch", "q_ann_recall",
+    "q_anomaly_mad", "q_attribution_last_touch", "q_benford_check",
+    "q_bootstrap_ci", "q_corr_matrix", "q_coverage_report",
+    "q_crosstab_chisq", "q_dp_count_release", "q_embedding_drift",
+    "q_equidepth_histogram", "q_equidepth_histogram_exact",
+    "q_feature_hashing", "q_forecast_seasonal_naive",
+    "q_fuzzy_name_match", "q_gini_concentration", "q_hybrid_retrieval_rrf",
+    "q_interval_overlap_join", "q_knn_classifier", "q_label_balance",
+    "q_market_basket", "q_profile_columns", "q_rfm_segments",
+    "q_skyline_parts", "q_snapshot_diff", "q_time_weighted_avg",
+    "q_ts_similarity_search", "q_user_ltv_decay", "q_weighted_sample",
+    "stream_static_enrich", "stream_stream_interval_join",
+    "stream_trending_topk", "text_bigram_logprob", "text_bm25",
+    "text_bpe_train", "text_dup_spans", "text_entropy", "text_keywords",
+    "text_readability", "text_zipf_fit",
+})
+
 # Queries whose RESULT changed after their last green driver row
-# (round-5 rework): their stale green row no longer certifies the
+# (round-6 rework): their stale green row no longer certifies the
 # current code, so they rejoin the never-verified head.
-# q_profile_columns: min/max now aggregate the NATIVE value (numeric
-# order), not the string cast (lexicographic) — values differ.
-# graph_pagerank: parity node encoding (2k / 2k+1) replaced the
-# scale-unsafe additive supplier offset — node ids differ.
-_CHANGED_R5 = frozenset(
-    {"q_equidepth_histogram", "q_profile_columns", "graph_pagerank"}
-)
+# q_equidepth_histogram: the boundary-sample gate is now
+# COUNT-BOUNDED (md5 % greatest(1, n div 10000), targeting ~10k
+# sample rows at any scale) instead of the fixed md5 % 50 rate —
+# different boundaries, different bucket stats.
+_CHANGED_R6 = frozenset({"q_equidepth_histogram"})
 
 _EVER_GREEN = (
     _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
-) - _CHANGED_R5
-
-
-# Queries that have missed EVERY driver window since they were
-# registered (rounds 2–4) plus round 4's one err row: pinned to the
-# very front of the head so a shorter-than-expected window can never
-# skip them again (they would otherwise sort by module import order,
-# which puts the streaming trio dead last).
-_OLDEST_UNVERIFIED = (
-    "q21_waiting_suppliers",
-    "stream_trending_topk",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    "embedding_quantize_int8",
-)
+    | _DRIVER_GREEN_R5
+) - _CHANGED_R6
 
 
 def _stale_first(d: dict) -> dict:
-    # Head: no green driver row at all (round-5 additions, the 4
-    # queries that missed every window so far, and round 4's one err
-    # row) — oldest never-verified first. Then round-2 greens
-    # (stalest), round-3, round-4 last.
-    oldest = {k: d[k] for k in _OLDEST_UNVERIFIED if k in d}
-    head = {
-        k: v
-        for k, v in d.items()
-        if k not in _EVER_GREEN and k not in oldest
-    }
-    head = {**oldest, **head}
-    r2 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R2 - _CHANGED_R5}
-    r3 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R3 - _CHANGED_R5}
-    r4 = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R4 - _CHANGED_R5}
-    return {**head, **r2, **r3, **r4}
+    # Head: no green driver row certifying current code (round-6
+    # additions plus _CHANGED_R6 reworks). Then round-2 greens
+    # (stalest — ~45 rows pre-dating the r3-r5 hardening), round-3,
+    # round-4, round-5 last. A query green in multiple rounds sorts
+    # by its FRESHEST row.
+    head = {k: v for k, v in d.items() if k not in _EVER_GREEN}
+    r5 = _DRIVER_GREEN_R5 - _CHANGED_R6
+    r4 = _DRIVER_GREEN_R4 - r5 - _CHANGED_R6
+    r3 = _DRIVER_GREEN_R3 - r5 - r4 - _CHANGED_R6
+    r2 = _DRIVER_GREEN_R2 - r5 - r4 - r3 - _CHANGED_R6
+    d2 = {k: v for k, v in d.items() if k in r2}
+    d3 = {k: v for k, v in d.items() if k in r3}
+    d4 = {k: v for k, v in d.items() if k in r4}
+    d5 = {k: v for k, v in d.items() if k in r5}
+    return {**head, **d2, **d3, **d4, **d5}
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -290,16 +290,14 @@ def test_point_in_time_join_is_joinless_single_shuffle(spark, sf_small):
 
 
 # Queries whose GLOBAL (partition-less) window is intentional and
-# documented: the sampled equi-depth histogram ranks only its ~2%
-# boundary sample (range-partitioner style); its _exact NTILE twin
-# needs a global rank by construction; the concurrency sweep's prefix
-# sum runs over change points (2x sessions, far below event volume)
-# with the two-pass range-partitioned form documented in its
-# docstring.
+# documented: the sampled equi-depth histogram ranks only its
+# COUNT-BOUNDED boundary sample — the gate targets ~10,000 rows in
+# absolute terms (md5 % greatest(1, n div 10000)), so the single
+# window task sees ≤ ~10k rows at ANY corpus size (range-partitioner
+# style); its _exact NTILE twin needs a global rank by construction.
 _GLOBAL_WINDOW_ALLOWLIST = {
     "q_equidepth_histogram",
     "q_equidepth_histogram_exact",
-    "q_session_concurrency",
     # running max over DISTINCT prices (a grouped aggregate), never
     # the base table — documented in the docstring
     "q_skyline_parts",
