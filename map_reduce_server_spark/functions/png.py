@@ -4,9 +4,10 @@ The container has no PIL/libvips, but PNG itself needs only zlib and
 struct — so the image half of the multimodal pipeline can exercise a
 REAL codec path: real signature, chunk layout, CRC-32 validation,
 DEFLATE decompression and scanline unfiltering, not a byte-derived
-fake. Scope is honest: 8-bit truecolor RGB (color type 2), filter
-types 0–2 on decode (the encoder emits 0), no interlacing — the
-subset the synthetic corpus produces. Anything else raises. WAV audio has its own
+fake. Scope is honest: 8-bit truecolor RGB (color type 2), ALL five
+scanline filter types 0–4 on decode (the encoder emits 0, but
+externally produced PNGs routinely use Average/Paeth), no
+interlacing. Anything else raises. WAV audio has its own
 real-stdlib codec (``wavcodec.py``); the remaining modalities
 (jpeg, compressed audio, video) keep their documented env-gated
 stubs in :mod:`..operators.multimodal`.
@@ -97,6 +98,26 @@ def decode_rgb8(data: bytes) -> tuple[int, int, bytes]:
         elif ftype == 2:  # Up: add same byte of previous row
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average: add floor((left + up) / 2)
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth: add the Paeth predictor of
+            # left (a), up (b), upper-left (c) per the PNG spec's
+            # exact tie-breaking order (a, then b, then c).
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                line[i] = (line[i] + pr) & 0xFF
         elif ftype != 0:
             raise NotImplementedError(f"filter type {ftype} not supported")
         out += line

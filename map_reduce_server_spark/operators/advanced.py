@@ -1333,10 +1333,14 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = deltas.withColumn("local_run", F.sum("delta").over(wlocal))
     # One row per hour: the hour's net delta and its local running max.
+    # Materialized ONCE (domain-bounded: ≤ #hours in the corpus span)
+    # — both the output rows and the year-totals carry derive from it,
+    # and without the lineage cut the whole sessionize pipeline
+    # (events scan + two user-window shuffles) would evaluate twice.
     hours = local.groupBy("hour").agg(
         F.sum("delta").alias("hour_sum"),
         F.max("local_run").alias("local_max"),
-    )
+    ).localCheckpoint(eager=True)
     # Pass 2a: carry from earlier hours of the SAME year (partitioned).
     hours = hours.withColumn("yr", F.year("hour"))
     wyear = Window.partitionBy("yr").orderBy("hour").rowsBetween(

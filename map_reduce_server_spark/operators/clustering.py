@@ -227,14 +227,21 @@ def pagerank(
     ``adj``-derived ranks, and Spark silently misresolves that
     self-join — but a checkpointed scan advertises
     ``UnknownPartitioning``, so the checkpointed sides are
-    re-shuffled every iteration (measured; see SCALING.md). With the
-    default ``iters=3`` those re-shuffles are cheaper than any
-    durable layout. For high iteration counts,
-    ``bucketed_adjacency=True`` writes the adjacency ONCE as a
-    bucketed table (bucketed by src): every iteration's join then
-    derives its partitioning from the bucketed scan — zero exchange
-    over the dominant side, verified by
-    ``tests/test_plans.py::test_pagerank_bucketed_adjacency_no_shuffle``.
+    re-shuffled every iteration (measured; see SCALING.md). A/B at
+    sf0.1 (warm session, alternating runs): the default wins
+    DECISIVELY at every measured iteration count — 4.2 s vs 9.1 s at
+    iters=3 and 11.9 s vs ~30 s at iters=12 — because on a single
+    node the bucketed table is re-READ from disk each iteration
+    while the checkpoint re-shuffles from memory. The
+    ``bucketed_adjacency=True`` path (adjacency written ONCE
+    bucketed by src; every iteration's join derives its partitioning
+    from the bucketed scan — zero exchange over the dominant side,
+    verified by
+    ``tests/test_plans.py::test_pagerank_bucketed_adjacency_no_shuffle``)
+    is therefore NOT the local default; it is the multi-executor
+    cluster pattern, where "re-shuffle" means moving the dominant
+    side across the network every iteration and a co-located
+    bucketed scan reads node-local files instead.
     The last iteration is returned un-checkpointed: callers aggregate
     or collect it anyway, and the final plan stays inspectable.
     """

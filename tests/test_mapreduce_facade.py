@@ -478,6 +478,35 @@ def test_empty_total_output_writes_empty_files(spark, tmp_path, input_dir):
         assert os.path.getsize(os.path.join(out, n)) == 0
 
 
+def test_sink_numbering_is_partition_id_true(spark, tmp_path):
+    """Direct contract of the output-finalize shim
+    (``io/sinks.write_numbered_text``): one ``outputfileNN`` per
+    PARTITION, numbered by partition id with empty partitions
+    materialized as empty files — mirroring the reference's
+    enumeration of every reducer's output
+    (``master/__main__.py:456-463``). The load-bearing case is an
+    EARLIER partition being empty: partition 1's data must land in
+    outputfile02, never slide into outputfile01."""
+    from pyspark.sql import Row
+
+    from map_reduce_server_spark.io.sinks import write_numbered_text
+
+    rdd = (
+        spark.sparkContext.parallelize([(1, "beta"), (2, "gamma")])
+        .partitionBy(3, lambda k: k)  # partition 0 stays empty
+        .map(lambda kv: Row(value=kv[1]))
+    )
+    df = spark.createDataFrame(rdd, "value string")
+    out = str(tmp_path / "out_pid")
+    paths = write_numbered_text(df, out)
+    names = sorted(os.listdir(out))
+    assert names == ["outputfile01", "outputfile02", "outputfile03"]
+    assert [os.path.basename(p) for p in paths] == names
+    assert os.path.getsize(os.path.join(out, "outputfile01")) == 0
+    assert open(os.path.join(out, "outputfile02")).read() == "beta\n"
+    assert open(os.path.join(out, "outputfile03")).read() == "gamma\n"
+
+
 def test_all_empty_input_files(spark, tmp_path):
     """Every input file 0 bytes: the job must run (the reference
     pipes each empty file) and produce empty outputs, not crash on

@@ -130,6 +130,74 @@ def test_png_decode_sub_and_up_filters():
     assert png.decode_rgb8(data) == (w, h, pixels)
 
 
+def test_png_decode_all_five_filter_types():
+    """Round-trip through every scanline filter the spec defines
+    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth): forward-filter a
+    5-row reference image one filter type per row — the exact
+    inverse recurrences of the decoder — and assert the decoder
+    reconstructs the original pixels. Externally produced PNGs
+    (libpng picks per-row filters heuristically) routinely mix
+    Average/Paeth, which the synthetic corpus's own encoder never
+    emits."""
+    import struct
+    import zlib
+
+    from map_reduce_server_spark.functions import png
+
+    w, h = 4, 5
+    pixels = bytes(
+        (y * 37 + x * 11 + (x * y) % 13) % 256
+        for y in range(h)
+        for x in range(w * 3)
+    )
+    stride = w * 3
+    rows = [
+        bytearray(pixels[y * stride : (y + 1) * stride]) for y in range(h)
+    ]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = rows[y]
+        prev = rows[y - 1] if y else bytearray(stride)
+        filt = bytearray(stride)
+        for i in range(stride):
+            left = cur[i - 3] if i >= 3 else 0
+            up = prev[i]
+            upleft = prev[i - 3] if i >= 3 else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: up,
+                3: (left + up) >> 1,
+                4: paeth(left, up, upleft),
+            }[ftype]
+            filt[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(filt)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert png.decode_rgb8(data) == (w, h, pixels)
+
+
 def test_png_resize_nearest():
     from map_reduce_server_spark.functions import png
 
