@@ -52,7 +52,8 @@ def decode_rgb8(data: bytes) -> tuple[int, int, bytes]:
     """Decode a PNG into (width, height, row-major RGB bytes).
 
     Validates the signature and every chunk CRC; supports 8-bit RGB
-    with scanline filters 0 (None), 1 (Sub), 2 (Up).
+    with all five scanline filters: 0 (None), 1 (Sub), 2 (Up),
+    3 (Average), 4 (Paeth).
     """
     if data[:8] != _SIG:
         raise ValueError("not a PNG: bad signature")

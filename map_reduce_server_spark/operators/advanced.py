@@ -989,9 +989,11 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the way a 100 TB engine has to build it: boundaries come from a
     DETERMINISTIC COUNT-BOUNDED hash sample — the gate is
     ``md5(o_orderkey) % greatest(1, n div 10000) == 0`` with n from a
-    cheap broadcast 1-row count aggregate, so the sample targets
-    ~10,000 rows in ABSOLUTE terms at any corpus size (a fixed-rate
-    sample would be 2 TB of a 100 TB table through one sort task).
+    cheap broadcast 1-row count aggregate, so the expected sample
+    stays under 20k rows whenever n ≥ 20k (worst case just below a
+    gate step) and is the — already tiny — table itself below that:
+    bounded in ABSOLUTE terms at any corpus size, where a fixed-rate
+    sample would be 2 TB of a 100 TB table through one sort task.
     Only that bounded sample is ranked (the same trick a
     range-partitioner's sampler uses), the 9 boundary (price, key)
     pairs at positions floor(i·m/10) are folded into a single

@@ -197,8 +197,8 @@ _DRIVER_GREEN_R5 = frozenset({
 # (round-6 rework): their stale green row no longer certifies the
 # current code, so they rejoin the never-verified head.
 # q_equidepth_histogram: the boundary-sample gate is now
-# COUNT-BOUNDED (md5 % greatest(1, n div 10000), targeting ~10k
-# sample rows at any scale) instead of the fixed md5 % 50 rate —
+# COUNT-BOUNDED (md5 % greatest(1, n div 10000) — expected sample
+# < 20k rows at any scale) instead of the fixed md5 % 50 rate —
 # different boundaries, different bucket stats.
 _CHANGED_R6 = frozenset({"q_equidepth_histogram"})
 

@@ -291,10 +291,13 @@ def test_point_in_time_join_is_joinless_single_shuffle(spark, sf_small):
 
 # Queries whose GLOBAL (partition-less) window is intentional and
 # documented: the sampled equi-depth histogram ranks only its
-# COUNT-BOUNDED boundary sample — the gate targets ~10,000 rows in
-# absolute terms (md5 % greatest(1, n div 10000)), so the single
-# window task sees ≤ ~10k rows at ANY corpus size (range-partitioner
-# style); its _exact NTILE twin needs a global rank by construction.
+# COUNT-BOUNDED boundary sample — the gate md5 % greatest(1, n div
+# 10000) keeps the expected sample under 20k rows whenever n ≥ 20k
+# (worst case just below a gate step, e.g. n=19,999 → gate 1), and
+# below that the "sample" is the table itself, which is already
+# tiny — so the single window task's input is bounded in ABSOLUTE
+# terms at any corpus size (range-partitioner style); its _exact
+# NTILE twin needs a global rank by construction.
 _GLOBAL_WINDOW_ALLOWLIST = {
     "q_equidepth_histogram",
     "q_equidepth_histogram_exact",
