@@ -279,6 +279,48 @@ def test_session_concurrency_hand_computed(spark):
     assert got == {10: 2}
 
 
+def test_session_concurrency_year_boundary_carry(spark):
+    """The two-pass prefix sum's cross-partition carries, hand
+    computed: a session SPANNING the year boundary (events 23:50 and
+    00:15, 25-min gap = one session) must carry +1 from the 2023
+    hour bucket into the 2024 one via the prior-years broadcast
+    fold, and a lone 2025 session must see the net zero carry of
+    both earlier years ((+1) + (-1)). The sf parquet corpora span
+    one month, so only this fixture exercises the year-level carry
+    path."""
+    import tempfile
+
+    rows = [
+        # hour 2023-12-31 23:00 — peak 2 (u1 with u2 at 23:10)
+        (1, dt.datetime(2023, 12, 31, 23, 0), 1, "click"),
+        (2, dt.datetime(2023, 12, 31, 23, 20), 1, "click"),
+        (3, dt.datetime(2023, 12, 31, 23, 10), 2, "click"),
+        # u6's session spans the year boundary: [23:50, 00:15]
+        (4, dt.datetime(2023, 12, 31, 23, 50), 6, "click"),
+        (5, dt.datetime(2024, 1, 1, 0, 15), 6, "click"),
+        # hour 2024-01-01 00:00 — peak 2 ONLY via the +1 carry
+        # (u6 still open when u3's point session fires at 00:05)
+        (6, dt.datetime(2024, 1, 1, 0, 5), 3, "click"),
+        (7, dt.datetime(2024, 1, 1, 0, 10), 4, "click"),
+        # hour 2025-06-01 12:00 — peak 1 (carry from 2023+2024 = 0)
+        (8, dt.datetime(2025, 6, 1, 12, 0), 5, "click"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, rows)
+        got = {
+            (r.hour.year, r.hour.month, r.hour.day, r.hour.hour):
+            r.peak_concurrent
+            for r in registry.QUERIES["q_session_concurrency"](
+                spark, d
+            ).collect()
+        }
+    assert got == {
+        (2023, 12, 31, 23): 2,
+        (2024, 1, 1, 0): 2,
+        (2025, 6, 1, 12): 1,
+    }
+
+
 def test_pack_sequences_budget_boundary(spark):
     """300+300 fits sequence 0 (600 > 512 only AFTER the second doc
     is placed — docs are atomic); the third doc starts sequence 1."""
