@@ -239,6 +239,50 @@ def test_dp_release_noise_bounded(spark, sf_small):
         assert abs(r.noisy_n - r.n) <= math.log(1e6) + 1e-9
 
 
+@pytest.mark.parametrize("n", [9_999, 25_000])
+def test_equidepth_gate_steps_match_python_replay(spark, n):
+    """Third-engine check of the count-bounded boundary sample at
+    sizes straddling a gate step: n=9,999 → gate 1 (the 'sample' is
+    the whole table, exact deciles) and n=25,000 → gate 2 (~half the
+    rows sampled). A pure-Python replay of the md5 gate, boundary
+    positions floor(i*m/10), and the (price, key) tuple-order bucket
+    rule must reproduce Spark's histogram exactly — including price
+    TIES broken on the key (prices cycle mod 50, so every boundary
+    price is massively tied)."""
+    import hashlib
+    from collections import Counter
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [(k, float((k * 7) % 50)) for k in range(n)]
+    gate = max(1, n // 10000)
+    sample = sorted(
+        (p, k) for k, p in rows if md5_long(f"eqd:{k}") % gate == 0
+    )
+    m = len(sample)
+    bounds = sorted(
+        {sample[(i * m) // 10 - 1] for i in range(1, 10) if (i * m) // 10 >= 1}
+    )
+
+    def bucket(p, k):
+        return 1 + sum(1 for b in bounds if b < (p, k))
+
+    exp_counts = Counter(bucket(p, k) for k, p in rows)
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double"
+        ).coalesce(2).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        got = {
+            r.bucket: r.n_rows
+            for r in registry.QUERIES["q_equidepth_histogram"](
+                spark, d
+            ).collect()
+        }
+    assert got == dict(exp_counts)
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
