@@ -22,6 +22,8 @@ REPRESENTATIVE = [
     "q_gini_concentration", # decimal Lorenz sums + per-nation rank
     "q_ts_similarity_search",  # decimal array folds + TakeOrdered
     "q_bucketed_join",      # exchange-free co-located join
+    "q_session_concurrency",  # two-pass range-partitioned prefix sum
+    "q_equidepth_histogram",  # count-bounded boundary sample
 ]
 
 
