@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.exact import dsum, sql_dsum
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
+from map_reduce_server_spark.functions.sessionize import session_spans
 from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
@@ -112,11 +113,6 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag, l_linestatus), ())
         """
     )
-
-
-_SQL_SPARK_DSUM_PRICE = (
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)"
-)
 
 
 @register(
@@ -336,11 +332,13 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortBy("o_orderkey")
         .saveAsTable("mrss_ord_bucketed")
     )
-    joined = spark.table("mrss_li_bucketed").join(
-        spark.table("mrss_ord_bucketed"),
-        spark.table("mrss_li_bucketed").l_orderkey
-        == spark.table("mrss_ord_bucketed").o_orderkey,
-    )
+    # Bind each bucketed relation ONCE: building the join condition
+    # from separately looked-up DataFrame instances only resolves
+    # because classic Spark caches the analyzed relation per name —
+    # plan-id-based resolution (Spark Connect) rejects it.
+    li_b = spark.table("mrss_li_bucketed")
+    ord_b = spark.table("mrss_ord_bucketed")
+    joined = li_b.join(ord_b, li_b.l_orderkey == ord_b.o_orderkey)
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_items"),
         dsum("l_extendedprice").alias("revenue"),
@@ -441,9 +439,12 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition bottleneck at any scale.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # No broadcast hint on customer: it is SF-linear (150k rows x SF,
+    # not in BROADCAST_TABLES) — AQE picks broadcast at small SF and
+    # a shuffle join when customer outgrows the threshold.
     cust = load_table(spark, sf_dir, "customer")
     per_seg = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(dsum("o_totalprice").alias("seg_total"))
     )
@@ -1294,30 +1295,7 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-window oracle formulation at any partitioning.
     """
     ev = load_table(spark, sf_dir, "events")
-    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    numbered = (
-        ev.withColumn("prev_ts", F.lag("ts").over(wu))
-        .withColumn(
-            "is_new",
-            F.when(
-                F.col("prev_ts").isNull()
-                | (
-                    F.col("ts")
-                    > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "session_no",
-            F.sum("is_new").over(
-                wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-    )
-    sessions = numbered.groupBy("user_id", "session_no").agg(
-        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
-    )
+    sessions = session_spans(ev)
     starts = sessions.select(
         F.col("s_start").alias("t"), F.lit(1).alias("delta"),
         "user_id", "session_no",
@@ -1847,7 +1825,12 @@ def q_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count_distinct(
                     F.struct(*[F.col(c) for c in pk])
                 ).alias("pk_distinct"),
-                F.sum(null_pred.cast("long")).alias("pk_nulls"),
+                # coalesce: SUM over zero rows is NULL, but the
+                # oracle's COUNT(*) (and the dashboard) expect 0 on
+                # an empty table
+                F.coalesce(
+                    F.sum(null_pred.cast("long")), F.lit(0).cast("long")
+                ).alias("pk_nulls"),
             ).select(
                 F.lit(table).alias("table_name"),
                 "n_rows",
@@ -1924,29 +1907,12 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     timezone surface).
     """
     ev = load_table(spark, sf_dir, "events")
-    t = F.unix_micros("ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    x = ev.select(
+    # Shared sessionizer, spans converted to integer microseconds
+    # (unix_micros is order-preserving, so min/max commute with it).
+    sessions = session_spans(ev).select(
         "user_id",
-        "event_id",
-        "event_type",
-        t.alias("t"),
-        F.lag(t).over(w).alias("pt"),
-    ).withColumn(
-        "brk",
-        F.when(
-            F.col("pt").isNull() | (F.col("t") - F.col("pt") > _IVL_GAP_US),
-            1,
-        ).otherwise(0),
-    )
-    ws = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sl = x.select("user_id", "t", F.sum("brk").over(ws).alias("sid"))
-    sessions = sl.groupBy("user_id", "sid").agg(
-        F.min("t").alias("s_start"), F.max("t").alias("s_end")
+        F.unix_micros("s_start").alias("s_start"),
+        F.unix_micros("s_end").alias("s_end"),
     )
     errw = (
         ev.filter(F.col("event_type") == "error")
@@ -2013,7 +1979,7 @@ def _sql_corr_matrix() -> str:
 
 @register("q_corr_matrix", oracle=_sql_corr_matrix())
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise Pearson correlations of all {k} numeric lineitem
+    """Pairwise Pearson correlations of all 4 numeric lineitem
     measures from ONE scan: a single aggregate computes every power
     sum (k sums + k(k+1)/2 cross sums, all exact decimal), and the
     6 pairwise correlations unpivot from that 1-row result — the

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.exact import dsum, davg, sql_davg, sql_dsum
+from map_reduce_server_spark.functions.sessionize import session_flags
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -1165,15 +1166,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id is the whole cost.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
-        "is_new",
-        F.when(
-            F.col("prev_ts").isNull()
-            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
+    flagged = session_flags(ev)
     return flagged.groupBy("user_id").agg(
         F.sum("is_new").alias("n_sessions"),
         F.count("*").alias("n_events"),

@@ -321,6 +321,33 @@ def test_session_concurrency_year_boundary_carry(spark):
     }
 
 
+def test_coverage_report_empty_table_zero_not_null(spark, sf_small):
+    """An EMPTY audited table must report pk_nulls = 0, not NULL:
+    SUM over zero rows is NULL in both engines, but the report's
+    contract (and the oracle's COUNT(*)) is a count. Build an sf dir
+    that symlinks sf0.001 except for an empty events.parquet."""
+    import os
+    import tempfile
+
+    from map_reduce_server_spark import registry
+    from map_reduce_server_spark.tables import load_table
+
+    with tempfile.TemporaryDirectory() as d:
+        for f in os.listdir(sf_small):
+            if f != "events.parquet":
+                os.symlink(os.path.join(sf_small, f), os.path.join(d, f))
+        load_table(spark, sf_small, "events").limit(0).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        rows = {
+            r.table_name: r
+            for r in registry.QUERIES["q_coverage_report"](spark, d).collect()
+        }
+    ev = rows["events"]
+    assert (ev.n_rows, ev.pk_distinct, ev.pk_nulls) == (0, 0, 0)
+    assert ev.pk_nulls is not None
+
+
 def test_pack_sequences_budget_boundary(spark):
     """300+300 fits sequence 0 (600 > 512 only AFTER the second doc
     is placed — docs are atomic); the third doc starts sequence 1."""
