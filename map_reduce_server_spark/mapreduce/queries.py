@@ -89,7 +89,7 @@ def _run_facade(
     "mr_wordcount",
     bench=True,
     prepare=stage_documents_text,
-    oracle="""
+    oracle=r"""
     SELECT word, COUNT(*) AS n
     FROM (SELECT unnest(string_split_regex(lower(text), '[ \t]')) AS word
           FROM documents) t

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from map_reduce_server_spark.functions.exact import dsum, sql_dsum
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
 from map_reduce_server_spark.functions.sessionize import session_spans
+from map_reduce_server_spark.functions.tokens import word_tokens_col
 from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
@@ -361,7 +362,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode: UDTF-style expansion with element ordinals."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = word_tokens_col()
     return docs.select(
         "doc_id", F.posexplode(toks).alias("pos", "token")
     )

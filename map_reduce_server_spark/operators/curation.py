@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
+from map_reduce_server_spark.functions.tokens import word_tokens_col
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -278,7 +279,7 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, score-range) first.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = word_tokens_col()
     score = F.round(
         F.size(F.array_distinct(toks)).cast("double")
         / F.greatest(F.size(toks), F.lit(1)),
@@ -342,7 +343,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard writer consumes.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = word_tokens_col()
     sized = docs.select(
         "doc_id", "source", F.size(toks).alias("n_tokens")
     )

@@ -5,11 +5,15 @@ The reference has no dedup (its group stage merely counts distinct
 *lines*, reference ``master/__main__.py:250-253``); these are the
 north-star training-data-pipeline operators (BASELINE.json).
 
-Scale design: every variant is a shuffle-on-key plan. Exact dedup
-groups on a 60-bit fingerprint (8 bytes shuffled, not the document).
-MinHash/SimHash use banding so candidate generation is an equi-join
-on (band, signature) — never an all-pairs product. The md5-derived
-hash family is engine-portable, so every stage has a DuckDB oracle.
+Scale design: every variant is a shuffle-on-key plan.
+``dedup_fingerprint``/``dedup_keep_one`` group on a 60-bit
+fingerprint (8 bytes shuffled, not the document); ``dedup_exact``
+deliberately groups on the raw text column — the byte-identity
+baseline whose shuffle payload IS the document (use the fingerprint
+variants at scale). MinHash/SimHash use banding so candidate
+generation is an equi-join on (band, signature) — never an
+all-pairs product. The md5-derived hash family is engine-portable,
+so every stage has a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -18,12 +22,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
+from map_reduce_server_spark.functions.tokens import SQL_TOKS, word_tokens_col
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
 # --- shared shingling (word 3-grams over non-empty lowercase tokens) -------
 
-_SQL_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_SQL_TOKS = SQL_TOKS
 
 # Normalized-text duplicate-group key, shared by dedup_fingerprint and
 # dedup_keep_one (the two MUST define identical groups) and mirrored
@@ -33,6 +38,8 @@ _SQL_NORM = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
 
 def norm_text_col() -> Column:
     return F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+
+
 
 
 _SQL_SHINGLES = f"""
@@ -56,7 +63,7 @@ def shingles_df(
     shuffling it twice is the difference at 100 TB.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = word_tokens_col()
     with_toks = docs.select("doc_id", toks.alias("ts"))
     n = F.size(F.col("ts"))
     shingle_arr = F.when(
@@ -344,10 +351,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lexicographic min over hex digests — a valid permutation
     approximation, engine-portable). Banding is b=6 bands of r=2
     rows: a pair is a candidate iff BOTH positions of some band
-    agree, P(candidate) = 1-(1-J²)^6 — near-dups (J≥0.8) are still
-    caught w.p. ≥ 99.9% while unrelated pairs (J≈0.1) drop by ~50×
-    vs r=1 banding, which is what keeps hot buckets from expanding
-    quadratically at 100 TB. Candidate generation is a self-equi-join
+    agree, P(candidate) = 1-(1-J²)^6 — ≈99.8% at J=0.8 (≥99.9% from
+    J≈0.85) while unrelated pairs (J≈0.1) become candidates ~12×
+    more rarely than under r=1 banding (0.059 vs 0.718), which is
+    what keeps hot buckets from expanding quadratically at 100 TB. Candidate generation is a self-equi-join
     on (band, bkey): the shuffle carries b compact keys per document,
     never the corpus and never all pairs. The registered plan applies
     the ``_LSH_BUCKET_CAP`` hot-bucket cap (mirrored in the oracle's
@@ -477,7 +484,7 @@ def simhash_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic inside signed-BIGINT range on both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = word_tokens_col()
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(toks)).alias("token")
     )
@@ -667,7 +674,13 @@ def ranked_prefix(
     generator shared by dedup_jaccard_prefix and dedup_containment
     (the two MUST rank identically or their oracles desynchronize).
     ``freq_cap`` additionally drops prefix shingles with global
-    frequency above the cap (containment's k²-hazard guard)."""
+    frequency above the cap (containment's k²-hazard guard).
+
+    PRECONDITION: ``sh`` must carry DISTINCT (doc_id, shingle) rows
+    (``shingles_df(distinct=True)``, the default) — duplicates would
+    inflate freq and per-doc sizes and occupy multiple prefix ranks,
+    silently breaking the PPJoin recall guarantee against the
+    DISTINCT-based oracles."""
     freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     w = Window.partitionBy("doc_id").orderBy("f", "shingle")

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.exact import dsum, davg, sql_davg, sql_dsum
 from map_reduce_server_spark.functions.sessionize import session_flags
+from map_reduce_server_spark.functions.tokens import word_tokens_col
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -627,7 +628,7 @@ def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted CSV strings since raw array ordering isn't portable
     across engines."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = word_tokens_col()
     kw = F.array(*[F.lit(w) for w in ("the", "a", "join", "scan", "merge")])
     return docs.select(
         "doc_id",

@@ -25,21 +25,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
+from map_reduce_server_spark.functions.tokens import SQL_TOKS as _SQL_TOKS
+from map_reduce_server_spark.functions.tokens import word_tokens_col
 from map_reduce_server_spark.functions.vector import SQL_COSINE, cosine
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
 # --- shared text plumbing (same contract as operators/text.py) --------------
 
-_SQL_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
-
 
 def _tokens(docs: DataFrame) -> DataFrame:
     return docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
-        ).alias("token"),
+        "doc_id", F.explode(word_tokens_col()).alias("token")
     )
 
 

@@ -48,6 +48,22 @@ def register(
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             return fn(spark, sf_dir)
 
+        if oracle is not None:
+            # The storage form collapses ALL whitespace — including
+            # inside quoted SQL literals. A literal containing a tab,
+            # newline, or 2+ consecutive spaces would be silently
+            # rewritten into a different literal (a baffling oracle
+            # mismatch with no pointer to the cause), so refuse it
+            # loudly at registration. Odd-indexed split segments are
+            # the inside-quote spans.
+            for lit in oracle.split("'")[1::2]:
+                if "\t" in lit or "\n" in lit or "  " in lit:
+                    raise ValueError(
+                        f"oracle for {name!r} contains a quoted literal "
+                        f"({lit!r}) that whitespace collapsing would "
+                        "corrupt — use a single space or an escape "
+                        "(chr()/concat) instead"
+                    )
         QUERIES[name] = pinned
         if oracle is not None:
             ORACLE[name] = " ".join(oracle.split())

@@ -25,6 +25,35 @@ def _run_cli(*args: str) -> subprocess.CompletedProcess:
     )
 
 
+def test_register_rejects_collapse_unsafe_literals():
+    """registry.register stores oracles whitespace-collapsed; a
+    quoted literal containing a tab, newline, or 2+ spaces would be
+    silently rewritten into a DIFFERENT literal (this bit
+    mr_wordcount's '[ <tab>]' regex class, collapsed to '[ ]' —
+    masked only because the corpus has no tabs). The guard must
+    refuse such oracles at registration, and must NOT false-positive
+    on whitespace BETWEEN literals."""
+    import pytest
+
+    from map_reduce_server_spark import registry
+
+    for bad in (
+        "SELECT 'a  b' AS t",          # double space inside literal
+        "SELECT 'a\tb' AS t",           # tab inside literal
+        "SELECT 'a\nb' AS t",           # newline inside literal
+    ):
+        with pytest.raises(ValueError, match="whitespace collapsing"):
+            registry.register("x_guard_probe", oracle=bad)(lambda s, d: None)
+        # a refused registration must leave no partial entry behind
+        assert "x_guard_probe" not in registry.QUERIES
+    # whitespace between literals (outside quotes) is fine
+    registry.register(
+        "x_guard_probe", oracle="SELECT 'a' AS x,\n       'b' AS y"
+    )(lambda s, d: None)
+    assert registry.ORACLE.pop("x_guard_probe") == "SELECT 'a' AS x, 'b' AS y"
+    registry.QUERIES.pop("x_guard_probe", None)
+
+
 def test_cli_list():
     res = _run_cli("list")
     assert res.returncode == 0
