@@ -1,0 +1,24 @@
+"""Shared word tokenizer for the ``documents.text`` column.
+
+One definition of "the tokens of a document" — non-empty tokens of
+the lowercased text split on single spaces — used by the shingle /
+SimHash dedup family, retrieval (BM25), curation, and the relational
+text queries. Their DuckDB oracles all derive from the same
+``SQL_TOKS`` expression, so every Spark side MUST tokenize
+identically; before this module the expression was pasted in seven
+places across five operator modules, held in sync only by
+discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SQL_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def word_tokens_col() -> Column:
+    """Non-empty lowercase word tokens of ``text`` — the Spark twin
+    of :data:`SQL_TOKS`."""
+    return F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
