@@ -60,3 +60,46 @@ SQL_COSINE = (
 def as_double_array(col: Column) -> Column:
     """Cast array<float> to array<double> for stable arithmetic."""
     return col.cast("array<double>")
+
+
+# --- symmetric int8 quantization contract -----------------------------------
+# The scale (max |x|, 0.0 for an empty vector) and the dequantization
+# arithmetic (floor(x*127/scale + 0.5) * scale/127 — explicit half-up
+# so both engines place half-way values identically) live HERE, once:
+# embedding_quantize_int8 and ann_topk_quantized both replay them, and
+# the SQL twins below are the only oracle spellings.
+
+
+def max_abs(v: Column) -> Column:
+    """Greatest |x| over the vector — 0.0 for an empty array (the
+    greatest-fold init), matching SQL_MAX_ABS's coalesce."""
+    return F.aggregate(
+        F.transform(v, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+
+
+def int8_quantize(v: Column, mx: Column) -> Column:
+    """Quantized int codes: floor(x·127/mx + 0.5) per element."""
+    return F.transform(
+        v, lambda x: F.floor(x * 127.0 / mx + 0.5).cast("int")
+    )
+
+
+def int8_reconstruct(v: Column, mx: Column) -> Column:
+    """Dequantized vector: floor(x·127/mx + 0.5)·mx/127 per element."""
+    return F.transform(
+        v, lambda x: F.floor(x * 127.0 / mx + 0.5) * mx / 127.0
+    )
+
+
+SQL_MAX_ABS = "coalesce(list_max(list_transform({v}, x -> abs(x))), 0.0)"
+
+SQL_QUANT = (
+    "list_transform({v}, x -> CAST(floor(x * 127.0 / {mx} + 0.5) AS INTEGER))"
+)
+
+SQL_RECON = (
+    "list_transform({v}, x -> floor(x * 127.0 / {mx} + 0.5) * {mx} / 127.0)"
+)

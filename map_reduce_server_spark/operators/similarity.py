@@ -12,7 +12,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_server_spark.functions.vector import SQL_COSINE, cosine
+from map_reduce_server_spark.functions.hashing import sql_md5_long
+from map_reduce_server_spark.functions.vector import (
+    SQL_COSINE,
+    SQL_MAX_ABS,
+    SQL_QUANT,
+    SQL_RECON,
+    cosine,
+    int8_quantize,
+    int8_reconstruct,
+    max_abs,
+)
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -67,17 +77,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("qvec"), F.col("vec")).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rnk",
-            F.round("cos", 6).alias("cos_sim"),
-        )
-    )
+    return _topk(scored)
 
 
 # --- LSH-bucketed ANN (random-hyperplane signs → bucket) --------------------
@@ -87,10 +87,12 @@ _DIM = 64
 
 # Engine-portable pseudo-random hyperplanes: component d of plane j is
 # a deterministic function of md5(f"{j}:{d}") mapped into [-1, 1].
+# The hash idiom comes from the shared helper so it cannot drift from
+# functions.hashing.md5_long.
 _SQL_PLANE = (
-    "list_transform(range(1, {dim} + 1), d -> "
-    "(CAST(('0x' || substr(md5('{j}:' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) "
-    "% 2000001 - 1000000) / 1000000.0)"
+    "list_transform(range(1, {dim} + 1), d -> ("
+    + sql_md5_long("'{j}:' || CAST(d AS VARCHAR)")
+    + " % 2000001 - 1000000) / 1000000.0)"
 )
 
 
@@ -186,17 +188,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("qvec"), F.col("vec")).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rnk",
-            F.round("cos", 6).alias("cos_sim"),
-        )
-    )
+    return _topk(scored)
 
 
 # --- IVF (inverted-file) ANN: coarse quantize to centroids ------------------
@@ -216,6 +208,70 @@ def _centroids(emb: DataFrame) -> DataFrame:
         (F.col("vec_id") >= _N_QUERIES)
         & (F.col("vec_id") < _N_QUERIES + _IVF_K)
     ).select(F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec"))
+
+
+def _topk(scored: DataFrame) -> DataFrame:
+    """Shared ANN finishing stage: rank a (query_id, neighbor_id,
+    cos) candidate set per query (DESC cos, neighbor_id tiebreak),
+    keep the top ``_TOP_K``, round for output. Every ANN variant ends
+    here so the tie-break and rounding contract lives in ONE place
+    (and one SQL tail mirrors it in each oracle)."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+def _argmax_assign(emb, cands, label: str, score, out: str):
+    """ZERO-SHUFFLE nearest-centroid assignment: the K candidate
+    centroids collapse into ONE broadcast single-row array (sorted by
+    label), each vector scores all K inside a ``transform`` and folds
+    to the argmax with ``aggregate`` — pure map-side codegen, no
+    window, no exchange of vectors. The previous window formulation
+    (row_number over crossJoin output) pushed K wide copies of EVERY
+    corpus vector through a hash exchange — the opposite of the
+    "corpus assignment is one narrow pass" property IVF exists for.
+
+    Tie/NULL semantics replicate ``row_number over (ORDER BY score
+    DESC, label)`` with DESC NULLS LAST: strict ``>`` keeps the
+    smallest label on score ties (array is label-sorted), a NULL
+    score never displaces a real one, and an all-NULL vector gets
+    the smallest label.
+    """
+    carr = cands.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(label).alias("id"), F.col("cvec")))
+        ).alias("cands")
+    )
+    scored = F.transform(
+        F.col("cands"),
+        lambda s: F.struct(
+            score(F.col("vec"), s["cvec"]).alias("c"), s["id"].alias("id")
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast("double").alias("c"),
+            F.lit(None).cast("bigint").alias("id"),
+        ),
+        lambda acc, s: F.when(
+            acc["id"].isNull()
+            | (acc["c"].isNull() & s["c"].isNotNull())
+            | (s["c"] > acc["c"]),
+            s,
+        ).otherwise(acc),
+    )
+    return emb.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "vec", best["id"].alias(out)
+    )
 
 
 def _sql_centroids() -> str:
@@ -285,21 +341,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _emb(spark, sf_dir)
     cents = _centroids(emb)
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), "cent_id"
-    )
-    cells = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "vec",
-            "cent_id",
-            cosine(F.col("vec"), F.col("cvec")).alias("ccos"),
-        )
-        .withColumn("crn", F.row_number().over(assign_w))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "vec", F.col("cent_id").alias("cell"))
-    )
+    cells = _argmax_assign(emb, cents, "cent_id", cosine, "cell")
     probes = (
         emb.filter(F.col("vec_id") < _N_QUERIES)
         .crossJoin(F.broadcast(cents))
@@ -329,17 +371,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.vec_id").alias("neighbor_id"),
         cosine(F.col("p.qvec"), F.col("s.vec")).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rnk",
-            F.round("cos", 6).alias("cos_sim"),
-        )
-    )
+    return _topk(scored)
 
 
 @register(
@@ -409,17 +441,7 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("qvec"), F.col("vec")).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rnk",
-            F.round("cos", 6).alias("cos_sim"),
-        )
-    )
+    return _topk(scored)
 
 
 _SQL_COS_PAIRS = f"""
@@ -518,6 +540,10 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KM_K = 8
+# PINNED at 2: the DuckDB oracle (_sql_kmeans_oracle) hand-unrolls
+# exactly two assignment passes (a1 -> c1 -> a2); changing this
+# constant without extending the oracle's CTE chain turns every
+# kmeans_embeddings gate run red wholesale.
 _KM_ITERS = 2  # assignments; centroids update (iters - 1) times
 
 
@@ -532,20 +558,16 @@ def _km_seed_centroids(emb: DataFrame) -> DataFrame:
 
 
 def _km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Assign each vector to the max-cosine centroid. Similarity is
+    """Assign each vector to the max-cosine centroid (zero-shuffle
+    broadcast-array argmax — see ``_argmax_assign``). Similarity is
     rounded to 9 digits and ties break on the smaller cluster label,
     so the argmax is engine-independent."""
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "vec",
+    return _argmax_assign(
+        emb,
+        cents,
         "cluster",
-        F.round(cosine(F.col("vec"), F.col("cvec")), 9).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cluster")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "cluster")
+        lambda a, b: F.round(cosine(a, b), 9),
+        "cluster",
     )
 
 
@@ -635,25 +657,25 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_quantize_int8",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
     m AS (
       SELECT vec_id, v,
-             list_max(list_transform(v, x -> abs(x))) AS mx
+             {SQL_MAX_ABS.format(v='v')} AS mx
       FROM e)
     SELECT vec_id,
            round(mx, 9) AS max_abs,
            array_to_string(
              CASE WHEN mx > 0
-                  THEN list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5)
-                                                   AS INTEGER))
+                  THEN {SQL_QUANT.format(v='v', mx='mx')}
                   ELSE list_transform(v, x -> 0) END, ',') AS q,
            CASE WHEN mx > 0
-                THEN round(list_max(list_transform(v,
-                       x -> abs(x - floor(x * 127.0 / mx + 0.5) * mx / 127.0))),
+                THEN round(list_max(list_transform(range(1, len(v) + 1),
+                       i -> abs(v[i]
+                               - ({SQL_RECON.format(v='v', mx='mx')})[i]))),
                      9)
                 ELSE 0.0 END AS max_err
     FROM m
@@ -673,31 +695,18 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    mx = F.aggregate(
-        F.transform(v, lambda x: F.abs(x)),
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc, x),
-    )
-    df = emb.select("vec_id", v.alias("v"), mx.alias("mx"))
+    df = emb.select("vec_id", v.alias("v"), max_abs(v).alias("mx"))
     quant = F.when(
-        F.col("mx") > 0,
-        F.transform(
-            F.col("v"),
-            lambda x: F.floor(x * 127.0 / F.col("mx") + 0.5).cast("int"),
-        ),
+        F.col("mx") > 0, int8_quantize(F.col("v"), F.col("mx"))
     ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0)))
     err = F.when(
         F.col("mx") > 0,
         F.round(
             F.aggregate(
-                F.transform(
+                F.zip_with(
                     F.col("v"),
-                    lambda x: F.abs(
-                        x
-                        - F.floor(x * 127.0 / F.col("mx") + 0.5)
-                        * F.col("mx")
-                        / 127.0
-                    ),
+                    int8_reconstruct(F.col("v"), F.col("mx")),
+                    lambda x, r: F.abs(x - r),
                 ),
                 F.lit(0.0),
                 lambda acc, x: F.greatest(acc, x),
@@ -721,19 +730,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN over int8-reconstructed vectors (quantized serving path)
 # ---------------------------------------------------------------------------
 
-_SQL_RECON = (
-    "list_transform(vec, x -> floor(x * 127.0 / mx + 0.5) * mx / 127.0)"
-)
-
-
 @register(
     "ann_topk_quantized",
     oracle=f"""
     WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     m AS (SELECT vec_id, vec,
-                 list_max(list_transform(vec, x -> abs(x))) AS mx
+                 {SQL_MAX_ABS.format(v='vec')} AS mx
           FROM e0),
-    e AS (SELECT vec_id, {_SQL_RECON} AS rvec FROM m WHERE mx > 0),
+    e AS (SELECT vec_id, {SQL_RECON.format(v='vec', mx='mx')} AS rvec
+          FROM m WHERE mx > 0),
     q AS (SELECT vec_id AS query_id, rvec AS qvec FROM e
           WHERE vec_id < {_N_QUERIES})
     SELECT query_id, vec_id AS neighbor_id,
@@ -762,21 +767,15 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors.
     """
     emb = _emb(spark, sf_dir)
-    mx = F.aggregate(
-        F.transform(F.col("vec"), lambda x: F.abs(x)),
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc, x),
-    )
-    recon = emb.select("vec_id", F.col("vec"), mx.alias("mx")).filter(
-        F.col("mx") > 0
-    ).select(
-        "vec_id",
-        F.transform(
-            F.col("vec"),
-            lambda x: F.floor(x * 127.0 / F.col("mx") + 0.5)
-            * F.col("mx")
-            / 127.0,
-        ).alias("rvec"),
+    recon = (
+        emb.select(
+            "vec_id", F.col("vec"), max_abs(F.col("vec")).alias("mx")
+        )
+        .filter(F.col("mx") > 0)
+        .select(
+            "vec_id",
+            int8_reconstruct(F.col("vec"), F.col("mx")).alias("rvec"),
+        )
     )
     queries = recon.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("rvec").alias("qvec")
@@ -814,7 +813,9 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
                  {{h}} % 2 AS split
           FROM e),
     x AS (SELECT split, pos, vec[pos] AS val
-          FROM s, (SELECT unnest(range(1, {{dim1}})) AS pos) p),
+          FROM (SELECT split, vec,
+                       unnest(range(1, len(vec) + 1)) AS pos
+                FROM s) t),
     m AS (SELECT split, pos,
                  CAST(SUM(CAST(val AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*)
                    AS mu
@@ -823,16 +824,13 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM m GROUP BY split),
     pair AS (SELECT a.cvec AS c0, b.cvec AS c1
              FROM c a, c b WHERE a.split = 0 AND b.split = 1)
-    SELECT round(list_dot_product(c0, c1) /
-                 sqrt(list_dot_product(c0, c0) * list_dot_product(c1, c1)),
-                 9) AS centroid_cos,
-           round(list_max(list_transform(range(1, {{dim1}}),
+    SELECT round({_SQL_COS.format(a='c0', b='c1')}, 9) AS centroid_cos,
+           round(list_max(list_transform(range(1, len(c0) + 1),
                                          i -> abs(c0[i] - c1[i]))), 9)
              AS max_dim_delta
     FROM pair
     """.format(
-        h="CAST(('0x' || substr(md5('es:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)",
-        dim1=65,
+        h=sql_md5_long("'es:' || CAST(vec_id AS VARCHAR)"),
     ),
 )
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,6 +64,14 @@ def register(
                         "corrupt — use a single space or an escape "
                         "(chr()/concat) instead"
                     )
+            # A line comment would swallow the REST OF THE QUERY once
+            # everything is collapsed onto one line.
+            if "--" in oracle:
+                raise ValueError(
+                    f"oracle for {name!r} contains a '--' line comment, "
+                    "which whitespace collapsing would extend over the "
+                    "whole remaining query — remove it"
+                )
         QUERIES[name] = pinned
         if oracle is not None:
             ORACLE[name] = " ".join(oracle.split())
