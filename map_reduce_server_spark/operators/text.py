@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.exact import davg, sql_davg
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
+from map_reduce_server_spark.functions.tokens import SQL_TOKS
+from map_reduce_server_spark.operators.dedup import (
+    _SQL_SHINGLES as _DEDUP_SQL_SHINGLES,
+)
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -26,6 +30,9 @@ _STOPWORDS = ("the", "a", "and", "of", "to")
 
 
 def tokens_col(col: Column, keep_empty: bool = True) -> Column:
+    """``keep_empty=False`` is the same contract as
+    ``functions.tokens.word_tokens_col`` (generalized to any column);
+    the keep-empty variant is text.py-specific reference parity."""
     toks = F.split(F.lower(col), " ")
     if keep_empty:
         return toks
@@ -33,7 +40,10 @@ def tokens_col(col: Column, keep_empty: bool = True) -> Column:
 
 
 _SQL_TOKENS = "string_split(lower(text), ' ')"
-_SQL_NE_TOKENS = f"list_filter({_SQL_TOKENS}, x -> x <> '')"
+# Single-sourced from functions/tokens.py — every non-empty-token
+# oracle in this module must tokenize exactly like the shared Spark
+# twin used across the dedup/retrieval/curation modules.
+_SQL_NE_TOKENS = SQL_TOKS
 
 
 @register(
@@ -121,7 +131,7 @@ _SQL_STOPLIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
                       AS DOUBLE) / greatest(len(toks), 1), 6) AS stopword_ratio,
            round(CAST(len(list_distinct(toks)) AS DOUBLE)
                  / greatest(len(toks), 1), 6) AS distinct_ratio,
-           round(CAST(length(regexp_replace(text, '[a-z ]', '', 'g'))
+           round(CAST(length(regexp_replace(lower(text), '[a-z ]', '', 'g'))
                       AS DOUBLE) / greatest(length(text), 1), 6) AS nonalpha_ratio,
            CASE WHEN len(toks) BETWEEN 5 AND 10000
                  AND len(list_distinct(toks)) >= 3
@@ -144,7 +154,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_stop.cast("double") / n, 6).alias("stopword_ratio"),
         F.round(n_dist.cast("double") / n, 6).alias("distinct_ratio"),
         F.round(
-            F.length(F.regexp_replace("text", "[a-z ]", "")).cast("double")
+            # lower() first: uppercase letters are alphabetic, not
+            # symbols — without it 'Hello World' counts H and W as
+            # non-alpha (both engines shared the bug, so the oracle
+            # gate could never catch it on a mixed-case corpus)
+            F.length(
+                F.regexp_replace(F.lower(F.col("text")), "[a-z ]", "")
+            ).cast("double")
             / F.greatest(F.length("text"), F.lit(1)),
             6,
         ).alias("nonalpha_ratio"),
@@ -269,9 +285,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Explicit DataFrame formulation rather than ml.feature's
     HashingTF (whose murmur-hash buckets aren't externally
     comparable): tf = count/doc_len, idf = ln(N/df). The df table is
-    tiny (vocabulary-sized) and broadcast; the corpus shuffles once
-    on doc_id and once on token — both unavoidable and both on
-    compact keys.
+    vocabulary-sized with NO hard broadcast hint (vocabulary is
+    unbounded on real corpora — Heaps' law; AQE broadcasts when it
+    fits); the corpus shuffles once on doc_id and once on token —
+    both unavoidable and both on compact keys.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -668,19 +685,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_novelty",
     bench=True,
-    oracle="""
-    WITH sh AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_transform(
-               range(1, greatest(len(list_filter(string_split(lower(text), ' '),
-                                                 x -> x <> '')) - 1, 1)),
-               i -> list_filter(string_split(lower(text), ' '), x -> x <> '')[i]
-                    || ' ' ||
-                    list_filter(string_split(lower(text), ' '), x -> x <> '')[i+1]
-                    || ' ' ||
-                    list_filter(string_split(lower(text), ' '), x -> x <> '')[i+2]
-             )) AS shingle
-      FROM documents),
+    # the shingle CTE comes verbatim from dedup._SQL_SHINGLES — the
+    # Spark side imports dedup.shingles_df, so the two oracles MUST
+    # shingle identically
+    oracle=f"""
+    WITH sh AS (SELECT * FROM {_DEDUP_SQL_SHINGLES}),
     first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
     SELECT d.doc_id,
            CAST(COALESCE(COUNT(sh.shingle), 0) AS BIGINT) AS n_shingles,
@@ -747,7 +756,7 @@ _OOV_VOCAB_K = 1000
     "text_oov_rate",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, unnest({{ne_tokens}}) AS token FROM documents
+      SELECT doc_id, unnest({_SQL_NE_TOKENS}) AS token FROM documents
     ),
     vocab AS (
       SELECT token FROM tok GROUP BY token
@@ -761,7 +770,7 @@ _OOV_VOCAB_K = 1000
                       AS DOUBLE) / COUNT(*), 6) AS oov_rate
     FROM tok t LEFT JOIN vocab v USING (token)
     GROUP BY t.doc_id
-    """.replace("{ne_tokens}", _SQL_NE_TOKENS),
+    """,
 )
 def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-vocabulary rate: the corpus's top-K tokens by frequency
@@ -828,8 +837,10 @@ _ZIPF_TOPK = 100
     s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
                  CAST(SUM(CAST(x AS DECIMAL(30,9))) AS DOUBLE) AS sx,
                  CAST(SUM(CAST(y AS DECIMAL(30,9))) AS DOUBLE) AS sy,
-                 CAST(SUM(CAST(x * y AS DECIMAL(30,9))) AS DOUBLE) AS sxy,
-                 CAST(SUM(CAST(x * x AS DECIMAL(30,9))) AS DOUBLE) AS sxx
+                 CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(30,9))) AS DOUBLE)
+                   AS sxy,
+                 CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(30,9))) AS DOUBLE)
+                   AS sxx
           FROM pts)
     SELECT CAST(k AS BIGINT) AS n_points,
            round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
@@ -840,7 +851,7 @@ _ZIPF_TOPK = 100
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit: OLS slope of ln(frequency) against ln(rank)
-    over the top-{k} tokens — natural corpora fit slope ≈ −1, and a
+    over the top-100 tokens — natural corpora fit slope ≈ −1, and a
     deviation flags synthetic, templated, or scrubbed text (a cheap
     corpus-health check next to q_drift_psi).
 
@@ -874,10 +885,15 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("k"),
         F.sum(F.col("x").cast("decimal(30,9)")).cast("double").alias("sx"),
         F.sum(F.col("y").cast("decimal(30,9)")).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(30,9)"))
+        # products are pre-rounded to 9 so the scale-9 decimal cast is
+        # EXACT in both engines — Spark casts via the shortest decimal
+        # repr (HALF_UP) while DuckDB rounds the binary double, and on
+        # an UNROUNDED product the two can differ by 1e-9 per term
+        # (see functions/exact.py and the unigram surp precedent)
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(30,9)"))
         .cast("double")
         .alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(30,9)"))
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(30,9)"))
         .cast("double")
         .alias("sxx"),
     )
@@ -1025,7 +1041,7 @@ _KW_TOPK = 3
     """,
 )
 def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document keyword extraction: the top-{k} TF-IDF terms,
+    """Per-document keyword extraction: the top-3 TF-IDF terms,
     rank-ordered and CSV-serialized — the tagging/routing signal a
     corpus index or mixture labeler consumes downstream.
 
@@ -1064,7 +1080,7 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_types,
            round(log2(CAST(SUM(c) AS DOUBLE))
-                 - CAST(SUM(CAST(c * log2(CAST(c AS DOUBLE))
+                 - CAST(SUM(CAST(round(c * log2(CAST(c AS DOUBLE)), 9)
                                  AS DECIMAL(30,12))) AS DOUBLE) / SUM(c),
                  6) AS token_entropy_bits
     FROM tc GROUP BY doc_id
@@ -1100,10 +1116,14 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_types"),
         F.round(
             F.log2(n.cast("double"))
+            # the c*log2(c) term is pre-rounded to 9 so the scale-12
+            # decimal cast is EXACT in both engines (an unrounded
+            # irrational term can cast-round differently: Spark uses
+            # the shortest decimal repr, DuckDB the binary double)
             - F.sum(
-                (F.col("c") * F.log2(F.col("c").cast("double"))).cast(
-                    "decimal(30,12)"
-                )
+                F.round(
+                    F.col("c") * F.log2(F.col("c").cast("double")), 9
+                ).cast("decimal(30,12)")
             ).cast("double")
             / n,
             6,
@@ -1190,7 +1210,7 @@ _BPE_TOPK = 20
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One training round of byte-pair encoding: count every adjacent
     character pair inside every token across the corpus and rank the
-    top-{k} merge candidates (count desc, pair asc — a total order,
+    top-20 merge candidates (count desc, pair asc — a total order,
     so the winner set is unique). Iterating this op IS the BPE
     tokenizer-training loop; one round exercises the full plan shape.
 

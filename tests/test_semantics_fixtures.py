@@ -321,6 +321,24 @@ def test_session_concurrency_year_boundary_carry(spark):
     }
 
 
+def test_text_quality_mixed_case_nonalpha(spark):
+    """Uppercase letters are alphabetic: 'Hello World There Friend
+    Person.' must count only the period as non-alpha (ratio 1/30),
+    not the capitals — both engines shared the un-lowercased regex
+    bug, so only a mixed-case fixture can catch it. (The 5-token
+    minimum keeps passes_quality exercised too.)"""
+    import tempfile
+
+    from map_reduce_server_spark import registry
+
+    text = "Hello World There Friend Person."
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, [(1, text, "en", "src0")])
+        row = registry.QUERIES["text_quality"](spark, d).collect()[0]
+    assert row.nonalpha_ratio == round(1 / len(text), 6)
+    assert row.passes_quality == 1
+
+
 def test_coverage_report_empty_table_zero_not_null(spark, sf_small):
     """An EMPTY audited table must report pk_nulls = 0, not NULL:
     SUM over zero rows is NULL in both engines, but the report's
