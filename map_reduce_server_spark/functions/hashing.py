@@ -31,6 +31,17 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
 
 
+def uniform01(tag: str, key: Column, mod: int = 1_000_000) -> Column:
+    """Deterministic uniform in (0, 1]: ``(md5_long("tag:"||key) %
+    mod + 1) / 1e6``. The +1 offset keeps u strictly positive (safe
+    under ln); ``mod=999999`` additionally caps u at 0.999999 so
+    BOTH tails are log-safe (inverse-CDF noise); the default 1e6
+    reaches u = 1.0 exactly. :func:`sql_uniform01` is the oracle
+    twin — the pair must be edited together."""
+    h = md5_long(F.concat(F.lit(f"{tag}:"), key.cast("string")))
+    return (h % mod + 1) / 1_000_000.0
+
+
 def seeded_md5(col: Column, seed: int) -> Column:
     """Seeded md5 hex string — one member of the MinHash family."""
     return F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string")))
@@ -46,3 +57,9 @@ def sql_md5_long(expr: str) -> str:
 def sql_seeded_md5(expr: str, seed: int) -> str:
     """DuckDB twin of :func:`seeded_md5`."""
     return f"md5('{seed}:' || {expr})"
+
+
+def sql_uniform01(tag: str, expr: str, mod: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`uniform01`."""
+    h = sql_md5_long(f"'{tag}:' || {expr}")
+    return f"({h} % {mod} + 1) / 1000000.0"

@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
+from map_reduce_server_spark.functions.hashing import (
+    md5_long,
+    sql_md5_long,
+    sql_uniform01,
+    uniform01,
+)
 from map_reduce_server_spark.functions.tokens import word_tokens_col
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
@@ -662,8 +667,7 @@ _WS_TOPK = 5
     WITH w AS (
       SELECT doc_id, source,
              CAST(n_chars AS DOUBLE) AS wt,
-             ({sql_md5_long("'ws:' || CAST(doc_id AS VARCHAR)")}
-              % 1000000 + 1) / 1000000.0 AS u
+             {sql_uniform01("ws", "CAST(doc_id AS VARCHAR)")} AS u
       FROM documents),
     k AS (SELECT doc_id, source,
                  round(ln(u) / wt, 9) AS sample_key
@@ -693,11 +697,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses here.
     """
     docs = load_table(spark, sf_dir, "documents")
-    u = (
-        md5_long(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
-        % 1000000
-        + 1
-    ) / 1000000.0
+    u = uniform01("ws", F.col("doc_id"))
     keyed = docs.select(
         "source",
         "doc_id",

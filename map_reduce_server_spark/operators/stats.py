@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
+from map_reduce_server_spark.functions.hashing import (
+    md5_long,
+    sql_md5_long,
+    sql_uniform01,
+    uniform01,
+)
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -551,9 +556,7 @@ _POIS_CDF = (
 _N_BOOT = 20
 
 
-def _sql_uniform(tag: str, id_expr: str) -> str:
-    h = sql_md5_long(f"'{tag}:' || {id_expr}")
-    return f"({h} % 1000000 + 1) / 1000000.0"
+_sql_uniform = sql_uniform01  # shared md5-to-uniform recipe
 
 
 def _sql_poisson(u: str) -> str:
@@ -616,18 +619,14 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("x"),
         F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT - 1))).alias("r"),
     )
-    u = (
-        md5_long(
-            F.concat(
-                F.lit("bs:"),
-                F.col("r").cast("string"),
-                F.lit(":"),
-                F.col("doc_id").cast("string"),
-            )
-        )
-        % 1000000
-        + 1
-    ) / 1000000.0
+    u = uniform01(
+        "bs",
+        F.concat(
+            F.col("r").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
     w = F.lit(6)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
         w = F.when(u < _POIS_CDF[k], F.lit(k)).otherwise(w)
@@ -777,7 +776,8 @@ def q_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
     # modulus 999999 (not 1e6): keeps u in [1e-6, 0.999999] so the
     # Laplace inverse CDF is finite on both tails.
-    u = (md5_long(F.concat(F.lit("dp:"), F.col("event_type"))) % 999999 + 1) / 1000000.0
+    # mod 999999 keeps u <= 0.999999: both Laplace tails log-safe
+    u = uniform01("dp", F.col("event_type"), mod=999999)
     v = u - 0.5
     return c.select(
         "event_type",
@@ -816,7 +816,8 @@ _SQL_ZSUM = " + ".join(
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS v
-      FROM events GROUP BY 1, 2),
+      FROM events GROUP BY 1, 2
+      HAVING v IS NOT NULL),
     win AS (
       SELECT event_type, d AS start_day,
              list(v) OVER (PARTITION BY event_type ORDER BY d
@@ -875,7 +876,11 @@ def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(30,2)"))
         .cast("double")
         .alias("v")
-    )
+    # an all-NULL day yields v = NULL; drop it in BOTH engines —
+    # Spark's collect_list silently skips NULLs while DuckDB's
+    # list() keeps them, so an unfiltered NULL day makes the two
+    # engines disagree on window membership
+    ).filter(F.col("v").isNotNull())
     w = (
         Window.partitionBy("event_type")
         .orderBy("d")

