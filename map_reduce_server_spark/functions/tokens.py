@@ -22,3 +22,24 @@ def word_tokens_col() -> Column:
     """Non-empty lowercase word tokens of ``text`` — the Spark twin
     of :data:`SQL_TOKS`."""
     return F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+
+
+def distinct_ratio_col() -> Column:
+    """Lexical diversity: distinct tokens / tokens, 6-rounded (the
+    cheap quality proxy shared by text_quality and q_quality_gate —
+    one definition, or the twins drift)."""
+    toks = word_tokens_col()
+    return F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+
+
+def sql_distinct_ratio(toks: str = SQL_TOKS) -> str:
+    """DuckDB twin of :func:`distinct_ratio_col`; pass a CTE-bound
+    token-list alias to avoid recomputing the split."""
+    return (
+        f"round(CAST(len(list_distinct({toks})) AS DOUBLE)"
+        f" / greatest(len({toks}), 1), 6)"
+    )

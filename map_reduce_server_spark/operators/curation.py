@@ -40,7 +40,12 @@ from map_reduce_server_spark.functions.hashing import (
     sql_uniform01,
     uniform01,
 )
-from map_reduce_server_spark.functions.tokens import word_tokens_col
+from map_reduce_server_spark.functions.tokens import (
+    SQL_TOKS,
+    distinct_ratio_col,
+    sql_distinct_ratio,
+    word_tokens_col,
+)
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -250,19 +255,15 @@ def q_scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_quality_gate",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
       SELECT doc_id, source,
-             round(CAST(len(list_distinct(list_filter(
-                       string_split(lower(text), ' '), x -> x <> '')))
-                    AS DOUBLE)
-                   / greatest(len(list_filter(string_split(lower(text), ' '),
-                                              x -> x <> '')), 1), 6) AS score
+             {sql_distinct_ratio()} AS score
       FROM documents),
     ranked AS (
       SELECT doc_id, source, score,
              percent_rank() OVER (PARTITION BY source
-                                  ORDER BY score, doc_id) AS pr,
+                                  ORDER BY score NULLS LAST, doc_id) AS pr,
              COUNT(*) OVER (PARTITION BY source) AS n_src
       FROM scored)
     SELECT doc_id, source, score FROM ranked
@@ -284,14 +285,14 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, score-range) first.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = word_tokens_col()
-    score = F.round(
-        F.size(F.array_distinct(toks)).cast("double")
-        / F.greatest(F.size(toks), F.lit(1)),
-        6,
+    scored = docs.select(
+        "doc_id", "source", distinct_ratio_col().alias("score")
     )
-    scored = docs.select("doc_id", "source", score.alias("score"))
-    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    # NULLS LAST explicitly: Spark ASC defaults NULLS FIRST, DuckDB
+    # NULLS LAST — a NULL-text doc would land in opposite quartiles
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").asc_nulls_last(), "doc_id"
+    )
     # sources smaller than 4 docs have no meaningful quartile — the
     # bare pr >= 0.25 rule would delete 100% of a 1-doc domain
     return (
@@ -316,8 +317,7 @@ _PACK_BUDGET = 512  # tokens per training sequence
     oracle=f"""
     WITH sized AS (
       SELECT doc_id, source,
-             len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS n_tokens
+             len({SQL_TOKS}) AS n_tokens
       FROM documents),
     packed AS (
       SELECT source, n_tokens,
@@ -633,8 +633,11 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(
-            F.sum((F.col("s") == 0).cast("long")).alias("n_a"),
-            F.sum((F.col("s") == 1).cast("long")).alias("n_b"),
+            # count(when) not sum(cast): the house null-safe counting
+            # idiom — sum over an empty/all-false group is NULL where
+            # the oracle's FILTER count is 0
+            F.count(F.when(F.col("s") == 0, 1)).alias("n_a"),
+            F.count(F.when(F.col("s") == 1, 1)).alias("n_b"),
         )
     )
     tot = counts.agg(
@@ -670,7 +673,7 @@ _WS_TOPK = 5
              {sql_uniform01("ws", "CAST(doc_id AS VARCHAR)")} AS u
       FROM documents),
     k AS (SELECT doc_id, source,
-                 round(ln(u) / wt, 9) AS sample_key
+                 round(ln(u) / wt, 9) + 0.0 AS sample_key
           FROM w),
     r AS (SELECT doc_id, source, sample_key,
                  row_number() OVER (PARTITION BY source
@@ -698,11 +701,14 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     u = uniform01("ws", F.col("doc_id"))
+    # + 0.0 on both twins: the key is always <= 0 and a key rounding
+    # to zero from below gives -0.0 in DuckDB but +0.0 in Spark —
+    # repr-level comparator mismatch; adding +0.0 normalizes -0.0
     keyed = docs.select(
         "source",
         "doc_id",
-        F.round(
-            F.log(u) / F.col("n_chars").cast("double"), 9
+        (
+            F.round(F.log(u) / F.col("n_chars").cast("double"), 9) + 0.0
         ).alias("sample_key"),
     )
     w = Window.partitionBy("source").orderBy(F.desc("sample_key"), "doc_id")
@@ -759,7 +765,16 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = (
         orders.filter(F.col("o_orderdate") < F.lit(_SNAP_CUTOFF).cast("timestamp"))
         .groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("old_rev_d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias(
+                "old_rev_d"
+            ),
+            # presence marker: 'added' must key on the JOIN MISS, not
+            # on a NULL revenue sum — an old snapshot whose prices are
+            # all NULL still means the customer existed (the oracle
+            # branches on old.custkey IS NULL)
+            F.count(F.lit(1)).alias("old_seen"),
+        )
     )
     new = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("new_rev_d")
@@ -768,7 +783,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.withColumn(
             "status",
-            F.when(F.col("old_rev_d").isNull(), "added")
+            F.when(F.col("old_seen").isNull(), "added")
             .when(F.col("old_rev_d") != F.col("new_rev_d"), "changed")
             .otherwise("unchanged"),
         )

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.exact import davg, sql_davg
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
-from map_reduce_server_spark.functions.tokens import SQL_TOKS
+from map_reduce_server_spark.functions.tokens import (
+    SQL_TOKS,
+    distinct_ratio_col,
+    sql_distinct_ratio,
+)
 from map_reduce_server_spark.operators.dedup import (
     _SQL_SHINGLES as _DEDUP_SQL_SHINGLES,
 )
@@ -129,8 +133,7 @@ _SQL_STOPLIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
     SELECT doc_id,
            round(CAST(len(list_filter(toks, x -> x IN ({_SQL_STOPLIST})))
                       AS DOUBLE) / greatest(len(toks), 1), 6) AS stopword_ratio,
-           round(CAST(len(list_distinct(toks)) AS DOUBLE)
-                 / greatest(len(toks), 1), 6) AS distinct_ratio,
+           {sql_distinct_ratio('toks')} AS distinct_ratio,
            round(CAST(length(regexp_replace(lower(text), '[a-z ]', '', 'g'))
                       AS DOUBLE) / greatest(length(text), 1), 6) AS nonalpha_ratio,
            CASE WHEN len(toks) BETWEEN 5 AND 10000
@@ -152,7 +155,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.round(n_stop.cast("double") / n, 6).alias("stopword_ratio"),
-        F.round(n_dist.cast("double") / n, 6).alias("distinct_ratio"),
+        distinct_ratio_col().alias("distinct_ratio"),
         F.round(
             # lower() first: uppercase letters are alphabetic, not
             # symbols — without it 'Hello World' counts H and W as
