@@ -241,8 +241,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape: 8-table join where every non-fact side is
-    broadcast, then a conditional share-of-total per year. The two
+    """TPC-H Q8 shape: 8-table join — dims broadcast, the SF-linear
+    PROMO part subset (a ~16% constant fraction) carries NO hard hint
+    (AQE broadcasts it only while it fits) — then a conditional
+    share-of-total per year. The two
     decimal sums divide in double on both engines (deterministic);
     ROUND(6) bounds printed precision."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -264,7 +266,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _revenue_col()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"), "left_semi")
@@ -548,7 +550,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(big.withColumnRenamed("l_orderkey", "big_key"),
                 F.col("l_orderkey") == F.col("big_key"), "left_semi")
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                  "o_totalprice")
         .agg(dsum("l_quantity").alias("sum_qty"))
@@ -679,7 +681,7 @@ _SQL_SUPPLY = """
         AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-           ROUND(sp_cost, 6) AS unit_cost
+           sp_cost AS unit_cost
     FROM eu, part
     WHERE sp_partkey = p_partkey
       AND p_type = 'LARGE' AND p_size = 15
@@ -745,7 +747,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
-            F.round("sp_cost", 6).alias("unit_cost"),
+            # unrounded: the raw double quotient is bit-identical in
+            # both engines, while ROUND(x, 6) breaks exact .5 ties
+            # differently (Spark HALF_UP on shortest repr vs DuckDB
+            # scaled-double) on this small-integer-quotient domain
+            F.col("sp_cost").alias("unit_cost"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -777,9 +783,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_supplycost; the trimmed schema substitutes a retail-price cost
     proxy (1% of p_retailprice per unit) — same 5-table join tree.
 
-    Scale: part/supplier/nation broadcast; the lineitem⋈orders
-    fact-fact join shuffles once on orderkey; exact decimal profit
-    sum is partition-order independent.
+    Scale: supplier/nation broadcast; the name-matched part subset
+    is an SF-linear constant fraction, so it carries no hard hint
+    (AQE broadcasts while it fits); the lineitem⋈orders fact-fact
+    join shuffles once on orderkey; exact decimal profit sum is
+    partition-order independent.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
@@ -792,7 +800,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -950,7 +958,7 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
@@ -976,8 +984,8 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
                          AND l_shipdate <  TIMESTAMP '1997-01-01'
                         THEN CAST(l_quantity AS DECIMAL(30,2))
-                        ELSE CAST(0 AS DECIMAL(30,2)) END)
-               > 0.4 * SUM(CAST(l_quantity AS DECIMAL(30,2))))
+                        ELSE CAST(0 AS DECIMAL(30,2)) END) * 5
+               > SUM(CAST(l_quantity AS DECIMAL(30,2))) * 2)
     ORDER BY s_name
     """,
 )
@@ -1010,7 +1018,10 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q96"),
             F.sum(dq).alias("qtot"),
         )
-        .filter(F.col("q96") > F.lit(0.4) * F.col("qtot"))
+        # q96*5 > qtot*2 keeps the 40% threshold in EXACT decimal on
+        # both engines (0.4 * decimal is double in Spark but
+        # DECIMAL(38,3) in DuckDB -- boundary groups would diverge)
+        .filter(F.col("q96") * 5 > F.col("qtot") * 2)
         .select("l_suppkey")
         .distinct()
     )

@@ -228,7 +228,11 @@ _DRIVER_GREEN_R5 = frozenset({
 # COUNT-BOUNDED (md5 % greatest(1, n div 10000) — expected sample
 # < 20k rows at any scale) instead of the fixed md5 % 50 rate —
 # different boundaries, different bucket stats.
-_CHANGED_R6 = frozenset({"q_equidepth_histogram"})
+# q2_min_cost_supplier: unit_cost is now emitted UNROUNDED — the raw
+# double quotient is bit-identical across engines while ROUND(x, 6)
+# broke exact .5 ties differently (Spark HALF_UP on shortest repr vs
+# DuckDB scaled-double) on q2's small-integer-quotient domain.
+_CHANGED_R6 = frozenset({"q_equidepth_histogram", "q2_min_cost_supplier"})
 
 _EVER_GREEN = (
     _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
