@@ -13,8 +13,10 @@ Scale notes (100 TB design stance):
 - fact-to-fact joins (orders⋈lineitem) are left to Catalyst's
   sort-merge join + AQE; both sides shuffle on the join key once and
   grouping that follows on the same key reuses the exchange;
-- dimension joins (region/nation/supplier) are explicitly
-  ``broadcast()`` — at any scale factor those stay tiny;
+- dimension joins against the CONSTANT-size tables (region=5 rows,
+  nation=25 rows) are explicitly ``broadcast()``; every SF-linear
+  side — customer, part subsets, and supplier (10k x SF) — carries
+  no hard hint, so AQE broadcasts it only while it actually fits;
 - every aggregate uses exact decimal sums (order-independent → the
   same bits on 1 core or 1000 executors, see functions/exact.py);
 - no driver-side collects anywhere; LIMIT/top-k run as TakeOrdered /
@@ -228,6 +230,12 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per level, so feeding it the (priority × status) pre-agg
     instead of the raw table cuts the expand+shuffle to a handful of
     rows — exact because count/decimal-sum are associative.
+
+    Known engine edge (q_cube shares it): on an EMPTY input Spark's
+    pre-agg+rollup yields 0 rows while ANSI ROLLUP emits one
+    (NULL, NULL, 0) grand-total row — acceptable here because the
+    star tables are never empty; audit-type queries that must handle
+    empties (q_coverage_report) count explicitly instead.
     """
     orders = load_table(spark, sf_dir, "orders")
     pre = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
@@ -377,7 +385,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
             cust,
             (orders.o_custkey == cust.c_custkey)
@@ -642,7 +650,13 @@ def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.array_sort(
                 F.array_distinct(
-                    F.concat(toks, F.array(F.lit("zzz_sentinel")))
+                    # coalesce: DuckDB's list_concat treats a NULL
+                    # list as empty, Spark's concat propagates NULL —
+                    # a NULL-text doc must still yield the sentinel
+                    F.concat(
+                        F.coalesce(toks, F.array().cast("array<string>")),
+                        F.array(F.lit("zzz_sentinel")),
+                    )
                 )
             ),
             ",",
@@ -795,9 +809,10 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3), 6
         ).alias("safe_div"),
-        F.try_to_number(F.col("o_orderpriority"), F.lit("9")).cast("int").alias(
-            "bad_cast"
-        ),
+        # try_cast is the SEMANTIC twin of the oracle's TRY_CAST —
+        # try_to_number('42', '9') is NULL (single-digit format)
+        # where TRY_CAST('42' AS INTEGER) is 42
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("good_cast"),
     )
 
@@ -1001,11 +1016,18 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raise under ANSI mode
         F.round(F.get(vec, 0), 6).alias("first_val"),
         F.round(
-            # empty array -> NULL, matching DuckDB list_sum([]);
-            # a bare 0.0-seeded fold would return 0.0 there
+            # DuckDB list_sum SKIPS NULL elements and returns NULL
+            # when nothing remains (empty or all-NULL list); a bare
+            # 0.0-seeded fold would return 0.0 on empty and NULL-
+            # poison the sum on a NULL element — so fold the
+            # NULL-filtered list and guard on ITS size
             F.when(
-                F.size(vec) > 0,
-                F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x),
+                F.size(F.filter(vec, lambda x: x.isNotNull())) > 0,
+                F.aggregate(
+                    F.filter(vec, lambda x: x.isNotNull()),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
             ),
             6,
         ).alias("vec_sum"),

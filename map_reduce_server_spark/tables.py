@@ -25,10 +25,12 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any realistic scale
-# factor (region=5 rows, nation=25 rows always; supplier/part grow
-# slowly). Used by operators to hint broadcast joins explicitly.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+# Dimension tables small enough to broadcast at any scale factor:
+# region (5 rows) and nation (25 rows) are CONSTANT-size. Everything
+# else — including supplier (10k x SF) — is SF-linear and carries NO
+# hard broadcast hint; AQE broadcasts those sides only while they
+# actually fit. Used by operators to hint broadcast joins explicitly.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
