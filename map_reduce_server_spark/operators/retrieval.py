@@ -31,6 +31,14 @@ from map_reduce_server_spark.functions.vector import SQL_COSINE, cosine
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
+# Imported at module top (no cycle — similarity does not import
+# retrieval) so the matryoshka/recall constants DERIVE from the
+# bruteforce index's definitions instead of duplicating them: the
+# recall join is only meaningful while both pipelines share the same
+# query set and k.
+from map_reduce_server_spark import registry as _registry
+from map_reduce_server_spark.operators import similarity as _sim
+
 # --- shared text plumbing (same contract as operators/text.py) --------------
 
 
@@ -174,7 +182,10 @@ _SQL_COS = SQL_COSINE  # shared oracle twin of functions.vector.cosine
 def _join_rank(cands: DataFrame, score: str, key: str) -> DataFrame:
     """rank = 1 + |{better candidate}| via a broadcast self-join over
     the top-k-sized candidate set — no global window, deterministic
-    through the (score DESC, key) total order."""
+    through the (score DESC, key) total order. Candidates' scores
+    must be non-NULL: every comparison against a NULL score fails,
+    so a NULL candidate would count zero better rows and claim
+    rank 1 (callers filter NULLs before ranking)."""
     a = cands.alias("a")
     b = cands.alias("b")
     better = (F.col(f"b.{score}") > F.col(f"a.{score}")) | (
@@ -195,6 +206,7 @@ def _join_rank(cands: DataFrame, score: str, key: str) -> DataFrame:
     oracle=f"""
     WITH {_sql_bm25_scored()},
     bm_top AS (SELECT doc_id, score FROM scored
+               WHERE doc_id <> {_RRF_QVEC}
                ORDER BY score DESC, doc_id LIMIT {_RRF_CAND}),
     bm_rank AS (
       SELECT a.doc_id,
@@ -210,6 +222,7 @@ def _join_rank(cands: DataFrame, score: str, key: str) -> DataFrame:
              round({_SQL_COS.format(a='qvec', b='vec')}, 9) AS cos
       FROM e CROSS JOIN qv WHERE vec_id <> {_RRF_QVEC}),
     cos_top AS (SELECT doc_id, cos FROM cos_scored
+                WHERE cos IS NOT NULL
                 ORDER BY cos DESC, doc_id LIMIT {_RRF_CAND}),
     cos_rank AS (
       SELECT a.doc_id,
@@ -233,8 +246,18 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     align on doc_id = vec_id; the query is the fixed BM25 term set
     plus embedding #{q} as the query vector.
 
+    Item #{q} is the designated query (its embedding is the query
+    vector), so it is excluded as a candidate from BOTH legs — not
+    just the cosine leg where it would trivially win at cos=1.
+    NULL cosines (zero-norm embeddings) are likewise barred from the
+    candidate set; `_join_rank`'s counting join would otherwise hand
+    a NULL score rank 1.
+
     Scale shape: each leg reduces the corpus to a top-50 candidate
-    set (TakeOrdered — no global sort); ranks come from a broadcast
+    set (TakeOrdered — no global sort), materialized once via
+    localCheckpoint — `_join_rank` consumes its input as both probe
+    and broadcast build side, which would otherwise re-execute each
+    leg's full corpus pipeline twice; ranks come from a broadcast
     self-join count over those 50 rows; the fusion is a full outer
     join of two 50-row sets. The expensive parts — token stream and
     one corpus scan for cosine — are single-pass, shuffle only
@@ -242,7 +265,11 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     bm_top = (
-        _bm25_scored(docs).orderBy(F.desc("score"), "doc_id").limit(_RRF_CAND)
+        _bm25_scored(docs)
+        .filter(F.col("doc_id") != _RRF_QVEC)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_CAND)
+        .localCheckpoint(eager=True)
     )
     bm_rank = _join_rank(bm_top, "score", "doc_id")
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -258,8 +285,10 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             F.round(cosine(F.col("qvec"), F.col("vec")), 9).alias("cos"),
         )
+        .filter(F.col("cos").isNotNull())
         .orderBy(F.desc("cos"), "doc_id")
         .limit(_RRF_CAND)
+        .localCheckpoint(eager=True)
     )
     cos_rank = _join_rank(cos_top, "cos", "doc_id")
     bm = bm_rank.select("doc_id", F.col("rnk").alias("bm_rnk"))
@@ -278,8 +307,8 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- matryoshka-truncated ANN ----------------------------------------------
 
 _MRL_DIM = 16
-_MRL_QUERIES = 8
-_MRL_TOPK = 5
+_MRL_QUERIES = _sim._N_QUERIES  # must match bruteforce for q_ann_recall
+_MRL_TOPK = _sim._TOP_K
 
 
 @register(
@@ -381,10 +410,12 @@ _SPAN_W = 5  # window length in tokens
 )
 def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication signal per document: the fraction
-    of a doc's distinct {w}-token windows that appear verbatim in
-    another document (or again in itself) — the criterion behind
+    of a doc's DISTINCT {w}-token windows that also appear in at least
+    one other document — the cross-document criterion behind
     suffix-array substring dedup (train-data memorization risk),
-    computed at shingle granularity.
+    computed at shingle granularity. Within-doc repetition is
+    deliberately out of scope (windows are distinct per doc before
+    counting); ``text_repetition`` owns that signal.
 
     Scale shape: windows hash to 60-bit ints immediately (the string
     never shuffles); DISTINCT per doc, one count per hash, and a
@@ -393,12 +424,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an equality pairing with its own count, not a pair explosion).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower(F.col("text")), " "), lambda x: x != ""
-        ).alias("ts"),
-    )
+    toks = docs.select("doc_id", word_tokens_col().alias("ts"))
     win_arr = F.when(
         # guard like dedup.shingles_df: a doc below the window width
         # has NO windows — the unguarded sequence(1, greatest(...,1))
@@ -448,12 +474,9 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ANN recall evaluation (index-tuning harness) ---------------------------
 
-# Composes two registered pipelines' oracles verbatim; importing
-# similarity here (no cycle — it does not import retrieval) guarantees
-# its registrations exist even though registry.load_all() imports
-# retrieval first.
-from map_reduce_server_spark import registry as _registry  # noqa: E402
-from map_reduce_server_spark.operators import similarity as _sim  # noqa: E402,F401
+# Composes two registered pipelines' oracles verbatim (the top-level
+# similarity import guarantees both registrations exist even though
+# registry.load_all() imports retrieval first).
 
 
 @register(
@@ -499,7 +522,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("query_id")
         .agg(
-            F.round(F.count("m_nid").cast("double") / 5, 6).alias(
+            F.round(F.count("m_nid").cast("double") / _sim._TOP_K, 6).alias(
                 "recall_at_5"
             )
         )
