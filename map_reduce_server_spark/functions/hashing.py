@@ -47,6 +47,17 @@ def seeded_md5(col: Column, seed: int) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string")))
 
 
+def split_hash(key: Column) -> Column:
+    """The engine's ONE deterministic dataset-split hash:
+    ``md5_long('split:' || key)``. q_ab_test_welch, q_drift_psi and
+    text_train_test_split all claim to read the same split — callers
+    apply their own modulus (``% 2`` A/B arms, ``% 100 < 80``
+    train/test) but MUST share this tag+recipe or the splits they
+    compare silently stop being the same partition of the corpus.
+    :func:`sql_split_hash` is the oracle twin."""
+    return md5_long(F.concat(F.lit("split:"), key.cast("string")))
+
+
 # DuckDB oracle twins -------------------------------------------------
 
 def sql_md5_long(expr: str) -> str:
@@ -63,3 +74,8 @@ def sql_uniform01(tag: str, expr: str, mod: int = 1_000_000) -> str:
     """DuckDB twin of :func:`uniform01`."""
     h = sql_md5_long(f"'{tag}:' || {expr}")
     return f"({h} % {mod} + 1) / 1000000.0"
+
+
+def sql_split_hash(expr: str) -> str:
+    """DuckDB twin of :func:`split_hash`."""
+    return sql_md5_long(f"'split:' || CAST({expr} AS VARCHAR)")

@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.hashing import (
     md5_long,
+    split_hash,
     sql_md5_long,
+    sql_split_hash,
     sql_uniform01,
     uniform01,
 )
@@ -585,7 +587,7 @@ _PSI_EPS = 1e-6
     oracle=f"""
     WITH split AS (
       SELECT n_chars,
-             {sql_md5_long("'split:' || CAST(doc_id AS VARCHAR)")} % 2 AS s
+             {sql_split_hash("doc_id")} % 2 AS s
       FROM documents),
     mx AS (SELECT CAST(MAX(n_chars) AS DOUBLE) + 1.0 AS m FROM documents),
     bucketed AS (
@@ -621,7 +623,7 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, rounded to 6 for display.
     """
     docs = load_table(spark, sf_dir, "documents")
-    s = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 2
+    s = split_hash(F.col("doc_id")) % 2
     mx = docs.agg((F.max("n_chars").cast("double") + 1.0).alias("m"))
     bucketed = docs.select("n_chars", s.alias("s")).join(F.broadcast(mx))
     counts = (

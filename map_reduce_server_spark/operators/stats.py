@@ -20,8 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.hashing import (
-    md5_long,
+    split_hash,
     sql_md5_long,
+    sql_split_hash,
     sql_uniform01,
     uniform01,
 )
@@ -203,7 +204,7 @@ def q_crosstab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dev.event_type,
            round(mad.med, 6) AS median_value,
            round(mad.mad, 6) AS mad,
-           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(dev.adev) AS BIGINT) AS n,
            CAST(SUM(CASE WHEN dev.adev > 3 * 1.4826 * mad.mad
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev JOIN mad ON dev.event_type = mad.event_type
@@ -215,6 +216,12 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation (MAD), flagging |x − median| > 3·1.4826·MAD — the
     estimator of choice when the mean/stddev are themselves dragged
     by the outliers being hunted.
+
+    ``n`` counts MEASURED rows (non-NULL value → non-NULL deviation):
+    a NULL-valued row can neither be an outlier nor a non-outlier,
+    and counting it in the denominator would silently dilute the
+    outlier rate — identically in both engines, which is exactly the
+    bug class the oracle gate cannot see.
 
     Scale: two grouped exact-percentile aggregations with a broadcast
     join of the per-type medians in between (|event_type| is tiny).
@@ -239,7 +246,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "med", "mad")
         .agg(
-            F.count("*").cast("bigint").alias("n"),
+            F.count("adev").cast("bigint").alias("n"),
             F.sum(
                 F.when(
                     F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
@@ -258,26 +265,51 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE definition of "daily revenue per event type" shared by the
+# forecast backtest and the TS similarity search — including the
+# NULL-day policy: an all-NULL day has no measured revenue and is
+# dropped (Spark's collect_list skips NULLs where DuckDB's list()
+# keeps them, so an unfiltered NULL day also breaks engine parity on
+# window membership). Before this helper the rollup was pasted at
+# both sites with DIVERGENT policies.
+_SQL_DAILY_REVENUE = """
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS {alias}
+      FROM events GROUP BY 1, 2
+      HAVING {alias} IS NOT NULL"""
+
+
+def _daily_revenue(ev: DataFrame, alias: str) -> DataFrame:
+    """Spark twin of :data:`_SQL_DAILY_REVENUE`."""
+    return (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,2)"))
+            .cast("double")
+            .alias(alias)
+        )
+        .filter(F.col(alias).isNotNull())
+    )
+
+
 @register(
     "q_forecast_seasonal_naive",
-    oracle="""
-    WITH daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS actual
-      FROM events GROUP BY 1, 2),
+    oracle=f"""
+    WITH daily AS ({_SQL_DAILY_REVENUE.format(alias="actual")}),
     fc AS (
-      SELECT a.event_type, a.d, a.actual, b.actual AS forecast
+      SELECT a.event_type, a.d, a.actual, b.actual AS forecast,
+             abs(a.actual - b.actual) AS err
       FROM daily a LEFT JOIN daily b
         ON a.event_type = b.event_type
        AND b.d = a.d - INTERVAL 7 DAY)
     SELECT event_type,
-           CAST(COUNT(forecast) AS BIGINT) AS n_scored_days,
-           round(CAST(SUM(CAST(abs(actual - forecast) AS DECIMAL(30,6)))
-                      AS DOUBLE) / COUNT(forecast), 6) AS mae,
+           CAST(COUNT(err) AS BIGINT) AS n_scored_days,
+           round(CAST(SUM(CAST(err AS DECIMAL(30,6)))
+                      AS DOUBLE) / COUNT(err), 6) AS mae,
            round(CAST(SUM(CASE WHEN actual <> 0
-                          THEN CAST(abs(actual - forecast) / abs(actual)
+                          THEN CAST(err / abs(actual)
                                     AS DECIMAL(30,12)) END) AS DOUBLE)
-                 / COUNT(CASE WHEN forecast IS NOT NULL AND actual <> 0
+                 / COUNT(CASE WHEN err IS NOT NULL AND actual <> 0
                          THEN 1 END), 6) AS mape
     FROM fc
     GROUP BY event_type
@@ -288,9 +320,12 @@ def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     per event type with the value exactly 7 CALENDAR days earlier
     (a date-keyed self-join, not LAG(7) over observed rows — a
     gapped series must not slide the season off alignment), scoring
-    MAE over every forecastable day and MAPE over the forecastable
-    days with nonzero actuals (a zero-revenue day would otherwise
-    divide by zero — excluded in both engines identically).
+    MAE over the days where BOTH actual and forecast exist (a day
+    whose actual is unmeasured carries no error; counting it in the
+    denominator would bias MAE low, identically in both engines) and
+    MAPE additionally requiring nonzero actuals (a zero-revenue day
+    would otherwise divide by zero — excluded in both engines
+    identically).
 
     Scale: the daily rollup collapses the fact table to
     |event_type|×|days| rows BEFORE the join, so the seasonal lookup
@@ -301,35 +336,32 @@ def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles.
     """
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("d")
-    ).agg(
-        F.sum(F.col("value").cast("decimal(30,2)"))
-        .cast("double")
-        .alias("actual")
-    )
+    daily = _daily_revenue(ev, "actual")
     prior = daily.select(
         "event_type",
         F.date_add("d", 7).alias("d"),
         F.col("actual").alias("forecast"),
     )
-    fc = daily.join(prior, ["event_type", "d"], "left")
-    err = F.abs(F.col("actual") - F.col("forecast"))
+    fc = daily.join(prior, ["event_type", "d"], "left").withColumn(
+        "err", F.abs(F.col("actual") - F.col("forecast"))
+    )
     scored_nz = F.when(
-        F.col("forecast").isNotNull() & (F.col("actual") != 0), 1
+        F.col("err").isNotNull() & (F.col("actual") != 0), 1
     )
     return fc.groupBy("event_type").agg(
-        F.count("forecast").cast("bigint").alias("n_scored_days"),
+        F.count("err").cast("bigint").alias("n_scored_days"),
         F.round(
-            F.sum(err.cast("decimal(30,6)")).cast("double")
-            / F.count("forecast"),
+            F.sum(F.col("err").cast("decimal(30,6)")).cast("double")
+            / F.count("err"),
             6,
         ).alias("mae"),
         F.round(
             F.sum(
                 F.when(
                     F.col("actual") != 0,
-                    (err / F.abs(F.col("actual"))).cast("decimal(30,12)"),
+                    (F.col("err") / F.abs(F.col("actual"))).cast(
+                        "decimal(30,12)"
+                    ),
                 )
             ).cast("double")
             / F.count(scored_nz),
@@ -403,7 +435,7 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SPLIT_GRP = sql_md5_long("'split:' || CAST(doc_id AS VARCHAR)")
+_SQL_SPLIT_GRP = sql_split_hash("doc_id")
 _SQL_DP_HASH = sql_md5_long("'dp:' || event_type")
 
 
@@ -451,10 +483,7 @@ def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: the shuffle payload is 6 numbers.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grp = (
-        md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
-        % 2
-    )
+    grp = split_hash(F.col("doc_id")) % 2
     s = (
         docs.select(grp.alias("grp"), F.col("n_chars").alias("x"))
         .groupBy("grp")
@@ -556,9 +585,6 @@ _POIS_CDF = (
 _N_BOOT = 20
 
 
-_sql_uniform = sql_uniform01  # shared md5-to-uniform recipe
-
-
 def _sql_poisson(u: str) -> str:
     branches = " ".join(
         f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
@@ -574,7 +600,7 @@ def _sql_poisson(u: str) -> str:
       FROM documents, range({_N_BOOT}) t(r)),
     weighted AS (
       SELECT r,
-             {_sql_poisson(_sql_uniform("bs", "CAST(r AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"))}
+             {_sql_poisson(sql_uniform01("bs", "CAST(r AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"))}
                AS w, x
       FROM reps),
     per_rep AS (
@@ -776,7 +802,6 @@ def q_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
     # modulus 999999 (not 1e6): keeps u in [1e-6, 0.999999] so the
     # Laplace inverse CDF is finite on both tails.
-    # mod 999999 keeps u <= 0.999999: both Laplace tails log-safe
     u = uniform01("dp", F.col("event_type"), mod=999999)
     v = u - 0.5
     return c.select(
@@ -813,11 +838,7 @@ _SQL_ZSUM = " + ".join(
 @register(
     "q_ts_similarity_search",
     oracle=f"""
-    WITH daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS v
-      FROM events GROUP BY 1, 2
-      HAVING v IS NOT NULL),
+    WITH daily AS ({_SQL_DAILY_REVENUE.format(alias="v")}),
     win AS (
       SELECT event_type, d AS start_day,
              list(v) OVER (PARTITION BY event_type ORDER BY d
@@ -870,17 +891,7 @@ def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-normalization is undefined there.
     """
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("d")
-    ).agg(
-        F.sum(F.col("value").cast("decimal(30,2)"))
-        .cast("double")
-        .alias("v")
-    # an all-NULL day yields v = NULL; drop it in BOTH engines —
-    # Spark's collect_list silently skips NULLs while DuckDB's
-    # list() keeps them, so an unfiltered NULL day makes the two
-    # engines disagree on window membership
-    ).filter(F.col("v").isNotNull())
+    daily = _daily_revenue(ev, "v")
     w = (
         Window.partitionBy("event_type")
         .orderBy("d")

@@ -14,7 +14,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.exact import davg, sql_davg
-from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
+from map_reduce_server_spark.functions.hashing import (
+    md5_long,
+    split_hash,
+    sql_md5_long,
+    sql_split_hash,
+)
 from map_reduce_server_spark.functions.tokens import (
     SQL_TOKS,
     distinct_ratio_col,
@@ -360,8 +365,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_train_test_split",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN {sql_md5_long("'split:' || CAST(doc_id AS VARCHAR)")}
-                     % 100 < 80
+           CASE WHEN {sql_split_hash("doc_id")} % 100 < 80
                 THEN 'train' ELSE 'test' END AS split
     FROM documents
     """,
@@ -373,9 +377,7 @@ def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     and stable under corpus growth: a document never changes split.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = md5_long(
-        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
-    ) % 100
+    bucket = split_hash(F.col("doc_id")) % 100
     return docs.select(
         "doc_id",
         F.when(bucket < 80, F.lit("train")).otherwise(F.lit("test")).alias(
