@@ -10,10 +10,10 @@ a converged-count per iteration (a scalar), never data; at 100 TB
 each iteration is a plain distributed join, and the iteration count
 is O(graph diameter), which for near-dup graphs is tiny.
 
-This is the contract's "genuinely iterative algorithm" case — no
-single SQL statement expresses the fixpoint, so the driver records
-the weaker rows-only check; exactness is pinned by unit tests on
-hand-built graphs (tests/test_clustering.py).
+Although the fixpoint is iterative, it IS value-checked, not just
+rows-counted: ``dedup_cluster`` registers a recursive-CTE DuckDB
+oracle computing the same min-label components, and unit tests on
+hand-built graphs pin exactness besides (tests/test_clustering.py).
 """
 
 from __future__ import annotations
@@ -252,9 +252,11 @@ def pagerank(
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     ).localCheckpoint(eager=True)
-    # Node count folds in as a broadcast 1-row aggregate over the
-    # (checkpointed, node-sized) degree table — no eager count job.
-    n1 = deg.agg(F.count("*").alias("n_nodes"))
+    # Node count materializes ONCE as a checkpointed 1-row table:
+    # the rank init and every iteration's broadcast teleport base
+    # derive from it, and without this each of the iters broadcasts
+    # would lazily re-run the COUNT over the node-sized deg table.
+    n1 = deg.agg(F.count("*").alias("n_nodes")).localCheckpoint(eager=True)
     basedf = n1.select(
         (
             (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes").cast("double")
@@ -325,7 +327,15 @@ def pagerank(
 
 
 def _sql_pagerank_oracle() -> str:
-    """The same recurrence unrolled as CTEs (DuckDB has no loops)."""
+    """The same recurrence unrolled as CTEs (DuckDB has no loops).
+
+    The teleport base subtracts in DOUBLE — ``CAST(1.0 AS DOUBLE) -
+    0.85`` — because DuckDB evaluates the bare ``(1.0 - 0.85)`` as an
+    exact DECIMAL (→ double 0.1499999999999999944) while Spark folds
+    ``lit(1.0) - lit(damping)`` in double (→ 0.15000000000000002):
+    one last-bit divergence feeding every iteration of a repr-exact
+    comparison contract.
+    """
     edges = f"""
       (WITH p AS (SELECT DISTINCT o_custkey * 2 AS src,
                          l_suppkey * 2 + 1 AS dst
@@ -345,7 +355,8 @@ def _sql_pagerank_oracle() -> str:
         sql += f"""
         , r{i} AS (
           SELECT d.node,
-                 (1.0 - {_PR_DAMPING}) / (SELECT CAST(n_nodes AS DOUBLE) FROM n)
+                 (CAST(1.0 AS DOUBLE) - {_PR_DAMPING})
+                   / (SELECT CAST(n_nodes AS DOUBLE) FROM n)
                  + {_PR_DAMPING} * COALESCE(m.in_mass, 0.0) AS rank
           FROM deg d LEFT JOIN (
             SELECT e.dst AS node,
@@ -459,8 +470,11 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production refinement is degree-ordered adjacency (orient
     edges low-degree -> high-degree) which bounds the wedge join by
     arboricity — noted here, unnecessary at the thresholded density.
-    The count triple (edges, wedges, triangles) also yields the
-    global clustering coefficient 3*tri/wedges downstream.
+    Note ``n_wedges`` counts ORDERED (u<v<w) wedges — the join's
+    unit of work — not all 2-paths: a lone triangle has n_wedges=1
+    but three 2-paths, so 3*tri/n_wedges is NOT the global
+    clustering coefficient (that denominator is Σ_v C(deg_v, 2),
+    available from ``graph_degree_stats``).
     """
     e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     e1 = e.alias("e1")
@@ -531,8 +545,8 @@ _MB_MINSUP = 3  # pair must co-occur in >= this many orders
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over the co-purchase graph: support,
     bidirectional confidence and lift for every part pair sharing
-    ≥ {s} orders — the classic MapReduce-era frequent-itemset
-    workload at pair granularity.
+    at least _MB_MINSUP orders — the classic MapReduce-era
+    frequent-itemset workload at pair granularity.
 
     Scale shape: the distinct (order, part) projection is the only
     corpus-sized shuffle; pair generation is the SAME support-
