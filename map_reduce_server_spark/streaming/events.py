@@ -147,6 +147,61 @@ def _read_deltas(spark: SparkSession, out: str, agg_schema) -> DataFrame:
     return spark.read.schema(delta_schema).parquet(os.path.join(out, "b*"))
 
 
+def _run_update_to_deltas(
+    spark: SparkSession,
+    agg: DataFrame,
+    key_cols: list[str],
+    stage: str,
+    prefix: str,
+) -> DataFrame:
+    """The idempotent update-mode delta sink, shared by every
+    streaming query that maintains keyed state: run ``agg`` to
+    completion writing per-batch parquet delta files, then reconcile
+    to the latest-batch row per key.
+
+    Each micro-batch emits only the keys it updated — O(updated
+    keys) per batch, not O(all keys ever) as in complete mode — and
+    the writer keys files by batch id so re-runs of a batch
+    overwrite idempotently (exactly-once sink semantics on top of
+    at-least-once delivery). The delta dir registers for cleanup
+    BEFORE the query runs: a failed micro-batch must not leak it.
+    batch_id is written as an explicit bigint — a bare ``lit(int)``
+    is INT32 in parquet, readable only through Spark 4.x widening.
+    """
+    out = tempfile.mkdtemp(prefix=prefix)
+    cleanup_at_exit(out)  # keep the delta files until interpreter exit
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(
+                "batch_id", F.lit(batch_id).cast("bigint")
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"b{batch_id}"))
+        )
+
+    query = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_write_batch)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        shutil.rmtree(stage, ignore_errors=True)
+
+    from pyspark.sql import Window
+
+    deltas = _read_deltas(spark, out, agg.schema)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("batch_id"))
+    return (
+        deltas.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*agg.columns)
+    )
+
+
 _STREAM_ORACLE = """
     SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300)
                 AS TIMESTAMP) AS w_start,
@@ -197,41 +252,13 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("first_ts"),
         )
     )
-    out = tempfile.mkdtemp(prefix="mrss_stream_dedup_")
-
-    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, f"b{batch_id}"))
-        )
-
-    query = (
-        deduped.writeStream.outputMode("update")
-        .foreachBatch(_write_batch)
-        .start()
+    return _run_update_to_deltas(
+        spark,
+        deduped,
+        ["event_type", "value_bucket"],
+        stage,
+        "mrss_stream_dedup_",
     )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-        shutil.rmtree(stage, ignore_errors=True)
-
-    from pyspark.sql import Window
-
-    deltas = _read_deltas(spark, out, deduped.schema)
-    w = Window.partitionBy("event_type", "value_bucket").orderBy(
-        F.desc("batch_id")
-    )
-    final = (
-        deltas.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_type", "value_bucket", "keeper_id", "n_copies", "first_ts"
-        )
-    )
-    cleanup_at_exit(out)  # keep the delta files until the DF is dead
-    return final
 
 
 @register("stream_window_counts", oracle=_STREAM_ORACLE)
@@ -258,13 +285,18 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
         shutil.rmtree(stage, ignore_errors=True)
-    # Materialize into a driver-built static DataFrame and DROP the
+    # Materialize through a parquet round-trip and DROP the
     # memory-sink view: spark.table(sink) is lazy and would pin one
-    # complete-mode result set per invocation for the session's life.
-    rows = spark.table(sink).collect()
-    schema = spark.table(sink).schema
+    # complete-mode result set per invocation for the session's
+    # life, while a collect()/createDataFrame round-trip converts
+    # timestamps through Python datetimes in OS-local time — a
+    # w_start in a DST fold hour would come back 3600 s off.
+    out = tempfile.mkdtemp(prefix="mrss_stream_complete_")
+    cleanup_at_exit(out)
+    dest = os.path.join(out, "r")
+    spark.table(sink).write.parquet(dest)
     spark.catalog.dropTempView(sink)
-    return spark.createDataFrame(rows, schema)
+    return spark.read.parquet(dest)
 
 
 @register("stream_window_counts_incremental", oracle=_STREAM_ORACLE)
@@ -287,39 +319,9 @@ def stream_window_counts_incremental(
     """
     stream, stage = _events_stream(spark, sf_dir)
     agg = windowed_event_counts(stream)
-    out = tempfile.mkdtemp(prefix="mrss_stream_sink_")
-
-    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, f"b{batch_id}"))
-        )
-
-    query = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(_write_batch)
-        .start()
+    return _run_update_to_deltas(
+        spark, agg, ["w_start", "event_type"], stage, "mrss_stream_sink_"
     )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-        shutil.rmtree(stage, ignore_errors=True)
-
-    from pyspark.sql import Window
-
-    deltas = _read_deltas(spark, out, agg.schema)
-    w = Window.partitionBy("w_start", "event_type").orderBy(
-        F.desc("batch_id")
-    )
-    final = (
-        deltas.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("w_start", "event_type", "n_events", "total_value")
-    )
-    cleanup_at_exit(out)  # keep the delta files until the DF is dead
-    return final
 
 
 _STREAM_TRENDING_ORACLE = """
@@ -355,42 +357,15 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "10 minutes").getField("start").alias("w_start"),
         "event_type",
     ).agg(F.count("*").alias("n_events"))
-    out = tempfile.mkdtemp(prefix="mrss_stream_trend_")
-
-    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, f"b{batch_id}"))
-        )
-
-    query = (
-        counts.writeStream.outputMode("update")
-        .foreachBatch(_write_batch)
-        .start()
+    table = _run_update_to_deltas(
+        spark, counts, ["w_start", "event_type"], stage, "mrss_stream_trend_"
     )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-        shutil.rmtree(stage, ignore_errors=True)
 
     from pyspark.sql import Window
 
-    deltas = _read_deltas(spark, out, counts.schema)
-    latest = Window.partitionBy("w_start", "event_type").orderBy(
-        F.desc("batch_id")
-    )
-    table = (
-        deltas.withColumn("rn", F.row_number().over(latest))
-        .filter(F.col("rn") == 1)
-        .select("w_start", "event_type", "n_events")
-    )
     rank_w = Window.partitionBy("w_start").orderBy(
         F.desc("n_events"), "event_type"
     )
-    final = table.withColumn("rnk", F.row_number().over(rank_w)).filter(
+    return table.withColumn("rnk", F.row_number().over(rank_w)).filter(
         F.col("rnk") <= 3
     )
-    cleanup_at_exit(out)  # keep the delta files until the DF is dead
-    return final

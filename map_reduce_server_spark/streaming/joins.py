@@ -75,11 +75,15 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the purchase stream joined to the
     customer dimension.
 
-    The static side is explicitly ``broadcast()`` — each micro-batch
-    hash-joins against the in-memory dim, the stream side never
-    shuffles, and no streaming state accrues (the 100 TB/day pattern:
-    dims broadcast, facts flow through). Append mode to a parquet
-    sink with a checkpoint dir = exactly-once file output.
+    No streaming state accrues: each micro-batch joins the bounded
+    dim and flows on. The static side carries NO hard broadcast hint
+    — customer is SF-linear, and the engine's broadcast policy
+    (``tables.BROADCAST_TABLES``) reserves forced broadcasts for the
+    constant-size region/nation dims; Spark still broadcasts here
+    whenever the side actually fits (statistics-driven), which is
+    the 100 TB/day pattern — dims broadcast while they fit, facts
+    flow through. Append mode to a parquet sink with a checkpoint
+    dir = exactly-once file output.
     """
     from map_reduce_server_spark.streaming.events import _events_stream
     from map_reduce_server_spark.tables import load_table
@@ -90,7 +94,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = (
         stream.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
         .select("event_id", "ts", "value", "c_mktsegment", "c_acctbal")
     )
     out = _run_to_parquet(enriched, "mrss_enrich_")

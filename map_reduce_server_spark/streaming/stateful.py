@@ -50,18 +50,22 @@ def _update_counts(
     n, total_cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        # round each VALUE to cents (HALF_UP, like the engine's
-        # decimal(30,2) cast), then sum integers: a per-batch float
-        # sum rounded once would make the total depend on batch
-        # boundaries (and Python's round() half-evens, diverging
-        # from decimal HALF_UP on exact .005 cases)
-        import math
+        # round each VALUE to cents exactly as the engine's
+        # decimal(30,2) cast does — shortest decimal repr of the
+        # double (JVM BigDecimal.valueOf == Python repr), then
+        # HALF_UP (ties away from zero, for negatives too) — and sum
+        # integers: a per-batch float sum rounded once would make
+        # the total depend on batch boundaries, and the former
+        # floor(|v|*100 + 0.5) trick mis-rounds values like 0.145
+        # whose *100 falls a ulp below the half boundary. NULL/NaN
+        # values carry no measurable amount: dropped here exactly
+        # like SUM over a NULL (n still counts the row — COUNT(*)).
+        from decimal import ROUND_HALF_UP, Decimal
 
-        total_cents += int(
-            sum(
-                int(math.floor(abs(v) * 100 + 0.5)) * (1 if v >= 0 else -1)
-                for v in pdf["value"]
-            )
+        cent = Decimal("0.01")
+        total_cents += sum(
+            int(Decimal(repr(float(v))).quantize(cent, ROUND_HALF_UP) * 100)
+            for v in pdf["value"].dropna()
         )
     state.update((n, total_cents))
     yield pd.DataFrame(
