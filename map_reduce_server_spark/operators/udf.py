@@ -65,7 +65,15 @@ def grouped_zscore(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         std = pdf[value_col].std(ddof=1)
         mean = pdf[value_col].mean()
-        z = (pdf[value_col] - mean) / std if std and std > 0 else 0.0
+        if std and std > 0:
+            z = (pdf[value_col] - mean) / std
+        else:
+            # degenerate group (single row / zero variance): measured
+            # rows score 0.0, but a NULL value stays NULL — a bare
+            # scalar 0.0 would broadcast over NULL rows too, giving
+            # the same NULL input different zscores depending on its
+            # group's variance
+            z = pdf[value_col].where(pdf[value_col].isna(), 0.0)
         return pd.DataFrame(
             {
                 group_col: pdf[group_col],
@@ -123,13 +131,14 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_session_window",
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts, value,
@@ -141,23 +150,26 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS s_start,
            CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS s_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+           {sql_dsum('value')} AS total_value
     FROM sess GROUP BY user_id, sid
     """,
 )
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` (30-minute gap) — oracle-checked
     against the first-principles lag/cumsum sessionization, pinning
-    down Spark's session-merge semantics (a gap of exactly 30:00
-    starts a new session: window end is exclusive)."""
+    down Spark's session-merge semantics: a gap of EXACTLY 30:00
+    still merges (an event landing on the previous session's
+    exclusive end extends it — verified by execution), so the oracle
+    splits only on strictly-greater gaps; and events with NULL ts
+    are dropped by SessionWindowing, mirrored by the oracle's
+    ``ts IS NOT NULL`` guard (DuckDB would otherwise sort them last
+    and glue them onto the final session)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,2)"))
-            .cast("double")
-            .alias("total_value"),
+            dsum("value").alias("total_value"),
         )
         .select(
             F.col("user_id"),

@@ -586,3 +586,53 @@ def test_attribution_strictly_preceding(spark):
         }
     assert got[3] == 60_000_000  # attributed to the 0:05 click
     assert got[4] is None
+
+
+def test_session_window_boundary_and_null_ts(spark):
+    """Spark's session_window MERGES an event landing exactly on the
+    previous session's exclusive end (gap == 30:00) and DROPS
+    NULL-ts events; the lag/cumsum oracle must replay both rules on
+    the same fixture or the twins diverge on boundary data the
+    synthetic corpus happens not to contain."""
+    import tempfile
+
+    import duckdb
+
+    from tests.oracle_utils import canonical_rows
+
+    rows = [
+        # user 1: exactly-30:00 gap -> ONE session [10:00, 11:00)
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 10, 30, 0), 1, "click", 2.0, "{}"),
+        # user 2: 30:01 gap -> TWO sessions
+        (3, dt.datetime(2024, 1, 1, 9, 0, 0), 2, "click", 5.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 9, 30, 1), 2, "click", 6.0, "{}"),
+        # user 3: NULL ts is dropped by SessionWindowing
+        (5, None, 3, "click", 9.0, "{}"),
+        (6, dt.datetime(2024, 1, 1, 8, 0, 0), 3, "click", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        sdf = registry.QUERIES["q_session_window"](spark, d).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{d}/events.parquet/*.parquet'"
+        )
+        odf = con.execute(registry.ORACLE["q_session_window"]).fetchdf()
+        con.close()
+    got = {
+        (r.user_id, r.s_start.isoformat()): (r.n_events, r.total_value)
+        for r in sdf.itertuples()
+    }
+    assert got == {
+        (1, "2024-01-01T10:00:00"): (2, 3.0),
+        (2, "2024-01-01T09:00:00"): (1, 5.0),
+        (2, "2024-01-01T09:30:01"): (1, 6.0),
+        (3, "2024-01-01T08:00:00"): (1, 4.0),
+    }
+    assert canonical_rows(sdf) == canonical_rows(odf)
