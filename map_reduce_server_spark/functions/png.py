@@ -61,8 +61,15 @@ def decode_rgb8(data: bytes) -> tuple[int, int, bytes]:
     width = height = None
     idat = b""
     while pos < len(data):
+        # bounds-check before unpacking: truncated or garbage-tailed
+        # input must fail with the codec's ValueError contract, not
+        # a bare struct.error from a short buffer
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG: incomplete chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated PNG: incomplete {tag!r} chunk")
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]
@@ -141,15 +148,11 @@ def resize_nearest_rgb8(
     return bytes(out)
 
 
-# Functions above run inside Arrow-batched Python workers; register
-# the module for by-value pickling so a worker without the repo on
-# sys.path (vanilla grading session, foreign cwd) can still unpickle
-# the closures (see operators/multimodal.py for the same pattern).
-import sys as _sys  # noqa: E402
+# Functions above run inside Arrow-batched Python workers — ship
+# them by value (see functions.register_by_value).
+from map_reduce_server_spark.functions import (  # noqa: E402
+    register_by_value as _rbv,
+)
 
-try:
-    from pyspark import cloudpickle as _cloudpickle
-
-    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
-except Exception:  # pragma: no cover - older pickler, ref semantics
-    pass
+_rbv(__name__)
+del _rbv  # a lingering ref would pickle the functions pkg by reference

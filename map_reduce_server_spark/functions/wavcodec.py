@@ -35,18 +35,17 @@ def decode_pcm16(payload: bytes) -> tuple[int, list[int]]:
             raise ValueError("only mono 16-bit PCM supported")
         n = w.getnframes()
         frames = w.readframes(n)
-    return w.getframerate(), list(struct.unpack(f"<{n}h", frames))
+        # capture inside the with-block: reading attributes of a
+        # closed Wave_read relies on an undocumented CPython detail
+        framerate = w.getframerate()
+    return framerate, list(struct.unpack(f"<{n}h", frames))
 
 
-# Workers in a vanilla grading session may not have this package on
-# sys.path; register for by-value pickling so mapInPandas closures
-# referencing this module ship their code inside the task closure
-# (same pattern as functions/png.py).
-import sys as _sys  # noqa: E402
+# Functions above run inside Arrow-batched Python workers — ship
+# them by value (see functions.register_by_value).
+from map_reduce_server_spark.functions import (  # noqa: E402
+    register_by_value as _rbv,
+)
 
-try:
-    from pyspark import cloudpickle as _cloudpickle
-
-    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
-except Exception:  # pragma: no cover - older pickler, ref semantics
-    pass
+_rbv(__name__)
+del _rbv  # a lingering ref would pickle the functions pkg by reference

@@ -1,17 +1,25 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata + Pandas-UDF decode stages.
 
-The PNG path is REAL end to end: a pure-stdlib codec
+The PNG and WAV paths are REAL end to end: pure-stdlib codecs
 (:mod:`..functions.png` — chunk framing, CRC-32, DEFLATE, scanline
-unfiltering, nearest-neighbor resize) runs inside Arrow-batched
-``mapInPandas`` stages and is value-checked by oracles that recompute
-pixel statistics from the md5 hex the images are built from. jpeg/wav
-decode still needs codec libraries the container lacks, so those
-paths stay deterministic stubs (documented NotImplementedError for
-real codecs, a byte-derived fake for tests). The Spark-side plumbing
-is real throughout: BinaryType columns, metadata structs, declared
-output schemas, and partition-size awareness (binary payloads make
-rows big → repartition by byte budget, not row count, at scale).
+unfiltering, nearest-neighbor resize; :mod:`..functions.wavcodec` —
+RIFF framing, 16-bit LE PCM) run inside Arrow-batched
+``mapInPandas`` stages and are value-checked by oracles that
+recompute pixel/sample statistics from the md5 hex the files are
+built from. jpeg and COMPRESSED audio/video decode still need codec
+libraries the container lacks, so those paths stay deterministic
+stubs (documented NotImplementedError for real codecs, a
+byte-derived fake for tests). The Spark-side plumbing is real
+throughout: BinaryType columns, metadata structs, declared output
+schemas.
+
+NULL policy shared by every stage and oracle twin: a NULL text has
+no payload (md5(NULL) is NULL in both engines), so every
+payload-derived field is NULL — the worker must propagate None, not
+crash, and the oracles derive their per-row constants (byte_len,
+width, framerate, ...) from the payload expression so they go NULL
+on the same rows.
 """
 
 from __future__ import annotations
@@ -26,9 +34,22 @@ from map_reduce_server_spark.functions import png, wavcodec
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
+
+def _nn(fn):
+    """None-propagating wrapper for batch ``map`` lambdas: the oracle
+    twins emit NULL statistics for a NULL payload, so the worker must
+    too instead of crashing the whole query on ``len(None)``."""
+    return lambda v: None if v is None else fn(v)
+
 DECODE_SCHEMA = (
     "doc_id bigint, fmt string, byte_len int, width int, height int"
 )
+
+# ONE definition of the synthetic 32-byte payload's hex, shared by
+# with_synthetic_payload's oracle twins (features/meta/decode) —
+# editing the payload recipe in one place must not desynchronize
+# them. NULL text → NULL hex → NULL-derived fields in both engines.
+_SQL_PAYLOAD_HEX = "md5(text) || md5('x' || text)"
 
 
 def with_synthetic_payload(docs: DataFrame) -> DataFrame:
@@ -75,9 +96,9 @@ def decode_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
         {
             "doc_id": pdf["doc_id"],
             "fmt": pdf["fmt"],
-            "byte_len": payloads.map(len).astype("int32"),
-            "width": payloads.map(lambda b: b[0]).astype("int32"),
-            "height": payloads.map(lambda b: b[1]).astype("int32"),
+            "byte_len": payloads.map(_nn(len)),
+            "width": payloads.map(_nn(lambda b: b[0])),
+            "height": payloads.map(_nn(lambda b: b[1])),
         }
     )
 
@@ -107,11 +128,9 @@ def feature_extract_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
-            "mean_byte": payloads.map(lambda b: sum(b) / len(b)).astype(
-                "float64"
-            ),
-            "max_byte": payloads.map(max).astype("int32"),
-            "n_blocks": payloads.map(lambda b: len(b) // 4).astype("int32"),
+            "mean_byte": payloads.map(_nn(lambda b: sum(b) / len(b))),
+            "max_byte": payloads.map(_nn(max)),
+            "n_blocks": payloads.map(_nn(lambda b: len(b) // 4)),
         }
     )
 
@@ -148,7 +167,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 )
 
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": pdf["payload"].map(rs)}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(_nn(rs)),
+                }
             )
 
     return df.select("doc_id", "payload").mapInPandas(
@@ -164,10 +186,12 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             frames = pdf["payload"].map(
-                lambda b: bytes(
-                    byte
-                    for i in range(0, len(b) // 4, every_n)
-                    for byte in b[i * 4 : (i + 1) * 4]
+                _nn(
+                    lambda b: bytes(
+                        byte
+                        for i in range(0, len(b) // 4, every_n)
+                        for byte in b[i * 4 : (i + 1) * 4]
+                    )
                 )
             )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "frames": frames})
@@ -203,7 +227,11 @@ def with_png_payload(docs: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payload = pdf["pix_hex"].map(
-                lambda h: png.encode_rgb8(_PNG_W, _PNG_H, bytes.fromhex(h))
+                _nn(
+                    lambda h: png.encode_rgb8(
+                        _PNG_W, _PNG_H, bytes.fromhex(h)
+                    )
+                )
             )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
 
@@ -216,16 +244,14 @@ def png_stats(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dec = pdf["payload"].map(lambda b: png.decode_rgb8(bytes(b)))
+            dec = pdf["payload"].map(_nn(lambda b: png.decode_rgb8(bytes(b))))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": dec.map(lambda t: t[0]).astype("int32"),
-                    "height": dec.map(lambda t: t[1]).astype("int32"),
-                    "mean_px": dec.map(
-                        lambda t: sum(t[2]) / len(t[2])
-                    ).astype("float64"),
-                    "max_px": dec.map(lambda t: max(t[2])).astype("int32"),
+                    "width": dec.map(_nn(lambda t: t[0])),
+                    "height": dec.map(_nn(lambda t: t[1])),
+                    "mean_px": dec.map(_nn(lambda t: sum(t[2]) / len(t[2]))),
+                    "max_px": dec.map(_nn(lambda t: max(t[2]))),
                 }
             )
 
@@ -243,23 +269,26 @@ def png_stats(df: DataFrame) -> DataFrame:
       SELECT doc_id, list_transform(range(1, 37),
                i -> CAST(('0x' || substr({_SQL_PIX_HEX}, i*2-1, 2))
                     AS BIGINT)) AS bs
-      FROM documents)
-    SELECT doc_id, 4 AS width, 3 AS height,
-           round(CAST(list_sum(bs) AS DOUBLE) / 36, 6) AS mean_px,
-           CAST(list_max(bs) AS INTEGER) AS max_px
-    FROM px
+      FROM documents WHERE text IS NOT NULL),
+    st AS (
+      SELECT doc_id, CAST(4 AS INTEGER) AS width,
+             CAST(3 AS INTEGER) AS height,
+             round(CAST(list_sum(bs) AS DOUBLE) / 36, 6) AS mean_px,
+             CAST(list_max(bs) AS INTEGER) AS max_px
+      FROM px)
+    SELECT d.doc_id, st.width, st.height, st.mean_px, st.max_px
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
     """,
 )
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip: encode each document's md5-derived
     pixels as an actual PNG file (signature, chunks, CRC-32, DEFLATE)
-    and decode it back with the pure-stdlib parser — the one modality
-    whose real decode needs no external codec library. The oracle
+    and decode it back with the pure-stdlib parser. The oracle
     recomputes the identical pixel statistics straight from the md5
     hex, so a bug anywhere in encode, chunk framing, compression, or
-    unfiltering breaks the hash match. WAV gets the same treatment in
-    multimodal_decode_wav; jpeg/compressed audio remain honestly
-    env-gated (see :func:`decode_batch`)."""
+    unfiltering breaks the hash match. WAV gets the same stdlib-real
+    treatment in multimodal_decode_wav; jpeg/compressed audio remain
+    honestly env-gated (see :func:`decode_batch`)."""
     docs = load_table(spark, sf_dir, "documents")
     stats = png_stats(with_png_payload(docs))
     return stats.select(
@@ -278,11 +307,15 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list_transform([1,2,3, 7,8,9, 13,14,15, 19,20,21],
                i -> CAST(('0x' || substr({_SQL_PIX_HEX}, i*2-1, 2))
                     AS BIGINT)) AS bs
-      FROM documents)
-    SELECT doc_id, 2 AS width, 2 AS height,
-           round(CAST(list_sum(bs) AS DOUBLE) / 12, 6) AS mean_px,
-           CAST(list_max(bs) AS INTEGER) AS max_px
-    FROM px
+      FROM documents WHERE text IS NOT NULL),
+    st AS (
+      SELECT doc_id, CAST(2 AS INTEGER) AS width,
+             CAST(2 AS INTEGER) AS height,
+             round(CAST(list_sum(bs) AS DOUBLE) / 12, 6) AS mean_px,
+             CAST(list_max(bs) AS INTEGER) AS max_px
+      FROM px)
+    SELECT d.doc_id, st.width, st.height, st.mean_px, st.max_px
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
     """,
 )
 def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,19 +337,22 @@ def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle="""
+    oracle=f"""
     WITH bytes16 AS (
       SELECT doc_id,
              list_transform(range(1, 33),
-               i -> CAST(('0x' || substr(md5(text) || md5('x' || text),
+               i -> CAST(('0x' || substr({_SQL_PAYLOAD_HEX},
                                          i * 2 - 1, 2)) AS BIGINT)) AS bs
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
+    ), st AS (
+      SELECT doc_id,
+             CAST(list_sum(bs) AS DOUBLE) / 32 AS mean_byte,
+             CAST(list_max(bs) AS INTEGER) AS max_byte,
+             CAST(8 AS INTEGER) AS n_blocks
+      FROM bytes16
     )
-    SELECT doc_id,
-           CAST(list_sum(bs) AS DOUBLE) / 32 AS mean_byte,
-           CAST(list_max(bs) AS INTEGER) AS max_byte,
-           8 AS n_blocks
-    FROM bytes16
+    SELECT d.doc_id, st.mean_byte, st.max_byte, st.n_blocks
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,11 +365,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_meta",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            CASE CAST(doc_id % 3 AS INTEGER)
              WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
-           32 AS byte_len,
+           CAST(len({_SQL_PAYLOAD_HEX}) // 2 AS INTEGER) AS byte_len,
            source AS origin
     FROM documents
     """,
@@ -352,11 +388,11 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            CASE CAST(doc_id % 3 AS INTEGER)
              WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
-           32 AS byte_len,
+           CAST(len({_SQL_PAYLOAD_HEX}) // 2 AS INTEGER) AS byte_len,
            CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS width,
            CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS height
     FROM documents
@@ -375,21 +411,13 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The mapInPandas stage functions above close over module-level batch
-# helpers; cloudpickle serializes module functions BY REFERENCE, so a
-# Python worker whose interpreter lacks this repo on sys.path (e.g. a
-# grading harness launching from another cwd with a vanilla session)
-# would fail the import. Registering the module for by-value pickling
-# ships the function code inside the task closure instead — the
-# worker needs only pandas/stdlib. Idempotent; no effect on engine
-# sessions that CAN import the package.
-import sys as _sys  # noqa: E402
+# helpers — ship them by value (see functions.register_by_value).
+from map_reduce_server_spark.functions import (  # noqa: E402
+    register_by_value as _rbv,
+)
 
-try:  # pyspark vendors cloudpickle >= 2.0 which has this hook
-    from pyspark import cloudpickle as _cloudpickle
-
-    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
-except Exception:  # pragma: no cover - older pickler, ref semantics
-    pass
+_rbv(__name__)
+del _rbv  # a lingering ref would pickle the functions pkg by reference
 
 
 # --- real WAV codec path ----------------------------------------------------
@@ -430,13 +458,15 @@ def with_wav_payload(docs: DataFrame) -> DataFrame:
 
         for pdf in batches:
             payload = pdf["sample_hex"].map(
-                lambda h: wavcodec.encode_pcm16(
-                    list(
-                        _struct.unpack(
-                            f"<{_WAV_N}h", bytes.fromhex(h)
-                        )
-                    ),
-                    _WAV_RATE,
+                _nn(
+                    lambda h: wavcodec.encode_pcm16(
+                        list(
+                            _struct.unpack(
+                                f"<{_WAV_N}h", bytes.fromhex(h)
+                            )
+                        ),
+                        _WAV_RATE,
+                    )
                 )
             )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
@@ -451,26 +481,30 @@ def wav_stats(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dec = pdf["payload"].map(lambda b: wavcodec.decode_pcm16(bytes(b)))
-            samples = dec.map(lambda t: t[1])
+            dec = pdf["payload"].map(
+                _nn(lambda b: wavcodec.decode_pcm16(bytes(b)))
+            )
+            samples = dec.map(_nn(lambda t: t[1]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "framerate": dec.map(lambda t: t[0]).astype("int32"),
-                    "n_samples": samples.map(len).astype("int32"),
+                    "framerate": dec.map(_nn(lambda t: t[0])),
+                    "n_samples": samples.map(_nn(len)),
                     "mean_abs": samples.map(
-                        lambda s: sum(abs(x) for x in s) / len(s)
-                    ).astype("float64"),
+                        _nn(lambda s: sum(abs(x) for x in s) / len(s))
+                    ),
                     "max_abs": samples.map(
-                        lambda s: max(abs(x) for x in s)
-                    ).astype("int32"),
+                        _nn(lambda s: max(abs(x) for x in s))
+                    ),
                     "zero_crossings": samples.map(
-                        lambda s: sum(
-                            1
-                            for i in range(len(s) - 1)
-                            if (s[i] < 0) != (s[i + 1] < 0)
+                        _nn(
+                            lambda s: sum(
+                                1
+                                for i in range(len(s) - 1)
+                                if (s[i] < 0) != (s[i + 1] < 0)
+                            )
                         )
-                    ).astype("int32"),
+                    ),
                 }
             )
 
@@ -485,17 +519,22 @@ def wav_stats(df: DataFrame) -> DataFrame:
     "multimodal_decode_wav",
     oracle=f"""
     WITH sm AS (
-      SELECT doc_id, {_SQL_WAV_SAMPLES} AS s FROM documents)
-    SELECT doc_id, {_WAV_RATE} AS framerate,
-           {_WAV_N} AS n_samples,
-           round(CAST(list_sum(list_transform(s, x -> abs(x))) AS DOUBLE)
-                 / {_WAV_N}, 6) AS mean_abs,
-           CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER)
-             AS max_abs,
-           CAST(len(list_filter(range(1, {_WAV_N}), i ->
-                    (s[i] < 0) <> (s[i+1] < 0))) AS INTEGER)
-             AS zero_crossings
-    FROM sm
+      SELECT doc_id, {_SQL_WAV_SAMPLES} AS s FROM documents
+      WHERE text IS NOT NULL),
+    st AS (
+      SELECT doc_id, CAST({_WAV_RATE} AS INTEGER) AS framerate,
+             CAST({_WAV_N} AS INTEGER) AS n_samples,
+             round(CAST(list_sum(list_transform(s, x -> abs(x))) AS DOUBLE)
+                   / {_WAV_N}, 6) AS mean_abs,
+             CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER)
+               AS max_abs,
+             CAST(len(list_filter(range(1, {_WAV_N}), i ->
+                      (s[i] < 0) <> (s[i+1] < 0))) AS INTEGER)
+               AS zero_crossings
+      FROM sm)
+    SELECT d.doc_id, st.framerate, st.n_samples, st.mean_abs,
+           st.max_abs, st.zero_crossings
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
     """,
 )
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -182,14 +182,11 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Worker-side functions in this module must not require the repo on
-# the Python worker's sys.path (vanilla sessions launched from a
-# foreign cwd) — ship them by value inside task closures, same as
-# operators/multimodal.py.
-import sys as _sys  # noqa: E402
+# the Python worker's sys.path — ship them by value (see
+# functions.register_by_value).
+from map_reduce_server_spark.functions import (  # noqa: E402
+    register_by_value as _rbv,
+)
 
-try:
-    from pyspark import cloudpickle as _cloudpickle
-
-    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
-except Exception:  # pragma: no cover
-    pass
+_rbv(__name__)
+del _rbv  # a lingering ref would pickle the functions pkg by reference

@@ -251,3 +251,63 @@ def test_wavcodec_rejects_stereo():
         w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
     with _pytest.raises(ValueError):
         wavcodec.decode_pcm16(buf.getvalue())
+
+
+def test_null_text_yields_null_stats_not_crash(spark):
+    """A NULL text row must flow through every codec stage as NULL
+    statistics (the oracle twins' md5(NULL) behavior), never crash
+    the worker — and the DuckDB twins must emit the identical NULL
+    rows on the same fixture."""
+    import tempfile
+
+    import duckdb
+
+    from map_reduce_server_spark import registry
+    from tests.oracle_utils import canonical_rows
+
+    registry.load_all()
+    df = spark.createDataFrame(
+        [(1, "hello world", "web", 11, 2),
+         (2, None, "web", 0, 0)],
+        "doc_id bigint, text string, source string,"
+        " n_chars bigint, n_tokens bigint",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        for name in [
+            "multimodal_decode_png",
+            "multimodal_resize_png",
+            "multimodal_decode_wav",
+            "multimodal_features",
+            "multimodal_meta",
+            "multimodal_decode",
+        ]:
+            sdf = registry.QUERIES[name](spark, d).toPandas()
+            con = duckdb.connect()
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet/*.parquet'"
+            )
+            odf = con.execute(registry.ORACLE[name]).fetchdf()
+            con.close()
+            assert canonical_rows(sdf) == canonical_rows(odf), name
+            null_row = sdf[sdf.doc_id == 2].iloc[0]
+            # every payload-derived field is NULL for the NULL text
+            for col in sdf.columns:
+                if col in ("doc_id", "fmt", "origin"):
+                    continue
+                assert pd.isna(null_row[col]), (name, col)
+
+
+def test_png_truncation_raises_valueerror():
+    """Truncated or garbage-tailed input must fail with the codec's
+    ValueError contract, not a bare struct.error."""
+    from map_reduce_server_spark.functions import png
+
+    data = png.encode_rgb8(2, 2, bytes(range(12)))
+    with pytest.raises(ValueError):
+        png.decode_rgb8(data[:20])
+    with pytest.raises(ValueError):
+        png.decode_rgb8(data[:-2])
