@@ -49,6 +49,15 @@ def write_compacted(
     rewrite is a cheap metadata-sized follow-up job.
     """
     staging = path.rstrip("/") + "_staging"
+    # refuse non-local destinations BEFORE the expensive staging
+    # write: _dir_bytes would reject them anyway, but only after the
+    # full dataset had been staged (and a URI staging path could not
+    # even be cleaned up by shutil)
+    if "://" in path or path.startswith("file:"):
+        raise ValueError(
+            f"write_compacted measures staging size locally; {path!r} "
+            "is not a local directory (use the Hadoop FS API on a cluster)"
+        )
     df.write.mode("overwrite").parquet(staging)
     total = _dir_bytes(staging)
     n_files = max(1, math.ceil(total / target_file_bytes))

@@ -22,10 +22,15 @@ def read_text_dir(spark: SparkSession, input_dir: str) -> DataFrame:
     """
     # input_file_name() returns a percent-ENCODED URI: decode the
     # basename or 'my file.txt' comes back as 'my%20file.txt' and
-    # never matches an os.listdir-derived name
+    # never matches an os.listdir-derived name. url_decode follows
+    # java.net.URLDecoder and turns a literal '+' into a space —
+    # but '+' is a legal, never-encoded URI path character (a file
+    # named 'a+b.txt' must stay 'a+b.txt'), so protect it first
+    # (same contract as job.py's unquote(urlparse(uri).path)).
+    basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
     return spark.read.text(input_dir).select(
         F.url_decode(
-            F.element_at(F.split(F.input_file_name(), "/"), -1)
+            F.regexp_replace(basename, r"\+", "%2B")
         ).alias("file"),
         F.col("value"),
     )

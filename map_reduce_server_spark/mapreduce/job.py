@@ -34,11 +34,24 @@ import tempfile
 from dataclasses import dataclass
 from urllib.parse import unquote, urlparse
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.io.sinks import write_numbered_text
 from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
+
+
+class _SetAccumulator(AccumulatorParam):
+    """Set-union accumulator (which file ranks the scan actually
+    touched); set semantics stay correct under task retries."""
+
+    def zero(self, value):
+        return set()
+
+    def addInPlace(self, a, b):
+        a |= b
+        return a
 
 # Above this many input files, run_job switches from one-RDD-per-file
 # plan construction to a single directory scan (see _mapped_lines_*).
@@ -105,9 +118,13 @@ def _pipe_cmd(executable: str) -> str:
 _PATH_UNSAFE = set(",{}[]*?\\")
 
 
-def _needs_alias(name: str) -> bool:
-    return name.startswith(("_", ".")) or any(
-        c in _PATH_UNSAFE for c in name
+def _needs_alias(path: str) -> bool:
+    # test the FULL path, not just the basename: a ',' or glob
+    # metacharacter in a directory component mangles Hadoop path
+    # resolution exactly the same way (',' splits the path string,
+    # '[1]' glob-expands against sibling dirs)
+    return os.path.basename(path).startswith(("_", ".")) or any(
+        c in _PATH_UNSAFE for c in path
     )
 
 
@@ -138,7 +155,7 @@ def _stage_hidden_aliases(
     resolver: dict[str, str] = {}
     for rank, f in enumerate(files):
         resolver[os.path.abspath(f)] = f
-        if _needs_alias(os.path.basename(f)):
+        if _needs_alias(f):
             if alias_dir is None:
                 alias_dir = tempfile.mkdtemp(prefix="mrs-hidden-")
                 # the aliases must outlive this (lazy) job's actions;
@@ -243,9 +260,15 @@ def _mapped_lines_directory(
     File ranks are authoritative from the driver's plain-path sorted
     listing, NOT from sorting the percent-encoded URIs
     ``input_file_name`` returns (whose order differs for special
-    characters); the scanned URI set is reconciled against the
-    listing, and any listed file missing from the scan must be
-    0-byte, else the job fails loudly instead of dropping data.
+    characters). URIs resolve to ranks EXECUTOR-side against a
+    broadcast path→rank map (``unquote(urlparse(uri).path)``, the
+    exact inverse of Spark's URI encoding) — a previous revision
+    collected the distinct URIs first, which cost a full extra read
+    of all input data before the real job. An unknown URI fails the
+    task immediately; the converse hazard — a listed non-empty file
+    the scan silently skipped — is caught by a set accumulator of
+    scanned ranks, checked after the job's action completes (returned
+    as a ``validate`` callable; run_job invokes it after the write).
     A sentinel row per listed file guarantees a mapper subprocess
     even for files that contributed no rows (empty files).
 
@@ -268,33 +291,24 @@ def _mapped_lines_directory(
         "value",
     )
     rank_of = {f: i for i, f in enumerate(files)}  # files pre-sorted
-    # Metadata-sized collect: one URI per non-empty file (the driver
-    # already holds the full listing); no data rows move.
-    scanned_uris = [r[0] for r in df.select("f").distinct().collect()]
-    uri_rank = []
-    seen = set()
-    for uri in scanned_uris:
-        path = unquote(urlparse(uri).path)
-        listed = resolver.get(os.path.abspath(path))
-        if listed is None:
+    path_rank = sc.broadcast(
+        {p: rank_of[listed] for p, listed in resolver.items()}
+    )
+    seen_ranks = sc.accumulator(set(), _SetAccumulator())
+
+    def to_keyed(r):
+        path = os.path.abspath(unquote(urlparse(r[0]).path))
+        rank = path_rank.value.get(path)
+        if rank is None:
             raise RuntimeError(
                 f"scanned file {path!r} is not in the input listing"
             )
-        seen.add(listed)
-        uri_rank.append((uri, rank_of[listed]))
-    for f in files:
-        if f not in seen and os.path.getsize(f) != 0:
-            raise RuntimeError(
-                f"input file {f!r} was listed but never scanned"
-            )
-    # Explicit schema: every input file can legally be 0 bytes, in
-    # which case uri_rank is [] and schema inference would raise.
-    ranks = spark.createDataFrame(uri_rank, "f string, rank long")
-    keyed = (
-        df.join(F.broadcast(ranks), "f")
-        .select("rank", "seq", "value")
-        .rdd.map(lambda r: ((r[0] % num_mappers, r[0], r[1]), r[2]))
-    )
+        # set semantics make task-retry double-adds harmless (the
+        # only accumulator guarantee inside a transformation)
+        seen_ranks.add({rank})
+        return ((rank % num_mappers, rank, r[1]), r[2])
+
+    keyed = df.rdd.map(to_keyed)
     # seq=-1 sorts ahead of every data row of the same file.
     sentinels = sc.parallelize(
         [((rank % num_mappers, rank, -1), None) for rank in range(len(files))],
@@ -332,7 +346,17 @@ def _mapped_lines_directory(
                         f"{proc.returncode}"
                     )
 
-    return shuffled.mapPartitions(pipe_per_file)
+    expected = {rank_of[f] for f in files if os.path.getsize(f) != 0}
+
+    def validate() -> None:
+        missing = expected - set(seen_ranks.value)
+        if missing:
+            names = [files[r] for r in sorted(missing)]
+            raise RuntimeError(
+                f"input files listed but never scanned: {names!r}"
+            )
+
+    return shuffled.mapPartitions(pipe_per_file), validate
 
 
 def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
@@ -358,12 +382,21 @@ def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
     files are processed on both plans, exactly as the reference's
     ``os.listdir``-driven master does.
     """
+    if job.num_mappers < 1 or job.num_reducers < 1:
+        # fail at the driver with a clear message — a 0 would
+        # otherwise surface as a ZeroDivisionError inside an
+        # executor lambda during the group stage
+        raise ValueError(
+            "num_mappers and num_reducers must be >= 1, got "
+            f"{job.num_mappers}/{job.num_reducers}"
+        )
     files = _list_input_files(job.input_directory)
     if not files:
         raise ValueError(f"no input files in {job.input_directory}")
 
+    validate = None
     if len(files) > _DIRECTORY_SCAN_THRESHOLD:
-        mapped = _mapped_lines_directory(
+        mapped, validate = _mapped_lines_directory(
             spark, files, job.mapper_executable, job.num_mappers
         )
     else:
@@ -383,4 +416,10 @@ def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
     out_df = spark.createDataFrame(
         reduced.map(lambda line: (line,)), "value string"
     )
-    return write_numbered_text(out_df, job.output_directory)
+    paths = write_numbered_text(out_df, job.output_directory)
+    if validate is not None:
+        # accumulator values are final only after the job's action:
+        # a listed non-empty file the scan silently skipped fails the
+        # job here, loudly, instead of dropping its data
+        validate()
+    return paths

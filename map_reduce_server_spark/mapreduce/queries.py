@@ -11,7 +11,6 @@ answer for the reference's two canonical workloads
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
@@ -110,12 +109,27 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mr_grep",
     oracle="""
-    SELECT trim(text) AS text FROM documents
-    WHERE trim(text) <> '' AND contains(lower(text), 'join')
+    WITH stripped AS (
+      SELECT trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12)
+                         || chr(13)) AS line
+      FROM documents)
+    SELECT line AS text FROM stripped
+    WHERE line <> '' AND contains(lower(line), 'join')
+      AND NOT contains(line, chr(9))
     """,
 )
 def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grep through the full MapReduce façade; must equal the
-    relational filter."""
+    relational filter.
+
+    The oracle replays the EXECUTABLES' semantics, not an idealized
+    filter: grep_map strips whitespace from both line edges (Python
+    ``str.strip()``, approximated here as the ASCII whitespace set —
+    the corpus contract is spaces/tabs only) and skips blank lines,
+    and grep_reduce drops any line whose ``split('\\t')`` is not
+    exactly two fields — so a line containing an INTERNAL tab never
+    reaches the output, exactly as in the reference's grep_reduce
+    (its ``tests/testdata/exec/grep_reduce.py:14-27``).
+    """
     out = _run_facade(spark, sf_dir, "grep_map.py", "grep_reduce.py")
     return out.select(F.col("value").alias("text"))

@@ -278,7 +278,9 @@ def test_directory_scan_mapped_partitions(spark, tmp_path):
     d.mkdir()
     for i in range(9):
         (d / f"f{i}").write_text(f"line{i}\n")
-    mapped = _mapped_lines_directory(spark, _list_input_files(str(d)), "cat", 4)
+    mapped, _ = _mapped_lines_directory(
+        spark, _list_input_files(str(d)), "cat", 4
+    )
     assert mapped.getNumPartitions() == 4
     per_part = mapped.glom().collect()
     # sorted file i → task i % 4 (reference master/__main__.py:288-297)
@@ -429,7 +431,7 @@ def test_multi_split_file_line_order(spark, tmp_path):
         files = _list_input_files(str(d))
         df_parts = spark.read.text(files).rdd.getNumPartitions()
         assert df_parts > 4, "fixture must actually span many splits"
-        got = _mapped_lines_directory(spark, files, "cat", 1).collect()
+        got = _mapped_lines_directory(spark, files, "cat", 1)[0].collect()
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert got == lines
@@ -565,3 +567,21 @@ def test_empty_middle_partition_keeps_numbering(spark, tmp_path):
     assert open(os.path.join(out, "outputfile01")).read() == "solo\n"
     assert os.path.getsize(os.path.join(out, "outputfile02")) == 0
     assert os.path.getsize(os.path.join(out, "outputfile03")) == 0
+
+
+def test_zero_reducers_rejected_at_driver(spark, tmp_path, input_dir):
+    """A 0/negative task count must fail with a clear driver-side
+    ValueError, not a ZeroDivisionError inside an executor lambda."""
+    for nm, nr in [(0, 2), (4, 0), (-1, 2)]:
+        with pytest.raises(ValueError, match="must be >= 1"):
+            run_job(
+                spark,
+                MapReduceJob(
+                    input_directory=input_dir,
+                    output_directory=str(tmp_path / "out"),
+                    mapper_executable="cat",
+                    reducer_executable="cat",
+                    num_mappers=nm,
+                    num_reducers=nr,
+                ),
+            )
