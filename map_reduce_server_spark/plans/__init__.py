@@ -2,8 +2,14 @@
 
 from map_reduce_server_spark.plans.inspect import (
     explain_str,
+    join_strategies,
     pushed_filters,
     read_schema,
 )
 
-__all__ = ["explain_str", "pushed_filters", "read_schema"]
+__all__ = [
+    "explain_str",
+    "join_strategies",
+    "pushed_filters",
+    "read_schema",
+]

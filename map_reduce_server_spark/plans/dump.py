@@ -39,9 +39,9 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     sections = [_HEADER]
     for name in registry.bench_query_names():
-        for hook_name, hook in registry.PREPARE.items():
-            if hook_name == name:
-                hook(spark, sf_dir)
+        hook = registry.PREPARE.get(name)
+        if hook is not None:
+            hook(spark, sf_dir)
         df = registry.QUERIES[name](spark, sf_dir)
         sections.append(f"\n## {name}\n\n```\n{explain_str(df)}```\n")
     with open(out_path, "w") as f:

@@ -54,14 +54,18 @@ def register(
 
         if oracle is not None:
             # The storage form collapses ALL whitespace — including
-            # inside quoted SQL literals. A literal containing a tab,
-            # newline, or 2+ consecutive spaces would be silently
-            # rewritten into a different literal (a baffling oracle
-            # mismatch with no pointer to the cause), so refuse it
-            # loudly at registration. Odd-indexed split segments are
-            # the inside-quote spans.
+            # inside quoted SQL literals. Single internal spaces
+            # survive the collapse; any OTHER whitespace char (tab,
+            # newline, \r, \v, \f, NBSP — anything str.split treats
+            # as whitespace) or a 2+ run would be silently rewritten
+            # into a different literal (a baffling oracle mismatch
+            # with no pointer to the cause), so refuse it loudly at
+            # registration. Odd-indexed split segments are the
+            # inside-quote spans.
             for lit in oracle.split("'")[1::2]:
-                if "\t" in lit or "\n" in lit or "  " in lit:
+                if "  " in lit or any(
+                    c.isspace() and c != " " for c in lit
+                ):
                     raise ValueError(
                         f"oracle for {name!r} contains a quoted literal "
                         f"({lit!r}) that whitespace collapsing would "
@@ -69,8 +73,10 @@ def register(
                         "(chr()/concat) instead"
                     )
             # A line comment would swallow the REST OF THE QUERY once
-            # everything is collapsed onto one line.
-            if "--" in oracle:
+            # everything is collapsed onto one line. Only the
+            # outside-quote spans can start a comment — a quoted
+            # '--' is legitimate data (even-indexed split segments).
+            if any("--" in seg for seg in oracle.split("'")[0::2]):
                 raise ValueError(
                     f"oracle for {name!r} contains a '--' line comment, "
                     "which whitespace collapsing would extend over the "

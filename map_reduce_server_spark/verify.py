@@ -38,29 +38,50 @@ def _canon_value(v) -> str:
 
 
 def _canonical_rows(df) -> list[tuple[str, ...]]:
+    # Column-wise (Series.tolist), NOT iterrows: iterrows upcasts
+    # each row to a common dtype, so an int64 beside a float column
+    # becomes float64 — ints above 2^53 would canonicalize lossily
+    # and distinct keys could compare equal. tolist() preserves each
+    # column's own dtype as native Python values.
     cols = sorted(df.columns)
+    col_values = [df[c].tolist() for c in cols]
     return sorted(
-        tuple(_canon_value(v) for v in row)
-        for _, row in df[cols].iterrows()
+        tuple(_canon_value(v) for v in vals) for vals in zip(*col_values)
     )
 
 
-def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
-    """Run the Spark result against the DuckDB oracle; (ok, message)."""
+def oracle_connection(sf_dir: str):
+    """A DuckDB connection with every parquet table bound as a view."""
     import duckdb
 
     from map_reduce_server_spark.tables import TABLES
 
-    sdf = spark_df.toPandas()
     con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def compare(
+    spark_df, oracle_sql: str, sf_dir: str, con=None
+) -> tuple[bool, str]:
+    """Run the Spark result against the DuckDB oracle; (ok, message).
+
+    Pass ``con`` (from :func:`oracle_connection`) to reuse one
+    connection across a sweep; otherwise a fresh one is opened and
+    closed per call.
+    """
+    sdf = spark_df.toPandas()
+    own_con = con is None
+    if own_con:
+        con = oracle_connection(sf_dir)
     try:
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
         odf = con.execute(oracle_sql).fetchdf()
     finally:
-        con.close()
+        if own_con:
+            con.close()
     if sorted(sdf.columns) != sorted(odf.columns):
         return False, (
             f"schema mismatch: spark={sorted(sdf.columns)} "
@@ -87,16 +108,33 @@ def verify_all(
     registry.load_all()
     targets = names if names is not None else sorted(registry.ORACLE)
     out: dict[str, tuple[bool, str]] = {}
-    for name in targets:
-        try:
-            out[name] = compare(
-                registry.QUERIES[name](spark, sf_dir),
-                registry.ORACLE[name],
-                sf_dir,
-            )
-        except Exception as e:  # surface, don't abort the sweep
-            out[name] = (False, repr(e)[:300])
-        release_session_blocks(spark)
+    con = oracle_connection(sf_dir)
+    try:
+        for name in targets:
+            # Explain a bad explicit name instead of surfacing a bare
+            # KeyError that reads like a correctness failure.
+            if name not in registry.QUERIES:
+                out[name] = (False, "unknown query name (typo?)")
+                continue
+            if name not in registry.ORACLE:
+                out[name] = (
+                    False,
+                    "registered but has no SQL oracle (rows-only "
+                    "query) — nothing to verify here",
+                )
+                continue
+            try:
+                out[name] = compare(
+                    registry.QUERIES[name](spark, sf_dir),
+                    registry.ORACLE[name],
+                    sf_dir,
+                    con=con,
+                )
+            except Exception as e:  # surface, don't abort the sweep
+                out[name] = (False, repr(e)[:300])
+            release_session_blocks(spark)
+    finally:
+        con.close()
     return out
 
 

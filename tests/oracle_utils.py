@@ -48,11 +48,17 @@ def _canon_value(v) -> str:
 
 
 def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    # Column-wise (Series.tolist), NOT iterrows: iterrows upcasts
+    # each row to a common dtype, so an int64 beside a float column
+    # becomes float64 — ints above 2^53 would canonicalize lossily
+    # and distinct keys could compare equal. tolist() preserves each
+    # column's own dtype as native Python values. Mirrors
+    # map_reduce_server_spark/verify.py exactly.
     cols = sorted(df.columns)
-    out = []
-    for _, row in df[cols].iterrows():
-        out.append(tuple(_canon_value(v) for v in row))
-    return sorted(out)
+    col_values = [df[c].tolist() for c in cols]
+    return sorted(
+        tuple(_canon_value(v) for v in vals) for vals in zip(*col_values)
+    )
 
 
 def compare_to_oracle(
