@@ -21,15 +21,27 @@ from pyspark.sql import functions as F
 
 DEFAULT_GAP = "INTERVAL 30 MINUTES"
 
-
-def _w(ev: DataFrame) -> Window:
+def _w() -> Window:
+    # The window spec is frame-independent — it resolves against
+    # whatever DataFrame the expression is applied to. Built lazily
+    # because constructing a spec needs an active SparkContext.
     return Window.partitionBy("user_id").orderBy("ts", "event_id")
 
 
 def session_flags(ev: DataFrame, gap: str = DEFAULT_GAP) -> DataFrame:
     """Add ``prev_ts`` and ``is_new`` (1 on the first event of every
-    session: no predecessor, or predecessor more than ``gap`` older)."""
-    return ev.withColumn("prev_ts", F.lag("ts").over(_w(ev))).withColumn(
+    session: no predecessor, or predecessor more than ``gap`` older).
+
+    NULL-ts rows are DROPPED, mirroring Spark's native
+    ``session_window`` (SessionWindowing discards them) and the
+    ``q_session_window`` oracle contract: keeping them would make
+    twins engine-dependent — Spark sorts NULLs first (each becomes a
+    phantom new session via ``prev_ts IS NULL``), DuckDB sorts them
+    last (the NULL comparison keeps ``is_new`` 0). Every oracle built
+    on this helper carries the matching ``ts IS NOT NULL`` guard.
+    """
+    ev = ev.where(F.col("ts").isNotNull())
+    return ev.withColumn("prev_ts", F.lag("ts").over(_w())).withColumn(
         "is_new",
         F.when(
             F.col("prev_ts").isNull()
@@ -45,7 +57,7 @@ def session_spans(ev: DataFrame, gap: str = DEFAULT_GAP) -> DataFrame:
     numbered = session_flags(ev, gap).withColumn(
         "session_no",
         F.sum("is_new").over(
-            _w(ev).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
     return numbered.groupBy("user_id", "session_no").agg(

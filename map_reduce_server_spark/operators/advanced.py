@@ -1243,7 +1243,8 @@ def q_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         ORDER BY ts, event_id)
                        + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
-      FROM events),
+      FROM events
+      WHERE ts IS NOT NULL),
     numbered AS (
       SELECT user_id, ts,
              SUM(is_new) OVER (PARTITION BY user_id
@@ -1858,7 +1859,7 @@ _IVL_MIN_ERRORS = 3
     "q_interval_overlap_join",
     oracle=f"""
     WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     x AS (SELECT user_id, event_id, t,
                  CASE WHEN lag(t) OVER w IS NULL
                        OR t - lag(t) OVER w > {_IVL_GAP_US}

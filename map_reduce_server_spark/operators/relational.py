@@ -1172,6 +1172,7 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
       FROM events
+      WHERE ts IS NOT NULL
     )
     SELECT user_id,
            CAST(SUM(is_new) AS BIGINT) AS n_sessions,

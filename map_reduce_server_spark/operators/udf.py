@@ -23,8 +23,14 @@ from map_reduce_server_spark.tables import load_table
 @F.pandas_udf(T.DoubleType())
 def _price_score(price: pd.Series, size: pd.Series) -> pd.Series:
     """Arrow-vectorized scalar UDF: a toy feature combining price and
-    size. Each call sees a full Arrow batch (no per-row serde)."""
-    return (price * 1.1 + size.astype("float64") * 2.0).round(6)
+    size. Each call sees a full Arrow batch (no per-row serde).
+
+    Returns the UNROUNDED score: numpy's ``.round`` is half-to-even
+    while both Spark's ``F.round`` and DuckDB's ``round`` are
+    half-away-from-zero on the shortest decimal repr, so rounding
+    must happen engine-side to keep exact scaled-half ties
+    bit-identical across the twin."""
+    return price * 1.1 + size.astype("float64") * 2.0
 
 
 @register(
@@ -42,7 +48,8 @@ def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-exact."""
     part = load_table(spark, sf_dir, "part")
     return part.select(
-        "p_partkey", _price_score("p_retailprice", "p_size").alias("score")
+        "p_partkey",
+        F.round(_price_score("p_retailprice", "p_size"), 6).alias("score"),
     )
 
 

@@ -636,3 +636,65 @@ def test_session_window_boundary_and_null_ts(spark):
         (3, "2024-01-01T08:00:00"): (1, 4.0),
     }
     assert canonical_rows(sdf) == canonical_rows(odf)
+
+
+def test_shared_sessionizer_drops_null_ts(spark):
+    """The SHARED sessionizer (functions/sessionize.py) must drop
+    NULL-ts rows like Spark's native session_window, and all three
+    twins built on it must hash-match their oracles on a fixture
+    containing NULL ts: Spark sorts NULLs first (each would seed a
+    phantom session via prev_ts IS NULL) while DuckDB sorts them
+    last (is_new stays 0) — kept rows make the twins diverge."""
+    import tempfile
+
+    import duckdb
+
+    from tests.oracle_utils import canonical_rows
+
+    rows = [
+        # user 1: exactly-30:00 gap -> ONE session
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 10, 30, 0), 1, "click", 2.0, "{}"),
+        # user 2: 30:01 gap -> TWO sessions
+        (3, dt.datetime(2024, 1, 1, 9, 0, 0), 2, "click", 5.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 9, 30, 1), 2, "click", 6.0, "{}"),
+        # user 3: NULL ts must be dropped, not counted or sessioned
+        (5, None, 3, "click", 9.0, "{}"),
+        (6, dt.datetime(2024, 1, 1, 8, 0, 0), 3, "click", 4.0, "{}"),
+        # user 4: three errors in epoch-hour 10 -> an incident window
+        # so q_interval_overlap_join produces rows on this fixture
+        (7, dt.datetime(2024, 1, 1, 10, 5, 0), 4, "error", 1.0, "{}"),
+        (8, dt.datetime(2024, 1, 1, 10, 10, 0), 4, "error", 1.0, "{}"),
+        (9, dt.datetime(2024, 1, 1, 10, 20, 0), 4, "error", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{d}/events.parquet/*.parquet'"
+        )
+        for name in (
+            "q_sessionize",
+            "q_session_concurrency",
+            "q_interval_overlap_join",
+        ):
+            sdf = registry.QUERIES[name](spark, d).toPandas()
+            odf = con.execute(registry.ORACLE[name]).fetchdf()
+            assert canonical_rows(sdf) == canonical_rows(odf), name
+            if name == "q_sessionize":
+                by_user = {
+                    r.user_id: (r.n_sessions, r.n_events)
+                    for r in sdf.itertuples()
+                }
+                # user 3's NULL-ts row is gone: one 1-event session
+                assert by_user[3] == (1, 1)
+                assert by_user[1] == (1, 2)
+                assert by_user[2] == (2, 2)
+            if name == "q_interval_overlap_join":
+                assert len(sdf) > 0  # the incident hour matched
+        con.close()
