@@ -18,10 +18,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.window import WindowSpec
 
 DEFAULT_GAP = "INTERVAL 30 MINUTES"
 
-def _w() -> Window:
+
+def _w() -> WindowSpec:
     # The window spec is frame-independent — it resolves against
     # whatever DataFrame the expression is applied to. Built lazily
     # because constructing a spec needs an active SparkContext.

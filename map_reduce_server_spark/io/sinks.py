@@ -17,7 +17,9 @@ import shutil
 from pyspark.sql import DataFrame
 
 
-def write_numbered_text(df: DataFrame, output_dir: str) -> list[str]:
+def write_numbered_text(
+    df: DataFrame, output_dir: str, pre_finalize=None
+) -> list[str]:
     """Write a single-string-column DataFrame as text files named
     ``outputfile{NN}`` — exactly ONE per partition, numbered by
     PARTITION ID, empty files included.
@@ -29,10 +31,24 @@ def write_numbered_text(df: DataFrame, output_dir: str) -> list[str]:
     (reducer 2's data landing in ``outputfile02`` when reducer 1 was
     empty). The partition id is authoritative: it is encoded in the
     ``part-NNNNN-*`` filename.
+
+    ``pre_finalize`` (optional callable) runs AFTER the distributed
+    write action completes but BEFORE the destination is touched —
+    the hook for post-action input validation (accumulator values are
+    final only once the action finishes). If it raises, the staging
+    directory is removed and any previous output files are left
+    intact, so a failed job never leaves complete-looking but
+    data-missing output behind.
     """
     n_parts = df.rdd.getNumPartitions()
     staging = os.path.join(output_dir, "_staging")
     df.write.mode("overwrite").text(staging)
+    if pre_finalize is not None:
+        try:
+            pre_finalize()
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
     os.makedirs(output_dir, exist_ok=True)
     # a previous wider run's outputfileNN must not survive a narrower
     # re-run — a glob consumer would silently mix stale and new data

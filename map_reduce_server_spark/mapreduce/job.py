@@ -296,19 +296,31 @@ def _mapped_lines_directory(
     )
     seen_ranks = sc.accumulator(set(), _SetAccumulator())
 
-    def to_keyed(r):
-        path = os.path.abspath(unquote(urlparse(r[0]).path))
-        rank = path_rank.value.get(path)
-        if rank is None:
-            raise RuntimeError(
-                f"scanned file {path!r} is not in the input listing"
-            )
-        # set semantics make task-retry double-adds harmless (the
-        # only accumulator guarantee inside a transformation)
-        seen_ranks.add({rank})
-        return ((rank % num_mappers, rank, r[1]), r[2])
+    def keyed_partition(rows):
+        # URI resolution is per-FILE work, not per-row: a task reads
+        # whole file splits, so the raw URI string repeats for long
+        # runs of rows. Memoize uri -> rank and report each rank to
+        # the accumulator once per task, not once per line. Set
+        # semantics make task-retry double-adds harmless (the only
+        # accumulator guarantee inside a transformation).
+        rank_cache: dict[str, int] = {}
+        reported: set[int] = set()
+        for r in rows:
+            rank = rank_cache.get(r[0])
+            if rank is None:
+                path = os.path.abspath(unquote(urlparse(r[0]).path))
+                rank = path_rank.value.get(path)
+                if rank is None:
+                    raise RuntimeError(
+                        f"scanned file {path!r} is not in the input listing"
+                    )
+                rank_cache[r[0]] = rank
+            if rank not in reported:
+                seen_ranks.add({rank})
+                reported.add(rank)
+            yield ((rank % num_mappers, rank, r[1]), r[2])
 
-    keyed = df.rdd.map(to_keyed)
+    keyed = df.rdd.mapPartitions(keyed_partition)
     # seq=-1 sorts ahead of every data row of the same file.
     sentinels = sc.parallelize(
         [((rank % num_mappers, rank, -1), None) for rank in range(len(files))],
@@ -416,10 +428,11 @@ def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
     out_df = spark.createDataFrame(
         reduced.map(lambda line: (line,)), "value string"
     )
-    paths = write_numbered_text(out_df, job.output_directory)
-    if validate is not None:
-        # accumulator values are final only after the job's action:
-        # a listed non-empty file the scan silently skipped fails the
-        # job here, loudly, instead of dropping its data
-        validate()
-    return paths
+    # validate runs as the sink's pre_finalize hook: accumulator
+    # values are final only after the job's action (the staging
+    # write), and a listed non-empty file the scan silently skipped
+    # must fail the job BEFORE any outputfileNN appears — complete-
+    # looking but data-missing output is worse than no output.
+    return write_numbered_text(
+        out_df, job.output_directory, pre_finalize=validate
+    )

@@ -738,14 +738,14 @@ _SNAP_CUTOFF = "1998-01-01"
       FROM orders GROUP BY 1)
     SELECT new.custkey,
            CASE WHEN old.custkey IS NULL THEN 'added'
-                WHEN old.rev <> new.rev THEN 'changed'
+                WHEN old.rev IS DISTINCT FROM new.rev THEN 'changed'
                 ELSE 'unchanged' END AS status,
            round(CAST(old.rev AS DOUBLE), 2) AS old_rev,
            round(CAST(new.rev AS DOUBLE), 2) AS new_rev,
            round(CAST(new.rev - COALESCE(old.rev, 0) AS DOUBLE), 2)
              AS delta
     FROM new LEFT JOIN old ON new.custkey = old.custkey
-    WHERE old.custkey IS NULL OR old.rev <> new.rev
+    WHERE old.custkey IS NULL OR old.rev IS DISTINCT FROM new.rev
     """,
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,7 +786,13 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn(
             "status",
             F.when(F.col("old_seen").isNull(), "added")
-            .when(F.col("old_rev_d") != F.col("new_rev_d"), "changed")
+            # null-safe: a NULL-revenue snapshot gaining (or losing)
+            # a priced order IS a change — a plain <> returns NULL
+            # there and would silently classify it 'unchanged'
+            .when(
+                ~F.col("old_rev_d").eqNullSafe(F.col("new_rev_d")),
+                "changed",
+            )
             .otherwise("unchanged"),
         )
         .filter(F.col("status") != "unchanged")

@@ -28,8 +28,6 @@ from map_reduce_server_spark.tables import load_table
 
 # --- shared shingling (word 3-grams over non-empty lowercase tokens) -------
 
-_SQL_TOKS = SQL_TOKS
-
 # Normalized-text duplicate-group key, shared by dedup_fingerprint and
 # dedup_keep_one (the two MUST define identical groups) and mirrored
 # below for their oracles.
@@ -40,13 +38,11 @@ def norm_text_col() -> Column:
     return F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
 
 
-
-
 _SQL_SHINGLES = f"""
   (SELECT DISTINCT doc_id,
-          unnest(list_transform(range(1, greatest(len({_SQL_TOKS}) - 1, 1)),
-                 i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1]
-                      || ' ' || {_SQL_TOKS}[i+2])) AS shingle
+          unnest(list_transform(range(1, greatest(len({SQL_TOKS}) - 1, 1)),
+                 i -> {SQL_TOKS}[i] || ' ' || {SQL_TOKS}[i+1]
+                      || ' ' || {SQL_TOKS}[i+2])) AS shingle
    FROM documents)
 """
 
@@ -444,7 +440,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB; the canonical signed-64 value is assembled only at the end.
 _SQL_SIMHASH_HALVES = f"""
     (WITH tok AS (
-      SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+      SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS token FROM documents
     ), th AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h_lo,

@@ -25,11 +25,14 @@ def _price_score(price: pd.Series, size: pd.Series) -> pd.Series:
     """Arrow-vectorized scalar UDF: a toy feature combining price and
     size. Each call sees a full Arrow batch (no per-row serde).
 
-    Returns the UNROUNDED score: numpy's ``.round`` is half-to-even
-    while both Spark's ``F.round`` and DuckDB's ``round`` are
-    half-away-from-zero on the shortest decimal repr, so rounding
-    must happen engine-side to keep exact scaled-half ties
-    bit-identical across the twin."""
+    Returns the UNROUNDED score: numpy's ``.round`` is half-to-even,
+    DuckDB's ``round`` rounds the scaled BINARY value, and Spark's
+    ``F.round`` applies HALF_UP to the shortest decimal REPR — three
+    different tie mechanisms. Rounding therefore happens engine-side
+    via the repo's exact convention, ``floor(x*1e6 + 0.5)/1e6``:
+    floor and multiply are the same IEEE ops in both engines, so the
+    twins are bit-identical by construction (half-toward-+inf on
+    exact ties, fine here — the score is strictly positive)."""
     return price * 1.1 + size.astype("float64") * 2.0
 
 
@@ -37,7 +40,8 @@ def _price_score(price: pd.Series, size: pd.Series) -> pd.Series:
     "q_pandas_udf_score",
     oracle="""
     SELECT p_partkey,
-           round(p_retailprice * 1.1 + CAST(p_size AS DOUBLE) * 2.0, 6)
+           floor((p_retailprice * 1.1 + CAST(p_size AS DOUBLE) * 2.0)
+                 * 1e6 + 0.5) / 1e6
              AS score
     FROM part
     """,
@@ -47,9 +51,10 @@ def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the plain SQL arithmetic, proving the Arrow exchange is
     value-exact."""
     part = load_table(spark, sf_dir, "part")
+    raw = _price_score("p_retailprice", "p_size")
     return part.select(
         "p_partkey",
-        F.round(_price_score("p_retailprice", "p_size"), 6).alias("score"),
+        (F.floor(raw * 1e6 + F.lit(0.5)) / 1e6).alias("score"),
     )
 
 

@@ -698,3 +698,56 @@ def test_shared_sessionizer_drops_null_ts(spark):
             if name == "q_interval_overlap_join":
                 assert len(sdf) > 0  # the incident hour matched
         con.close()
+
+
+def test_snapshot_diff_null_revenue_transitions(spark):
+    """NULL-revenue transitions must classify as 'changed', not be
+    NULL-swallowed into 'unchanged': a plain <> returns NULL when one
+    snapshot's revenue sum is NULL (all prices NULL), silently
+    dropping the row on BOTH twin sides — the oracle gate can never
+    catch a twin-consistent bug, so the null-safe inequality is
+    pinned here."""
+    import tempfile
+
+    import duckdb
+
+    from tests.oracle_utils import canonical_rows
+
+    cutoff = dt.datetime(1998, 1, 1)
+    old_d = dt.datetime(1997, 6, 1)
+    new_d = dt.datetime(1998, 6, 1)
+    rows = [
+        # cust 1: NULL old revenue -> priced new order: CHANGED
+        (1, 1, old_d, None),
+        (2, 1, new_d, 100.0),
+        # cust 2: priced old -> additional NULL order only: new rev
+        # equals old rev (NULL adds nothing): UNCHANGED (dropped)
+        (3, 2, old_d, 50.0),
+        (4, 2, new_d, None),
+        # cust 3: NULL old -> NULL new only: both sums NULL: UNCHANGED
+        (5, 3, old_d, None),
+        (6, 3, new_d, None),
+        # cust 4: first seen post-cutoff: ADDED
+        (7, 4, new_d, 75.0),
+        # cust 5: priced old -> priced new: CHANGED with delta
+        (8, 5, old_d, 10.0),
+        (9, 5, new_d, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        sdf = registry.QUERIES["q_snapshot_diff"](spark, d).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"'{d}/orders.parquet/*.parquet'"
+        )
+        odf = con.execute(registry.ORACLE["q_snapshot_diff"]).fetchdf()
+        con.close()
+    assert canonical_rows(sdf) == canonical_rows(odf)
+    got = {r.custkey: r.status for r in sdf.itertuples()}
+    assert got == {1: "changed", 4: "added", 5: "changed"}
