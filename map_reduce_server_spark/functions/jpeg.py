@@ -1,0 +1,417 @@
+"""Pure numpy/stdlib baseline JPEG codec (grayscale JFIF).
+
+The container has no PIL/libjpeg, but baseline JPEG itself is only
+arithmetic: 8x8 DCT, quantization, zigzag, and canonical Huffman
+coding. This module implements the real thing — marker segments
+(SOI/APP0/DQT/SOF0/DHT/SOS/EOI), the spec's Annex K luminance
+Huffman tables, entropy coding with 0xFF00 byte stuffing, DC
+differential prediction, run-length AC coding with EOB/ZRL, forward
+and inverse DCT — so the JPEG leg of the multimodal pipeline can
+exercise a REAL lossy codec path end to end.
+
+Scope is honest: baseline sequential, single 8-bit grayscale
+component, no chroma subsampling (there is no chroma), no restart
+markers, no progressive scans. Anything else raises. The decoder
+honors whatever Huffman/quant tables the DHT/DQT segments declare
+(spec behavior), so it decodes any conforming baseline grayscale
+file, not just this encoder's output.
+
+Exactness contract the oracle twins rely on: with the default UNIT
+quantization table, an image made of FLAT 8x8 blocks round-trips
+bit-exactly — a flat block's DCT is a lone integer DC coefficient
+(8*(v-128)); unit quantization preserves it and the IDCT returns the
+constant exactly (float error ~1e-12, far under the 0.5 rounding
+threshold). General images round-trip within +/-1 per pixel (pure
+DCT/IDCT float rounding), which is what "lossless-quality baseline
+JPEG" means.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constants -------------------------------------------------------------
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# JPEG Annex K luminance Huffman tables (the interchange-standard
+# ones every encoder ships). bits[i] = number of codes of length i+1.
+_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALS = tuple(range(12))
+_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    # M[u,x] = 0.5*C(u)*cos((2x+1)u*pi/16); F = M @ f @ M.T is the
+    # JPEG forward DCT, f = M.T @ F @ M the inverse.
+    x = np.arange(8)
+    u = x.reshape(8, 1)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_M = _dct_matrix()
+
+
+def _canonical_codes(bits, vals):
+    """(symbol -> (code, length)) for a canonical Huffman table."""
+    out = {}
+    code = 0
+    k = 0
+    for length, n in enumerate(bits, start=1):
+        for _ in range(n):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG amplitude coding: (category, cat-bit pattern)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    return cat, (v if v > 0 else v + (1 << cat) - 1)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing inside the entropy stream
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _dht(table_class: int, table_id: int, bits, vals) -> bytes:
+    body = bytes([(table_class << 4) | table_id]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_gray8(
+    width: int, height: int, pixels: bytes, quant: int = 1
+) -> bytes:
+    """Encode row-major 8-bit grayscale bytes as a baseline JFIF JPEG.
+
+    ``quant`` fills a uniform quantization table (1 = unit table:
+    flat blocks round-trip exactly, general content within +/-1).
+    """
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in 1..255")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    # edge-replicate to full 8x8 MCUs (standard padding choice)
+    ph, pw = -height % 8, -width % 8
+    img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
+    gh, gw = img.shape[0] // 8, img.shape[1] // 8
+    blocks = (
+        img.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    shifted = blocks.astype(np.float64) - 128.0
+    coeffs = np.einsum("ux,nxy,vy->nuv", _M, shifted, _M)
+    q = np.rint(coeffs / quant).astype(np.int64)
+    zz = q.reshape(-1, 64)[:, _ZIGZAG]
+
+    w = _BitWriter()
+    prev_dc = 0
+    for blk in zz:
+        dc = int(blk[0])
+        cat, amp = _magnitude(dc - prev_dc)
+        prev_dc = dc
+        code, length = _DC_ENC[cat]
+        w.write(code, length)
+        if cat:
+            w.write(amp, cat)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = _AC_ENC[0xF0]  # ZRL
+                w.write(code, length)
+                run -= 16
+            cat, amp = _magnitude(v)
+            code, length = _AC_ENC[(run << 4) | cat]
+            w.write(code, length)
+            w.write(amp, cat)
+            run = 0
+        if last < 63:
+            code, length = _AC_ENC[0x00]  # EOB
+            w.write(code, length)
+    scan = w.flush()
+
+    qtab = bytes([0]) + bytes([quant] * 64)  # 8-bit table 0, zigzag order
+    parts = [
+        b"\xff\xd8",  # SOI
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00",  # APP0
+        b"\xff\xdb" + struct.pack(">H", len(qtab) + 2) + qtab,  # DQT
+        b"\xff\xc0" + struct.pack(">H", 11)  # SOF0: 1 component
+        + bytes([8]) + struct.pack(">HH", height, width)
+        + bytes([1, 1, 0x11, 0]),
+        _dht(0, 0, _DC_BITS, _DC_VALS),
+        _dht(1, 0, _AC_BITS, _AC_VALS),
+        b"\xff\xda" + struct.pack(">H", 8)  # SOS
+        + bytes([1, 1, 0x00, 0, 63, 0]),
+        scan,
+        b"\xff\xd9",  # EOI
+    ]
+    return b"".join(parts)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG: entropy stream ran out")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if (
+                    self.pos >= len(self.data)
+                    or self.data[self.pos] != 0x00
+                ):
+                    raise ValueError(
+                        "unexpected marker inside entropy-coded scan"
+                    )
+                self.pos += 1  # skip the stuffed 0x00
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_table(bits, vals):
+    """((length, code) -> symbol) map for canonical Huffman decode."""
+    out = {}
+    code = 0
+    k = 0
+    for length, n in enumerate(bits, start=1):
+        for _ in range(n):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(amp: int, cat: int) -> int:
+    # inverse of _magnitude: top bit set -> positive, else negative
+    if cat == 0:
+        return 0
+    if amp >> (cat - 1):
+        return amp
+    return amp - (1 << cat) + 1
+
+
+def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline grayscale JPEG into (width, height, bytes).
+
+    Parses marker segments, builds the Huffman/quant tables the file
+    declares, entropy-decodes the single scan, dequantizes, inverse-
+    zigzags, applies the IDCT, and crops MCU padding.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_q = 0
+    scan_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG: incomplete marker segment")
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG: short segment body")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_ZIGZAG] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                )
+                qtables[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = tuple(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(body[i + 17 : i + 17 + n])
+                htables[(tc, th)] = _decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = body[0]
+            height, width = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if precision != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "only 8-bit single-component (grayscale) baseline"
+                )
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampled grayscale")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline-sequential JPEG scan")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component scan")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_start = pos + 2 + seglen
+            break
+        # APPn/COM/etc: skip
+        pos += 2 + seglen
+    if width is None or scan_start is None:
+        raise ValueError("missing SOF0/SOS")
+    if comp_q not in qtables:
+        raise ValueError("scan references an undeclared quant table")
+    dc_tab = htables.get((0, dc_id))
+    ac_tab = htables.get((1, ac_id))
+    if dc_tab is None or ac_tab is None:
+        raise ValueError("scan references an undeclared Huffman table")
+
+    # find EOI to bound the entropy stream (no restart markers)
+    end = data.rfind(b"\xff\xd9")
+    if end < scan_start:
+        raise ValueError("truncated JPEG: missing EOI")
+    reader = _BitReader(data[scan_start:end])
+    gw, gh = (width + 7) // 8, (height + 7) // 8
+    zz = np.zeros((gw * gh, 64), dtype=np.int64)
+    prev_dc = 0
+    for b in range(gw * gh):
+        cat = _read_symbol(reader, dc_tab)
+        diff = _extend(reader.read_bits(cat), cat)
+        prev_dc += diff
+        zz[b, 0] = prev_dc
+        i = 1
+        while i < 64:
+            sym = _read_symbol(reader, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, cat = sym >> 4, sym & 0x0F
+            i += run
+            if i > 63:
+                raise ValueError("AC run overflows block")
+            zz[b, i] = _extend(reader.read_bits(cat), cat)
+            i += 1
+
+    deq = np.zeros((gw * gh, 64), dtype=np.float64)
+    deq[:, _ZIGZAG] = zz
+    coeffs = deq.reshape(-1, 8, 8) * qtables[comp_q]
+    spatial = np.einsum("xu,nuv,yv->nxy", _M.T, coeffs, _M.T)
+    px = np.clip(np.rint(spatial) + 128.0, 0, 255).astype(np.uint8)
+    img = (
+        px.reshape(gh, gw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(gh * 8, gw * 8)
+    )
+    return width, height, img[:height, :width].tobytes()
+
+
+# Functions above run inside Arrow-batched Python workers — ship
+# them by value (see functions.register_by_value).
+from map_reduce_server_spark.functions import (  # noqa: E402
+    register_by_value as _rbv,
+)
+
+_rbv(__name__)
+del _rbv  # a lingering ref would pickle the functions pkg by reference

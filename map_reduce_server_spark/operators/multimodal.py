@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_server_spark.functions import png, wavcodec
+from map_reduce_server_spark.functions import jpeg, png, wavcodec
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -88,8 +88,11 @@ def decode_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
     """
     if not fake:
         raise NotImplementedError(
-            "real image/audio decode needs PIL/librosa (not in container); "
-            "use fake=True for the deterministic byte-derived decode"
+            "generic decode of arbitrary formats needs PIL/librosa/av "
+            "(not in container); real stdlib codecs exist for RGB PNG "
+            "(functions/png.py), baseline grayscale JPEG "
+            "(functions/jpeg.py) and PCM WAV (functions/wavcodec.py) — "
+            "use fake=True here for the deterministic byte-derived decode"
         )
     payloads = pdf["payload"]
     return pd.DataFrame(
@@ -287,7 +290,8 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the identical pixel statistics straight from the md5
     hex, so a bug anywhere in encode, chunk framing, compression, or
     unfiltering breaks the hash match. WAV gets the same stdlib-real
-    treatment in multimodal_decode_wav; jpeg/compressed audio remain
+    treatment in multimodal_decode_wav and baseline grayscale JPEG in
+    multimodal_decode_jpeg; compressed audio and video remain
     honestly env-gated (see :func:`decode_batch`)."""
     docs = load_table(spark, sf_dir, "documents")
     stats = png_stats(with_png_payload(docs))
@@ -562,4 +566,117 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_abs", 6).alias("mean_abs"),
         "max_abs",
         "zero_crossings",
+    )
+
+
+# --- real JPEG codec path ---------------------------------------------------
+
+# 32x24 grayscale = 12 flat 8x8 blocks (4 across, 3 down); block
+# values = first 12 bytes of md5(text). Flat blocks are the JPEG
+# exactness domain: with the unit quant table each block's DCT is a
+# lone integer DC coefficient, so the LOSSY pipeline round-trips
+# bit-exactly and the oracle can recompute every pixel from SQL.
+_JPG_W, _JPG_H = 32, 24
+_SQL_JPG_HEX = "substr(md5(text), 1, 24)"
+
+
+def with_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL baseline grayscale JFIF JPEG per document
+    (pure numpy/stdlib encoder: DCT, quantization, Annex K Huffman
+    coding, byte stuffing)."""
+    flat = docs.select(
+        "doc_id", F.substring(F.md5(F.col("text")), 1, 24).alias("pix_hex")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def enc(h: str) -> bytes:
+            vals = np.frombuffer(bytes.fromhex(h), np.uint8)
+            img = np.repeat(
+                np.repeat(vals.reshape(3, 4), 8, axis=0), 8, axis=1
+            )
+            return jpeg.encode_gray8(_JPG_W, _JPG_H, img.tobytes())
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["pix_hex"].map(_nn(enc)),
+                }
+            )
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def jpeg_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real JPEG payloads: marker parse, Huffman
+    entropy decode, dequantize, IDCT — then per-image pixel stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dec = pdf["payload"].map(
+                _nn(lambda b: jpeg.decode_gray8(bytes(b)))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": dec.map(_nn(lambda t: t[0])),
+                    "height": dec.map(_nn(lambda t: t[1])),
+                    "mean_px": dec.map(_nn(lambda t: sum(t[2]) / len(t[2]))),
+                    "max_px": dec.map(_nn(lambda t: max(t[2]))),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id bigint, width int, height int, "
+        "mean_px double, max_px int",
+    )
+
+
+@register(
+    "multimodal_decode_jpeg",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, list_transform(range(1, 13),
+               i -> CAST(('0x' || substr({_SQL_JPG_HEX}, i*2-1, 2))
+                    AS BIGINT)) AS bs
+      FROM documents WHERE text IS NOT NULL),
+    st AS (
+      SELECT doc_id, CAST({_JPG_W} AS INTEGER) AS width,
+             CAST({_JPG_H} AS INTEGER) AS height,
+             round(CAST(list_sum(bs) AS DOUBLE) / 12, 6) AS mean_px,
+             CAST(list_max(bs) AS INTEGER) AS max_px
+      FROM px)
+    SELECT d.doc_id, st.width, st.height, st.mean_px, st.max_px
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec round-trip: encode each document's
+    md5-derived flat-block image as an actual baseline JFIF JPEG
+    (8x8 DCT, unit quantization, Annex K Huffman entropy coding)
+    and decode it back with the pure numpy/stdlib parser — closing
+    the third modality with a genuine codec. Flat 8x8 blocks make
+    the lossy pipeline exact (DC-only spectra survive unit
+    quantization bit-for-bit), so the oracle recomputes the pixel
+    statistics straight from the md5 hex and a bug anywhere in
+    marker framing, Huffman tables, entropy coding, zigzag,
+    quantization, or the DCT pair breaks the hash match. General
+    (non-flat) content round-trips within +/-1 (pinned by the codec
+    unit tests); progressive/color JPEG, compressed audio, and
+    video remain honestly env-gated.
+
+    Scale: embarrassingly parallel Arrow-batched mapInPandas, no
+    shuffle; payloads live only inside a task.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = jpeg_stats(with_jpeg_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        "max_px",
     )

@@ -311,3 +311,99 @@ def test_png_truncation_raises_valueerror():
         png.decode_rgb8(data[:20])
     with pytest.raises(ValueError):
         png.decode_rgb8(data[:-2])
+
+
+# --- JPEG codec (functions/jpeg.py) ----------------------------------------
+
+
+def test_jpeg_flat_block_roundtrip_exact():
+    """The exactness domain the oracle relies on: flat 8x8 blocks
+    survive the LOSSY pipeline bit-for-bit under the unit quant
+    table (DC-only spectra, integer DC coefficients) — and under
+    quant=2 too, since 8*(v-128) is always even."""
+    import numpy as np
+
+    from map_reduce_server_spark.functions import jpeg
+
+    rng = np.random.default_rng(42)
+    for q in (1, 2):
+        for _ in range(5):
+            vals = rng.integers(0, 256, 12, dtype=np.uint8)
+            img = np.repeat(
+                np.repeat(vals.reshape(3, 4), 8, axis=0), 8, axis=1
+            )
+            data = jpeg.encode_gray8(32, 24, img.tobytes(), quant=q)
+            w, h, px = jpeg.decode_gray8(data)
+            assert (w, h) == (32, 24)
+            back = np.frombuffer(px, dtype=np.uint8).reshape(24, 32)
+            assert np.array_equal(back, img), q
+
+
+def test_jpeg_general_roundtrip_within_one():
+    """Arbitrary content (gradients, noise, odd dimensions) round-
+    trips within +/-1 per pixel at quant=1 — the only loss left is
+    DCT/IDCT float rounding."""
+    import numpy as np
+
+    from map_reduce_server_spark.functions import jpeg
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (
+            32,
+            24,
+            (np.add.outer(np.arange(24) * 3, np.arange(32) * 2) % 256)
+            .astype(np.uint8),
+        ),
+        (13, 11, rng.integers(0, 256, (11, 13), dtype=np.uint8)),
+        (8, 8, rng.integers(0, 256, (8, 8), dtype=np.uint8)),
+        (1, 1, np.array([[200]], dtype=np.uint8)),
+    ]
+    for w0, h0, img in cases:
+        data = jpeg.encode_gray8(w0, h0, img.tobytes())
+        w, h, px = jpeg.decode_gray8(data)
+        assert (w, h) == (w0, h0)
+        back = np.frombuffer(px, dtype=np.uint8).reshape(h0, w0)
+        err = np.abs(back.astype(int) - img.astype(int)).max()
+        assert err <= 1, (w0, h0, err)
+
+
+def test_jpeg_malformed_inputs_raise():
+    import numpy as np
+    import pytest
+
+    from map_reduce_server_spark.functions import jpeg
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    data = jpeg.encode_gray8(8, 8, img.tobytes())
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_gray8(b"not a jpeg")
+    with pytest.raises(ValueError):
+        jpeg.decode_gray8(data[:30])  # truncated mid-segment
+    with pytest.raises(ValueError):
+        jpeg.decode_gray8(data[:-2])  # EOI missing
+    # progressive SOF2 must be rejected, not mis-decoded
+    prog = bytearray(data)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        jpeg.decode_gray8(bytes(prog))
+    with pytest.raises(ValueError):
+        jpeg.encode_gray8(8, 8, img.tobytes()[:10])  # size mismatch
+
+
+def test_jpeg_entropy_stream_is_marker_clean():
+    """Byte stuffing: every 0xFF the entropy coder emits must be
+    followed by 0x00 so no scan byte parses as a marker — exercised
+    with content tuned to produce 0xFF-heavy streams."""
+    import numpy as np
+
+    from map_reduce_server_spark.functions import jpeg
+
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        data = jpeg.encode_gray8(16, 16, img.tobytes())
+        w, h, px = jpeg.decode_gray8(data)  # would raise on a bad stream
+        back = np.frombuffer(px, dtype=np.uint8).reshape(16, 16)
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= 1
