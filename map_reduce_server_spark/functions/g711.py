@@ -1,0 +1,122 @@
+"""Pure-stdlib G.711 mu-law codec + RIFF/WAVE container (format 7).
+
+Compressed audio with no external library: ITU-T G.711 mu-law is a
+logarithmic 16-bit -> 8-bit companding codec (the telephony
+standard), and WAVE_FORMAT_MULAW (format tag 7) is its standard RIFF
+container — a real compressed-audio file format, built from struct
+and integer arithmetic alone. The stdlib ``wave`` module only writes
+PCM, so the container is framed here directly.
+
+Exactness contract the oracle twins rely on: mu-law is exactly
+invertible ON ITS OWN CODEBOOK — ``encode(decode(c)) == c`` for
+every code except the negative-zero code 0x7F (decode gives 0, which
+re-encodes to the positive-zero code 0xFF), and ``decode`` has the
+closed integer form
+
+    cc  = 255 - c          (G.711 transmits codes inverted)
+    e   = (cc >> 4) & 7    (exponent)
+    m   = cc & 15          (mantissa)
+    mag = ((2*m + 33) << (e + 2)) - 132
+    val = -mag if cc >= 128 else mag
+
+which a SQL oracle replays verbatim. Scope is honest: mono mu-law
+(tag 7) only; A-law, ADPCM and perceptual codecs (mp3/ogg) stay
+env-gated in :mod:`..operators.multimodal`.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_BIAS = 0x84
+_CLIP = 32635
+
+
+def encode_sample(s: int) -> int:
+    """Linear int16 -> mu-law code byte (ITU G.711)."""
+    if not -32768 <= s <= 32767:
+        raise ValueError("sample out of int16 range")
+    sign = 0x80 if s < 0 else 0
+    if s < 0:
+        s = -s
+    if s > _CLIP:
+        s = _CLIP
+    s += _BIAS
+    e = 7
+    mask = 0x4000
+    while e > 0 and not (s & mask):
+        mask >>= 1
+        e -= 1
+    m = (s >> (e + 3)) & 0x0F
+    return ~(sign | (e << 4) | m) & 0xFF
+
+
+def decode_sample(c: int) -> int:
+    """Mu-law code byte -> linear int16 (closed integer form)."""
+    if not 0 <= c <= 255:
+        raise ValueError("code out of byte range")
+    cc = ~c & 0xFF
+    e = (cc >> 4) & 7
+    m = cc & 0x0F
+    mag = ((2 * m + 33) << (e + 2)) - 132
+    return -mag if cc & 0x80 else mag
+
+
+def encode_wav_mulaw(framerate: int, codes: bytes) -> bytes:
+    """Frame mu-law code bytes as a RIFF/WAVE file (format tag 7,
+    mono, 8 bits per sample)."""
+    fmt = struct.pack(
+        "<HHIIHH", 7, 1, framerate, framerate, 1, 8
+    )  # tag, channels, rate, byte rate, block align, bits
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + codes
+        + (b"\x00" if len(codes) % 2 else b"")  # RIFF word padding
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_mulaw(data: bytes) -> tuple[int, list[int]]:
+    """Parse a WAVE_FORMAT_MULAW file -> (framerate, int16 samples).
+
+    Validates the RIFF framing and the format tag; walks unknown
+    chunks by their declared size like any conforming reader.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    if riff_len + 8 > len(data):
+        raise ValueError("truncated RIFF: declared size exceeds data")
+    pos = 12
+    framerate = None
+    codes = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            fmt_tag, channels, framerate = struct.unpack("<HHI", body[:8])
+            if fmt_tag != 7:
+                raise NotImplementedError(
+                    f"format tag {fmt_tag}: only WAVE_FORMAT_MULAW (7)"
+                )
+            if channels != 1:
+                raise NotImplementedError("only mono mu-law")
+        elif tag == b"data":
+            codes = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if framerate is None or codes is None:
+        raise ValueError("missing fmt /data chunk")
+    return framerate, [decode_sample(c) for c in codes]
+
+
+# Functions above run inside Arrow-batched Python workers — ship
+# them by value (see functions.register_by_value).
+from map_reduce_server_spark.functions import (  # noqa: E402
+    register_by_value as _rbv,
+)
+
+_rbv(__name__)
+del _rbv  # a lingering ref would pickle the functions pkg by reference

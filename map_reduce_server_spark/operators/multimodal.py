@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_server_spark.functions import jpeg, png, wavcodec
+from map_reduce_server_spark.functions import g711, jpeg, png, wavcodec
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -679,4 +679,124 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("mean_px", 6).alias("mean_px"),
         "max_px",
+    )
+
+
+# --- real compressed-audio codec path (G.711 mu-law in RIFF) ---------------
+
+_MULAW_N = 32         # codes per clip
+_MULAW_RATE = 8000
+
+# 32 mu-law code bytes = two chained md5 digests (own recipe — not
+# the synthetic-payload hex — so the twins stay independent).
+_SQL_MULAW_HEX = "md5('u' || text) || md5('v' || text)"
+# closed-form G.711 expansion of code byte i (1-based in the hex):
+# cc = 255-b; e = bits 4..6; m = low nibble;
+# mag = ((2m+33) << (e+2)) - 132, negated when the sign bit is set.
+_SQL_MULAW_SAMPLES = f"""
+  list_transform(
+    list_transform(range(1, {_MULAW_N} + 1), i ->
+      255 - CAST(('0x' || substr({_SQL_MULAW_HEX}, i*2-1, 2)) AS BIGINT)),
+    cc -> CASE WHEN cc >= 128 THEN
+            -(((2*(cc % 16) + 33) << (((cc // 16) % 8) + 2)) - 132)
+          ELSE ((2*(cc % 16) + 33) << (((cc // 16) % 8) + 2)) - 132 END)
+"""
+
+
+def with_mulaw_payload(docs: DataFrame) -> DataFrame:
+    """Frame 32 md5-derived mu-law code bytes per document as a REAL
+    WAVE_FORMAT_MULAW (tag 7) RIFF file."""
+    code_hex = F.concat(
+        F.md5(F.concat(F.lit("u"), F.col("text"))),
+        F.md5(F.concat(F.lit("v"), F.col("text"))),
+    )
+    flat = docs.select("doc_id", code_hex.alias("code_hex"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["code_hex"].map(
+                _nn(
+                    lambda h: g711.encode_wav_mulaw(
+                        _MULAW_RATE, bytes.fromhex(h)
+                    )
+                )
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def mulaw_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real mu-law RIFF payloads: container parse
+    (format-tag validation, chunk walk) + G.711 expansion, then the
+    same per-clip sample statistics the PCM path computes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dec = pdf["payload"].map(
+                _nn(lambda b: g711.decode_wav_mulaw(bytes(b)))
+            )
+            samples = dec.map(_nn(lambda t: t[1]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "framerate": dec.map(_nn(lambda t: t[0])),
+                    "n_samples": samples.map(_nn(len)),
+                    "mean_abs": samples.map(
+                        _nn(lambda s: sum(abs(x) for x in s) / len(s))
+                    ),
+                    "max_abs": samples.map(
+                        _nn(lambda s: max(abs(x) for x in s))
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id bigint, framerate int, n_samples int, "
+        "mean_abs double, max_abs int",
+    )
+
+
+@register(
+    "multimodal_decode_mulaw",
+    oracle=f"""
+    WITH sm AS (
+      SELECT doc_id, {_SQL_MULAW_SAMPLES} AS s FROM documents
+      WHERE text IS NOT NULL),
+    st AS (
+      SELECT doc_id, CAST({_MULAW_RATE} AS INTEGER) AS framerate,
+             CAST({_MULAW_N} AS INTEGER) AS n_samples,
+             round(CAST(list_sum(list_transform(s, x -> abs(x))) AS DOUBLE)
+                   / {_MULAW_N}, 6) AS mean_abs,
+             CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER)
+               AS max_abs
+      FROM sm)
+    SELECT d.doc_id, st.framerate, st.n_samples, st.mean_abs, st.max_abs
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+    """,
+)
+def multimodal_decode_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio round-trip: frame each document's
+    md5-derived G.711 mu-law codes as an actual WAVE_FORMAT_MULAW
+    RIFF file and decode it back — container parse, format-tag
+    validation, logarithmic expansion — with the pure-stdlib codec
+    (``functions/g711.py``, verified code-for-code against CPython's
+    ``audioop`` reference on all 256 codes). The oracle replays the
+    closed-form integer expansion straight from the md5 hex, so a
+    bug in companding arithmetic, sign handling, chunk framing, or
+    word alignment breaks the hash match. Perceptual codecs
+    (mp3/ogg) and video remain honestly env-gated.
+
+    Scale: embarrassingly parallel Arrow-batched mapInPandas, no
+    shuffle; payloads live only inside a task.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = mulaw_stats(with_mulaw_payload(docs))
+    return stats.select(
+        "doc_id",
+        "framerate",
+        "n_samples",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "max_abs",
     )

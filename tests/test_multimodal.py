@@ -407,3 +407,62 @@ def test_jpeg_entropy_stream_is_marker_clean():
         w, h, px = jpeg.decode_gray8(data)  # would raise on a bad stream
         back = np.frombuffer(px, dtype=np.uint8).reshape(16, 16)
         assert np.abs(back.astype(int) - img.astype(int)).max() <= 1
+
+
+# --- G.711 mu-law codec (functions/g711.py) --------------------------------
+
+
+def test_mulaw_codebook_invertible_and_matches_audioop():
+    """encode(decode(c)) == c for every code except the negative-zero
+    code 0x7F (decodes to 0, which re-encodes as positive zero 0xFF)
+    — and both directions match CPython's audioop reference
+    implementation code-for-code where it is available (<3.13)."""
+    from map_reduce_server_spark.functions import g711
+
+    for c in range(256):
+        v = g711.decode_sample(c)
+        back = g711.encode_sample(v)
+        assert back == (0xFF if c == 0x7F else c), hex(c)
+    try:
+        import struct as st
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        return  # removed in 3.13; the closed-form asserts above stand
+    for c in range(256):
+        v = g711.decode_sample(c)
+        assert st.unpack("<h", audioop.ulaw2lin(bytes([c]), 2))[0] == v
+        assert audioop.lin2ulaw(st.pack("<h", v), 2)[0] == (
+            g711.encode_sample(v)
+        )
+
+
+def test_mulaw_container_roundtrip_and_padding():
+    from map_reduce_server_spark.functions import g711
+
+    codes = bytes(range(256)) + bytes([7])  # odd length -> pad byte
+    data = g711.encode_wav_mulaw(8000, codes)
+    rate, samples = g711.decode_wav_mulaw(data)
+    assert rate == 8000
+    assert samples == [g711.decode_sample(c) for c in codes]
+
+
+def test_mulaw_container_rejects_malformed():
+    import pytest
+
+    from map_reduce_server_spark.functions import g711
+
+    data = g711.encode_wav_mulaw(8000, bytes([1, 2, 3, 4]))
+    with pytest.raises(ValueError, match="RIFF"):
+        g711.decode_wav_mulaw(b"not riff at all")
+    with pytest.raises(ValueError):
+        g711.decode_wav_mulaw(data[:20])  # truncated chunk
+    # a PCM (tag 1) file must be rejected, not mis-expanded
+    pcm = bytearray(data)
+    fmt_at = pcm.find(b"fmt ") + 8
+    pcm[fmt_at] = 1
+    with pytest.raises(NotImplementedError, match="MULAW"):
+        g711.decode_wav_mulaw(bytes(pcm))
