@@ -466,3 +466,55 @@ def test_mulaw_container_rejects_malformed():
     pcm[fmt_at] = 1
     with pytest.raises(NotImplementedError, match="MULAW"):
         g711.decode_wav_mulaw(bytes(pcm))
+
+
+# --- MJPEG AVI container (functions/avi.py) ---------------------------------
+
+
+def test_avi_mjpeg_roundtrip_exact():
+    """Four flat-block JPEG frames survive the container + per-frame
+    decode bit-exactly, and the stride sampler keeps frames 0, n,
+    2n, ..."""
+    import numpy as np
+
+    from map_reduce_server_spark.functions import avi, jpeg
+
+    rng = np.random.default_rng(11)
+    srcs, frames = [], []
+    for _ in range(4):
+        vals = rng.integers(0, 256, 12, dtype=np.uint8)
+        img = np.repeat(np.repeat(vals.reshape(3, 4), 8, 0), 8, 1)
+        srcs.append(img)
+        frames.append(jpeg.encode_gray8(32, 24, img.tobytes()))
+    data = avi.encode_avi_mjpeg(32, 24, 10, frames)
+    w, h, fps, dec = avi.decode_avi_mjpeg(data)
+    assert (w, h, fps, len(dec)) == (32, 24, 10, 4)
+    for (fw, fh, px), src in zip(dec, srcs):
+        assert (fw, fh) == (32, 24)
+        assert np.array_equal(
+            np.frombuffer(px, np.uint8).reshape(24, 32), src
+        )
+    assert avi.sample_frames(dec, 2) == [dec[0], dec[2]]
+    assert avi.sample_frames(dec, 1) == dec
+
+
+def test_avi_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from map_reduce_server_spark.functions import avi, jpeg
+
+    frame = jpeg.encode_gray8(8, 8, np.zeros((8, 8), np.uint8).tobytes())
+    data = avi.encode_avi_mjpeg(8, 8, 10, [frame])
+    with pytest.raises(ValueError, match="RIFF"):
+        avi.decode_avi_mjpeg(b"garbage here definitely")
+    with pytest.raises(ValueError):
+        avi.decode_avi_mjpeg(data[:40])  # truncated
+    # a non-MJPG stream handler must be rejected, not mis-decoded
+    alien = bytearray(data)
+    at = alien.find(b"vids") + 4
+    alien[at : at + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="MJPG"):
+        avi.decode_avi_mjpeg(bytes(alien))
+    with pytest.raises(ValueError, match="at least one frame"):
+        avi.encode_avi_mjpeg(8, 8, 10, [])
