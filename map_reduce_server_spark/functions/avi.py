@@ -42,7 +42,7 @@ def encode_avi_mjpeg(
         1_000_000 // fps,  # microseconds per frame
         max_size * fps,    # max bytes per second (upper bound)
         0,                 # padding granularity
-        0x10,              # AVIF_HASINDEX off; 0x10 = was-captured-ish flag
+        0,                 # flags: no AVIF_HASINDEX — no idx1 is written
         len(frames), 0, 1, max_size, width, height, 0, 0, 0, 0,
     )
     strh = struct.pack(
@@ -66,14 +66,16 @@ def encode_avi_mjpeg(
     return _chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
-def decode_avi_mjpeg(
+def parse_avi_mjpeg(
     data: bytes,
-) -> tuple[int, int, int, list[tuple[int, int, bytes]]]:
-    """Parse an MJPEG AVI -> (width, height, fps, decoded frames).
+) -> tuple[int, int, int, list[bytes]]:
+    """Parse an MJPEG AVI -> (width, height, fps, RAW frame chunks).
 
-    Each frame decodes through the real baseline-JPEG parser to
-    (width, height, grayscale bytes). Validates RIFF/AVI framing and
-    the MJPG stream handler; walks unknown chunks by declared size.
+    Container-only pass: validates RIFF/AVI framing and the MJPG
+    stream handler and collects the encoded ``00dc`` frame bytes
+    WITHOUT decoding them — so callers that stride-sample frames can
+    discard before paying the per-frame JPEG decode. Walks unknown
+    chunks by declared size.
     """
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
@@ -85,8 +87,12 @@ def decode_avi_mjpeg(
     handler_ok = False
     frames: list[bytes] = []
 
-    def walk(pos: int, end: int) -> None:
-        nonlocal width, height, fps, handler_ok
+    # Iterative chunk walk (explicit range stack): crafted input with
+    # thousands of nested LISTs must fail structurally or parse, never
+    # blow the Python recursion limit out of the ValueError contract.
+    ranges = [(12, 8 + riff_len)]
+    while ranges:
+        pos, end = ranges.pop()
         while pos + 8 <= end:
             tag = data[pos : pos + 4]
             (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -94,9 +100,16 @@ def decode_avi_mjpeg(
             if body_end > end:
                 raise ValueError(f"truncated {tag!r} chunk")
             if tag == b"LIST":
-                walk(pos + 12, body_end)  # skip the 4-byte list type
+                if size < 4:
+                    raise ValueError("LIST chunk too short for a type")
+                # continue this level later; descend into the list now
+                ranges.append((body_end + (size % 2), end))
+                pos, end = pos + 12, body_end
+                continue
             elif tag == b"strh":
                 body = data[pos + 8 : body_end]
+                if len(body) < 28:
+                    raise ValueError("strh chunk too short")
                 fcc_type, fcc_handler = body[0:4], body[4:8]
                 if fcc_type == b"vids":
                     if fcc_handler != b"MJPG":
@@ -108,14 +121,27 @@ def decode_avi_mjpeg(
                     fps = rate // max(scale, 1)
             elif tag == b"strf":
                 body = data[pos + 8 : body_end]
+                if len(body) < 12:
+                    raise ValueError("strf chunk too short")
                 width, height = struct.unpack("<ii", body[4:12])
             elif tag == b"00dc":
                 frames.append(data[pos + 8 : body_end])
             pos = body_end + (size % 2)  # chunks are word-aligned
 
-    walk(12, 8 + riff_len)
     if not handler_ok or width is None:
         raise ValueError("missing MJPG vids stream header")
+    return width, height, fps, frames
+
+
+def decode_avi_mjpeg(
+    data: bytes,
+) -> tuple[int, int, int, list[tuple[int, int, bytes]]]:
+    """Parse an MJPEG AVI and decode EVERY frame through the real
+    baseline-JPEG parser -> (width, height, fps, [(fw, fh, px)...]).
+    Stride-sampling callers should use :func:`parse_avi_mjpeg` +
+    :func:`sample_frames` on the raw chunks instead, decoding only
+    the kept frames."""
+    width, height, fps, frames = parse_avi_mjpeg(data)
     return width, height, fps, [jpeg.decode_gray8(f) for f in frames]
 
 

@@ -90,13 +90,19 @@ def decode_wav_mulaw(data: bytes) -> tuple[int, list[int]]:
     pos = 12
     framerate = None
     codes = None
-    while pos + 8 <= len(data):
+    # bound the walk by the DECLARED riff size, not len(data): bytes
+    # past the RIFF payload are trailing garbage, not chunks — a
+    # stray 'data' header there must not overwrite the real samples
+    end = 8 + riff_len
+    while pos + 8 <= end:
         tag = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
-        if len(body) != size:
+        if pos + 8 + size > end or len(body) != size:
             raise ValueError(f"truncated {tag!r} chunk")
         if tag == b"fmt ":
+            if size < 8:
+                raise ValueError("fmt chunk too short")
             fmt_tag, channels, framerate = struct.unpack("<HHI", body[:8])
             if fmt_tag != 7:
                 raise NotImplementedError(

@@ -302,6 +302,11 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
     comp_q = 0
     scan_start = None
     while pos < len(data):
+        # every read below is bounds-checked first: truncated input
+        # must fail with the codec's ValueError contract, not a bare
+        # IndexError/struct.error from a short buffer
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: incomplete marker")
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = data[pos + 1]
@@ -316,6 +321,8 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             i = 0
             while i < len(body):
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT table")
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
@@ -328,13 +335,19 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated DHT header")
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = tuple(body[i + 1 : i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise ValueError("truncated DHT values")
                 vals = tuple(body[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 segment")
             precision = body[0]
             height, width = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
@@ -348,7 +361,14 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline-sequential JPEG scan")
+        elif marker == 0xDD:  # DRI: restart markers are not decoded
+            if len(body) >= 2 and struct.unpack(">H", body[:2])[0] != 0:
+                raise NotImplementedError(
+                    "restart intervals (DRI/RSTn) not supported"
+                )
         elif marker == 0xDA:  # SOS — entropy data follows
+            if len(body) < 3:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
             if ns != 1:
                 raise NotImplementedError("multi-component scan")

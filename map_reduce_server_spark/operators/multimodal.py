@@ -98,10 +98,12 @@ def decode_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
     if not fake:
         raise NotImplementedError(
             "generic decode of arbitrary formats needs PIL/librosa/av "
-            "(not in container); real stdlib codecs exist for RGB PNG "
+            "(not in container); real codecs exist for RGB PNG "
             "(functions/png.py), baseline grayscale JPEG "
-            "(functions/jpeg.py) and PCM WAV (functions/wavcodec.py) — "
-            "use fake=True here for the deterministic byte-derived decode"
+            "(functions/jpeg.py), PCM WAV (functions/wavcodec.py), "
+            "G.711 mu-law (functions/g711.py) and MJPEG AVI "
+            "(functions/avi.py) — use fake=True here for the "
+            "deterministic byte-derived decode"
         )
     payloads = pdf["payload"]
     return pd.DataFrame(
@@ -250,13 +252,15 @@ def with_png_payload(docs: DataFrame) -> DataFrame:
     return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
 
 
-def png_stats(df: DataFrame) -> DataFrame:
-    """Decode stage over real PNG payloads: CRC-checked parse +
-    inflate + unfilter, then per-image pixel statistics."""
+def _px_stats_stage(df: DataFrame, decode_fn) -> DataFrame:
+    """Shared image-decode stats stage: ``decode_fn(bytes) ->
+    (width, height, pixel_bytes)``, output = per-image pixel
+    statistics. One definition keeps the PNG and JPEG twins' stats
+    arithmetic identical to both SQL oracles."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dec = pdf["payload"].map(_nn(lambda b: png.decode_rgb8(bytes(b))))
+            dec = pdf["payload"].map(_nn(lambda b: decode_fn(bytes(b))))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -272,6 +276,12 @@ def png_stats(df: DataFrame) -> DataFrame:
         schema="doc_id bigint, width int, height int, "
         "mean_px double, max_px int",
     )
+
+
+def png_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real PNG payloads: CRC-checked parse +
+    inflate + unfilter, then per-image pixel statistics."""
+    return _px_stats_stage(df, png.decode_rgb8)
 
 
 @register(
@@ -589,6 +599,18 @@ _JPG_W, _JPG_H = 32, 24
 _SQL_JPG_HEX = "substr(md5(text), 1, 24)"
 
 
+def _flat_block_gray(hex24: str) -> bytes:
+    """12 hex bytes -> 32x24 grayscale of flat 8x8 blocks (4 across,
+    3 down). ONE definition of the block layout, shared by the JPEG
+    and video payload builders — both SQL oracles assume exactly this
+    reshape(3,4) + 8x8 replication."""
+    import numpy as np
+
+    vals = np.frombuffer(bytes.fromhex(hex24), np.uint8)
+    img = np.repeat(np.repeat(vals.reshape(3, 4), 8, axis=0), 8, axis=1)
+    return img.tobytes()
+
+
 def with_jpeg_payload(docs: DataFrame) -> DataFrame:
     """Encode a REAL baseline grayscale JFIF JPEG per document
     (pure numpy/stdlib encoder: DCT, quantization, Annex K Huffman
@@ -598,14 +620,8 @@ def with_jpeg_payload(docs: DataFrame) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         def enc(h: str) -> bytes:
-            vals = np.frombuffer(bytes.fromhex(h), np.uint8)
-            img = np.repeat(
-                np.repeat(vals.reshape(3, 4), 8, axis=0), 8, axis=1
-            )
-            return jpeg.encode_gray8(_JPG_W, _JPG_H, img.tobytes())
+            return jpeg.encode_gray8(_JPG_W, _JPG_H, _flat_block_gray(h))
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -621,27 +637,7 @@ def with_jpeg_payload(docs: DataFrame) -> DataFrame:
 def jpeg_stats(df: DataFrame) -> DataFrame:
     """Decode stage over real JPEG payloads: marker parse, Huffman
     entropy decode, dequantize, IDCT — then per-image pixel stats."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            dec = pdf["payload"].map(
-                _nn(lambda b: jpeg.decode_gray8(bytes(b)))
-            )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": dec.map(_nn(lambda t: t[0])),
-                    "height": dec.map(_nn(lambda t: t[1])),
-                    "mean_px": dec.map(_nn(lambda t: sum(t[2]) / len(t[2]))),
-                    "max_px": dec.map(_nn(lambda t: max(t[2]))),
-                }
-            )
-
-    return df.select("doc_id", "payload").mapInPandas(
-        run,
-        schema="doc_id bigint, width int, height int, "
-        "mean_px double, max_px int",
-    )
+    return _px_stats_stage(df, jpeg.decode_gray8)
 
 
 @register(
@@ -840,20 +836,15 @@ def with_video_payload(docs: DataFrame) -> DataFrame:
     flat = docs.select("doc_id", frame_hex.alias("frames_hex"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         def enc(h: str) -> bytes:
-            frames = []
-            for f in range(_VID_FRAMES):
-                vals = np.frombuffer(
-                    bytes.fromhex(h[f * 24 : (f + 1) * 24]), np.uint8
+            frames = [
+                jpeg.encode_gray8(
+                    _JPG_W,
+                    _JPG_H,
+                    _flat_block_gray(h[f * 24 : (f + 1) * 24]),
                 )
-                img = np.repeat(
-                    np.repeat(vals.reshape(3, 4), 8, axis=0), 8, axis=1
-                )
-                frames.append(
-                    jpeg.encode_gray8(_JPG_W, _JPG_H, img.tobytes())
-                )
+                for f in range(_VID_FRAMES)
+            ]
             return avi.encode_avi_mjpeg(_JPG_W, _JPG_H, _VID_FPS, frames)
 
         for pdf in batches:
@@ -868,17 +859,22 @@ def with_video_payload(docs: DataFrame) -> DataFrame:
 
 
 def video_stats(df: DataFrame, every_n: int = _VID_STRIDE) -> DataFrame:
-    """Decode stage over real MJPEG AVI payloads: RIFF/AVI parse,
-    per-frame baseline-JPEG decode, stride frame sampling, then
-    pixel statistics over the sampled frames — the thumbnail/
-    quality screen a video-data pipeline runs before any model."""
+    """Decode stage over real MJPEG AVI payloads: RIFF/AVI container
+    parse, stride frame sampling on the RAW encoded chunks, then
+    baseline-JPEG decode of ONLY the kept frames and pixel
+    statistics over them — the thumbnail/quality screen a video-data
+    pipeline runs before any model. Sampling before decode matters:
+    at stride n the expensive Huffman+IDCT work drops by (n-1)/n,
+    which is the whole point of thinning a 100 TB corpus."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def stats(b: bytes):
-            w, h, fps, frames = avi.decode_avi_mjpeg(bytes(b))
-            kept = avi.sample_frames(frames, every_n)
+            w, h, fps, raw = avi.parse_avi_mjpeg(bytes(b))
+            kept = [
+                jpeg.decode_gray8(f) for f in avi.sample_frames(raw, every_n)
+            ]
             px = b"".join(f[2] for f in kept)
-            return (w, h, fps, len(frames), len(kept),
+            return (w, h, fps, len(raw), len(kept),
                     sum(px) / len(px), max(px))
 
         for pdf in batches:

@@ -280,6 +280,9 @@ def test_null_text_yields_null_stats_not_crash(spark):
             "multimodal_decode_png",
             "multimodal_resize_png",
             "multimodal_decode_wav",
+            "multimodal_decode_jpeg",
+            "multimodal_decode_mulaw",
+            "multimodal_decode_video",
             "multimodal_features",
             "multimodal_meta",
             "multimodal_decode",
@@ -518,3 +521,61 @@ def test_avi_rejects_malformed():
         avi.decode_avi_mjpeg(bytes(alien))
     with pytest.raises(ValueError, match="at least one frame"):
         avi.encode_avi_mjpeg(8, 8, 10, [])
+
+
+def test_codec_contract_no_bare_errors_on_crafted_input():
+    """All three new parsers must fail crafted/truncated input with
+    their documented ValueError/NotImplementedError contract — never
+    IndexError, struct.error, or RecursionError leaking from the
+    internals (the contract 6745c13 pinned for PNG)."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from map_reduce_server_spark.functions import avi, g711, jpeg
+
+    # jpeg: marker truncated right after SOI
+    with pytest.raises(ValueError):
+        jpeg.decode_gray8(b"\xff\xd8\xff")
+    # jpeg: every prefix of a valid file raises ValueError (or
+    # decodes, for prefixes that still contain the whole scan)
+    frame = jpeg.encode_gray8(8, 8, bytes(64))
+    for cut in range(2, len(frame)):
+        try:
+            jpeg.decode_gray8(frame[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    # jpeg: DRI with a nonzero restart interval is an explicit
+    # NotImplementedError, not a mid-scan mystery failure
+    dri = b"\xff\xdd" + st.pack(">H", 4) + st.pack(">H", 8)
+    with_dri = frame[:2] + dri + frame[2:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        jpeg.decode_gray8(with_dri)
+    # g711: short fmt chunk
+    bad = (b"RIFF" + st.pack("<I", 16) + b"WAVE"
+           + b"fmt " + st.pack("<I", 4) + b"\x07\x00\x01\x00")
+    with pytest.raises(ValueError, match="fmt"):
+        g711.decode_wav_mulaw(bad)
+    # g711: a stray 'data' header in trailing garbage past the
+    # declared RIFF size must not override the real samples
+    good = g711.encode_wav_mulaw(8000, bytes([1, 2, 3, 4]))
+    tail = b"data" + st.pack("<I", 2) + bytes([9, 9])
+    rate, samples = g711.decode_wav_mulaw(good + tail)
+    assert samples == [g711.decode_sample(c) for c in bytes([1, 2, 3, 4])]
+    # avi: a deeply nested LIST bomb fails structurally, not with
+    # RecursionError
+    depth = 5000
+    bomb_body = b""
+    for _ in range(depth):
+        bomb_body = b"LIST" + st.pack("<I", len(bomb_body) + 4) + b"hdrl" + bomb_body
+    bomb = b"RIFF" + st.pack("<I", len(bomb_body) + 4) + b"AVI " + bomb_body
+    with pytest.raises(ValueError):
+        avi.decode_avi_mjpeg(bomb)
+    # avi: raw parse + stride decode path agrees with full decode
+    f1 = jpeg.encode_gray8(8, 8, bytes(range(64)))
+    data = avi.encode_avi_mjpeg(8, 8, 10, [f1, f1, f1])
+    w, h, fps, raw = avi.parse_avi_mjpeg(data)
+    assert raw == [f1, f1, f1]
+    kept = [jpeg.decode_gray8(f) for f in avi.sample_frames(raw, 2)]
+    assert kept == avi.decode_avi_mjpeg(data)[3][::2]
