@@ -1,29 +1,32 @@
-"""Pure numpy/stdlib baseline JPEG codec (grayscale JFIF).
+"""Pure numpy/stdlib baseline JPEG codec (grayscale + YCbCr color).
 
 The container has no PIL/libjpeg, but baseline JPEG itself is only
 arithmetic: 8x8 DCT, quantization, zigzag, and canonical Huffman
 coding. This module implements the real thing — marker segments
 (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), the spec's Annex K luminance
-Huffman tables, entropy coding with 0xFF00 byte stuffing, DC
-differential prediction, run-length AC coding with EOB/ZRL, forward
-and inverse DCT — so the JPEG leg of the multimodal pipeline can
-exercise a REAL lossy codec path end to end.
+Huffman tables, entropy coding with 0xFF00 byte stuffing,
+per-component DC differential prediction, run-length AC coding with
+EOB/ZRL, interleaved MCU scans, the BT.601 RGB<->YCbCr transform,
+forward and inverse DCT — so the JPEG leg of the multimodal
+pipeline can exercise a REAL lossy codec path end to end.
 
-Scope is honest: baseline sequential, single 8-bit grayscale
-component, no chroma subsampling (there is no chroma), no restart
-markers, no progressive scans. Anything else raises. The decoder
-honors whatever Huffman/quant tables the DHT/DQT segments declare
-(spec behavior), so it decodes any conforming baseline grayscale
-file, not just this encoder's output.
+Scope is honest: baseline sequential, 8-bit, 1 component
+(grayscale) or 3 components (YCbCr color at 4:4:4 — no chroma
+subsampling), no restart markers, no progressive scans. Anything
+else raises. The decoder honors whatever Huffman/quant tables the
+DHT/DQT segments declare (spec behavior), so it decodes any
+conforming file in scope, not just this encoder's output.
 
 Exactness contract the oracle twins rely on: with the default UNIT
 quantization table, an image made of FLAT 8x8 blocks round-trips
 bit-exactly — a flat block's DCT is a lone integer DC coefficient
 (8*(v-128)); unit quantization preserves it and the IDCT returns the
 constant exactly (float error ~1e-12, far under the 0.5 rounding
-threshold). General images round-trip within +/-1 per pixel (pure
-DCT/IDCT float rounding), which is what "lossless-quality baseline
-JPEG" means.
+threshold). The same holds through the COLOR pipeline for flat GRAY
+blocks (R=G=B=v maps to Y=v, Cb=Cr=128 exactly — the BT.601 row
+sums are 1, 0, 0). General grayscale content round-trips within
++/-1 per pixel (pure DCT/IDCT float rounding); general color within
++/-3 (adds the two YCbCr rounding steps).
 """
 
 from __future__ import annotations
@@ -143,6 +146,90 @@ def _dht(table_class: int, table_id: int, bits, vals) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
+def _plane_to_zz(plane: np.ndarray, quant: int) -> np.ndarray:
+    """One 8-bit plane -> per-block quantized zigzag coefficients
+    (n_blocks x 64, raster block order). Pads to full 8x8 MCUs by
+    edge replication (the standard padding choice)."""
+    ph, pw = -plane.shape[0] % 8, -plane.shape[1] % 8
+    plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    gh, gw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    shifted = blocks.astype(np.float64) - 128.0
+    coeffs = np.einsum("ux,nxy,vy->nuv", _M, shifted, _M)
+    q = np.rint(coeffs / quant).astype(np.int64)
+    return q.reshape(-1, 64)[:, _ZIGZAG]
+
+
+def _write_block(w: _BitWriter, blk: np.ndarray, prev_dc: int) -> int:
+    """Entropy-code one zigzag block; returns its DC for prediction."""
+    dc = int(blk[0])
+    cat, amp = _magnitude(dc - prev_dc)
+    code, length = _DC_ENC[cat]
+    w.write(code, length)
+    if cat:
+        w.write(amp, cat)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = _AC_ENC[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        cat, amp = _magnitude(v)
+        code, length = _AC_ENC[(run << 4) | cat]
+        w.write(code, length)
+        w.write(amp, cat)
+        run = 0
+    if last < 63:
+        code, length = _AC_ENC[0x00]  # EOB
+        w.write(code, length)
+    return dc
+
+
+def _headers(
+    width: int, height: int, quant: int, ncomp: int
+) -> list[bytes]:
+    """SOI through SOS for a baseline file with 1 (gray) or 3
+    (YCbCr 4:4:4) components. Component 1 uses quant/Huffman table
+    id 0; chroma components use id 1 (whose DHT re-declares the
+    Annex K luminance tables — spec-valid: the decoder honors
+    whatever DHT declares)."""
+    qtabs = bytes([0]) + bytes([quant] * 64)
+    dhts = _dht(0, 0, _DC_BITS, _DC_VALS) + _dht(1, 0, _AC_BITS, _AC_VALS)
+    if ncomp == 1:
+        sof_comps = bytes([1, 1, 0x11, 0])
+        sos_comps = bytes([1, 1, 0x00])
+    else:
+        qtabs += bytes([1]) + bytes([quant] * 64)
+        dhts += _dht(0, 1, _DC_BITS, _DC_VALS) + _dht(
+            1, 1, _AC_BITS, _AC_VALS
+        )
+        sof_comps = bytes(
+            [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )  # ncomp, then (id, sampling, tq) per component
+        sos_comps = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11])
+    return [
+        b"\xff\xd8",  # SOI
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00",  # APP0
+        b"\xff\xdb" + struct.pack(">H", len(qtabs) + 2) + qtabs,  # DQT
+        b"\xff\xc0"
+        + struct.pack(">H", 8 + 3 * ncomp)  # SOF0
+        + bytes([8]) + struct.pack(">HH", height, width) + sof_comps,
+        dhts,
+        b"\xff\xda"
+        + struct.pack(">H", 6 + 2 * ncomp)  # SOS
+        + sos_comps + bytes([0, 63, 0]),
+    ]
+
+
 def encode_gray8(
     width: int, height: int, pixels: bytes, quant: int = 1
 ) -> bytes:
@@ -156,67 +243,59 @@ def encode_gray8(
     if not 1 <= quant <= 255:
         raise ValueError("quant must be in 1..255")
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    # edge-replicate to full 8x8 MCUs (standard padding choice)
-    ph, pw = -height % 8, -width % 8
-    img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
-    gh, gw = img.shape[0] // 8, img.shape[1] // 8
-    blocks = (
-        img.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    )
-    shifted = blocks.astype(np.float64) - 128.0
-    coeffs = np.einsum("ux,nxy,vy->nuv", _M, shifted, _M)
-    q = np.rint(coeffs / quant).astype(np.int64)
-    zz = q.reshape(-1, 64)[:, _ZIGZAG]
-
+    zz = _plane_to_zz(img, quant)
     w = _BitWriter()
     prev_dc = 0
     for blk in zz:
-        dc = int(blk[0])
-        cat, amp = _magnitude(dc - prev_dc)
-        prev_dc = dc
-        code, length = _DC_ENC[cat]
-        w.write(code, length)
-        if cat:
-            w.write(amp, cat)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for i in range(1, last + 1):
-            v = int(blk[i])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, length = _AC_ENC[0xF0]  # ZRL
-                w.write(code, length)
-                run -= 16
-            cat, amp = _magnitude(v)
-            code, length = _AC_ENC[(run << 4) | cat]
-            w.write(code, length)
-            w.write(amp, cat)
-            run = 0
-        if last < 63:
-            code, length = _AC_ENC[0x00]  # EOB
-            w.write(code, length)
-    scan = w.flush()
+        prev_dc = _write_block(w, blk, prev_dc)
+    return b"".join(
+        _headers(width, height, quant, 1) + [w.flush(), b"\xff\xd9"]
+    )
 
-    qtab = bytes([0]) + bytes([quant] * 64)  # 8-bit table 0, zigzag order
-    parts = [
-        b"\xff\xd8",  # SOI
-        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-        + struct.pack(">HH", 1, 1) + b"\x00\x00",  # APP0
-        b"\xff\xdb" + struct.pack(">H", len(qtab) + 2) + qtab,  # DQT
-        b"\xff\xc0" + struct.pack(">H", 11)  # SOF0: 1 component
-        + bytes([8]) + struct.pack(">HH", height, width)
-        + bytes([1, 1, 0x11, 0]),
-        _dht(0, 0, _DC_BITS, _DC_VALS),
-        _dht(1, 0, _AC_BITS, _AC_VALS),
-        b"\xff\xda" + struct.pack(">H", 8)  # SOS
-        + bytes([1, 1, 0x00, 0, 63, 0]),
-        scan,
-        b"\xff\xd9",  # EOI
+
+def encode_rgb8(
+    width: int, height: int, pixels: bytes, quant: int = 1
+) -> bytes:
+    """Encode row-major RGB bytes as a baseline COLOR JFIF JPEG
+    (YCbCr, 4:4:4 — no chroma subsampling, so every component tiles
+    the same 8x8 grid and the MCU interleave is one block each of
+    Y, Cb, Cr).
+
+    Exactness domain: GRAY pixels (R=G=B=v) convert to Y=v,
+    Cb=Cr=128 exactly (the BT.601 row sums are 1, 0, 0), so a flat
+    gray block round-trips bit-identically through the full color
+    pipeline under the unit quant table — the color analogue of the
+    grayscale flat-block contract.
+    """
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in 1..255")
+    rgb = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
     ]
-    return b"".join(parts)
+    zzs = [
+        _plane_to_zz(
+            np.clip(np.rint(p), 0, 255).astype(np.uint8), quant
+        )
+        for p in planes
+    ]
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for m in range(len(zzs[0])):  # MCU = (Y, Cb, Cr) at 4:4:4
+        for c in range(3):
+            prev[c] = _write_block(w, zzs[c][m], prev[c])
+    return b"".join(
+        _headers(width, height, quant, 3) + [w.flush(), b"\xff\xd9"]
+    )
 
 
 class _BitReader:
@@ -286,12 +365,15 @@ def _extend(amp: int, cat: int) -> int:
     return amp - (1 << cat) + 1
 
 
-def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline grayscale JPEG into (width, height, bytes).
+def _decode_planes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode a baseline JPEG into (width, height, [component planes]).
 
     Parses marker segments, builds the Huffman/quant tables the file
-    declares, entropy-decodes the single scan, dequantizes, inverse-
-    zigzags, applies the IDCT, and crops MCU padding.
+    declares, entropy-decodes the single interleaved scan (1
+    grayscale component, or 3 YCbCr components at 4:4:4), dequantizes
+    per component, inverse-zigzags, applies the IDCT, and crops MCU
+    padding. Chroma subsampling (4:2:0/4:2:2) raises
+    NotImplementedError.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
@@ -299,7 +381,8 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     width = height = None
-    comp_q = 0
+    sof_comps: list[tuple[int, int]] = []  # (component id, quant id)
+    scan_tabs: list[tuple[int, int]] = []  # (dc id, ac id) in scan order
     scan_start = None
     while pos < len(data):
         # every read below is bounds-checked first: truncated input
@@ -346,18 +429,25 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
                 htables[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
-            if len(body) < 9:
+            if len(body) < 6:
                 raise ValueError("truncated SOF0 segment")
             precision = body[0]
             height, width = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
-            if precision != 8 or ncomp != 1:
+            if precision != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only 8-bit single-component (grayscale) baseline"
+                    "only 8-bit 1-component (gray) or 3-component "
+                    "(YCbCr) baseline"
                 )
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled grayscale")
-            comp_q = body[8]
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 component list")
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling (non-1x1 factors)"
+                    )
+                sof_comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline-sequential JPEG scan")
@@ -367,24 +457,40 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
                     "restart intervals (DRI/RSTn) not supported"
                 )
         elif marker == 0xDA:  # SOS — entropy data follows
-            if len(body) < 3:
+            if len(body) < 1:
                 raise ValueError("truncated SOS segment")
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            if ns != len(sof_comps) or ns not in (1, 3):
+                raise NotImplementedError(
+                    "scan component count must match SOF0 (1 or 3)"
+                )
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated SOS component list")
+            by_id = {cid: i for i, (cid, _) in enumerate(sof_comps)}
+            scan_tabs = [(0, 0)] * ns
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tabs = body[2 + 2 * c]
+                if cid not in by_id:
+                    raise ValueError("SOS references unknown component")
+                scan_tabs[by_id[cid]] = (tabs >> 4, tabs & 0x0F)
             scan_start = pos + 2 + seglen
             break
         # APPn/COM/etc: skip
         pos += 2 + seglen
     if width is None or scan_start is None:
         raise ValueError("missing SOF0/SOS")
-    if comp_q not in qtables:
-        raise ValueError("scan references an undeclared quant table")
-    dc_tab = htables.get((0, dc_id))
-    ac_tab = htables.get((1, ac_id))
-    if dc_tab is None or ac_tab is None:
-        raise ValueError("scan references an undeclared Huffman table")
+    comp_tabs = []
+    for (cid, tq), (dc_id, ac_id) in zip(sof_comps, scan_tabs):
+        if tq not in qtables:
+            raise ValueError("scan references an undeclared quant table")
+        dc_tab = htables.get((0, dc_id))
+        ac_tab = htables.get((1, ac_id))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError(
+                "scan references an undeclared Huffman table"
+            )
+        comp_tabs.append((qtables[tq], dc_tab, ac_tab))
 
     # find EOI to bound the entropy stream (no restart markers)
     end = data.rfind(b"\xff\xd9")
@@ -392,39 +498,73 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("truncated JPEG: missing EOI")
     reader = _BitReader(data[scan_start:end])
     gw, gh = (width + 7) // 8, (height + 7) // 8
-    zz = np.zeros((gw * gh, 64), dtype=np.int64)
-    prev_dc = 0
-    for b in range(gw * gh):
-        cat = _read_symbol(reader, dc_tab)
-        diff = _extend(reader.read_bits(cat), cat)
-        prev_dc += diff
-        zz[b, 0] = prev_dc
-        i = 1
-        while i < 64:
-            sym = _read_symbol(reader, ac_tab)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                i += 16
-                continue
-            run, cat = sym >> 4, sym & 0x0F
-            i += run
-            if i > 63:
-                raise ValueError("AC run overflows block")
-            zz[b, i] = _extend(reader.read_bits(cat), cat)
-            i += 1
+    ncomp = len(sof_comps)
+    zz = np.zeros((ncomp, gw * gh, 64), dtype=np.int64)
+    prev_dc = [0] * ncomp
+    for b in range(gw * gh):  # MCU order; 4:4:4 => one block per comp
+        for c in range(ncomp):
+            _, dc_tab, ac_tab = comp_tabs[c]
+            cat = _read_symbol(reader, dc_tab)
+            diff = _extend(reader.read_bits(cat), cat)
+            prev_dc[c] += diff
+            zz[c, b, 0] = prev_dc[c]
+            i = 1
+            while i < 64:
+                sym = _read_symbol(reader, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, cat = sym >> 4, sym & 0x0F
+                i += run
+                if i > 63:
+                    raise ValueError("AC run overflows block")
+                zz[c, b, i] = _extend(reader.read_bits(cat), cat)
+                i += 1
 
-    deq = np.zeros((gw * gh, 64), dtype=np.float64)
-    deq[:, _ZIGZAG] = zz
-    coeffs = deq.reshape(-1, 8, 8) * qtables[comp_q]
-    spatial = np.einsum("xu,nuv,yv->nxy", _M.T, coeffs, _M.T)
-    px = np.clip(np.rint(spatial) + 128.0, 0, 255).astype(np.uint8)
-    img = (
-        px.reshape(gh, gw, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(gh * 8, gw * 8)
+    planes = []
+    for c in range(ncomp):
+        deq = np.zeros((gw * gh, 64), dtype=np.float64)
+        deq[:, _ZIGZAG] = zz[c]
+        coeffs = deq.reshape(-1, 8, 8) * comp_tabs[c][0]
+        spatial = np.einsum("xu,nuv,yv->nxy", _M.T, coeffs, _M.T)
+        img = (
+            (np.rint(spatial) + 128.0)
+            .reshape(gh, gw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gh * 8, gw * 8)
+        )
+        planes.append(img[:height, :width])
+    return width, height, planes
+
+
+def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline GRAYSCALE JPEG into (width, height, bytes).
+    A color (3-component) file raises — use :func:`decode_rgb8`."""
+    width, height, planes = _decode_planes(data)
+    if len(planes) != 1:
+        raise ValueError("color JPEG: use decode_rgb8")
+    return width, height, (
+        np.clip(planes[0], 0, 255).astype(np.uint8).tobytes()
     )
-    return width, height, img[:height, :width].tobytes()
+
+
+def decode_rgb8(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline COLOR (YCbCr 4:4:4) JPEG into (width,
+    height, row-major RGB bytes) via the BT.601 inverse transform.
+    A grayscale file raises — use :func:`decode_gray8`."""
+    width, height, planes = _decode_planes(data)
+    if len(planes) != 3:
+        raise ValueError("grayscale JPEG: use decode_gray8")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return width, height, (
+        np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+    )
 
 
 # Functions above run inside Arrow-batched Python workers — ship

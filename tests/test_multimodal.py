@@ -579,3 +579,39 @@ def test_codec_contract_no_bare_errors_on_crafted_input():
     assert raw == [f1, f1, f1]
     kept = [jpeg.decode_gray8(f) for f in avi.sample_frames(raw, 2)]
     assert kept == avi.decode_avi_mjpeg(data)[3][::2]
+
+
+def test_jpeg_color_roundtrip():
+    """The COLOR pipeline (YCbCr 4:4:4, interleaved MCUs,
+    per-component DC prediction): flat GRAY blocks round-trip
+    bit-exactly (Y=v, Cb=Cr=128 exactly under BT.601), general color
+    content within +/-3 (DCT float rounding + two YCbCr rounding
+    steps), and the gray/color decode entry points reject each
+    other's files explicitly."""
+    import numpy as np
+    import pytest
+
+    from map_reduce_server_spark.functions import jpeg
+
+    rng = np.random.default_rng(21)
+    # flat gray blocks, color container -> exact
+    vals = rng.integers(0, 256, 12, dtype=np.uint8)
+    gray = np.repeat(np.repeat(vals.reshape(3, 4), 8, 0), 8, 1)
+    rgb = np.repeat(gray[..., None], 3, axis=2)
+    data = jpeg.encode_rgb8(32, 24, rgb.tobytes())
+    w, h, px = jpeg.decode_rgb8(data)
+    assert (w, h) == (32, 24)
+    assert np.array_equal(
+        np.frombuffer(px, np.uint8).reshape(24, 32, 3), rgb
+    )
+    # arbitrary color -> bounded error
+    cimg = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    d2 = jpeg.encode_rgb8(13, 11, cimg.tobytes())
+    b2 = np.frombuffer(jpeg.decode_rgb8(d2)[2], np.uint8).reshape(11, 13, 3)
+    assert np.abs(b2.astype(int) - cimg.astype(int)).max() <= 3
+    # wrong-entry-point errors are explicit
+    g = jpeg.encode_gray8(8, 8, bytes(64))
+    with pytest.raises(ValueError, match="use decode_gray8"):
+        jpeg.decode_rgb8(g)
+    with pytest.raises(ValueError, match="use decode_rgb8"):
+        jpeg.decode_gray8(data)
