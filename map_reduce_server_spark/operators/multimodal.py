@@ -99,7 +99,7 @@ def decode_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
         raise NotImplementedError(
             "generic decode of arbitrary formats needs PIL/librosa/av "
             "(not in container); real codecs exist for RGB PNG "
-            "(functions/png.py), baseline grayscale JPEG "
+            "(functions/png.py), baseline gray/color JPEG "
             "(functions/jpeg.py), PCM WAV (functions/wavcodec.py), "
             "G.711 mu-law (functions/g711.py) and MJPEG AVI "
             "(functions/avi.py) — use fake=True here for the "
