@@ -26,7 +26,9 @@ threshold). The same holds through the COLOR pipeline for flat GRAY
 blocks (R=G=B=v maps to Y=v, Cb=Cr=128 exactly — the BT.601 row
 sums are 1, 0, 0). General grayscale content round-trips within
 +/-1 per pixel (pure DCT/IDCT float rounding); general color within
-+/-3 (adds the two YCbCr rounding steps).
++/-5 (the YCbCr rounding steps compound through the 1.772 blue
+coefficient: worst case ~|dY| + 1.772*|dCb| + 0.5 ~ 4.2; observed
+max 4).
 """
 
 from __future__ import annotations
@@ -467,19 +469,30 @@ def _decode_planes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
             if len(body) < 1 + 2 * ns:
                 raise ValueError("truncated SOS component list")
             by_id = {cid: i for i, (cid, _) in enumerate(sof_comps)}
-            scan_tabs = [(0, 0)] * ns
+            scan_tabs = [None] * ns
             for c in range(ns):
                 cid = body[1 + 2 * c]
                 tabs = body[2 + 2 * c]
                 if cid not in by_id:
                     raise ValueError("SOS references unknown component")
+                if scan_tabs[by_id[cid]] is not None:
+                    raise ValueError("SOS lists a component twice")
                 scan_tabs[by_id[cid]] = (tabs >> 4, tabs & 0x0F)
+            if any(t is None for t in scan_tabs):
+                raise ValueError("SOS omits a frame component")
             scan_start = pos + 2 + seglen
             break
         # APPn/COM/etc: skip
         pos += 2 + seglen
     if width is None or scan_start is None:
         raise ValueError("missing SOF0/SOS")
+    # size guard BEFORE allocating coefficient buffers: a ~200-byte
+    # crafted file can declare 65535x65535x3 (~100 GB of int64
+    # coefficients) — that must be a ValueError, not a worker OOM
+    if width * height > 1 << 26:
+        raise ValueError(
+            "declared image size exceeds this decoder's 64-megapixel cap"
+        )
     comp_tabs = []
     for (cid, tq), (dc_id, ac_id) in zip(sof_comps, scan_tabs):
         if tq not in qtables:
@@ -529,8 +542,11 @@ def _decode_planes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
         deq[:, _ZIGZAG] = zz[c]
         coeffs = deq.reshape(-1, 8, 8) * comp_tabs[c][0]
         spatial = np.einsum("xu,nuv,yv->nxy", _M.T, coeffs, _M.T)
+        # clamp each component to [0,255] BEFORE any downstream use —
+        # T.81 sample clamping; a ringing overshoot (e.g. Cb=256)
+        # must not enter the color transform un-clamped
         img = (
-            (np.rint(spatial) + 128.0)
+            np.clip(np.rint(spatial) + 128.0, 0, 255)
             .reshape(gh, gw, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(gh * 8, gw * 8)
@@ -545,9 +561,7 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
     width, height, planes = _decode_planes(data)
     if len(planes) != 1:
         raise ValueError("color JPEG: use decode_rgb8")
-    return width, height, (
-        np.clip(planes[0], 0, 255).astype(np.uint8).tobytes()
-    )
+    return width, height, planes[0].astype(np.uint8).tobytes()
 
 
 def decode_rgb8(data: bytes) -> tuple[int, int, bytes]:
