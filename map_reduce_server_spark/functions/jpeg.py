@@ -11,11 +11,12 @@ forward and inverse DCT — so the JPEG leg of the multimodal
 pipeline can exercise a REAL lossy codec path end to end.
 
 Scope is honest: baseline sequential, 8-bit, 1 component
-(grayscale) or 3 components (YCbCr color at 4:4:4 — no chroma
-subsampling), no restart markers, no progressive scans. Anything
-else raises. The decoder honors whatever Huffman/quant tables the
-DHT/DQT segments declare (spec behavior), so it decodes any
-conforming file in scope, not just this encoder's output.
+(grayscale) or 3 components (YCbCr color at 4:4:4 or 4:2:0 — the
+near-universal real-world profile; chroma upsampled by sample
+replication on decode), no restart markers, no progressive scans.
+Anything else raises. The decoder honors whatever Huffman/quant
+tables the DHT/DQT segments declare (spec behavior), so it decodes
+any conforming file in scope, not just this encoder's output.
 
 Exactness contract the oracle twins rely on: with the default UNIT
 quantization table, an image made of FLAT 8x8 blocks round-trips
@@ -196,7 +197,8 @@ def _write_block(w: _BitWriter, blk: np.ndarray, prev_dc: int) -> int:
 
 
 def _headers(
-    width: int, height: int, quant: int, ncomp: int
+    width: int, height: int, quant: int, ncomp: int,
+    y_sampling: int = 0x11,
 ) -> list[bytes]:
     """SOI through SOS for a baseline file with 1 (gray) or 3
     (YCbCr 4:4:4) components. Component 1 uses quant/Huffman table
@@ -214,7 +216,7 @@ def _headers(
             1, 1, _AC_BITS, _AC_VALS
         )
         sof_comps = bytes(
-            [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+            [3, 1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]
         )  # ncomp, then (id, sampling, tq) per component
         sos_comps = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11])
     return [
@@ -256,18 +258,27 @@ def encode_gray8(
 
 
 def encode_rgb8(
-    width: int, height: int, pixels: bytes, quant: int = 1
+    width: int,
+    height: int,
+    pixels: bytes,
+    quant: int = 1,
+    subsample: bool = False,
 ) -> bytes:
-    """Encode row-major RGB bytes as a baseline COLOR JFIF JPEG
-    (YCbCr, 4:4:4 — no chroma subsampling, so every component tiles
-    the same 8x8 grid and the MCU interleave is one block each of
-    Y, Cb, Cr).
+    """Encode row-major RGB bytes as a baseline COLOR JFIF JPEG.
 
-    Exactness domain: GRAY pixels (R=G=B=v) convert to Y=v,
-    Cb=Cr=128 exactly (the BT.601 row sums are 1, 0, 0), so a flat
-    gray block round-trips bit-identically through the full color
-    pipeline under the unit quant table — the color analogue of the
-    grayscale flat-block contract.
+    ``subsample=False`` (default) writes 4:4:4 — every component
+    tiles the same 8x8 grid, MCU = one block each of Y, Cb, Cr.
+    ``subsample=True`` writes 4:2:0 (the near-universal real-world
+    profile): chroma is 2x2 box-mean downsampled and each 16x16 MCU
+    interleaves 4 Y blocks + 1 Cb + 1 Cr.
+
+    Exactness domain (4:4:4 only): GRAY pixels (R=G=B=v) convert to
+    Y=v, Cb=Cr=128 exactly (the BT.601 row sums are 1, 0, 0), so a
+    flat gray block round-trips bit-identically through the full
+    color pipeline under the unit quant table — the color analogue
+    of the grayscale flat-block contract. (4:2:0 keeps that property
+    for flat-gray MCUs too, but chroma averaging makes general
+    content lossier; it is the realism profile, not the oracle one.)
     """
     if len(pixels) != width * height * 3:
         raise ValueError("pixel buffer does not match dimensions")
@@ -284,19 +295,52 @@ def encode_rgb8(
         128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
         128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
     ]
-    zzs = [
-        _plane_to_zz(
-            np.clip(np.rint(p), 0, 255).astype(np.uint8), quant
-        )
-        for p in planes
+    planes = [
+        np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in planes
     ]
     w = _BitWriter()
     prev = [0, 0, 0]
-    for m in range(len(zzs[0])):  # MCU = (Y, Cb, Cr) at 4:4:4
-        for c in range(3):
-            prev[c] = _write_block(w, zzs[c][m], prev[c])
+    if not subsample:
+        zzs = [_plane_to_zz(p, quant) for p in planes]
+        for m in range(len(zzs[0])):  # MCU = (Y, Cb, Cr) at 4:4:4
+            for c in range(3):
+                prev[c] = _write_block(w, zzs[c][m], prev[c])
+        return b"".join(
+            _headers(width, height, quant, 3) + [w.flush(), b"\xff\xd9"]
+        )
+    # 4:2:0: pad everything to full 16x16 MCUs first so the Y block
+    # grid is exactly 2x the chroma grid, then box-average chroma
+    ph, pw = -height % 16, -width % 16
+    padded = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in planes]
+    yp = padded[0]
+    chroma = [
+        np.clip(
+            np.rint(
+                p.astype(np.float64)
+                .reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
+                .mean(axis=(1, 3))
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        for p in padded[1:]
+    ]
+    zz_y = _plane_to_zz(yp, quant)
+    zz_c = [_plane_to_zz(p, quant) for p in chroma]
+    mcux, mcuy = yp.shape[1] // 16, yp.shape[0] // 16
+    gw_y = mcux * 2
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for bv in range(2):  # 4 Y blocks in raster order
+                for bhx in range(2):
+                    bi = (my * 2 + bv) * gw_y + mx * 2 + bhx
+                    prev[0] = _write_block(w, zz_y[bi], prev[0])
+            ci = my * mcux + mx
+            prev[1] = _write_block(w, zz_c[0][ci], prev[1])
+            prev[2] = _write_block(w, zz_c[1][ci], prev[2])
     return b"".join(
-        _headers(width, height, quant, 3) + [w.flush(), b"\xff\xd9"]
+        _headers(width, height, quant, 3, y_sampling=0x22)
+        + [w.flush(), b"\xff\xd9"]
     )
 
 
@@ -445,11 +489,18 @@ def _decode_planes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
                 raise ValueError("truncated SOF0 component list")
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling (non-1x1 factors)"
-                    )
-                sof_comps.append((cid, tq))
+                sof_comps.append(
+                    (cid, sampling >> 4, sampling & 0x0F, tq)
+                )
+            samp = [(h, v) for (_, h, v, _) in sof_comps]
+            if not (
+                all(s == (1, 1) for s in samp)
+                or (ncomp == 3 and samp == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise NotImplementedError(
+                    "only 1x1 sampling (gray / 4:4:4) or 2x2-luma "
+                    "4:2:0 supported"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline-sequential JPEG scan")
@@ -468,7 +519,9 @@ def _decode_planes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
                 )
             if len(body) < 1 + 2 * ns:
                 raise ValueError("truncated SOS component list")
-            by_id = {cid: i for i, (cid, _) in enumerate(sof_comps)}
+            by_id = {
+                comp[0]: i for i, comp in enumerate(sof_comps)
+            }
             scan_tabs = [None] * ns
             for c in range(ns):
                 cid = body[1 + 2 * c]
@@ -494,7 +547,7 @@ def _decode_planes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
             "declared image size exceeds this decoder's 64-megapixel cap"
         )
     comp_tabs = []
-    for (cid, tq), (dc_id, ac_id) in zip(sof_comps, scan_tabs):
+    for (cid, ch, cv, tq), (dc_id, ac_id) in zip(sof_comps, scan_tabs):
         if tq not in qtables:
             raise ValueError("scan references an undeclared quant table")
         dc_tab = htables.get((0, dc_id))
@@ -510,35 +563,50 @@ def _decode_planes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
     if end < scan_start:
         raise ValueError("truncated JPEG: missing EOI")
     reader = _BitReader(data[scan_start:end])
-    gw, gh = (width + 7) // 8, (height + 7) // 8
     ncomp = len(sof_comps)
-    zz = np.zeros((ncomp, gw * gh, 64), dtype=np.int64)
+    max_h = max(h for (_, h, _v, _) in sof_comps)
+    max_v = max(v for (_, _h, v, _) in sof_comps)
+    mcux = (width + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (height + 8 * max_v - 1) // (8 * max_v)
+    # per-component block grids (blocks down, blocks across)
+    grids = [(mcuy * v, mcux * h) for (_, h, v, _) in sof_comps]
+    zz = [np.zeros((bh * bw, 64), dtype=np.int64) for bh, bw in grids]
     prev_dc = [0] * ncomp
-    for b in range(gw * gh):  # MCU order; 4:4:4 => one block per comp
-        for c in range(ncomp):
-            _, dc_tab, ac_tab = comp_tabs[c]
-            cat = _read_symbol(reader, dc_tab)
-            diff = _extend(reader.read_bits(cat), cat)
-            prev_dc[c] += diff
-            zz[c, b, 0] = prev_dc[c]
-            i = 1
-            while i < 64:
-                sym = _read_symbol(reader, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, cat = sym >> 4, sym & 0x0F
-                i += run
-                if i > 63:
-                    raise ValueError("AC run overflows block")
-                zz[c, b, i] = _extend(reader.read_bits(cat), cat)
-                i += 1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            # T.81 interleave: per MCU, each component contributes
+            # its h x v blocks in raster order (4 Y, 1 Cb, 1 Cr at
+            # 4:2:0; one block each at 1x1 factors)
+            for c, (_, h, v, _) in enumerate(sof_comps):
+                _, dc_tab, ac_tab = comp_tabs[c]
+                for bv in range(v):
+                    for bhx in range(h):
+                        b = (my * v + bv) * grids[c][1] + mx * h + bhx
+                        cat = _read_symbol(reader, dc_tab)
+                        diff = _extend(reader.read_bits(cat), cat)
+                        prev_dc[c] += diff
+                        zz[c][b, 0] = prev_dc[c]
+                        i = 1
+                        while i < 64:
+                            sym = _read_symbol(reader, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            run, cat = sym >> 4, sym & 0x0F
+                            i += run
+                            if i > 63:
+                                raise ValueError("AC run overflows block")
+                            zz[c][b, i] = _extend(
+                                reader.read_bits(cat), cat
+                            )
+                            i += 1
 
     planes = []
-    for c in range(ncomp):
-        deq = np.zeros((gw * gh, 64), dtype=np.float64)
+    for c, (_, h, v, _) in enumerate(sof_comps):
+        bh, bw = grids[c]
+        deq = np.zeros((bh * bw, 64), dtype=np.float64)
         deq[:, _ZIGZAG] = zz[c]
         coeffs = deq.reshape(-1, 8, 8) * comp_tabs[c][0]
         spatial = np.einsum("xu,nuv,yv->nxy", _M.T, coeffs, _M.T)
@@ -547,11 +615,14 @@ def _decode_planes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
         # must not enter the color transform un-clamped
         img = (
             np.clip(np.rint(spatial) + 128.0, 0, 255)
-            .reshape(gh, gw, 8, 8)
+            .reshape(bh, bw, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(gh * 8, gw * 8)
+            .reshape(bh * 8, bw * 8)
         )
-        planes.append(img[:height, :width])
+        # T.81 component dimensions: ceil(size * factor / max_factor)
+        cw = (width * h + max_h - 1) // max_h
+        chh = (height * v + max_v - 1) // max_v
+        planes.append(img[:chh, :cw])
     return width, height, planes
 
 
@@ -565,13 +636,17 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_rgb8(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline COLOR (YCbCr 4:4:4) JPEG into (width,
-    height, row-major RGB bytes) via the BT.601 inverse transform.
+    """Decode a baseline COLOR JPEG (YCbCr at 4:4:4 or 4:2:0) into
+    (width, height, row-major RGB bytes) via the BT.601 inverse
+    transform; subsampled chroma upsamples by sample replication.
     A grayscale file raises — use :func:`decode_gray8`."""
     width, height, planes = _decode_planes(data)
     if len(planes) != 3:
         raise ValueError("grayscale JPEG: use decode_gray8")
     y, cb, cr = planes
+    if cb.shape != y.shape:  # 4:2:0 — replicate chroma 2x2
+        cb = np.repeat(np.repeat(cb, 2, 0), 2, 1)[:height, :width]
+        cr = np.repeat(np.repeat(cr, 2, 0), 2, 1)[:height, :width]
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

@@ -645,3 +645,51 @@ def test_jpeg_decoder_guards():
     dup[sos + 7] = 1  # second selector now duplicates component 1
     with pytest.raises(ValueError, match="twice"):
         jpeg.decode_rgb8(bytes(dup))
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """The 4:2:0 profile (the format nearly every real-world JPEG
+    uses): 16x16 MCUs interleave 4 Y + 1 Cb + 1 Cr, chroma is 2x2
+    box-downsampled on encode and replicated on decode. Flat-gray
+    MCUs stay bit-exact; constant-chroma content matches the
+    grayscale bound; genuinely smooth color stays within a few
+    counts (chroma EDGES blur by design — that is what 4:2:0 is)."""
+    import numpy as np
+
+    from map_reduce_server_spark.functions import jpeg
+
+    rng = np.random.default_rng(17)
+    # flat-gray 16x16 MCUs -> exact
+    mv = rng.integers(0, 256, 6, dtype=np.uint8)
+    gm = np.repeat(np.repeat(mv.reshape(2, 3), 16, 0), 16, 1)
+    rgbm = np.repeat(gm[..., None], 3, 2)
+    data = jpeg.encode_rgb8(48, 32, rgbm.tobytes(), subsample=True)
+    w, h, px = jpeg.decode_rgb8(data)
+    assert (w, h) == (48, 32)
+    assert np.array_equal(
+        np.frombuffer(px, np.uint8).reshape(32, 48, 3), rgbm
+    )
+    # constant-chroma gradient -> grayscale-class error
+    g = (np.add.outer(np.arange(24) * 3, np.arange(32) * 2) % 256).astype(
+        np.uint8
+    )
+    rgb = np.repeat(g[..., None], 3, 2)
+    b = np.frombuffer(
+        jpeg.decode_rgb8(
+            jpeg.encode_rgb8(32, 24, rgb.tobytes(), subsample=True)
+        )[2],
+        np.uint8,
+    ).reshape(24, 32, 3)
+    assert np.abs(b.astype(int) - rgb.astype(int)).max() <= 1
+    # smooth linear color ramps (odd dims exercise MCU crop)
+    y, x = np.mgrid[0:21, 0:35]
+    sm = np.stack([50 + 3 * x, 80 + 2 * y, 100 + x + y], -1).astype(
+        np.uint8
+    )
+    b2 = np.frombuffer(
+        jpeg.decode_rgb8(
+            jpeg.encode_rgb8(35, 21, sm.tobytes(), subsample=True)
+        )[2],
+        np.uint8,
+    ).reshape(21, 35, 3)
+    assert np.abs(b2.astype(int) - sm.astype(int)).max() <= 5
