@@ -19,9 +19,12 @@ closed integer form
     mag = ((2*m + 33) << (e + 2)) - 132
     val = -mag if cc >= 128 else mag
 
-which a SQL oracle replays verbatim. Scope is honest: mono mu-law
-(tag 7) only; A-law, ADPCM and perceptual codecs (mp3/ogg) stay
-env-gated in :mod:`..operators.multimodal`.
+which a SQL oracle replays verbatim. A-law (format tag 6, the
+European telephony sibling) is implemented alongside with the same
+closed-form discipline — and without mu-law's negative-zero quirk,
+its codebook is invertible on all 256 codes. Scope is honest: mono
+G.711 only; ADPCM and perceptual codecs (mp3/ogg) stay env-gated in
+:mod:`..operators.multimodal`.
 """
 
 from __future__ import annotations
@@ -62,11 +65,47 @@ def decode_sample(c: int) -> int:
     return -mag if cc & 0x80 else mag
 
 
-def encode_wav_mulaw(framerate: int, codes: bytes) -> bytes:
-    """Frame mu-law code bytes as a RIFF/WAVE file (format tag 7,
-    mono, 8 bits per sample)."""
+def encode_alaw_sample(s: int) -> int:
+    """Linear int16 -> A-law code byte (ITU G.711; even bits
+    toggled by the spec's 0x55 mask)."""
+    if not -32768 <= s <= 32767:
+        raise ValueError("sample out of int16 range")
+    sign = 0x80 if s >= 0 else 0  # A-law: sign bit SET = positive
+    a = min(abs(s), 32767)
+    if a < 256:
+        e, m = 0, a >> 4
+    else:
+        e = min(a.bit_length() - 8, 7)
+        m = (a >> (e + 3)) & 0x0F
+    return (sign | (e << 4) | m) ^ 0x55
+
+
+def decode_alaw_sample(c: int) -> int:
+    """A-law code byte -> linear int16 (closed integer form,
+    verified code-for-code against CPython's audioop reference).
+    Unlike mu-law there is no zero output: every code decodes to a
+    nonzero quantizer midpoint, so encode(decode(c)) == c for ALL
+    256 codes."""
+    if not 0 <= c <= 255:
+        raise ValueError("code out of byte range")
+    cc = c ^ 0x55
+    e = (cc >> 4) & 7
+    m = cc & 0x0F
+    mag = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+    return mag if cc & 0x80 else -mag
+
+
+# RIFF format tags for the two companding laws.
+_TAG_ALAW, _TAG_MULAW = 6, 7
+_LAW = {
+    _TAG_ALAW: ("WAVE_FORMAT_ALAW (6)", decode_alaw_sample),
+    _TAG_MULAW: ("WAVE_FORMAT_MULAW (7)", decode_sample),
+}
+
+
+def _encode_wav_g711(framerate: int, codes: bytes, tag: int) -> bytes:
     fmt = struct.pack(
-        "<HHIIHH", 7, 1, framerate, framerate, 1, 8
+        "<HHIIHH", tag, 1, framerate, framerate, 1, 8
     )  # tag, channels, rate, byte rate, block align, bits
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -76,12 +115,33 @@ def encode_wav_mulaw(framerate: int, codes: bytes) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def encode_wav_mulaw(framerate: int, codes: bytes) -> bytes:
+    """Frame mu-law code bytes as a RIFF/WAVE file (format tag 7,
+    mono, 8 bits per sample)."""
+    return _encode_wav_g711(framerate, codes, _TAG_MULAW)
+
+
+def encode_wav_alaw(framerate: int, codes: bytes) -> bytes:
+    """Frame A-law code bytes as a RIFF/WAVE file (format tag 6,
+    mono, 8 bits per sample)."""
+    return _encode_wav_g711(framerate, codes, _TAG_ALAW)
+
+
 def decode_wav_mulaw(data: bytes) -> tuple[int, list[int]]:
     """Parse a WAVE_FORMAT_MULAW file -> (framerate, int16 samples).
 
     Validates the RIFF framing and the format tag; walks unknown
     chunks by their declared size like any conforming reader.
     """
+    return _decode_wav_g711(data, _TAG_MULAW)
+
+
+def decode_wav_alaw(data: bytes) -> tuple[int, list[int]]:
+    """Parse a WAVE_FORMAT_ALAW file -> (framerate, int16 samples)."""
+    return _decode_wav_g711(data, _TAG_ALAW)
+
+
+def _decode_wav_g711(data: bytes, want_tag: int) -> tuple[int, list[int]]:
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     (riff_len,) = struct.unpack("<I", data[4:8])
@@ -104,18 +164,19 @@ def decode_wav_mulaw(data: bytes) -> tuple[int, list[int]]:
             if size < 8:
                 raise ValueError("fmt chunk too short")
             fmt_tag, channels, framerate = struct.unpack("<HHI", body[:8])
-            if fmt_tag != 7:
+            if fmt_tag != want_tag:
                 raise NotImplementedError(
-                    f"format tag {fmt_tag}: only WAVE_FORMAT_MULAW (7)"
+                    f"format tag {fmt_tag}: only {_LAW[want_tag][0]}"
                 )
             if channels != 1:
-                raise NotImplementedError("only mono mu-law")
+                raise NotImplementedError("only mono G.711")
         elif tag == b"data":
             codes = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if framerate is None or codes is None:
         raise ValueError("missing fmt /data chunk")
-    return framerate, [decode_sample(c) for c in codes]
+    expand = _LAW[want_tag][1]
+    return framerate, [expand(c) for c in codes]
 
 
 # Functions above run inside Arrow-batched Python workers — ship

@@ -693,3 +693,44 @@ def test_jpeg_420_subsampled_roundtrip():
         np.uint8,
     ).reshape(21, 35, 3)
     assert np.abs(b2.astype(int) - sm.astype(int)).max() <= 5
+
+
+def test_alaw_codebook_invertible_and_matches_audioop():
+    """A-law (format tag 6): encode(decode(c)) == c for ALL 256
+    codes (no negative-zero quirk — every code decodes to a nonzero
+    quantizer midpoint), both directions matching CPython's audioop
+    reference where available, and the tag-6 container round-trips
+    while rejecting a mu-law (tag 7) file."""
+    import pytest
+
+    from map_reduce_server_spark.functions import g711
+
+    for c in range(256):
+        v = g711.decode_alaw_sample(c)
+        assert v != 0
+        assert g711.encode_alaw_sample(v) == c, hex(c)
+    try:
+        import struct as st
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        audioop = None
+    if audioop is not None:
+        for c in range(256):
+            v = g711.decode_alaw_sample(c)
+            assert st.unpack("<h", audioop.alaw2lin(bytes([c]), 2))[0] == v
+            assert audioop.lin2alaw(st.pack("<h", v), 2)[0] == (
+                g711.encode_alaw_sample(v)
+            )
+    codes = bytes(range(256))
+    data = g711.encode_wav_alaw(8000, codes)
+    rate, samples = g711.decode_wav_alaw(data)
+    assert rate == 8000
+    assert samples == [g711.decode_alaw_sample(c) for c in codes]
+    with pytest.raises(NotImplementedError, match="ALAW"):
+        g711.decode_wav_alaw(g711.encode_wav_mulaw(8000, codes))
+    with pytest.raises(NotImplementedError, match="MULAW"):
+        g711.decode_wav_mulaw(data)
