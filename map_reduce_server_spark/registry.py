@@ -227,41 +227,57 @@ _DRIVER_GREEN_R5 = frozenset({
     "text_readability", "text_zipf_fit",
 })
 
+# The 50 queries hash-verified green by CORRECTNESS_r06.json — the
+# freshest driver rows, ordered LAST. Includes the 3 round-6 codec
+# additions (jpeg/mulaw/video), both _CHANGED_R6 reworks
+# (q_equidepth_histogram, q2_min_cost_supplier — re-certified on the
+# round-6 code), and 45 round-2-stale re-certifications.
+_DRIVER_GREEN_R6 = frozenset({
+    "ann_topk_bruteforce", "ann_topk_lsh", "grep", "mr_grep",
+    "mr_wordcount", "multimodal_decode_jpeg", "multimodal_decode_mulaw",
+    "multimodal_decode_video", "q2_min_cost_supplier",
+    "q_approx_sketches", "q_array_funcs", "q_asof_join", "q_bitwise_agg",
+    "q_collect_sorted", "q_conditional_agg", "q_correlated_exists",
+    "q_date_funcs", "q_date_spine", "q_equidepth_histogram",
+    "q_grouping_sets", "q_json_funcs", "q_like_regexp", "q_map_funcs",
+    "q_minmax_by", "q_null_funcs", "q_pandas_udf_score", "q_percentiles",
+    "q_posexplode", "q_range_join", "q_salted_join", "q_scalar_subquery",
+    "q_session_window", "q_sessionize", "q_set_ops", "q_set_ops_all",
+    "q_stats_moments", "q_string_funcs", "q_string_funcs2", "q_try_funcs",
+    "q_union_by_name", "q_unpivot", "q_upsert", "text_bpe_tokens",
+    "text_fingerprint", "text_lang_id", "text_quality", "text_tfidf",
+    "text_token_stats", "text_train_test_split", "wordcount",
+})
+
 # Queries whose RESULT changed after their last green driver row
-# (round-6 rework): their stale green row no longer certifies the
+# (round-7 rework): their stale green row no longer certifies the
 # current code, so they rejoin the never-verified head.
-# q_equidepth_histogram: the boundary-sample gate is now
-# COUNT-BOUNDED (md5 % greatest(1, n div 10000) — expected sample
-# < 20k rows at any scale) instead of the fixed md5 % 50 rate —
-# different boundaries, different bucket stats.
-# q2_min_cost_supplier: unit_cost is now emitted UNROUNDED — the raw
-# double quotient is bit-identical across engines while ROUND(x, 6)
-# broke exact .5 ties differently (Spark HALF_UP on shortest repr vs
-# DuckDB scaled-double) on q2's small-integer-quotient domain.
-_CHANGED_R6 = frozenset({"q_equidepth_histogram", "q2_min_cost_supplier"})
+_CHANGED_R7 = frozenset()
 
 _EVER_GREEN = (
     _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
-    | _DRIVER_GREEN_R5
-) - _CHANGED_R6
+    | _DRIVER_GREEN_R5 | _DRIVER_GREEN_R6
+) - _CHANGED_R7
 
 
 def _stale_first(d: dict) -> dict:
-    # Head: no green driver row certifying current code (round-6
-    # additions plus _CHANGED_R6 reworks). Then round-2 greens
-    # (stalest — ~45 rows pre-dating the r3-r5 hardening), round-3,
-    # round-4, round-5 last. A query green in multiple rounds sorts
-    # by its FRESHEST row.
+    # Head: no green driver row certifying current code (round-7
+    # additions plus any _CHANGED_R7 reworks). Then round-2 greens
+    # (stalest — the 3 streaming-window rows pre-dating the r6
+    # hardening), round-3, round-4, round-5, round-6 last. A query
+    # green in multiple rounds sorts by its FRESHEST row.
     head = {k: v for k, v in d.items() if k not in _EVER_GREEN}
-    r5 = _DRIVER_GREEN_R5 - _CHANGED_R6
-    r4 = _DRIVER_GREEN_R4 - r5 - _CHANGED_R6
-    r3 = _DRIVER_GREEN_R3 - r5 - r4 - _CHANGED_R6
-    r2 = _DRIVER_GREEN_R2 - r5 - r4 - r3 - _CHANGED_R6
+    r6 = _DRIVER_GREEN_R6 - _CHANGED_R7
+    r5 = _DRIVER_GREEN_R5 - r6 - _CHANGED_R7
+    r4 = _DRIVER_GREEN_R4 - r6 - r5 - _CHANGED_R7
+    r3 = _DRIVER_GREEN_R3 - r6 - r5 - r4 - _CHANGED_R7
+    r2 = _DRIVER_GREEN_R2 - r6 - r5 - r4 - r3 - _CHANGED_R7
     d2 = {k: v for k, v in d.items() if k in r2}
     d3 = {k: v for k, v in d.items() if k in r3}
     d4 = {k: v for k, v in d.items() if k in r4}
     d5 = {k: v for k, v in d.items() if k in r5}
-    return {**head, **d2, **d3, **d4, **d5}
+    d6 = {k: v for k, v in d.items() if k in r6}
+    return {**head, **d2, **d3, **d4, **d5, **d6}
 
 
 def all_queries() -> dict[str, QueryFn]:
