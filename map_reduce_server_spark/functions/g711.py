@@ -65,19 +65,36 @@ def decode_sample(c: int) -> int:
     return -mag if cc & 0x80 else mag
 
 
+# Segment upper edges of the 13-bit A-law quantizer (G.711 Table 1a,
+# as tabulated in the public-domain Sun g711.c that CPython's audioop
+# reference implementation uses).
+_ALAW_SEG_END = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+
 def encode_alaw_sample(s: int) -> int:
-    """Linear int16 -> A-law code byte (ITU G.711; even bits
-    toggled by the spec's 0x55 mask)."""
+    """Linear int16 -> A-law code byte (ITU G.711; even bits toggled
+    by the spec's 0x55 mask). Bit-exact to CPython's audioop
+    ``lin2alaw`` on EVERY int16 input (property-tested exhaustively):
+    the sample is floor-shifted to the 13-bit domain first and the
+    negative path encodes ``-pcm - 1``, so negative segment lower
+    boundaries land in the same segment audioop picks."""
     if not -32768 <= s <= 32767:
         raise ValueError("sample out of int16 range")
-    sign = 0x80 if s >= 0 else 0  # A-law: sign bit SET = positive
-    a = min(abs(s), 32767)
-    if a < 256:
-        e, m = 0, a >> 4
+    p = s >> 3  # arithmetic shift: A-law quantizes 13-bit samples
+    if p >= 0:
+        mask = 0xD5  # sign bit SET = positive, under the 0x55 toggle
     else:
-        e = min(a.bit_length() - 8, 7)
-        m = (a >> (e + 3)) & 0x0F
-    return (sign | (e << 4) | m) ^ 0x55
+        mask = 0x55
+        p = -p - 1
+    seg = 8
+    for i, end in enumerate(_ALAW_SEG_END):
+        if p <= end:
+            seg = i
+            break
+    if seg >= 8:  # out of 13-bit range: clamp to maximum code
+        return 0x7F ^ mask
+    m = (p >> 1) & 0x0F if seg < 2 else (p >> seg) & 0x0F
+    return (seg << 4 | m) ^ mask
 
 
 def decode_alaw_sample(c: int) -> int:

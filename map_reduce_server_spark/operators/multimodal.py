@@ -687,6 +687,182 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- real COLOR JPEG codec path (YCbCr 4:2:0) -------------------------------
+
+# 32x32 RGB of four FLAT 16x16 MCUs (2 across, 2 down); MCU k's
+# (R,G,B) = md5 bytes 3k..3k+2 (own 'c'-salted recipe — independent
+# of the grayscale leg's payload). Flat 16x16 MCUs are the 4:2:0
+# exactness domain: the 2x2 chroma box-mean averages equal values
+# (exact), so all six 8x8 blocks per MCU are flat and the lossy
+# pipeline reduces to the two rounded BT.601 transforms — closed-form
+# integer arithmetic the SQL oracle replays bit-for-bit (verified
+# exhaustively over all 256^3 RGB triples against DuckDB's
+# round_even/double arithmetic).
+_JPGC_W = _JPGC_H = 32
+_SQL_JPGC_HEX = "substr(md5('c' || text), 1, 24)"
+
+
+def _flat_mcu_rgb(hex24: str) -> bytes:
+    """12 hex bytes -> 32x32 RGB of four flat 16x16 MCUs (2x2 grid,
+    row-major MCU order). ONE definition of the layout; the SQL
+    oracle assumes exactly this reshape(2,2,3) + 16x16 replication."""
+    import numpy as np
+
+    vals = np.frombuffer(bytes.fromhex(hex24), np.uint8).reshape(2, 2, 3)
+    return np.repeat(np.repeat(vals, 16, axis=0), 16, axis=1).tobytes()
+
+
+def with_jpeg_color_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL baseline COLOR JFIF JPEG per document — YCbCr
+    4:2:0 (2x2 box-mean chroma downsampling, 16x16 MCUs interleaving
+    4 Y + 1 Cb + 1 Cr blocks), BT.601 forward transform, Annex K
+    Huffman coding."""
+    flat = docs.select(
+        "doc_id",
+        F.substring(
+            F.md5(F.concat(F.lit("c"), F.col("text"))), 1, 24
+        ).alias("pix_hex"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(h: str) -> bytes:
+            return jpeg.encode_rgb8(
+                _JPGC_W, _JPGC_H, _flat_mcu_rgb(h), subsample=True
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["pix_hex"].map(_nn(enc)),
+                }
+            )
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def jpeg_color_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real color JPEG payloads: marker parse,
+    Huffman decode, dequantize, IDCT per component, chroma
+    replication upsample, BT.601 inverse — then per-channel means
+    over the interleaved RGB bytes (exact: integer sums over a
+    power-of-two pixel count) and the global max sample."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dec = pdf["payload"].map(
+                _nn(lambda b: jpeg.decode_rgb8(bytes(b)))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": dec.map(_nn(lambda t: t[0])),
+                    "height": dec.map(_nn(lambda t: t[1])),
+                    "mean_r": dec.map(
+                        _nn(lambda t: sum(t[2][0::3]) * 3 / len(t[2]))
+                    ),
+                    "mean_g": dec.map(
+                        _nn(lambda t: sum(t[2][1::3]) * 3 / len(t[2]))
+                    ),
+                    "mean_b": dec.map(
+                        _nn(lambda t: sum(t[2][2::3]) * 3 / len(t[2]))
+                    ),
+                    "max_px": dec.map(_nn(lambda t: max(t[2]))),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id bigint, width int, height int, mean_r double, "
+        "mean_g double, mean_b double, max_px int",
+    )
+
+
+# Rounded BT.601 transforms as SQL. Every literal is ::DOUBLE (a bare
+# 0.299 is DECIMAL in DuckDB — exact decimal arithmetic breaks ties
+# differently from the codec's IEEE float64 at e.g. Y=163.5) and
+# round_even mirrors numpy's rint; operation order matches the codec
+# line-for-line. Verified bit-exact over all 16,777,216 RGB triples.
+_SQL_YCC = """
+  least(255.0, greatest(0.0, round_even(
+    (0.299::DOUBLE*r + 0.587::DOUBLE*g) + 0.114::DOUBLE*b, 0))) AS y,
+  least(255.0, greatest(0.0, round_even(
+    ((128.0::DOUBLE - 0.168736::DOUBLE*r) - 0.331264::DOUBLE*g)
+    + 0.5::DOUBLE*b, 0))) AS cb,
+  least(255.0, greatest(0.0, round_even(
+    ((128.0::DOUBLE + 0.5::DOUBLE*r) - 0.418688::DOUBLE*g)
+    - 0.081312::DOUBLE*b, 0))) AS cr
+"""
+_SQL_RGB_REC = """
+  least(255.0, greatest(0.0, round_even(
+    y + 1.402::DOUBLE*(cr - 128.0::DOUBLE), 0))) AS r2,
+  least(255.0, greatest(0.0, round_even(
+    (y - 0.344136::DOUBLE*(cb - 128.0::DOUBLE))
+    - 0.714136::DOUBLE*(cr - 128.0::DOUBLE), 0))) AS g2,
+  least(255.0, greatest(0.0, round_even(
+    y + 1.772::DOUBLE*(cb - 128.0::DOUBLE), 0))) AS b2
+"""
+
+
+@register(
+    "multimodal_decode_jpeg_color",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+        CAST(('0x' || substr({_SQL_JPGC_HEX}, k*6+1, 2)) AS BIGINT) AS r,
+        CAST(('0x' || substr({_SQL_JPGC_HEX}, k*6+3, 2)) AS BIGINT) AS g,
+        CAST(('0x' || substr({_SQL_JPGC_HEX}, k*6+5, 2)) AS BIGINT) AS b
+      FROM documents, range(0, 4) t(k) WHERE text IS NOT NULL),
+    yc AS (SELECT doc_id, {_SQL_YCC} FROM m),
+    rec AS (SELECT doc_id, {_SQL_RGB_REC} FROM yc),
+    st AS (
+      SELECT doc_id, CAST({_JPGC_W} AS INTEGER) AS width,
+             CAST({_JPGC_H} AS INTEGER) AS height,
+             round(avg(r2), 6) AS mean_r,
+             round(avg(g2), 6) AS mean_g,
+             round(avg(b2), 6) AS mean_b,
+             CAST(max(greatest(r2, g2, b2)) AS INTEGER) AS max_px
+      FROM rec GROUP BY doc_id)
+    SELECT d.doc_id, st.width, st.height, st.mean_r, st.mean_g,
+           st.mean_b, st.max_px
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+    """,
+)
+def multimodal_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy COLOR-codec round-trip: encode each document's
+    md5-derived flat-MCU RGB image as an actual baseline YCbCr 4:2:0
+    JFIF JPEG — BT.601 forward transform, 2x2 box-mean chroma
+    downsampling, 16x16 MCUs interleaving 4 luma + 2 chroma blocks,
+    Annex K Huffman entropy coding — and decode it back with the
+    pure numpy/stdlib parser. Flat 16x16 MCUs make the 4:2:0 lossy
+    pipeline exact (chroma box means average equal values; every 8x8
+    block is flat, so DC-only spectra survive unit quantization), and
+    the two rounding steps that remain — the forward and inverse
+    BT.601 transforms — are closed-form integer arithmetic the oracle
+    replays bit-for-bit (round_even + ::DOUBLE literals match numpy's
+    rint/IEEE semantics, verified exhaustively over all 256^3 RGB
+    triples). A bug in channel order, the even-bit MCU interleave,
+    subsampling, either transform's coefficients, or per-component DC
+    prediction breaks the hash match. Complements
+    multimodal_decode_jpeg (grayscale leg): together the driver
+    certifies both SOF0 component layouts the codec supports.
+
+    Scale: embarrassingly parallel Arrow-batched mapInPandas, no
+    shuffle; payloads live only inside a task.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = jpeg_color_stats(with_jpeg_color_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "max_px",
+    )
+
+
 # --- real compressed-audio codec path (G.711 mu-law in RIFF) ---------------
 
 _MULAW_N = 32         # codes per clip
@@ -731,16 +907,15 @@ def with_mulaw_payload(docs: DataFrame) -> DataFrame:
     return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
 
 
-def mulaw_stats(df: DataFrame) -> DataFrame:
-    """Decode stage over real mu-law RIFF payloads: container parse
-    (format-tag validation, chunk walk) + G.711 expansion, then the
-    same per-clip sample statistics the PCM path computes."""
+def _g711_stats(df: DataFrame, decode_wav) -> DataFrame:
+    """Decode stage over real G.711 RIFF payloads (either companding
+    law): container parse (format-tag validation, chunk walk) +
+    logarithmic expansion, then the same per-clip sample statistics
+    the PCM path computes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dec = pdf["payload"].map(
-                _nn(lambda b: g711.decode_wav_mulaw(bytes(b)))
-            )
+            dec = pdf["payload"].map(_nn(lambda b: decode_wav(bytes(b))))
             samples = dec.map(_nn(lambda t: t[1]))
             yield pd.DataFrame(
                 {
@@ -761,6 +936,16 @@ def mulaw_stats(df: DataFrame) -> DataFrame:
         schema="doc_id bigint, framerate int, n_samples int, "
         "mean_abs double, max_abs int",
     )
+
+
+def mulaw_stats(df: DataFrame) -> DataFrame:
+    """Mu-law (format tag 7) decode-stats stage."""
+    return _g711_stats(df, g711.decode_wav_mulaw)
+
+
+def alaw_stats(df: DataFrame) -> DataFrame:
+    """A-law (format tag 6) decode-stats stage."""
+    return _g711_stats(df, g711.decode_wav_alaw)
 
 
 @register(
@@ -798,6 +983,94 @@ def multimodal_decode_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     stats = mulaw_stats(with_mulaw_payload(docs))
+    return stats.select(
+        "doc_id",
+        "framerate",
+        "n_samples",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "max_abs",
+    )
+
+
+# 32 A-law code bytes per clip — own md5 recipe so the twins stay
+# independent of the mu-law query's payload.
+_SQL_ALAW_HEX = "md5('a' || text) || md5('b' || text)"
+# Closed-form G.711 A-law expansion of code byte b (1-based in the
+# hex): cc = b XOR 0x55 (the spec's even-bit toggle); e = bits 4..6;
+# m = low nibble; mag = (m<<4)+8 when e=0 else ((m<<4)+0x108)<<(e-1);
+# the sign bit SET means positive (opposite of mu-law).
+_SQL_ALAW_MAG = (
+    "CASE WHEN ((cc // 16) % 8) = 0 THEN ((cc % 16) << 4) + 8 "
+    "ELSE (((cc % 16) << 4) + 264) << (((cc // 16) % 8) - 1) END"
+)
+_SQL_ALAW_SAMPLES = f"""
+  list_transform(
+    list_transform(range(1, {_MULAW_N} + 1), i ->
+      xor(CAST(('0x' || substr({_SQL_ALAW_HEX}, i*2-1, 2)) AS BIGINT), 85)),
+    cc -> CASE WHEN cc >= 128 THEN {_SQL_ALAW_MAG}
+          ELSE -({_SQL_ALAW_MAG}) END)
+"""
+
+
+def with_alaw_payload(docs: DataFrame) -> DataFrame:
+    """Frame 32 md5-derived A-law code bytes per document as a REAL
+    WAVE_FORMAT_ALAW (tag 6) RIFF file."""
+    code_hex = F.concat(
+        F.md5(F.concat(F.lit("a"), F.col("text"))),
+        F.md5(F.concat(F.lit("b"), F.col("text"))),
+    )
+    flat = docs.select("doc_id", code_hex.alias("code_hex"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["code_hex"].map(
+                _nn(
+                    lambda h: g711.encode_wav_alaw(
+                        _MULAW_RATE, bytes.fromhex(h)
+                    )
+                )
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+@register(
+    "multimodal_decode_alaw",
+    oracle=f"""
+    WITH sm AS (
+      SELECT doc_id, {_SQL_ALAW_SAMPLES} AS s FROM documents
+      WHERE text IS NOT NULL),
+    st AS (
+      SELECT doc_id, CAST({_MULAW_RATE} AS INTEGER) AS framerate,
+             CAST({_MULAW_N} AS INTEGER) AS n_samples,
+             round(CAST(list_sum(list_transform(s, x -> abs(x))) AS DOUBLE)
+                   / {_MULAW_N}, 6) AS mean_abs,
+             CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER)
+               AS max_abs
+      FROM sm)
+    SELECT d.doc_id, st.framerate, st.n_samples, st.mean_abs, st.max_abs
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+    """,
+)
+def multimodal_decode_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio round-trip, A-law leg: frame each
+    document's md5-derived G.711 A-law codes as an actual
+    WAVE_FORMAT_ALAW (tag 6) RIFF file and decode it back —
+    container parse, format-tag validation (a mu-law file is
+    rejected), logarithmic expansion — with the pure-stdlib codec
+    (``functions/g711.py``, bit-exact to CPython's ``audioop`` on
+    all 256 codes decode-side and on every int16 sample
+    encode-side). The oracle replays the closed-form expansion
+    (XOR 0x55 toggle, segment shift, sign-bit-set-positive) straight
+    from the md5 hex, so a bug in companding arithmetic, the even-bit
+    toggle, sign convention, or chunk framing breaks the hash match.
+
+    Scale: embarrassingly parallel Arrow-batched mapInPandas, no
+    shuffle; payloads live only inside a task.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = alaw_stats(with_alaw_payload(docs))
     return stats.select(
         "doc_id",
         "framerate",

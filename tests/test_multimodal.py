@@ -722,9 +722,14 @@ def test_alaw_codebook_invertible_and_matches_audioop():
         for c in range(256):
             v = g711.decode_alaw_sample(c)
             assert st.unpack("<h", audioop.alaw2lin(bytes([c]), 2))[0] == v
-            assert audioop.lin2alaw(st.pack("<h", v), 2)[0] == (
-                g711.encode_alaw_sample(v)
-            )
+        # encode parity on EVERY int16 sample, not just codebook
+        # midpoints — pins the -pcm-1 negative-boundary convention
+        # (e.g. -256 must encode to 0x5A, seg 0, not 0x45, seg 1)
+        assert g711.encode_alaw_sample(-256) == 0x5A
+        all_pcm = st.pack("<65536h", *range(-32768, 32768))
+        expected = audioop.lin2alaw(all_pcm, 2)
+        for i, s in enumerate(range(-32768, 32768)):
+            assert g711.encode_alaw_sample(s) == expected[i], s
     codes = bytes(range(256))
     data = g711.encode_wav_alaw(8000, codes)
     rate, samples = g711.decode_wav_alaw(data)
