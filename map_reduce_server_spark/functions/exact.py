@@ -7,6 +7,16 @@ associative and therefore bit-reproducible regardless of partitioning
 — which is exactly what you want both for oracle comparison at sf0.01
 and for run-to-run stability on a 1000-executor cluster. The final
 cast back to DOUBLE keeps output schemas simple.
+
+Input envelope, enforced loudly: the decimal(30,scale) cast rejects
+NaN, +/-Infinity, and magnitudes at or above 10^(30-scale). DuckDB's
+twin cast RAISES on such values, but under the engine's pinned
+non-ANSI session Spark's cast yields NULL — which ``SUM`` would then
+silently skip, returning a finite wrong answer the oracle gate could
+not even compare (the oracle side errors out). So the Spark side
+raises too: a non-NULL double whose decimal cast comes back NULL
+trips ``raise_error`` instead of vanishing. NULL inputs remain
+skipped by both engines' SUM/COUNT, per SQL semantics.
 """
 
 from __future__ import annotations
@@ -15,10 +25,43 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def checked_decimal(
+    c: Column, scale: int, precision: int = 30
+) -> Column:
+    """decimal(precision,scale) cast that fails loudly where DuckDB's
+    cast would error: NaN, infinities, and 10^(precision-scale)
+    overflow all cast to NULL under the non-ANSI session —
+    distinguishable from a genuinely NULL input, which stays NULL
+    (SUM skips it, matching SQL on both engines). Use this for ANY
+    sum-feeding decimal cast of a double, not just through dsum —
+    an inline bare cast silently drops garbage rows the oracle's
+    cast would error on.
+
+    Shape matters on the hot path: the cast is evaluated ONCE and
+    ``coalesce`` supplies the raise only when it came back NULL for a
+    non-NULL input. The naive ``when(cast.isNull(), raise)
+    .otherwise(cast)`` form evaluates the cast twice per row (no CSE
+    across when-branches) — measured +62% on a dsum-heavy sf0.1
+    aggregate vs +5% (noise) for this form."""
+    dec = f"decimal({precision},{scale})"
+    raise_expr = F.raise_error(
+        F.concat(
+            F.lit(
+                f"exact: value not representable as "
+                f"{dec} (NaN/Inf/overflow): "
+            ),
+            c.cast("string"),
+        )
+    ).cast(dec)
+    return F.when(c.isNull(), F.lit(None).cast(dec)).otherwise(
+        F.coalesce(c.cast(dec), raise_expr)
+    )
+
+
 def dsum(col: Column | str, scale: int = 2) -> Column:
     """Exact (decimal) sum of a double column, returned as double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+    return F.sum(checked_decimal(c, scale)).cast("double")
 
 
 def davg(col: Column | str, scale: int = 2, ndigits: int = 6) -> Column:
@@ -26,23 +69,35 @@ def davg(col: Column | str, scale: int = 2, ndigits: int = 6) -> Column:
 
     Division happens in double on identical inputs, so the result is
     bit-identical across engines; rounding just bounds the printed
-    precision.
+    precision. Composed from :func:`dsum`, so numerator and
+    denominator agree about which rows exist: the guarded cast
+    raises on garbage rather than letting SUM drop rows COUNT keeps.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast(f"decimal(30,{scale})")).cast("double") / F.count(c),
-        ndigits,
-    )
+    return F.round(dsum(c, scale) / F.count(c), ndigits)
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    """DuckDB oracle twin of :func:`dsum`."""
+    """DuckDB oracle twin of :func:`dsum` (DuckDB's cast raises on
+    NaN/Inf/overflow natively — the Spark side mirrors that)."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS DOUBLE)"
 
 
 def sql_davg(expr: str, scale: int = 2, ndigits: int = 6) -> str:
-    """DuckDB oracle twin of :func:`davg`."""
-    return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS DOUBLE)"
-        f" / COUNT({expr}), {ndigits})"
-    )
+    """DuckDB oracle twin of :func:`davg`.
+
+    Known, accepted trade-off in the final ROUND: Spark rounds a
+    double HALF_UP on its shortest decimal repr while DuckDB rounds
+    the binary value, so a quotient whose shortest repr lands EXACTLY
+    on a 6-decimal midpoint (x.xxxxx5) can round differently — the
+    divergence q_scalar_subquery hit and fixed by going unrounded.
+    davg keeps the round because (a) its consumers' outputs flow
+    through further rounding or comparisons where the 1e-6 band is
+    immaterial, and (b) in queries that mix davg with libm functions
+    (ln/exp/pow) the round is load-bearing — it absorbs genuine 1-ulp
+    libm differences between engines. A davg quotient (2-decimal
+    exact sum / integer count) hits a shortest-repr midpoint only on
+    a measure-zero-ish set no round-1..7 gate (sf0.001/0.01/0.1) has
+    ever produced; new pure-arithmetic queries SHOULD prefer emitting
+    the raw double like q_scalar_subquery/q2_min_cost_supplier."""
+    return f"ROUND({sql_dsum(expr, scale)} / COUNT({expr}), {ndigits})"

@@ -64,11 +64,39 @@ def test_dsum_matches_python_decimal(spark, values, n_parts):
         n_parts
     )
     got = df.agg(dsum("v").alias("s")).first().s
-    # Spark's double→decimal cast rounds HALF_UP (java BigDecimal)
+    # Spark casts double→decimal via the SHORTEST decimal
+    # representation (java BigDecimal.valueOf), then HALF_UP — so the
+    # reference must start from repr(v), not Decimal(v): Decimal(v)
+    # quantizes the exact binary expansion, which loses ties like
+    # 2.675 (binary 2.67499...) to 2.67 where Spark and DuckDB both
+    # give 2.68.
     expected = float(
         sum(
-            Decimal(v).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            Decimal(repr(v)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
             for v in values
         )
     )
     assert got == pytest.approx(expected, abs=0)  # exact
+
+
+def test_dsum_fails_loud_on_uncastable(spark):
+    """The input-envelope contract: NaN, infinities, and decimal
+    overflow RAISE (matching the DuckDB twin's cast error) instead of
+    silently casting to NULL and vanishing from the sum under the
+    non-ANSI session; genuinely NULL inputs stay skipped by SUM, and
+    davg's numerator/denominator therefore agree on the row set."""
+    import math
+
+    import pytest as pt
+    from pyspark.errors import SparkRuntimeException
+
+    from map_reduce_server_spark.functions.exact import davg
+
+    for bad in (math.nan, math.inf, -math.inf, 1e29):
+        df = spark.createDataFrame([(1.5,), (bad,), (2.5,)], ["v"])
+        with pt.raises(SparkRuntimeException, match="not representable"):
+            df.agg(dsum("v").alias("s")).first()
+    # NULLs are data, not garbage: both engines' SUM/COUNT skip them
+    df = spark.createDataFrame([(1.5,), (None,), (2.5,)], ["v"])
+    row = df.agg(dsum("v").alias("s"), davg("v").alias("a")).first()
+    assert row.s == 4.0 and row.a == 2.0
