@@ -10,7 +10,9 @@ replaces the reference's daemons (SURVEY.md §2.C) — so the CLI is:
 - ``query``: run a named query from the registry and print rows;
 - ``list``: show every registered query and whether it has an oracle;
 - ``verify``: run the DuckDB-oracle correctness gate (the same
-  comparison the grading driver applies).
+  comparison the grading driver applies);
+- ``status``: one-line engine/registry summary (parity with the
+  reference's ``bin/mapreduce status``).
 """
 
 from __future__ import annotations

@@ -19,10 +19,10 @@ from map_reduce_server_spark.tables import load_table
     "q_scalar_subquery",
     oracle="""
     SELECT o_orderkey, o_totalprice,
-           round(o_totalprice
+           CAST(o_totalprice AS DOUBLE)
                  - (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,2)))
                                AS DOUBLE) / COUNT(*)
-                    FROM orders o2), 6) AS diff_from_mean
+                    FROM orders o2) AS diff_from_mean
     FROM orders
     WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o3.o_totalprice
                                           AS DECIMAL(30,2))) AS DOUBLE)
@@ -31,7 +31,17 @@ from map_reduce_server_spark.tables import load_table
     """,
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subqueries in projection and predicate."""
+    """Uncorrelated scalar subqueries in projection and predicate.
+
+    diff_from_mean is emitted as the RAW double difference (explicit
+    DOUBLE cast of the decimal price, then one IEEE subtraction —
+    bit-identical across engines). The previous ``round(double, 6)``
+    was a latent twin divergence: Spark rounds HALF_UP on the
+    shortest decimal repr while DuckDB rounds the binary value, so
+    midpoint-adjacent doubles (e.g. 0.0001245) round differently —
+    245 divergences in a 9,000-value probe, invisible at driver SF
+    only because the data happens to miss the midpoints.
+    """
     orders = load_table(spark, sf_dir, "orders")
     # fixed name + OrReplace: the repo's no-accumulation convention
     view = "orders_sq"
@@ -39,10 +49,10 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT o_orderkey, o_totalprice,
-               round(o_totalprice
+               CAST(o_totalprice AS DOUBLE)
                      - (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,2)))
                                    AS DOUBLE) / COUNT(*)
-                        FROM {view} o2), 6) AS diff_from_mean
+                        FROM {view} o2) AS diff_from_mean
         FROM {view}
         WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o3.o_totalprice
                                               AS DECIMAL(30,2))) AS DOUBLE)

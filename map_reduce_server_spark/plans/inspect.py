@@ -24,25 +24,30 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
-def pushed_filters(df: DataFrame) -> list[str]:
+def _plan_fields(df: DataFrame, label: str, plan: str | None) -> list[str]:
+    """Every ``label`` entry in the formatted plan (one per scan).
+    Pass a pre-captured ``plan`` string to avoid re-formatting the
+    same plan for each inspected property."""
+    plan = explain_str(df) if plan is None else plan
+    return [
+        chunk.split("\n")[0].strip()
+        for chunk in plan.split(f"{label}: ")[1:]
+    ]
+
+
+def pushed_filters(df: DataFrame, plan: str | None = None) -> list[str]:
     """PushedFilters entries from every scan in the plan."""
-    out = []
-    for chunk in explain_str(df).split("PushedFilters: ")[1:]:
-        out.append(chunk.split("\n")[0].strip())
-    return out
+    return _plan_fields(df, "PushedFilters", plan)
 
 
-def read_schema(df: DataFrame) -> list[str]:
+def read_schema(df: DataFrame, plan: str | None = None) -> list[str]:
     """ReadSchema strings (one per scan) — the pruning evidence."""
-    out = []
-    for chunk in explain_str(df).split("ReadSchema: ")[1:]:
-        out.append(chunk.split("\n")[0].strip())
-    return out
+    return _plan_fields(df, "ReadSchema", plan)
 
 
-def join_strategies(df: DataFrame) -> list[str]:
+def join_strategies(df: DataFrame, plan: str | None = None) -> list[str]:
     """Join operator names appearing in the physical plan."""
-    plan = explain_str(df)
+    plan = explain_str(df) if plan is None else plan
     found = []
     for name in (
         "BroadcastHashJoin",

@@ -62,13 +62,23 @@ def register(
             # with no pointer to the cause), so refuse it loudly at
             # registration. Odd-indexed split segments are the
             # inside-quote spans.
-            for lit in oracle.split("'")[1::2]:
+            # A doubled quote ('') is SQL's escaped apostrophe: it
+            # flips the odd/even parity of a naive split and every
+            # span after it would be misclassified. Collapse each
+            # pair to a sentinel BEFORE splitting — the sentinel is
+            # data inside whichever span it lands in, keeping the
+            # remaining quotes as genuine string delimiters.
+            parsed = oracle.replace("''", "\x00")
+            for lit in parsed.split("'")[1::2]:
                 if "  " in lit or any(
                     c.isspace() and c != " " for c in lit
                 ):
+                    # report the literal as the author wrote it, not
+                    # the sentinel form
+                    shown = lit.replace("\x00", "''")
                     raise ValueError(
                         f"oracle for {name!r} contains a quoted literal "
-                        f"({lit!r}) that whitespace collapsing would "
+                        f"({shown!r}) that whitespace collapsing would "
                         "corrupt — use a single space or an escape "
                         "(chr()/concat) instead"
                     )
@@ -76,7 +86,7 @@ def register(
             # everything is collapsed onto one line. Only the
             # outside-quote spans can start a comment — a quoted
             # '--' is legitimate data (even-indexed split segments).
-            if any("--" in seg for seg in oracle.split("'")[0::2]):
+            if any("--" in seg for seg in parsed.split("'")[0::2]):
                 raise ValueError(
                     f"oracle for {name!r} contains a '--' line comment, "
                     "which whitespace collapsing would extend over the "
@@ -252,7 +262,11 @@ _DRIVER_GREEN_R6 = frozenset({
 # Queries whose RESULT changed after their last green driver row
 # (round-7 rework): their stale green row no longer certifies the
 # current code, so they rejoin the never-verified head.
-_CHANGED_R7 = frozenset()
+# q_scalar_subquery: diff_from_mean is now the RAW double difference
+# — the former round(double, 6) was a latent engine divergence
+# (Spark HALF_UP on shortest repr vs DuckDB binary rounding on
+# midpoint-adjacent values).
+_CHANGED_R7 = frozenset({"q_scalar_subquery"})
 
 _EVER_GREEN = (
     _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4

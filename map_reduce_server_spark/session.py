@@ -4,8 +4,9 @@ The reference engine hand-rolls its runtime (master/worker TCP/UDP,
 reference ``mapreduce/master/__main__.py:56-68``); on Spark the
 runtime already exists, so the only thing to configure is the SQL
 engine: AQE on (runtime re-planning, skew-join handling), shuffle
-partitions sized to the local core count (they'd be sized to the
-cluster at 100 TB), Arrow for any Python-side exchange, and a pinned
+partitions pinned to a fixed 32-partition upper bound that AQE
+coalesces down locally (they'd be sized to the cluster at 100 TB),
+Arrow for any Python-side exchange, and a pinned
 UTC session timezone so results compare exactly against external
 oracles.
 """
@@ -38,7 +39,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # ~cores locally; AQE coalesces down when data is small.
+        # fixed upper bound (NOT derived from the cpus argument):
+        # AQE coalesces down when data is small, so oversizing is
+        # harmless while matching the 32-thread bench box.
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         # Spark 4 defaults ANSI mode ON, where x/0 THROWS; every

@@ -54,6 +54,38 @@ def test_register_rejects_collapse_unsafe_literals():
     registry.QUERIES.pop("x_guard_probe", None)
 
 
+def test_register_lint_handles_escaped_quotes():
+    """A doubled quote ('') is SQL's escaped apostrophe — it must not
+    flip the lint's inside/outside-quote parity. A '--' INSIDE a
+    literal containing an escaped quote is data (must register); a
+    '--' OUTSIDE quotes after such a literal is still a comment (must
+    refuse); collapse-unsafe whitespace inside the literal is still
+    caught."""
+    import pytest
+
+    from map_reduce_server_spark import registry
+
+    # '--' inside an escaped-quote literal: legitimate data
+    registry.register(
+        "x_quote_probe", oracle="SELECT 'it''s -- fine' AS t"
+    )(lambda s, d: None)
+    assert registry.ORACLE.pop("x_quote_probe") == (
+        "SELECT 'it''s -- fine' AS t"
+    )
+    registry.QUERIES.pop("x_quote_probe", None)
+    # real comment after an escaped-quote literal: still refused
+    with pytest.raises(ValueError, match="line comment"):
+        registry.register(
+            "x_quote_probe", oracle="SELECT 'a''b' AS t -- trailing"
+        )(lambda s, d: None)
+    # unsafe whitespace inside an escaped-quote literal: still caught
+    with pytest.raises(ValueError, match="whitespace collapsing"):
+        registry.register(
+            "x_quote_probe", oracle="SELECT 'a''b  c' AS t"
+        )(lambda s, d: None)
+    assert "x_quote_probe" not in registry.QUERIES
+
+
 def test_cli_list():
     res = _run_cli("list")
     assert res.returncode == 0

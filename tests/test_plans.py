@@ -6,19 +6,10 @@ results stay correct.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 from map_reduce_server_spark import registry
+from map_reduce_server_spark.plans import explain_str
 
 registry.load_all()
-
-
-def explain_str(df, mode: str = "formatted") -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode=mode)
-    return buf.getvalue()
 
 
 def test_q1_pushdown_and_pruning(spark, sf_small):
