@@ -16,10 +16,17 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_server_spark.functions.exact import dsum, sql_dsum
+from map_reduce_server_spark.functions.exact import (
+    checked_decimal,
+    dsum,
+    sql_dsum,
+)
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
 from map_reduce_server_spark.functions.sessionize import session_spans
-from map_reduce_server_spark.functions.tokens import word_tokens_col
+from map_reduce_server_spark.functions.tokens import (
+    SQL_TOKS,
+    word_tokens_col,
+)
 from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
@@ -91,25 +98,26 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion cost negligible while producing identical values.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # Pre-aggregate in the DataFrame API so the decimal cast goes
+    # through the shared checked_decimal guard (a bare SQL CAST would
+    # silently NULL garbage rows the oracle errors on); the sum stays
+    # DECIMAL here — dsum's double output would break exact regrouping.
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(checked_decimal(F.col("l_extendedprice"), 2)).alias("s"),
+    )
     # fixed name + OrReplace: repeated invocations in one session
     # reuse the slot instead of accumulating uuid-named views
-    view = "lineitem_gs"
-    li.createOrReplaceTempView(view)
+    view = "lineitem_gs_pre"
+    pre.createOrReplaceTempView(view)
     return spark.sql(
         f"""
-        WITH pre AS (
-          SELECT l_returnflag, l_linestatus,
-                 COUNT(*) AS n,
-                 SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS s
-          FROM {view}
-          GROUP BY l_returnflag, l_linestatus
-        )
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
                CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
                SUM(n) AS n_rows,
                CAST(SUM(s) AS DOUBLE) AS sum_price
-        FROM pre
+        FROM {view}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                                 (l_returnflag, l_linestatus), ())
         """
@@ -348,10 +356,10 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_posexplode",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+             {SQL_TOKS} AS toks
       FROM documents WHERE doc_id < 50
     ), e AS (
       SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t
@@ -764,7 +772,9 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("bucket"),
-        F.col("value").cast("decimal(30,2)").alias("v"),
+        # checked: a NaN/Inf/overflow value must raise like the
+        # oracle's cast, not silently vanish from the cascade sums
+        checked_decimal(F.col("value"), 2).alias("v"),
     )
     # Materialize the hourly grain ONCE: the three output branches
     # (hour/day/month) all derive from it, and without this
@@ -806,7 +816,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
                           ELSE 'e' END, ''
                         ORDER BY ts, event_id) AS path
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
     )
     SELECT
       CASE WHEN regexp_matches(path, 's.*c.*v.*p') THEN 4
@@ -830,7 +840,12 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     string is bounded by the user's event count, and the regexes run
     JVM-side inside codegen.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts guard shared with the oracle's WHERE: Spark sorts
+    # NULLS FIRST, DuckDB NULLS LAST, so an unfiltered NULL-ts event
+    # would land at opposite ends of the path string per engine.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     initial = (
         F.when(F.col("event_type") == "signup", "s")
         .when(F.col("event_type") == "click", "c")
@@ -1106,7 +1121,7 @@ def q_equidepth_histogram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         ORDER BY ts, event_id)
                        + INTERVAL 10 MINUTE
                   THEN 1 ELSE 0 END AS is_leader
-      FROM events)
+      FROM events WHERE ts IS NOT NULL)
     SELECT event_id, user_id, event_type, ts
     FROM flagged WHERE is_leader = 1
     """,
@@ -1124,7 +1139,12 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     event is suppressed even when the burst outlasts the window —
     inactivity-gap semantics, same family as q_sessionize.)
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts guard mirrored in the oracle: under Spark's
+    # NULLS-FIRST ordering a NULL-ts row would become a burst leader
+    # while DuckDB (NULLS LAST) drops it.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
         ev.withColumn("prev_ts", F.lag("ts").over(w))
@@ -1158,7 +1178,7 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     INTERVAL 1 DAY)) AS d) g),
     tagged AS (
       SELECT user_id, ts, value, NULL AS day, event_id,
-             1 AS is_event FROM events
+             1 AS is_event FROM events WHERE ts IS NOT NULL
       UNION ALL
       SELECT user_id, probe_ts AS ts, NULL AS value, day,
              NULL AS event_id, 0 AS is_event FROM spine),
@@ -1209,7 +1229,11 @@ def q_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("event_id"),
         F.lit(0).alias("is_event"),
     )
-    tagged = ev.select(
+    # NULL-ts guard mirrored in the oracle's events leg: a NULL-ts
+    # event sorts BEFORE every probe in Spark (nulls first) but after
+    # them in DuckDB (nulls last), so its value would seed days
+    # preceding the user's first real event on one engine only.
+    tagged = ev.filter(F.col("ts").isNotNull()).select(
         "user_id", "ts", "value",
         F.lit(None).cast("timestamp").alias("day"),
         "event_id", F.lit(1).alias("is_event"),
@@ -1505,9 +1529,13 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     no events anchor no window (joined back to observed days only).
     """
     ev = load_table(spark, sf_dir, "events")
+    # Materialize the distinct (day, user) pairs ONCE: both join
+    # branches (contrib, observed days) derive from this subtree, and
+    # without the lineage cut the events scan + distinct shuffle run
+    # twice per execution (same convention as q_time_rollup).
     daily = ev.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     contrib = daily.select(
         F.explode(
             F.sequence(
@@ -1538,7 +1566,7 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              lead(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS next_type
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     pairs AS (
       SELECT event_type AS from_type, next_type AS to_type,
              COUNT(*) AS n
@@ -1560,7 +1588,12 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate on (from, to) — the matrix is |types|² rows; the
     normalizing window runs over that tiny aggregate, not the events.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts guard mirrored in the oracle: NULLS FIRST vs LAST
+    # would place a NULL-ts event at opposite sequence ends, flipping
+    # its bigram pairs.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(
@@ -1593,7 +1626,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(ts) AS t,
              lead(epoch_us(ts)) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS nt
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     w AS (SELECT user_id, value, nt - t AS dt
           FROM x WHERE nt IS NOT NULL)
     SELECT user_id,
@@ -1616,7 +1649,12 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value·dt products and the dt total accumulate in exact
     decimal, so the ratio is bit-identical on any partitioning.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts guard mirrored in the oracle: a NULL-ts row sorted
+    # first (Spark) gets a non-NULL lead and survives the nt filter,
+    # inflating n_intervals vs DuckDB's NULLS-LAST ordering.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     x = ev.select(
         "user_id",
@@ -1632,9 +1670,13 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_intervals"),
             F.round(
                 F.sum(
-                    (F.col("value") * F.col("dt")).cast("decimal(38,6)")
+                    checked_decimal(
+                        F.col("value") * F.col("dt"), 6, precision=38
+                    )
                 ).cast("double")
-                / F.sum(F.col("dt").cast("decimal(38,6)")).cast("double"),
+                / F.sum(
+                    checked_decimal(F.col("dt"), 6, precision=38)
+                ).cast("double"),
                 6,
             ).alias("twa"),
         )
@@ -1655,7 +1697,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS last_click_ts
-      FROM events)
+      FROM events WHERE ts IS NOT NULL)
     SELECT event_id, user_id, ts, last_click_ts,
            CAST(CASE WHEN last_click_ts IS NOT NULL
                      THEN epoch_us(ts) - epoch_us(last_click_ts) END
@@ -1672,7 +1714,12 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-window carry-forward shape as q_asof_join: one shuffle on
     user_id, no join against the click stream at all.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts guard mirrored in the oracle: a NULL-ts purchase sees
+    # an empty preceding frame in Spark (sorted first) but the full
+    # click history in DuckDB (sorted last).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1751,7 +1798,7 @@ def q_user_ltv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.round(
-                F.sum(F.col("contrib").cast("decimal(30,9)")).cast("double"),
+                F.sum(checked_decimal(F.col("contrib"), 9)).cast("double"),
                 6,
             ).alias("decayed_value"),
         )

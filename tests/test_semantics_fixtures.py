@@ -751,3 +751,56 @@ def test_snapshot_diff_null_revenue_transitions(spark):
     assert canonical_rows(sdf) == canonical_rows(odf)
     got = {r.custkey: r.status for r in sdf.itertuples()}
     assert got == {1: "changed", 4: "added", 5: "changed"}
+
+
+def test_null_ts_guards_match_oracle(spark, tmp_path):
+    """Engine-divergence fixture: Spark window/sort orders ASC NULLS
+    FIRST, DuckDB NULLS LAST, so every event-ordering query must
+    drop NULL-ts rows in BOTH twins (the guard added after the r7
+    review found six queries without it). The driver corpus has no
+    NULL ts, so only this crafted corpus exercises the class: on
+    unguarded code, each assertion below fails with path strings /
+    window frames built in opposite orders."""
+    import duckdb
+
+    from tests.oracle_utils import canonical_rows
+
+    rows = [
+        # user 1: real funnel + a NULL-ts purchase and NULL-ts click
+        (1, _ts(1), 1, "signup", 2.0),
+        (2, _ts(2), 1, "click", 3.0),
+        (3, None, 1, "purchase", 5.0),
+        (4, _ts(3), 1, "view", 1.0),
+        (5, None, 1, "click", 7.0),
+        # user 2: ONLY NULL-ts events (must vanish identically)
+        (6, None, 2, "purchase", 9.0),
+        # user 3: bursts + a NULL-ts row inside the debounce group
+        (7, _ts(4), 3, "click", 1.0),
+        (8, _ts(4, 5), 3, "click", 2.0),
+        (9, None, 3, "click", 4.0),
+        (10, _ts(5), 3, "purchase", 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("props", F.lit("{}"))
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    con = duckdb.connect()
+    # Spark writes a part-file DIRECTORY; glob it for DuckDB
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{d}/events.parquet/*.parquet'"
+    )
+    for name in (
+        "q_funnel",
+        "q_debounce_events",
+        "q_locf_gapfill",
+        "q_event_transitions",
+        "q_time_weighted_avg",
+        "q_attribution_last_touch",
+    ):
+        got = registry.QUERIES[name](spark, d).toPandas()
+        exp = con.execute(registry.ORACLE[name]).fetchdf()
+        assert sorted(got.columns) == sorted(exp.columns), name
+        assert canonical_rows(got) == canonical_rows(exp), name
