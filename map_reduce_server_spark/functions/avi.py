@@ -118,7 +118,17 @@ def parse_avi_mjpeg(
                         )
                     handler_ok = True
                     scale, rate = struct.unpack("<II", body[20:28])
-                    fps = rate // max(scale, 1)
+                    if scale == 0:
+                        raise ValueError("vids stream scale is zero")
+                    if rate % scale:
+                        # a 29.97-style rational rate would silently
+                        # truncate — out of scope, so fail loud like
+                        # every other unsupported conforming input
+                        raise NotImplementedError(
+                            f"non-integer frame rate {rate}/{scale}: "
+                            "only integer fps"
+                        )
+                    fps = rate // scale
             elif tag == b"strf":
                 body = data[pos + 8 : body_end]
                 if len(body) < 12:

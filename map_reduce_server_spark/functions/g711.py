@@ -86,13 +86,9 @@ def encode_alaw_sample(s: int) -> int:
     else:
         mask = 0x55
         p = -p - 1
-    seg = 8
-    for i, end in enumerate(_ALAW_SEG_END):
-        if p <= end:
-            seg = i
-            break
-    if seg >= 8:  # out of 13-bit range: clamp to maximum code
-        return 0x7F ^ mask
+    # The int16 guard bounds p to [-4096, 4095] and the negative path
+    # to [0, 4095] = _ALAW_SEG_END[-1], so the search always lands.
+    seg = next(i for i, end in enumerate(_ALAW_SEG_END) if p <= end)
     m = (p >> 1) & 0x0F if seg < 2 else (p >> seg) & 0x0F
     return (seg << 4 | m) ^ mask
 

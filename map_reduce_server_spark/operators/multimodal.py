@@ -9,19 +9,21 @@ files are built from:
 - PNG (:mod:`..functions.png`): chunk framing, CRC-32, DEFLATE,
   all five scanline filters, nearest-neighbor resize;
 - PCM WAV (:mod:`..functions.wavcodec`): RIFF framing, 16-bit LE;
-- baseline grayscale JPEG (:mod:`..functions.jpeg`): DCT,
-  quantization, Annex K Huffman entropy coding;
-- G.711 mu-law compressed audio (:mod:`..functions.g711`):
-  logarithmic companding in a WAVE_FORMAT_MULAW container;
+- baseline JPEG (:mod:`..functions.jpeg`): DCT, quantization,
+  Annex K Huffman entropy coding — grayscale AND YCbCr color
+  (4:4:4/4:2:0, each with its own registered decode query);
+- G.711 compressed audio (:mod:`..functions.g711`): logarithmic
+  companding, BOTH laws (WAVE_FORMAT_MULAW and WAVE_FORMAT_ALAW
+  containers, one registered query each);
 - Motion-JPEG AVI video (:mod:`..functions.avi`): RIFF 'AVI '
   framing over per-frame JPEGs, stride frame sampling.
 
-What still needs codec libraries the container lacks — color/
-progressive JPEG, perceptual audio (mp3/ogg), inter-frame video
-(H.264) — stays a deterministic stub (documented
-NotImplementedError for real decode, a byte-derived fake for
-tests). The Spark-side plumbing is real throughout: BinaryType
-columns, metadata structs, declared output schemas.
+What still needs codec libraries the container lacks — progressive
+JPEG, perceptual audio (mp3/ogg), inter-frame video (H.264) — stays
+a deterministic stub (documented NotImplementedError for real
+decode, a byte-derived fake for tests). The Spark-side plumbing is
+real throughout: BinaryType columns, metadata structs, declared
+output schemas.
 
 NULL policy shared by every stage and oracle twin: a NULL text has
 no payload (md5(NULL) is NULL in both engines), so every
@@ -166,8 +168,8 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     DEFLATE-inflated), nearest-neighbor resample, re-encode — all via
     the pure-stdlib codec in :mod:`..functions.png`, Arrow-batched.
     The stage contract is binary in → binary out on (doc_id, payload).
-    Non-PNG payloads raise inside the codec (jpeg/wav stay env-gated
-    in :func:`decode_batch`)."""
+    Non-PNG payloads raise inside the codec (this stage is
+    PNG-typed; the other modalities have their own decode stages)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -309,9 +311,12 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the identical pixel statistics straight from the md5
     hex, so a bug anywhere in encode, chunk framing, compression, or
     unfiltering breaks the hash match. WAV gets the same stdlib-real
-    treatment in multimodal_decode_wav and baseline grayscale JPEG in
-    multimodal_decode_jpeg; compressed audio and video remain
-    honestly env-gated (see :func:`decode_batch`)."""
+    treatment in multimodal_decode_wav, baseline JPEG in
+    multimodal_decode_jpeg (+ _jpeg_color), G.711 compressed audio in
+    multimodal_decode_mulaw/_alaw, and MJPEG video in
+    multimodal_decode_video; only perceptual audio (mp3/ogg),
+    progressive JPEG, and inter-frame video stay env-gated
+    (see :func:`decode_batch`)."""
     docs = load_table(spark, sf_dir, "documents")
     stats = png_stats(with_png_payload(docs))
     return stats.select(
@@ -568,8 +573,10 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a genuine codec instead of an env-gated stub. The oracle
     recomputes the identical int16 samples straight from the md5
     hex, so a bug anywhere in header framing, frame accounting, or
-    LE-PCM packing breaks the hash match. Compressed audio (mp3/ogg)
-    remains honestly env-gated (see :func:`decode_batch`).
+    LE-PCM packing breaks the hash match. Compressed audio is real
+    too (G.711 both laws: multimodal_decode_mulaw/_alaw); perceptual
+    codecs (mp3/ogg) remain honestly env-gated (see
+    :func:`decode_batch`).
 
     Scale: embarrassingly parallel Arrow-batched mapInPandas, no
     shuffle; payloads live only inside a task. The stats schema
@@ -670,8 +677,8 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker framing, Huffman tables, entropy coding, zigzag,
     quantization, or the DCT pair breaks the hash match. General
     (non-flat) content round-trips within +/-1 (pinned by the codec
-    unit tests); progressive/color JPEG, compressed audio, and
-    video remain honestly env-gated.
+    unit tests). The color leg is multimodal_decode_jpeg_color;
+    progressive JPEG and perceptual audio stay env-gated.
 
     Scale: embarrassingly parallel Arrow-batched mapInPandas, no
     shuffle; payloads live only inside a task.
@@ -975,8 +982,9 @@ def multimodal_decode_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``audioop`` reference on all 256 codes). The oracle replays the
     closed-form integer expansion straight from the md5 hex, so a
     bug in companding arithmetic, sign handling, chunk framing, or
-    word alignment breaks the hash match. Perceptual codecs
-    (mp3/ogg) and video remain honestly env-gated.
+    word alignment breaks the hash match. The A-law sibling is
+    multimodal_decode_alaw; perceptual codecs (mp3/ogg) stay
+    env-gated.
 
     Scale: embarrassingly parallel Arrow-batched mapInPandas, no
     shuffle; payloads live only inside a task.

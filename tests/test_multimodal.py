@@ -739,3 +739,173 @@ def test_alaw_codebook_invertible_and_matches_audioop():
         g711.decode_wav_alaw(g711.encode_wav_mulaw(8000, codes))
     with pytest.raises(NotImplementedError, match="MULAW"):
         g711.decode_wav_mulaw(data)
+
+
+def _bt601_closed_form(rgb):
+    """Per-pixel reference for the codec's two rounded BT.601
+    transforms (encode then decode), operation-for-operation the
+    arithmetic encode_rgb8/decode_rgb8 perform on a FLAT region —
+    the closed form multimodal_decode_jpeg_color's oracle replays
+    in SQL. Python round() is round-half-even like np.rint."""
+    r, g, b = map(float, rgb)
+    y = min(255, max(0, round((0.299 * r + 0.587 * g) + 0.114 * b)))
+    cb = min(255, max(0, round(
+        ((128.0 - 0.168736 * r) - 0.331264 * g) + 0.5 * b)))
+    cr = min(255, max(0, round(
+        ((128.0 + 0.5 * r) - 0.418688 * g) - 0.081312 * b)))
+    r2 = min(255, max(0, round(y + 1.402 * (cr - 128.0))))
+    g2 = min(255, max(0, round(
+        (y - 0.344136 * (cb - 128.0)) - 0.714136 * (cr - 128.0))))
+    b2 = min(255, max(0, round(y + 1.772 * (cb - 128.0))))
+    return r2, g2, b2
+
+
+def test_jpeg_color_flat_mcu_closed_form():
+    """The multimodal_decode_jpeg_color exactness contract: a 32x32
+    image of four FLAT 16x16 RGB MCUs round-trips through the full
+    4:2:0 lossy pipeline to EXACTLY the closed-form double-rounded
+    BT.601 reconstruction, for arbitrary MCU colors — so the SQL
+    oracle can recompute every output pixel. Uses the same payload
+    builder the registered query ships to executors."""
+    import numpy as np
+
+    from map_reduce_server_spark.functions import jpeg
+    from map_reduce_server_spark.operators.multimodal import (
+        _flat_mcu_rgb,
+    )
+
+    rng = np.random.default_rng(42)
+    for _ in range(25):
+        hex24 = bytes(rng.integers(0, 256, 12, dtype=np.uint8)).hex()
+        pixels = _flat_mcu_rgb(hex24)
+        data = jpeg.encode_rgb8(32, 32, pixels, subsample=True)
+        w, h, out = jpeg.decode_rgb8(data)
+        assert (w, h) == (32, 32)
+        dec = np.frombuffer(out, np.uint8).reshape(32, 32, 3)
+        vals = np.frombuffer(bytes.fromhex(hex24), np.uint8).reshape(
+            2, 2, 3
+        )
+        for my in range(2):
+            for mx in range(2):
+                exp = _bt601_closed_form(vals[my, mx])
+                blk = dec[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
+                assert (blk.reshape(-1, 3) == exp).all(), (
+                    vals[my, mx],
+                    blk[0, 0],
+                    exp,
+                )
+
+
+def test_jpeg_decoder_acceptance_properties():
+    """Decoder acceptance paths on random CONFORMING content (the
+    r6 review pinned the rejection paths; this pins acceptance):
+
+    - random grayscale at unit quant round-trips within +/-1 at any
+      (odd or even) dimensions — pure DCT/IDCT float rounding;
+    - random color at 4:4:4 within +/-5 (the documented compounded
+      YCbCr bound);
+    - flat blocks under NON-unit declared quant tables (q in 2..8)
+      stay bit-exact for even q and within +/-1 for odd q — the
+      decoder must dequantize with the DECLARED table (DC = 8(v-128)
+      survives /q * q exactly when the integer is q-divisible; a
+      decoder that assumed unit tables would be off by ~q x);
+    - random color at 4:2:0 matches a numpy replication of the
+      non-DCT pipeline (rounded BT.601 -> pad -> box-mean -> rint ->
+      replicate upsample -> rounded inverse) within +/-4: the DCT
+      legs add at most +/-1 per plane, amplified by at most
+      1 + 1.772 + 0.5 through the inverse transform.
+    """
+    import numpy as np
+
+    from map_reduce_server_spark.functions import jpeg
+
+    rng = np.random.default_rng(1234)
+    # 1) random grayscale, odd/even dims, unit quant
+    for w, h in ((8, 8), (17, 9), (32, 24), (31, 33)):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        ww, hh, out = jpeg.decode_gray8(
+            jpeg.encode_gray8(w, h, img.tobytes())
+        )
+        assert (ww, hh) == (w, h)
+        dec = np.frombuffer(out, np.uint8).reshape(h, w)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+    # 2) random color 4:4:4
+    for w, h in ((16, 16), (23, 11)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        ww, hh, out = jpeg.decode_rgb8(
+            jpeg.encode_rgb8(w, h, img.tobytes())
+        )
+        dec = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 5
+    # 3) declared non-unit quant tables honored
+    for q in range(2, 9):
+        vals = rng.integers(0, 256, 12, dtype=np.uint8)
+        img = np.repeat(np.repeat(vals.reshape(3, 4), 8, 0), 8, 1)
+        _, _, out = jpeg.decode_gray8(
+            jpeg.encode_gray8(32, 24, img.tobytes(), quant=q)
+        )
+        dec = np.frombuffer(out, np.uint8).reshape(24, 32)
+        tol = 0 if q % 2 == 0 else 1
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= tol, q
+    # 4) random color 4:2:0 vs numpy non-DCT pipeline replication
+    for w, h in ((32, 32), (35, 21)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = jpeg.encode_rgb8(w, h, img.tobytes(), subsample=True)
+        dec = np.frombuffer(jpeg.decode_rgb8(data)[2], np.uint8).reshape(
+            h, w, 3
+        ).astype(np.float64)
+        f = img.astype(np.float64)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        planes = [
+            np.clip(np.rint((0.299 * r + 0.587 * g) + 0.114 * b), 0, 255),
+            np.clip(np.rint(((128.0 - 0.168736 * r) - 0.331264 * g)
+                            + 0.5 * b), 0, 255),
+            np.clip(np.rint(((128.0 + 0.5 * r) - 0.418688 * g)
+                            - 0.081312 * b), 0, 255),
+        ]
+        ph, pw = -h % 16, -w % 16
+        pads = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in planes]
+        yy = pads[0][:h, :w]
+        ups = []
+        for p in pads[1:]:
+            d = np.clip(np.rint(
+                p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
+                .mean(axis=(1, 3))), 0, 255)
+            ups.append(np.repeat(np.repeat(d, 2, 0), 2, 1)[:h, :w])
+        cb, cr = ups
+        ref = np.stack([
+            yy + 1.402 * (cr - 128.0),
+            (yy - 0.344136 * (cb - 128.0)) - 0.714136 * (cr - 128.0),
+            yy + 1.772 * (cb - 128.0),
+        ], -1)
+        ref = np.clip(np.rint(ref), 0, 255)
+        assert np.abs(dec - ref).max() <= 4
+
+
+def test_avi_rejects_non_integer_fps():
+    """A conforming AVI with a rational frame rate (e.g. NTSC
+    30000/1001) is out of scope and must raise, not silently
+    truncate to fps=29; integer multiples (60000/2000 = 30) stay
+    accepted."""
+    import struct as st
+
+    import pytest
+
+    from map_reduce_server_spark.functions import avi, jpeg
+
+    frame = jpeg.encode_gray8(8, 8, bytes(range(64)))
+    data = avi.encode_avi_mjpeg(8, 8, 30, [frame])
+    pos = data.index(b"vids")
+
+    def patched(scale: int, rate: int) -> bytes:
+        return (
+            data[: pos + 20]
+            + st.pack("<II", scale, rate)
+            + data[pos + 28 :]
+        )
+
+    with pytest.raises(NotImplementedError, match="non-integer frame"):
+        avi.parse_avi_mjpeg(patched(1001, 30000))
+    with pytest.raises(ValueError, match="scale is zero"):
+        avi.parse_avi_mjpeg(patched(0, 30000))
+    assert avi.parse_avi_mjpeg(patched(2000, 60000))[2] == 30
