@@ -257,6 +257,27 @@ def encode_gray8(
     )
 
 
+def _bt601_planes(pixels: bytes, width: int, height: int) -> list[np.ndarray]:
+    """RGB bytes -> rounded uint8 [Y, Cb, Cr] planes (BT.601 forward
+    transform) — ONE definition shared by the sequential and
+    progressive color encoders, so the exactness contract the color
+    oracles replay cannot drift between frame types."""
+    rgb = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    return [
+        np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in planes
+    ]
+
+
 def encode_rgb8(
     width: int,
     height: int,
@@ -284,20 +305,7 @@ def encode_rgb8(
         raise ValueError("pixel buffer does not match dimensions")
     if not 1 <= quant <= 255:
         raise ValueError("quant must be in 1..255")
-    rgb = (
-        np.frombuffer(pixels, dtype=np.uint8)
-        .reshape(height, width, 3)
-        .astype(np.float64)
-    )
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    planes = [
-        0.299 * r + 0.587 * g + 0.114 * b,
-        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
-        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
-    ]
-    planes = [
-        np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in planes
-    ]
+    planes = _bt601_planes(pixels, width, height)
     w = _BitWriter()
     prev = [0, 0, 0]
     if not subsample:
@@ -341,6 +349,336 @@ def encode_rgb8(
     return b"".join(
         _headers(width, height, quant, 3, y_sampling=0x22)
         + [w.flush(), b"\xff\xd9"]
+    )
+
+
+# --- progressive (SOF2) encoding ---------------------------------------------
+
+# Custom AC Huffman table for progressive scans: Annex K lacks the
+# EOBn (n>0) symbols progressive coding needs, so declare a complete
+# flat table — every symbol the encoder can emit (EOB0..EOB14, ZRL,
+# all run/size combos up to size 14) at code length 8. 240 codes of
+# one length is a valid (incomplete-tree) canonical table; the
+# decoder honors whatever DHT declares, per spec.
+_PROG_AC_VALS = tuple(sorted(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+))
+_PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0)
+_PROG_AC_ENC = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+
+def _sos(comps: list[tuple[int, int]], ss: int, se: int, ah: int,
+         al: int) -> bytes:
+    """SOS marker segment for one scan: (component id, Td<<4|Ta)
+    pairs plus the spectral-selection / successive-approximation
+    parameters."""
+    body = bytes([len(comps)])
+    for cid, tabs in comps:
+        body += bytes([cid, tabs])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dc_first_bits(pairs, al: int) -> bytes:
+    """Progressive DC first pass: differential coding of dc >> Al
+    (arithmetic shift — the floor convention the refinement bit
+    composes with via two's-complement OR)."""
+    w = _BitWriter()
+    pred: dict[int, int] = {}
+    for c, band in pairs:
+        v = int(band[0]) >> al
+        diff = v - pred.get(c, 0)
+        pred[c] = v
+        cat, amp = _magnitude(diff)
+        code, ln = _DC_ENC[cat]
+        w.write(code, ln)
+        if cat:
+            w.write(amp, cat)
+    return w.flush()
+
+
+def _dc_refine_bits(pairs, al: int) -> bytes:
+    """Progressive DC refinement: one raw bit (bit Al of the true
+    value, two's complement) per block."""
+    w = _BitWriter()
+    for _, band in pairs:
+        w.write((int(band[0]) >> al) & 1, 1)
+    return w.flush()
+
+
+def _ac_first_bits(bands, ss: int, se: int, al: int) -> bytes:
+    """Progressive AC first pass over one component's bands:
+    run-length/magnitude coding of abs(v) >> Al with EOBn run
+    accumulation across all-zero bands."""
+    w = _BitWriter()
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = _PROG_AC_ENC[r << 4]
+            w.write(code, ln)
+            if r:
+                w.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for band in bands:
+        vs = [int(band[k]) for k in range(ss, se + 1)]
+        ts = [abs(v) >> al for v in vs]
+        nz = [i for i, t in enumerate(ts) if t]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for i in range(nz[-1] + 1):
+            t = ts[i]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = _PROG_AC_ENC[0xF0]
+                w.write(code, ln)
+                r -= 16
+            cat = t.bit_length()
+            _, amp = _magnitude(t if vs[i] > 0 else -t)
+            code, ln = _PROG_AC_ENC[(r << 4) | cat]
+            w.write(code, ln)
+            w.write(amp, cat)
+            r = 0
+        if nz[-1] < se - ss:  # trailing zeros -> band joins an EOB run
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return w.flush()
+
+
+def _ac_refine_bits(bands, ss: int, se: int, al: int) -> bytes:
+    """Progressive AC refinement over one component's bands. Bit
+    emission mirrors the decoder's advance-walk windows exactly
+    (T.81 G.1.2.3): each ZRL / newly-significant code is followed by
+    the correction bits of the already-nonzero coefficients its walk
+    passes, and an EOB run buffers the correction bits of every band
+    in the run behind the EOBn code."""
+    w = _BitWriter()
+    eobrun = 0
+    eob_bits: list[int] = []
+
+    def flush_eob() -> None:
+        nonlocal eobrun, eob_bits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = _PROG_AC_ENC[r << 4]
+            w.write(code, ln)
+            if r:
+                w.write(eobrun - (1 << r), r)
+            for bit in eob_bits:
+                w.write(bit, 1)
+            eobrun = 0
+            eob_bits = []
+
+    n = 0
+    for band in bands:
+        vs = [int(band[k]) for k in range(ss, se + 1)]
+        ts = [abs(v) >> al for v in vs]
+        n = len(ts)
+        targets = [i for i, t in enumerate(ts) if t == 1]
+        if not targets:
+            eobrun += 1
+            eob_bits += [t & 1 for t in ts if t > 1]
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        pos = 0
+        for p in targets:
+            run = 0
+            corr: list[int] = []
+            for q in range(pos, p):
+                if ts[q] == 0:
+                    run += 1
+                    if run == 16:
+                        code, ln = _PROG_AC_ENC[0xF0]
+                        w.write(code, ln)
+                        for bit in corr:
+                            w.write(bit, 1)
+                        corr = []
+                        run = 0
+                else:  # already significant: correction bit
+                    corr.append(ts[q] & 1)
+            code, ln = _PROG_AC_ENC[(run << 4) | 1]
+            w.write(code, ln)
+            w.write(1 if vs[p] > 0 else 0, 1)
+            for bit in corr:
+                w.write(bit, 1)
+            pos = p + 1
+        if pos < n:  # positions remain after the last new coefficient
+            eobrun += 1
+            eob_bits += [ts[q] & 1 for q in range(pos, n) if ts[q] > 1]
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return w.flush()
+
+
+def _prog_frame(
+    width: int,
+    height: int,
+    quant: int,
+    zzs: list[np.ndarray],
+    comp_geo: list[tuple[int, int, int, int]],
+    mcu_grid: tuple[int, int],
+) -> bytes:
+    """Assemble a progressive (SOF2) file from per-component zigzag
+    coefficients. ``comp_geo`` = (h, v, padded stride, true (th, tw))
+    flattened per component; the scan script exercises every
+    progressive scan type: interleaved DC first, per-component AC
+    first (spectral band split exercises EOBn runs), per-component
+    AC refinement, interleaved DC refinement."""
+    ncomp = len(zzs)
+    mcux, mcuy = mcu_grid
+    qtabs = bytes([0]) + bytes([quant] * 64)
+    dhts = _dht(0, 0, _DC_BITS, _DC_VALS) + _dht(
+        1, 0, _PROG_AC_BITS, _PROG_AC_VALS
+    )
+    if ncomp == 1:
+        sof_comps = bytes([1, 1, 0x11, 0])
+        ids = [(1, 0x00)]
+    else:
+        qtabs += bytes([1]) + bytes([quant] * 64)
+        dhts += _dht(0, 1, _DC_BITS, _DC_VALS) + _dht(
+            1, 1, _PROG_AC_BITS, _PROG_AC_VALS
+        )
+        y_sampling = 0x22 if comp_geo[0][0] == 2 else 0x11
+        sof_comps = bytes(
+            [3, 1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+        ids = [(1, 0x00), (2, 0x11), (3, 0x11)]
+    parts = [
+        b"\xff\xd8",
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00",
+        b"\xff\xdb" + struct.pack(">H", len(qtabs) + 2) + qtabs,
+        b"\xff\xc2"
+        + struct.pack(">H", 8 + 3 * ncomp)
+        + bytes([8]) + struct.pack(">HH", height, width) + sof_comps,
+        dhts,
+    ]
+    # interleaved MCU-order (comp, band) pairs for the DC scans
+    dc_pairs = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(ncomp):
+                h, v, stride, _ = comp_geo[c]
+                for bv in range(v):
+                    for bhx in range(h):
+                        b = (my * v + bv) * stride + mx * h + bhx
+                        dc_pairs.append((c, zzs[c][b]))
+    # true-grid raster bands per component for the AC scans
+    ac_bands = []
+    for c in range(ncomp):
+        _, _, stride, (th, tw) = comp_geo[c]
+        ac_bands.append(
+            [
+                zzs[c][r * stride + col]
+                for r in range(th)
+                for col in range(tw)
+            ]
+        )
+    parts += [_sos(ids, 0, 0, 0, 1), _dc_first_bits(dc_pairs, 1)]
+    for c in range(ncomp):
+        cid = ids[c]
+        # split the band so multi-scan spectral selection (and the
+        # EOBn path on the sparse high band) is exercised
+        parts += [
+            _sos([cid], 1, 5, 0, 1),
+            _ac_first_bits(ac_bands[c], 1, 5, 1),
+            _sos([cid], 6, 63, 0, 1),
+            _ac_first_bits(ac_bands[c], 6, 63, 1),
+        ]
+    for c in range(ncomp):
+        parts += [
+            _sos([ids[c]], 1, 63, 1, 0),
+            _ac_refine_bits(ac_bands[c], 1, 63, 0),
+        ]
+    parts += [_sos(ids, 0, 0, 1, 0), _dc_refine_bits(dc_pairs, 0)]
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def encode_gray8_progressive(
+    width: int, height: int, pixels: bytes, quant: int = 1
+) -> bytes:
+    """Encode grayscale as a PROGRESSIVE (SOF2) JFIF JPEG: the same
+    quantized coefficients as :func:`encode_gray8`, entropy-coded
+    across multiple spectral-selection + successive-approximation
+    scans — so decoding a progressive encode must reproduce the
+    baseline decode bit-for-bit (pinned in tests)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in 1..255")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    zz = _plane_to_zz(img, quant)
+    gw = (width + 7) // 8
+    gh = (height + 7) // 8
+    geo = [(1, 1, gw, (gh, gw))]
+    return _prog_frame(width, height, quant, [zz], geo, (gw, gh))
+
+
+def encode_rgb8_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    quant: int = 1,
+    subsample: bool = False,
+) -> bytes:
+    """Encode RGB as a PROGRESSIVE (SOF2) color JPEG at 4:4:4 or
+    4:2:0 — identical coefficients to :func:`encode_rgb8` (shared
+    BT.601 transform and chroma downsampling), progressive entropy
+    coding."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in 1..255")
+    planes = _bt601_planes(pixels, width, height)
+    if not subsample:
+        zzs = [_plane_to_zz(p, quant) for p in planes]
+        gw = (width + 7) // 8
+        gh = (height + 7) // 8
+        geo = [(1, 1, gw, (gh, gw))] * 3
+        return _prog_frame(width, height, quant, zzs, geo, (gw, gh))
+    ph, pw = -height % 16, -width % 16
+    padded = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in planes]
+    yp = padded[0]
+    chroma = [
+        np.clip(
+            np.rint(
+                p.astype(np.float64)
+                .reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
+                .mean(axis=(1, 3))
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        for p in padded[1:]
+    ]
+    zz_y = _plane_to_zz(yp, quant)
+    zz_c = [_plane_to_zz(p, quant) for p in chroma]
+    mcux, mcuy = yp.shape[1] // 16, yp.shape[0] // 16
+    geo = [
+        (2, 2, 2 * mcux, ((height + 7) // 8, (width + 7) // 8)),
+        (1, 1, mcux, (mcuy, mcux)),
+        (1, 1, mcux, (mcuy, mcux)),
+    ]
+    return _prog_frame(
+        width, height, quant, [zz_y] + zz_c, geo, (mcux, mcuy)
     )
 
 
@@ -411,15 +749,171 @@ def _extend(amp: int, cat: int) -> int:
     return amp - (1 << cat) + 1
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """Index of the next marker (0xFF followed by a non-stuffing,
+    non-fill byte) at or after ``pos`` — how a multi-scan decoder
+    finds where one scan's entropy segment ends."""
+    i = pos
+    n = len(data)
+    while True:
+        i = data.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            raise ValueError("truncated JPEG: no marker after scan data")
+        nxt = data[i + 1]
+        if nxt == 0x00:  # stuffed 0xFF00: entropy data, keep going
+            i += 2
+            continue
+        if nxt == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        return i
+
+
+def _seq_scan(reader, zz, sof_comps, grids, tabs_for, mcux, mcuy) -> None:
+    """The single interleaved baseline scan: per MCU, each component
+    contributes its h x v blocks in raster order (4 Y, 1 Cb, 1 Cr at
+    4:2:0; one block each at 1x1 factors), DC differentially
+    predicted, AC run-length coded."""
+    prev_dc = [0] * len(sof_comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, (_, h, v, _) in enumerate(sof_comps):
+                dc_tab, ac_tab = tabs_for[c]
+                for bv in range(v):
+                    for bhx in range(h):
+                        b = (my * v + bv) * grids[c][1] + mx * h + bhx
+                        cat = _read_symbol(reader, dc_tab)
+                        diff = _extend(reader.read_bits(cat), cat)
+                        prev_dc[c] += diff
+                        zz[c][b, 0] = prev_dc[c]
+                        i = 1
+                        while i < 64:
+                            sym = _read_symbol(reader, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            run, cat = sym >> 4, sym & 0x0F
+                            i += run
+                            if i > 63:
+                                raise ValueError("AC run overflows block")
+                            zz[c][b, i] = _extend(
+                                reader.read_bits(cat), cat
+                            )
+                            i += 1
+
+
+def _prog_dc_scan(reader, zz, pairs, ah, al) -> None:
+    """One progressive DC scan (T.81 G.1.2.1). ``pairs`` lists
+    (component, block index, dc table) in coded order
+    (MCU-interleaved when ns > 1, component raster order when
+    ns = 1). First pass (Ah=0) Huffman-decodes DC diffs and stores
+    them shifted by Al; refinement (Ah>0) reads one raw bit per
+    block and ORs it at position Al (two's-complement OR — exactly
+    how the successive-approximation bit plane composes for negative
+    values)."""
+    if ah == 0:
+        pred = {}
+        for c, b, dc_tab in pairs:
+            cat = _read_symbol(reader, dc_tab)
+            diff = _extend(reader.read_bits(cat), cat)
+            pred[c] = pred.get(c, 0) + diff
+            zz[c][b, 0] = pred[c] << al
+    else:
+        for c, b, _ in pairs:
+            if reader.read_bit():
+                zz[c][b, 0] |= 1 << al
+
+
+def _prog_ac_first(reader, band, ac_tab, ss, se, al, eobrun) -> int:
+    """AC first pass for one block's band (T.81 G.1.2.2): run-length
+    coded magnitudes shifted by Al, with EOBn codes carrying a run of
+    all-zero bands. Returns the updated EOB run count."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(reader, ac_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run overflows band")
+            band[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        else:
+            if r == 15:  # ZRL: sixteen zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+    return eobrun
+
+
+def _prog_ac_refine(reader, band, ac_tab, ss, se, al, eobrun) -> int:
+    """AC refinement pass for one block's band (T.81 G.1.2.3 /
+    decoder procedure): newly-significant coefficients arrive as
+    run-length codes with size 1; every already-nonzero coefficient
+    passed by a code's advance walk contributes one correction bit;
+    an EOB run appends correction bits for the remaining nonzero
+    coefficients of every band in the run. Returns the updated EOB
+    run count."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(reader, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "refinement scan: newly-significant size must be 1"
+                    )
+                val = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break  # rest of band joins the EOB logic below
+            # advance over already-nonzero coefficients and r
+            # still-zero ones, consuming correction bits inline
+            while k <= se:
+                if band[k] != 0:
+                    if reader.read_bit() and (band[k] & p1) == 0:
+                        band[k] += p1 if band[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                band[k] = val
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run every remaining nonzero coefficient of
+        # the band still carries its correction bit
+        while k <= se:
+            if band[k] != 0 and reader.read_bit() and (band[k] & p1) == 0:
+                band[k] += p1 if band[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_planes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
-    """Decode a baseline JPEG into (width, height, [component planes]).
+    """Decode a baseline-sequential (SOF0) or progressive (SOF2) JPEG
+    into (width, height, [component planes]).
 
     Parses marker segments, builds the Huffman/quant tables the file
-    declares, entropy-decodes the single interleaved scan (1
-    grayscale component, or 3 YCbCr components at 4:4:4), dequantizes
-    per component, inverse-zigzags, applies the IDCT, and crops MCU
-    padding. Chroma subsampling (4:2:0/4:2:2) raises
-    NotImplementedError.
+    declares, entropy-decodes the scan(s) — one interleaved scan for
+    baseline; any conforming sequence of DC/AC spectral-selection and
+    successive-approximation scans for progressive — dequantizes per
+    component, inverse-zigzags, applies the IDCT, and crops MCU
+    padding.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
@@ -427,9 +921,15 @@ def _decode_planes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     width = height = None
+    progressive = False
     sof_comps: list[tuple[int, int]] = []  # (component id, quant id)
     scan_tabs: list[tuple[int, int]] = []  # (dc id, ac id) in scan order
     scan_start = None
+    # progressive state: coefficient accumulators + geometry, built
+    # at the first SOS and carried across scans
+    zz = None
+    grids = true_grids = None
+    mcux = mcuy = max_h = max_v = None
     while pos < len(data):
         # every read below is bounds-checked first: truncated input
         # must fail with the codec's ValueError contract, not a bare
@@ -474,19 +974,22 @@ def _decode_planes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
                 vals = tuple(body[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if sof_comps:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             if len(body) < 6:
-                raise ValueError("truncated SOF0 segment")
+                raise ValueError("truncated SOF segment")
             precision = body[0]
             height, width = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
             if precision != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
                     "only 8-bit 1-component (gray) or 3-component "
-                    "(YCbCr) baseline"
+                    "(YCbCr) frames"
                 )
             if len(body) < 6 + 3 * ncomp:
-                raise ValueError("truncated SOF0 component list")
+                raise ValueError("truncated SOF component list")
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
                 sof_comps.append(
@@ -501,107 +1004,191 @@ def _decode_planes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
                     "only 1x1 sampling (gray / 4:4:4) or 2x2-luma "
                     "4:2:0 supported"
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline-sequential JPEG scan")
+            raise NotImplementedError(
+                "only baseline-sequential (SOF0) and progressive "
+                "(SOF2) JPEG frames"
+            )
         elif marker == 0xDD:  # DRI: restart markers are not decoded
             if len(body) >= 2 and struct.unpack(">H", body[:2])[0] != 0:
                 raise NotImplementedError(
                     "restart intervals (DRI/RSTn) not supported"
                 )
         elif marker == 0xDA:  # SOS — entropy data follows
+            if not sof_comps:
+                raise ValueError("SOS before SOF")
             if len(body) < 1:
                 raise ValueError("truncated SOS segment")
             ns = body[0]
-            if ns != len(sof_comps) or ns not in (1, 3):
+            if ns not in (1, 3) or (not progressive and ns != len(sof_comps)):
                 raise NotImplementedError(
-                    "scan component count must match SOF0 (1 or 3)"
+                    "scan component count must be 1 or 3 (matching "
+                    "SOF0 for baseline)"
                 )
-            if len(body) < 1 + 2 * ns:
+            if len(body) < 4 + 2 * ns:
                 raise ValueError("truncated SOS component list")
             by_id = {
                 comp[0]: i for i, comp in enumerate(sof_comps)
             }
-            scan_tabs = [None] * ns
+            scan_idx: list[int] = []  # frame-component index per scan slot
+            scan_tabs = []
             for c in range(ns):
                 cid = body[1 + 2 * c]
                 tabs = body[2 + 2 * c]
                 if cid not in by_id:
                     raise ValueError("SOS references unknown component")
-                if scan_tabs[by_id[cid]] is not None:
+                if by_id[cid] in scan_idx:
                     raise ValueError("SOS lists a component twice")
-                scan_tabs[by_id[cid]] = (tabs >> 4, tabs & 0x0F)
-            if any(t is None for t in scan_tabs):
-                raise ValueError("SOS omits a frame component")
+                scan_idx.append(by_id[cid])
+                scan_tabs.append((tabs >> 4, tabs & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if not progressive:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        "baseline scan must cover the full band"
+                    )
+                if scan_idx != list(range(len(sof_comps))):
+                    raise ValueError(
+                        "baseline scan must list components in SOF order"
+                    )
             scan_start = pos + 2 + seglen
-            break
+            if zz is None:
+                # first scan: validate size, build geometry, allocate
+                # coefficient accumulators. Size guard BEFORE
+                # allocation: a ~200-byte crafted file can declare
+                # 65535x65535x3 (~100 GB of int64 coefficients).
+                if width * height > 1 << 26:
+                    raise ValueError(
+                        "declared image size exceeds this decoder's "
+                        "64-megapixel cap"
+                    )
+                max_h = max(h for (_, h, _v, _) in sof_comps)
+                max_v = max(v for (_, _h, v, _) in sof_comps)
+                mcux = (width + 8 * max_h - 1) // (8 * max_h)
+                mcuy = (height + 8 * max_v - 1) // (8 * max_v)
+                # per-component block grids (blocks down, across) on
+                # the MCU-padded lattice, plus the TRUE grids ceil-
+                # derived from component dimensions — non-interleaved
+                # scans code only true-grid blocks (T.81 A.2.2)
+                grids = [(mcuy * v, mcux * h) for (_, h, v, _) in sof_comps]
+                true_grids = []
+                for (_, h, v, _) in sof_comps:
+                    cw = (width * h + max_h - 1) // max_h
+                    chh = (height * v + max_v - 1) // max_v
+                    true_grids.append(
+                        ((chh + 7) // 8, (cw + 7) // 8)
+                    )
+                zz = [
+                    np.zeros((bh * bw, 64), dtype=np.int64)
+                    for bh, bw in grids
+                ]
+            # resolve this scan's Huffman tables (DC unused by AC
+            # scans and vice versa in progressive — only require what
+            # the scan actually consumes)
+            need_dc = ss == 0 and (not progressive or ah == 0)
+            need_ac = se > 0
+            tabs_for: list[tuple] = []
+            for slot, ci in enumerate(scan_idx):
+                dc_id, ac_id = scan_tabs[slot]
+                dc_tab = htables.get((0, dc_id))
+                ac_tab = htables.get((1, ac_id))
+                if need_dc and dc_tab is None:
+                    raise ValueError(
+                        "scan references an undeclared Huffman table"
+                    )
+                if need_ac and ac_tab is None:
+                    raise ValueError(
+                        "scan references an undeclared Huffman table"
+                    )
+                tabs_for.append((dc_tab, ac_tab))
+            if not progressive:
+                # single interleaved scan bounded by EOI
+                end = data.rfind(b"\xff\xd9")
+                if end < scan_start:
+                    raise ValueError("truncated JPEG: missing EOI")
+                reader = _BitReader(data[scan_start:end])
+                _seq_scan(
+                    reader, zz, sof_comps, grids, tabs_for, mcux, mcuy
+                )
+                pos = end
+                continue
+            # progressive: decode this scan, keep parsing markers
+            end = _next_marker(data, scan_start)
+            reader = _BitReader(data[scan_start:end])
+            if ss == 0:
+                if se != 0:
+                    raise ValueError(
+                        "progressive DC scan must have Se = 0"
+                    )
+                if ah and al != ah - 1:
+                    raise ValueError(
+                        "successive approximation must refine one bit"
+                    )
+                pairs = []
+                if len(scan_idx) > 1:
+                    # interleaved DC scan: MCU order, h x v blocks
+                    # per component per MCU
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for slot, ci in enumerate(scan_idx):
+                                _, h, v, _ = sof_comps[ci]
+                                for bv in range(v):
+                                    for bhx in range(h):
+                                        b = (
+                                            (my * v + bv) * grids[ci][1]
+                                            + mx * h + bhx
+                                        )
+                                        pairs.append(
+                                            (ci, b, tabs_for[slot][0])
+                                        )
+                else:
+                    ci = scan_idx[0]
+                    th, tw = true_grids[ci]
+                    stride = grids[ci][1]
+                    for r in range(th):
+                        for col in range(tw):
+                            pairs.append(
+                                (ci, r * stride + col, tabs_for[0][0])
+                            )
+                _prog_dc_scan(reader, zz, pairs, ah, al)
+            else:
+                if len(scan_idx) != 1:
+                    raise ValueError(
+                        "progressive AC scan must be non-interleaved"
+                    )
+                if not 1 <= ss <= se <= 63:
+                    raise ValueError("invalid spectral band")
+                if ah and al != ah - 1:
+                    raise ValueError(
+                        "successive approximation must refine one bit"
+                    )
+                ci = scan_idx[0]
+                ac_tab = tabs_for[0][1]
+                th, tw = true_grids[ci]
+                stride = grids[ci][1]
+                eobrun = 0
+                step = _prog_ac_refine if ah else _prog_ac_first
+                for r in range(th):
+                    for col in range(tw):
+                        band = zz[ci][r * stride + col]
+                        eobrun = step(
+                            reader, band, ac_tab, ss, se, al, eobrun
+                        )
+            pos = end
+            continue
         # APPn/COM/etc: skip
         pos += 2 + seglen
-    if width is None or scan_start is None:
-        raise ValueError("missing SOF0/SOS")
-    # size guard BEFORE allocating coefficient buffers: a ~200-byte
-    # crafted file can declare 65535x65535x3 (~100 GB of int64
-    # coefficients) — that must be a ValueError, not a worker OOM
-    if width * height > 1 << 26:
-        raise ValueError(
-            "declared image size exceeds this decoder's 64-megapixel cap"
-        )
+    if width is None or zz is None:
+        raise ValueError("missing SOF/SOS")
     comp_tabs = []
-    for (cid, ch, cv, tq), (dc_id, ac_id) in zip(sof_comps, scan_tabs):
+    for cid, ch, cv, tq in sof_comps:
         if tq not in qtables:
             raise ValueError("scan references an undeclared quant table")
-        dc_tab = htables.get((0, dc_id))
-        ac_tab = htables.get((1, ac_id))
-        if dc_tab is None or ac_tab is None:
-            raise ValueError(
-                "scan references an undeclared Huffman table"
-            )
-        comp_tabs.append((qtables[tq], dc_tab, ac_tab))
-
-    # find EOI to bound the entropy stream (no restart markers)
-    end = data.rfind(b"\xff\xd9")
-    if end < scan_start:
-        raise ValueError("truncated JPEG: missing EOI")
-    reader = _BitReader(data[scan_start:end])
-    ncomp = len(sof_comps)
+        comp_tabs.append((qtables[tq],))
     max_h = max(h for (_, h, _v, _) in sof_comps)
     max_v = max(v for (_, _h, v, _) in sof_comps)
-    mcux = (width + 8 * max_h - 1) // (8 * max_h)
-    mcuy = (height + 8 * max_v - 1) // (8 * max_v)
-    # per-component block grids (blocks down, blocks across)
-    grids = [(mcuy * v, mcux * h) for (_, h, v, _) in sof_comps]
-    zz = [np.zeros((bh * bw, 64), dtype=np.int64) for bh, bw in grids]
-    prev_dc = [0] * ncomp
-    for my in range(mcuy):
-        for mx in range(mcux):
-            # T.81 interleave: per MCU, each component contributes
-            # its h x v blocks in raster order (4 Y, 1 Cb, 1 Cr at
-            # 4:2:0; one block each at 1x1 factors)
-            for c, (_, h, v, _) in enumerate(sof_comps):
-                _, dc_tab, ac_tab = comp_tabs[c]
-                for bv in range(v):
-                    for bhx in range(h):
-                        b = (my * v + bv) * grids[c][1] + mx * h + bhx
-                        cat = _read_symbol(reader, dc_tab)
-                        diff = _extend(reader.read_bits(cat), cat)
-                        prev_dc[c] += diff
-                        zz[c][b, 0] = prev_dc[c]
-                        i = 1
-                        while i < 64:
-                            sym = _read_symbol(reader, ac_tab)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                i += 16
-                                continue
-                            run, cat = sym >> 4, sym & 0x0F
-                            i += run
-                            if i > 63:
-                                raise ValueError("AC run overflows block")
-                            zz[c][b, i] = _extend(
-                                reader.read_bits(cat), cat
-                            )
-                            i += 1
 
     planes = []
     for c, (_, h, v, _) in enumerate(sof_comps):

@@ -9,19 +9,20 @@ files are built from:
 - PNG (:mod:`..functions.png`): chunk framing, CRC-32, DEFLATE,
   all five scanline filters, nearest-neighbor resize;
 - PCM WAV (:mod:`..functions.wavcodec`): RIFF framing, 16-bit LE;
-- baseline JPEG (:mod:`..functions.jpeg`): DCT, quantization,
-  Annex K Huffman entropy coding — grayscale AND YCbCr color
-  (4:4:4/4:2:0, each with its own registered decode query);
+- JPEG (:mod:`..functions.jpeg`): DCT, quantization, Annex K
+  Huffman entropy coding — grayscale AND YCbCr color (4:4:4/4:2:0)
+  AND progressive (SOF2: spectral selection + successive
+  approximation), each with its own registered decode query;
 - G.711 compressed audio (:mod:`..functions.g711`): logarithmic
   companding, BOTH laws (WAVE_FORMAT_MULAW and WAVE_FORMAT_ALAW
   containers, one registered query each);
 - Motion-JPEG AVI video (:mod:`..functions.avi`): RIFF 'AVI '
   framing over per-frame JPEGs, stride frame sampling.
 
-What still needs codec libraries the container lacks — progressive
-JPEG, perceptual audio (mp3/ogg), inter-frame video (H.264) — stays
-a deterministic stub (documented NotImplementedError for real
-decode, a byte-derived fake for tests). The Spark-side plumbing is
+What still needs codec libraries the container lacks — perceptual
+audio (mp3/ogg), inter-frame video (H.264) — stays a deterministic
+stub (documented NotImplementedError for real decode, a
+byte-derived fake for tests). The Spark-side plumbing is
 real throughout: BinaryType columns, metadata structs, declared
 output schemas.
 
@@ -101,7 +102,7 @@ def decode_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
         raise NotImplementedError(
             "generic decode of arbitrary formats needs PIL/librosa/av "
             "(not in container); real codecs exist for RGB PNG "
-            "(functions/png.py), baseline gray/color JPEG "
+            "(functions/png.py), gray/color/progressive JPEG "
             "(functions/jpeg.py), PCM WAV (functions/wavcodec.py), "
             "G.711 mu-law (functions/g711.py) and MJPEG AVI "
             "(functions/avi.py) — use fake=True here for the "
@@ -314,9 +315,8 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     treatment in multimodal_decode_wav, baseline JPEG in
     multimodal_decode_jpeg (+ _jpeg_color), G.711 compressed audio in
     multimodal_decode_mulaw/_alaw, and MJPEG video in
-    multimodal_decode_video; only perceptual audio (mp3/ogg),
-    progressive JPEG, and inter-frame video stay env-gated
-    (see :func:`decode_batch`)."""
+    multimodal_decode_video; only perceptual audio (mp3/ogg) and
+    inter-frame video stay env-gated (see :func:`decode_batch`)."""
     docs = load_table(spark, sf_dir, "documents")
     stats = png_stats(with_png_payload(docs))
     return stats.select(
@@ -677,14 +677,103 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker framing, Huffman tables, entropy coding, zigzag,
     quantization, or the DCT pair breaks the hash match. General
     (non-flat) content round-trips within +/-1 (pinned by the codec
-    unit tests). The color leg is multimodal_decode_jpeg_color;
-    progressive JPEG and perceptual audio stay env-gated.
+    unit tests). The color leg is multimodal_decode_jpeg_color and
+    the progressive (SOF2) leg multimodal_decode_jpeg_progressive;
+    only perceptual audio (mp3/ogg) stays env-gated.
 
     Scale: embarrassingly parallel Arrow-batched mapInPandas, no
     shuffle; payloads live only inside a task.
     """
     docs = load_table(spark, sf_dir, "documents")
     stats = jpeg_stats(with_jpeg_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        "max_px",
+    )
+
+
+# --- real PROGRESSIVE JPEG codec path (SOF2) ---------------------------------
+
+# Own 'p'-salted payload recipe — independent of the baseline gray
+# and color legs.
+_SQL_JPGP_HEX = "substr(md5('p' || text), 1, 24)"
+
+
+def with_jpeg_progressive_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL progressive (SOF2) JFIF JPEG per document: the
+    same md5-derived flat-block image as the baseline leg, entropy-
+    coded across six spectral-selection + successive-approximation
+    scans (interleaved DC first/refine, split-band AC first, AC
+    refine) with EOBn run coding on the sparse high band."""
+    flat = docs.select(
+        "doc_id",
+        F.substring(
+            F.md5(F.concat(F.lit("p"), F.col("text"))), 1, 24
+        ).alias("pix_hex"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(h: str) -> bytes:
+            return jpeg.encode_gray8_progressive(
+                _JPG_W, _JPG_H, _flat_block_gray(h)
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["pix_hex"].map(_nn(enc)),
+                }
+            )
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+@register(
+    "multimodal_decode_jpeg_progressive",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, list_transform(range(1, 13),
+               i -> CAST(('0x' || substr({_SQL_JPGP_HEX}, i*2-1, 2))
+                    AS BIGINT)) AS bs
+      FROM documents WHERE text IS NOT NULL),
+    st AS (
+      SELECT doc_id, CAST({_JPG_W} AS INTEGER) AS width,
+             CAST({_JPG_H} AS INTEGER) AS height,
+             round(CAST(list_sum(bs) AS DOUBLE) / 12, 6) AS mean_px,
+             CAST(list_max(bs) AS INTEGER) AS max_px
+      FROM px)
+    SELECT d.doc_id, st.width, st.height, st.mean_px, st.max_px
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+    """,
+)
+def multimodal_decode_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL progressive-JPEG round-trip: encode each document's
+    md5-derived flat-block image as an actual SOF2 progressive JFIF
+    file — six scans exercising interleaved DC first + refinement,
+    spectral-selection AC bands, successive-approximation AC
+    refinement, and EOBn run coding — and decode it back with the
+    pure numpy/stdlib multi-scan parser. Progressive coding is a
+    lossless re-arrangement of the same quantized coefficients, so
+    the flat-block exactness contract carries over unchanged and the
+    oracle recomputes every pixel from the md5 hex: a bug anywhere in
+    scan sequencing, spectral-band bookkeeping, bit-plane
+    composition, EOB-run accounting, or refinement windows breaks
+    the hash match. (Decoder conformance beyond this encoder is
+    pinned at the coefficient level by the refinement pairing test;
+    no external JPEG library exists in this container to
+    cross-validate, same epistemic status as the baseline leg.)
+
+    Scale: embarrassingly parallel Arrow-batched mapInPandas, no
+    shuffle; payloads live only inside a task.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = jpeg_stats(with_jpeg_progressive_payload(docs))
     return stats.select(
         "doc_id",
         "width",

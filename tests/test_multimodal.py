@@ -385,11 +385,13 @@ def test_jpeg_malformed_inputs_raise():
         jpeg.decode_gray8(data[:30])  # truncated mid-segment
     with pytest.raises(ValueError):
         jpeg.decode_gray8(data[:-2])  # EOI missing
-    # progressive SOF2 must be rejected, not mis-decoded
+    # SOF2 is now a supported frame type, but a baseline-shaped scan
+    # header (Ss=0, Se=63) inside a progressive frame is malformed —
+    # it must raise, not silently mis-decode as a DC scan
     prog = bytearray(data)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan must have Se = 0"):
         jpeg.decode_gray8(bytes(prog))
     with pytest.raises(ValueError):
         jpeg.encode_gray8(8, 8, img.tobytes()[:10])  # size mismatch
@@ -909,3 +911,104 @@ def test_avi_rejects_non_integer_fps():
     with pytest.raises(ValueError, match="scale is zero"):
         avi.parse_avi_mjpeg(patched(0, 30000))
     assert avi.parse_avi_mjpeg(patched(2000, 60000))[2] == 30
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """Progressive (SOF2) encoding is a lossless re-arrangement of
+    the same quantized coefficients, so decoding a progressive
+    encode must reproduce the baseline decode BIT-FOR-BIT — across
+    random content, odd/even dims, non-unit quant, gray and color at
+    both samplings. Also pins the flat-block exactness contract the
+    registered progressive query's oracle relies on."""
+    import numpy as np
+
+    from map_reduce_server_spark.functions import jpeg
+
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        w = int(rng.integers(8, 49))
+        h = int(rng.integers(8, 41))
+        q = int(rng.integers(1, 4))
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert jpeg.decode_gray8(
+            jpeg.encode_gray8_progressive(w, h, img.tobytes(), quant=q)
+        ) == jpeg.decode_gray8(
+            jpeg.encode_gray8(w, h, img.tobytes(), quant=q)
+        )
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for sub in (False, True):
+            assert jpeg.decode_rgb8(
+                jpeg.encode_rgb8_progressive(
+                    w, h, rgb.tobytes(), quant=q, subsample=sub
+                )
+            ) == jpeg.decode_rgb8(
+                jpeg.encode_rgb8(w, h, rgb.tobytes(), quant=q, subsample=sub)
+            )
+    # flat blocks stay bit-exact through the progressive path
+    vals = rng.integers(0, 256, 12, dtype=np.uint8)
+    flat = np.repeat(np.repeat(vals.reshape(3, 4), 8, 0), 8, 1)
+    _, _, out = jpeg.decode_gray8(
+        jpeg.encode_gray8_progressive(32, 24, flat.tobytes())
+    )
+    assert np.array_equal(
+        np.frombuffer(out, np.uint8).reshape(24, 32), flat
+    )
+
+
+def test_jpeg_ac_refinement_pairing_coefficient_level():
+    """The AC successive-approximation refinement pass, tested at the
+    COEFFICIENT level (no DCT in the way): encode refinement bits
+    from full-precision bands, decode them onto the first-pass state,
+    and require the exact post-refinement state — over crafted band
+    shapes that force every branch: all-zero bands (EOBn runs > 1),
+    bands whose only nonzeros are already-significant (EOB-run
+    correction bits), >16-zero runs with interspersed significant
+    coefficients (ZRL windows with inline corrections), and dense
+    bands."""
+    import numpy as np
+
+    from map_reduce_server_spark.functions import jpeg
+
+    rng = np.random.default_rng(99)
+    ss, se = 1, 63
+    ac_tab = jpeg._decode_table(jpeg._PROG_AC_BITS, jpeg._PROG_AC_VALS)
+    for trial in range(60):
+        al = int(rng.integers(0, 3))
+        nb = int(rng.integers(1, 12))
+        full = []
+        for _ in range(nb):
+            band = np.zeros(64, np.int64)
+            kind = rng.integers(0, 5)
+            if kind == 1:
+                idx = rng.choice(range(ss, 64), size=3, replace=False)
+                band[idx] = rng.integers(-3, 4, 3)
+            elif kind == 2:
+                band[40] = int(rng.integers(2, 9)) << al
+                band[63] = 1 << al
+                band[20] = -(int(rng.integers(2, 9)) << al)
+            elif kind == 3:
+                idx = rng.choice(range(ss, 64), size=4, replace=False)
+                band[idx] = (
+                    rng.integers(2, 17, 4) * rng.choice([-1, 1], 4)
+                ) << al
+            elif kind == 4:
+                band[ss:] = rng.integers(-7, 8, 64 - ss)
+            full.append(band)
+
+        def state(band, a):
+            p = np.zeros(64, np.int64)
+            for k in range(ss, 64):
+                v = int(band[k])
+                t = abs(v) >> a
+                p[k] = (t << a) * (1 if v > 0 else -1) if t else 0
+            return p
+
+        data = jpeg._ac_refine_bits(list(full), ss, se, al)
+        reader = jpeg._BitReader(data)
+        eobrun = 0
+        for band in full:
+            got = state(band, al + 1)
+            eobrun = jpeg._prog_ac_refine(
+                reader, got, ac_tab, ss, se, al, eobrun
+            )
+            assert np.array_equal(got, state(band, al)), (trial, al)
