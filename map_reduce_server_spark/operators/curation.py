@@ -433,10 +433,10 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tagged AS (
       SELECT o_custkey AS user_id, o_orderdate AS ts,
              o_orderkey AS okey, NULL AS event_id, 0 AS is_event
-      FROM orders
+      FROM orders WHERE o_orderdate IS NOT NULL
       UNION ALL
       SELECT user_id, ts, NULL AS okey, event_id, 1 AS is_event
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     filled AS (
       SELECT user_id, ts, event_id, is_event,
              last_value(okey IGNORE NULLS) OVER (
@@ -465,14 +465,22 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending key so the LAST one wins deterministically. One shuffle
     on user_id regardless of how many fact rows enrich.
     """
-    orders = load_table(spark, sf_dir, "orders").select(
+    # NULL-ts guard mirrored in the oracle (same class as the
+    # advanced.py event-ordering queries): Spark sorts NULLS FIRST,
+    # DuckDB NULLS LAST, so an unfiltered NULL-ts lookup would see an
+    # empty history on one engine and the full history on the other.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    ).select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").alias("ts"),
         F.col("o_orderkey").alias("okey"),
         F.lit(None).cast("long").alias("event_id"),
         F.lit(0).alias("is_event"),
     )
-    events = load_table(spark, sf_dir, "events").select(
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "user_id", "ts",
         F.lit(None).cast("long").alias("okey"),
         "event_id", F.lit(1).alias("is_event"),

@@ -786,12 +786,25 @@ def test_null_ts_guards_match_oracle(spark, tmp_path):
     d = str(tmp_path)
     df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
 
+    # a tiny orders table (one NULL o_orderdate) so the
+    # point-in-time join's update stream exercises its guard too
+    odf = spark.createDataFrame(
+        [
+            (100, 1, _ts(0)),
+            (101, 1, None),
+            (102, 3, _ts(4, 2)),
+        ],
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    odf.coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+
     con = duckdb.connect()
     # Spark writes a part-file DIRECTORY; glob it for DuckDB
-    con.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        f"'{d}/events.parquet/*.parquet'"
-    )
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{d}/{t}.parquet/*.parquet'"
+        )
     for name in (
         "q_funnel",
         "q_debounce_events",
@@ -799,6 +812,7 @@ def test_null_ts_guards_match_oracle(spark, tmp_path):
         "q_event_transitions",
         "q_time_weighted_avg",
         "q_attribution_last_touch",
+        "q_point_in_time_join",
     ):
         got = registry.QUERIES[name](spark, d).toPandas()
         exp = con.execute(registry.ORACLE[name]).fetchdf()
