@@ -18,10 +18,11 @@ from pyspark.sql import functions as F
 SQL_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
 
-def word_tokens_col() -> Column:
-    """Non-empty lowercase word tokens of ``text`` — the Spark twin
-    of :data:`SQL_TOKS`."""
-    return F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+def word_tokens_col(col: Column | str = "text") -> Column:
+    """Non-empty lowercase word tokens of a text column (default
+    ``text``) — the Spark twin of :data:`SQL_TOKS`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), " "), lambda x: x != "")
 
 
 def distinct_ratio_col() -> Column:

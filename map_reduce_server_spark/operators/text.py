@@ -24,6 +24,7 @@ from map_reduce_server_spark.functions.tokens import (
     SQL_TOKS,
     distinct_ratio_col,
     sql_distinct_ratio,
+    word_tokens_col,
 )
 from map_reduce_server_spark.operators.dedup import (
     _SQL_SHINGLES as _DEDUP_SQL_SHINGLES,
@@ -39,13 +40,14 @@ _STOPWORDS = ("the", "a", "and", "of", "to")
 
 
 def tokens_col(col: Column, keep_empty: bool = True) -> Column:
-    """``keep_empty=False`` is the same contract as
-    ``functions.tokens.word_tokens_col`` (generalized to any column);
-    the keep-empty variant is text.py-specific reference parity."""
-    toks = F.split(F.lower(col), " ")
+    """``keep_empty=False`` DELEGATES to the shared tokenizer
+    (``functions.tokens.word_tokens_col``) so text.py's scorers can
+    never drift from the dedup/retrieval/curation family; the
+    keep-empty variant is text.py-specific reference parity (the
+    reference's empty-string key is legal and aggregated)."""
     if keep_empty:
-        return toks
-    return F.filter(toks, lambda x: x != "")
+        return F.split(F.lower(col), " ")
+    return word_tokens_col(col)
 
 
 _SQL_TOKENS = "string_split(lower(text), ' ')"
@@ -260,9 +262,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_tfidf",
-    oracle=f"""
+# ONE definition of the TF-IDF oracle pipeline (tok/tf/doclen/df/n
+# CTEs + the scoring expression), shared by text_tfidf and
+# text_keywords — the Spark sides already share (text_keywords calls
+# text_tfidf()), so the oracles must be single-sourced too or a
+# future tfidf change silently desynchronizes the keywords twin.
+_SQL_TFIDF_CTES = f"""
     WITH tok AS (
       SELECT doc_id, unnest({_SQL_NE_TOKENS}) AS token FROM documents
     ),
@@ -278,9 +283,17 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT token, COUNT(*) AS n_docs_with FROM tf GROUP BY token
     ),
     n AS (SELECT COUNT(*) AS n_docs FROM documents)
+"""
+_SQL_TFIDF_SCORE = """round((CAST(tf.n_in_doc AS DOUBLE) / doc_len)
+                 * ln(CAST(n_docs AS DOUBLE) / n_docs_with), 6)"""
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+    {_SQL_TFIDF_CTES}
     SELECT tf.doc_id, tf.token,
-           round((CAST(tf.n_in_doc AS DOUBLE) / doc_len)
-                 * ln(CAST(n_docs AS DOUBLE) / n_docs_with), 6) AS tfidf
+           {_SQL_TFIDF_SCORE} AS tfidf
     FROM tf
     JOIN doclen USING (doc_id)
     JOIN df USING (token)
@@ -655,12 +668,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = md5_long(
         F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
     ) % 100
-    rate = F.when(
-        # substr-to-end, exactly like the oracle's substr(source, 4) —
-        # a bounded length would silently truncate a long numeric
-        # suffix in one engine only
-        F.expr("substr(source, 4)").cast("int") % 2 == 0, F.lit(80)
-    ).otherwise(F.lit(20))
+    # checked cast (same doctrine as functions/exact.py): the oracle's
+    # CAST errors loudly on a malformed source suffix, so the Spark
+    # side must raise too instead of silently NULLing into the 20%
+    # branch. substr-to-end exactly like the oracle's substr(source,
+    # 4) — a bounded length would silently truncate a long numeric
+    # suffix in one engine only.
+    suffix = F.expr("substr(source, 4)")
+    src_no = F.when(F.col("source").isNull(), F.lit(None).cast("int")).otherwise(
+        F.coalesce(
+            suffix.cast("int"),
+            F.raise_error(
+                F.concat(
+                    F.lit("q_stratified_sample: non-numeric source suffix: "),
+                    F.col("source"),
+                )
+            ).cast("int"),
+        )
+    )
+    rate = F.when(src_no % 2 == 0, F.lit(80)).otherwise(F.lit(20))
     return docs.filter(bucket < rate).select("doc_id", "source", "lang")
 
 
@@ -848,9 +874,10 @@ _ZIPF_TOPK = 100
                    AS sxx
           FROM pts)
     SELECT CAST(k AS BIGINT) AS n_points,
-           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) + 0.0
+             AS slope,
            round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k,
-                 6) AS intercept
+                 6) + 0.0 AS intercept
     FROM s
     """,
 )
@@ -905,12 +932,17 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
+    # + 0.0 maps a -0.0 (uniform-frequency corpora: the rounded
+    # per-term errors can sum to -1e-11, which DuckDB's round keeps
+    # as -0.0 while Spark gives +0.0) onto one sign in BOTH twins —
+    # the repo's established zero-normalization convention.
     return s.select(
         F.col("k").cast("bigint").alias("n_points"),
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
-            "intercept"
-        ),
+        (F.round(slope, 6) + 0.0).alias("slope"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6)
+            + 0.0
+        ).alias("intercept"),
     )
 
 
@@ -979,6 +1011,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.bigram").alias("bigram"), F.col("p.tok1").alias("tok1"))
+    # Materialize the exploded bigram stream ONCE: three consumers
+    # (cb, cu, and the scoring join) would otherwise each rebuild it
+    # from a full corpus scan + tokenize + explode — the same
+    # measured lineage-cut convention as dedup's shingle stream and
+    # q_time_rollup's hourly grain.
+    bg = bg.localCheckpoint(eager=True)
     cb = bg.groupBy("bigram").agg(F.count("*").alias("cab"))
     cu = bg.groupBy("tok1").agg(F.count("*").alias("ca"))
     tok = docs.select(
@@ -1011,25 +1049,10 @@ _KW_TOPK = 3
 @register(
     "text_keywords",
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, unnest({_SQL_NE_TOKENS}) AS token FROM documents
-    ),
-    tf AS (
-      SELECT doc_id, token, COUNT(*) AS n_in_doc FROM tok
-      GROUP BY doc_id, token
-    ),
-    doclen AS (
-      SELECT doc_id, CAST(SUM(n_in_doc) AS BIGINT) AS doc_len FROM tf
-      GROUP BY doc_id
-    ),
-    df AS (
-      SELECT token, COUNT(*) AS n_docs_with FROM tf GROUP BY token
-    ),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    {_SQL_TFIDF_CTES.rstrip()},
     scored AS (
       SELECT tf.doc_id, tf.token,
-             round((CAST(tf.n_in_doc AS DOUBLE) / doc_len)
-                   * ln(CAST(n_docs AS DOUBLE) / n_docs_with), 6) AS tfidf
+             {_SQL_TFIDF_SCORE} AS tfidf
       FROM tf
       JOIN doclen USING (doc_id)
       JOIN df USING (token)
@@ -1087,7 +1110,7 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(log2(CAST(SUM(c) AS DOUBLE))
                  - CAST(SUM(CAST(round(c * log2(CAST(c AS DOUBLE)), 9)
                                  AS DECIMAL(30,12))) AS DOUBLE) / SUM(c),
-                 6) AS token_entropy_bits
+                 6) + 0.0 AS token_entropy_bits
     FROM tc GROUP BY doc_id
     """,
 )
@@ -1116,10 +1139,14 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     n = F.sum("c")
+    # the trailing + 0.0 maps a -0.0 (single-type docs: H is a
+    # -1e-11 rounding residue that DuckDB rounds to -0.0, Spark to
+    # +0.0) onto one sign in BOTH twins — the repo's established
+    # zero-normalization convention.
     return tc.groupBy("doc_id").agg(
         n.cast("bigint").alias("n_tokens"),
         F.count("*").cast("bigint").alias("n_types"),
-        F.round(
+        (F.round(
             F.log2(n.cast("double"))
             # the c*log2(c) term is pre-rounded to 9 so the scale-12
             # decimal cast is EXACT in both engines (an unrounded
@@ -1132,7 +1159,7 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / n,
             6,
-        ).alias("token_entropy_bits"),
+        ) + 0.0).alias("token_entropy_bits"),
     )
 
 

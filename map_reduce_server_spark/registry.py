@@ -50,6 +50,12 @@ def register(
             # contract is NULL-on-zero — a degenerate group must
             # yield a NULL cell like DuckDB, not crash the query.
             spark.conf.set("spark.sql.ansi.enabled", "false")
+            # ...but non-ANSI silently re-enables the LEGACY
+            # size(NULL) = -1 behavior, which no oracle can mirror
+            # (DuckDB len(NULL) is NULL): a NULL document would give
+            # n_tokens=-1, ratio=-1.0, even a wrong lang_guess.
+            # Pin the modern NULL-in-NULL-out semantics explicitly.
+            spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
             return fn(spark, sf_dir)
 
         if oracle is not None:

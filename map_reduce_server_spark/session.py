@@ -51,6 +51,9 @@ def get_spark(
         # while the oracle returns a NULL row. Pinned off here AND in
         # registry.pinned (the driver's vanilla session).
         .config("spark.sql.ansi.enabled", "false")
+        # non-ANSI re-enables legacy size(NULL) = -1; oracles need
+        # NULL-in-NULL-out (mirrors registry.pinned)
+        .config("spark.sql.legacy.sizeOfNull", "false")
         # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
         # type, so read as long and convert (see tables.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
