@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.hashing import (
     split_hash,
-    sql_md5_long,
     sql_split_hash,
     sql_uniform01,
     uniform01,
@@ -436,7 +435,6 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SPLIT_GRP = sql_split_hash("doc_id")
-_SQL_DP_HASH = sql_md5_long("'dp:' || event_type")
 
 
 @register(
@@ -447,7 +445,7 @@ _SQL_DP_HASH = sql_md5_long("'dp:' || event_type")
              n_chars AS x
       FROM documents),
     s AS (
-      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+      SELECT grp, CAST(COUNT(x) AS BIGINT) AS n,
              CAST(SUM(CAST(x AS DECIMAL(30,0))) AS DOUBLE) AS sx,
              CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sx2
       FROM split GROUP BY grp),
@@ -488,7 +486,11 @@ def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(grp.alias("grp"), F.col("n_chars").alias("x"))
         .groupBy("grp")
         .agg(
-            F.count("*").cast("bigint").alias("n"),
+            # COUNT(x), not COUNT(*): the sums skip NULL x, so the
+            # denominator must count only MEASURED rows or the mean/
+            # variance deflate identically in both engines (an
+            # oracle-blind bias the gate cannot catch)
+            F.count("x").cast("bigint").alias("n"),
             F.sum(F.col("x").cast("decimal(30,0)")).cast("double").alias("sx"),
             F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
             .cast("double")
@@ -530,7 +532,8 @@ def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pmax AS (
       SELECT p_retailprice AS price, MAX(p_size) AS msize
-      FROM part GROUP BY p_retailprice),
+      FROM part WHERE p_retailprice IS NOT NULL
+      GROUP BY p_retailprice),
     sky AS (
       SELECT price, msize,
              MAX(msize) OVER (ORDER BY price
@@ -559,8 +562,16 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors.
     """
     part = load_table(spark, sf_dir, "part")
-    pmax = part.groupBy(F.col("p_retailprice").alias("price")).agg(
-        F.max("p_size").alias("msize")
+    # NULL prices are incomparable under the dominance definition —
+    # and Spark's ASC NULLS FIRST default would let a NULL-price
+    # group's msize poison prev_max for every real price, where
+    # DuckDB (NULLS LAST) would not. Exclude them from the frontier;
+    # the join-back on price then drops NULL-price parts identically
+    # in both engines (NULL never equi-matches).
+    pmax = (
+        part.filter(F.col("p_retailprice").isNotNull())
+        .groupBy(F.col("p_retailprice").alias("price"))
+        .agg(F.max("p_size").alias("msize"))
     )
     w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
     sky = pmax.withColumn("prev_max", F.max("msize").over(w)).filter(
@@ -597,7 +608,8 @@ def _sql_poisson(u: str) -> str:
     oracle=f"""
     WITH reps AS (
       SELECT doc_id, n_chars AS x, r
-      FROM documents, range({_N_BOOT}) t(r)),
+      FROM documents, range({_N_BOOT}) t(r)
+      WHERE n_chars IS NOT NULL),
     weighted AS (
       SELECT r,
              {_sql_poisson(sql_uniform01("bs", "CAST(r AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"))}
@@ -610,7 +622,7 @@ def _sql_poisson(u: str) -> str:
       FROM weighted GROUP BY r),
     full_mean AS (
       SELECT round(CAST(SUM(CAST(n_chars AS DECIMAL(30,0))) AS DOUBLE)
-                   / COUNT(*), 9) AS pe
+                   / COUNT(n_chars), 9) AS pe
       FROM documents)
     SELECT CAST({_N_BOOT} AS BIGINT) AS n_replicas,
            (SELECT pe FROM full_mean) AS point_estimate,
@@ -640,7 +652,10 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     same policy as q_weighted_sample's keys); all sums DECIMAL.
     """
     docs = load_table(spark, sf_dir, "documents")
-    reps = docs.select(
+    # measured rows only: an unmeasured (NULL n_chars) document must
+    # not inflate SUM(w) or COUNT denominators — that bias would be
+    # IDENTICAL in both twins, so the oracle gate cannot catch it
+    reps = docs.filter(F.col("n_chars").isNotNull()).select(
         "doc_id",
         F.col("n_chars").alias("x"),
         F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT - 1))).alias("r"),
@@ -672,7 +687,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_mean = docs.agg(
         F.round(
             F.sum(F.col("n_chars").cast("decimal(30,0)")).cast("double")
-            / F.count("*"),
+            / F.count("n_chars"),
             9,
         ).alias("pe")
     )
@@ -776,8 +791,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type),
     noised AS (
       SELECT event_type, n,
-             ({_SQL_DP_HASH} % 999999 + 1)
-               / 1000000.0 - 0.5 AS v
+             {sql_uniform01('dp', 'event_type', mod=999999)} - 0.5 AS v
       FROM c)
     SELECT event_type, n,
            round(n - sign(v) * ln(1.0 - 2.0 * abs(v)), 6) AS noisy_n

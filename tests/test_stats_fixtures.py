@@ -624,3 +624,67 @@ def test_dup_spans_short_doc_has_no_windows(spark):
     assert 1 not in got  # no fabricated window for the 2-token doc
     assert got[2] == (2, 2, 1.0)
     assert got[3] == (2, 2, 1.0)
+
+
+def test_measured_rows_only_statistics(spark):
+    """Unmeasured (NULL-valued) rows must not dilute denominators —
+    an oracle-BLIND bias class: both twins formerly used COUNT(*)
+    beside NULL-skipping sums, so the gate passed on wrong
+    statistics. Welch means/variance and the bootstrap point
+    estimate must equal the values computed from measured rows
+    alone, and a NULL-price part must neither dominate the skyline
+    nor appear in it (it is incomparable)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    # doc_ids chosen so each split arm has 2 measured + 1 NULL row
+    rows, arm = [], {0: [], 1: []}
+    from map_reduce_server_spark.functions.hashing import split_hash
+    import pyspark.sql.functions as F
+
+    probe = spark.createDataFrame(
+        [(i,) for i in range(40)], ["doc_id"]
+    ).select("doc_id", (split_hash(F.col("doc_id")) % 2).alias("g"))
+    groups = {r.doc_id: r.g for r in probe.collect()}
+    for i in range(40):
+        g = groups[i]
+        if len(arm[g]) < 2:
+            val = 100 * (g + 1) + 10 * len(arm[g])  # 100,110 / 200,210
+            arm[g].append(val)
+            rows.append((i, val))
+        elif len(arm[g]) < 3:
+            arm[g].append(None)
+            rows.append((i, None))  # unmeasured row
+    df = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory() as d:
+        _write(df, d, "documents")
+        w = registry.QUERIES["q_ab_test_welch"](spark, d).first()
+        assert (w.n_a, w.n_b) == (2, 2)
+        assert w.mean_a == sum(arm[0][:2]) / 2
+        assert w.mean_b == sum(arm[1][:2]) / 2
+        b = registry.QUERIES["q_bootstrap_ci"](spark, d).first()
+        measured = [v for v in arm[0][:2] + arm[1][:2]]
+        assert b.point_estimate == round(sum(measured) / len(measured), 9)
+    # skyline: NULL price is incomparable — excluded, non-dominating
+    parts = spark.createDataFrame(
+        [(1, None, 100), (2, 5.0, 3)],
+        T.StructType(
+            [
+                T.StructField("p_partkey", T.LongType()),
+                T.StructField("p_retailprice", T.DoubleType()),
+                T.StructField("p_size", T.IntegerType()),
+            ]
+        ),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write(parts, d, "part")
+        got = {
+            r.p_partkey
+            for r in registry.QUERIES["q_skyline_parts"](spark, d).collect()
+        }
+    assert got == {2}
