@@ -83,7 +83,7 @@ def _sql_bm25_scored() -> str:
       SELECT tf.doc_id, tf.token,
              round(
                ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-               * (tf * ({_BM25_K1} + 1.0))
+               * (tf * CAST({_BM25_K1} + 1.0 AS DOUBLE))
                / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
                   + {_BM25_B} * dl / avgdl)),
                9) AS s
@@ -363,17 +363,9 @@ def ann_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("qvec"), F.col("vec")).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _MRL_TOPK)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rnk",
-            F.round("cos", 6).alias("cos_sim"),
-        )
-    )
+    # shared ANN finishing stage: the tie-break/rounding contract
+    # lives in similarity._topk (ONE place), _MRL_TOPK is _TOP_K
+    return _sim._topk(scored)
 
 
 # --- repeated-span detection (exact-substring dedup signal) -----------------
@@ -505,11 +497,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both legs end at 8×5-row candidate sets; the recall
     join touches 40 rows.
     """
-    from map_reduce_server_spark.operators.similarity import (
-        ann_topk_bruteforce,
+    bf = _sim.ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
     )
-
-    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     mr = ann_topk_matryoshka(spark, sf_dir).select(
         F.col("query_id").alias("m_qid"), F.col("neighbor_id").alias("m_nid")
     )
