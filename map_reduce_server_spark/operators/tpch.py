@@ -34,13 +34,17 @@ predicates are adapted, plan shapes preserved):
 part↔supplier relation and unit costs from ``lineitem`` instead —
 plan shapes and subquery structure preserved, predicates adapted.)
 
-Scale stance (100 TB): BOUNDED dimension joins (region/nation/
-supplier, filtered part subsets, thresholded aggregates) carry an
-explicit ``broadcast()``; SF-LINEAR sides (customer, unfiltered
-part) deliberately do NOT — a hard hint overrides size checks and
-would OOM at scale, so those joins are left to AQE, which broadcasts
-exactly when the side actually fits; fact-fact joins shuffle once on
-the join key and AQE handles skew; all aggregates use exact decimal sums (order-independent
+Scale stance (100 TB): only BOUNDED dimensions (region/nation —
+fixed row counts at any SF) and genuinely scalar/thresholded
+aggregates (1-row totals, per-key tables bounded by a FIXED key
+domain) carry an explicit ``broadcast()``; every SF-LINEAR side —
+customer, supplier, part, and any CONSTANT-FRACTION subset of them
+(a brand filter keeps ~1/25 of part at every SF, so it grows
+linearly too) — deliberately does NOT: a hard hint overrides size
+checks and would OOM at the scale where the subset outgrows the
+threshold, while AQE broadcasts exactly while the side actually
+fits. Fact-fact joins shuffle once on the join key and AQE handles
+skew; all aggregates use exact decimal sums (order-independent
 across 1000 executors, ``functions/exact.py``); top-k runs as
 TakeOrdered after aggregation, never a global sort of the fact.
 """
@@ -178,7 +182,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: the nation pair disjunction stays a residual on
     two broadcast nation joins; the only shuffles are the two
-    fact-fact equi joins. l_year is INT on both engines."""
+    fact-fact equi joins. (Spark's year() is INT, DuckDB's EXTRACT
+    is BIGINT — the value-canonical comparison is integer-type-
+    insensitive, so neither side casts.)"""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1998-01-01"))
@@ -487,18 +493,20 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table has one row per partkey — tens of millions at 100 TB,
     # far beyond broadcastable — while the filtered key set is ~1/25
     # of a brand. Result-identical: unfiltered partkeys never reach
-    # the final join anyway.
+    # the final join anyway. No hard hints: the filtered subset is a
+    # constant FRACTION of SF-linear part (grows with SF), so AQE
+    # must stay free to fall back to a shuffle join.
     per_part = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
         .groupBy(F.col("l_partkey").alias("avg_partkey"))
         .agg(
             (F.lit(0.4) * davg("l_quantity", ndigits=6)).alias("qty_threshold")
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(
-            F.broadcast(per_part),
+            per_part,
             F.col("l_partkey") == F.col("avg_partkey"),
         )
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
@@ -704,7 +712,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (s_name, p_partkey) — unique per row — so LIMIT is deterministic.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    supply = li.groupBy(
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") == 15)
+    )
+    # Push the part-key semi join BELOW the supply aggregate:
+    # filtering on the grouping key commutes with the groupBy, so
+    # this is result-identical while shrinking the query's dominant
+    # shuffle (the (partkey, suppkey) aggregate over lineitem) to the
+    # ~0.05% of rows whose part survives the p_type/p_size predicate.
+    # No hard broadcast hint — the filtered key set is a constant
+    # FRACTION of SF-linear part, so AQE must be free to fall back to
+    # a shuffle semi join when it outgrows the threshold.
+    li_f = li.join(
+        part.select("p_partkey"),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    supply = li_f.groupBy(
         F.col("l_partkey").alias("sp_partkey"),
         F.col("l_suppkey").alias("sp_suppkey"),
     ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("sp_cost"))
@@ -713,35 +737,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(
         F.col("r_name") == "EUROPE"
     )
-    part = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "LARGE") & (F.col("p_size") == 15)
-    )
+    # supplier is SF-linear -> the EUROPE bundle carries no hard hint
+    # (tables.py policy); nation/region inside it are the bounded dims
     eu = (
         supply.join(
-            F.broadcast(
-                supp.join(nation, supp.s_nationkey == nation.n_nationkey)
-                .join(region, nation.n_regionkey == region.r_regionkey)
-                .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-            ),
+            supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"),
             supply.sp_suppkey == F.col("s_suppkey"),
         )
-    )
-    # Bound the aggregate by the FILTERED part keys first (q17's
-    # pattern): an unfiltered per-partkey min over all supplied parts
-    # is far beyond broadcastable at scale; after the semi-join its
-    # row count is capped by the selective p_type/p_size predicate.
-    eu = eu.join(
-        F.broadcast(part.select("p_partkey")),
-        eu.sp_partkey == F.col("p_partkey"),
-        "left_semi",
     )
     per_part_min = eu.groupBy(F.col("sp_partkey").alias("mk")).agg(
         F.min("sp_cost").alias("min_cost")
     )
     return (
-        eu.join(F.broadcast(part), eu.sp_partkey == part.p_partkey)
+        eu.join(part, eu.sp_partkey == part.p_partkey)
         .join(
-            F.broadcast(per_part_min),
+            per_part_min,
             (F.col("sp_partkey") == F.col("mk"))
             & (F.col("sp_cost") == F.col("min_cost")),
         )
@@ -806,7 +818,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.year("o_orderdate").alias("o_year"),
         )
         .agg(dsum(amount, scale=4).alias("sum_profit"))
     )
@@ -944,12 +956,17 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic blacklists complaint suppliers — the trimmed schema
     substitutes negative account balance).
 
-    Scale: the anti join's build side is a handful of keys
-    (broadcast); COUNT(DISTINCT) shuffles (brand, type, size,
-    suppkey) — Spark expands to a two-phase distinct-then-count
-    automatically, so hot groups don't bottleneck one reducer.
+    Scale: the blacklist is a constant fraction of SF-linear
+    supplier, so it carries NO hard hint (AQE broadcasts while it
+    fits); COUNT(DISTINCT) shuffles (brand, type, size, suppkey) —
+    Spark expands to a two-phase distinct-then-count automatically,
+    so hot groups don't bottleneck one reducer. The probe drops NULL
+    suppkeys to match the oracle's NOT IN three-valued logic (a NULL
+    never passes NOT IN, but an anti join would keep it).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey").isNotNull()
+    )
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#15")
         & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
@@ -959,7 +976,7 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -997,10 +1014,11 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserving the IN(part-name subquery) + IN(grouped HAVING
     subquery) nesting.
 
-    Scale: the name-filtered part keys broadcast into a semi join
-    BEFORE the (suppkey, partkey) aggregate, so the grouped state is
-    ~1/8 of lineitem; the qualifying supplier set reduces to distinct
-    keys and broadcasts into the final semi join.
+    Scale: the name-filtered part keys semi-join BEFORE the
+    (suppkey, partkey) aggregate, so the grouped state is ~1/8 of
+    lineitem; both the part subset and the qualifying supplier set
+    are constant fractions of SF-linear tables, so neither carries a
+    hard broadcast hint — AQE broadcasts them only while they fit.
     """
     li = load_table(spark, sf_dir, "lineitem")
     small = load_table(spark, sf_dir, "part").filter(
@@ -1011,7 +1029,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") < _ts("1997-01-01")
     )
     qualifying = (
-        li.join(F.broadcast(small), li.l_partkey == small.p_partkey, "left_semi")
+        li.join(small, li.l_partkey == small.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(F.when(in_96, dq).otherwise(F.lit(0).cast("decimal(30,2)")))
@@ -1031,8 +1049,10 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        # qualifying is bounded only by HAVING selectivity (up to ALL
+        # suppliers) — no hard hint, AQE decides
         .join(
-            F.broadcast(qualifying),
+            qualifying,
             supp.s_suppkey == F.col("l_suppkey"),
             "left_semi",
         )
@@ -1123,12 +1143,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_5"
     )
     return (
+        # one-nation supplier slice is 1/25 of an SF-linear table —
+        # no hard hint (nation itself is hinted inside the join)
         waiting.join(
-            F.broadcast(
-                supp.join(
-                    nation, supp.s_nationkey == nation.n_nationkey
-                ).select("s_suppkey", "s_name")
-            ),
+            supp.join(
+                F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+            ).select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
