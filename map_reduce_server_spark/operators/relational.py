@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_server_spark.functions.exact import dsum, davg, sql_davg, sql_dsum
+from map_reduce_server_spark.functions.exact import (
+    checked_decimal,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
 from map_reduce_server_spark.functions.sessionize import session_flags
 from map_reduce_server_spark.functions.tokens import word_tokens_col
 from map_reduce_server_spark.registry import register
@@ -240,7 +246,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     pre = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"),
+        F.sum(checked_decimal(F.col("o_totalprice"), 2)).alias("s"),
     )
     return pre.rollup("o_orderpriority", "o_orderstatus").agg(
         F.sum("n").alias("n_orders"),
@@ -264,7 +270,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pre = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("s"),
+        F.sum(checked_decimal(F.col("l_quantity"), 2)).alias("s"),
     )
     return pre.cube("l_returnflag", "l_linestatus").agg(
         F.sum("n").alias("n_rows"),
@@ -520,7 +526,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_quantity").cast("decimal(30,2)"))
+        F.sum(checked_decimal(F.col("l_quantity"), 2))
         .over(w)
         .cast("double")
         .alias("running_qty"),
@@ -946,7 +952,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_math_funcs",
     oracle="""
     SELECT p_partkey,
-           round(p_retailprice * 1.1, 2) AS price_up,
+           p_retailprice * CAST(1.1 AS DOUBLE) AS price_up,
            abs(p_retailprice - 1000.0) AS dist_1000,
            CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
            CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
@@ -963,7 +969,12 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return part.filter(F.col("p_retailprice") > 0).select(
         "p_partkey",
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_up"),
+        # UNROUNDED: the raw double product is bit-identical across
+        # engines, while round(x, 2) breaks 3-decimal midpoints
+        # differently (Spark HALF_UP on the shortest repr rounds
+        # 1.15*1.1 to 1.27, DuckDB's binary round to 1.26) — the
+        # q_scalar_subquery/q2 precedent
+        (F.col("p_retailprice") * 1.1).alias("price_up"),
         F.abs(F.col("p_retailprice") - 1000.0).alias("dist_1000"),
         F.floor("p_retailprice").alias("price_floor"),
         F.ceil("p_retailprice").alias("price_ceil"),
@@ -1017,17 +1028,24 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.get(vec, 0), 6).alias("first_val"),
         F.round(
             # DuckDB list_sum SKIPS NULL elements and returns NULL
-            # when nothing remains (empty or all-NULL list); a bare
-            # 0.0-seeded fold would return 0.0 on empty and NULL-
-            # poison the sum on a NULL element — so fold the
-            # NULL-filtered list and guard on ITS size
-            F.when(
-                F.size(F.filter(vec, lambda x: x.isNotNull())) > 0,
-                F.aggregate(
-                    F.filter(vec, lambda x: x.isNotNull()),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+            # when nothing remains (empty or all-NULL list). ONE
+            # traversal: a struct accumulator carries (sum of
+            # non-NULLs, non-NULL count) and the finisher yields NULL
+            # when nothing was measured — the two-pass filter form
+            # evaluated the filtered array twice per row (no CSE
+            # across when-branches; the checked_decimal +62% lesson)
+            F.aggregate(
+                vec,
+                F.struct(
+                    F.lit(0.0).alias("s"), F.lit(0).alias("n")
                 ),
+                lambda acc, x: F.struct(
+                    (acc["s"] + F.coalesce(x, F.lit(0.0))).alias("s"),
+                    (
+                        acc["n"] + F.when(x.isNotNull(), 1).otherwise(0)
+                    ).alias("n"),
+                ),
+                lambda acc: F.when(acc["n"] > 0, acc["s"]),
             ),
             6,
         ).alias("vec_sum"),

@@ -272,7 +272,10 @@ _DRIVER_GREEN_R6 = frozenset({
 # — the former round(double, 6) was a latent engine divergence
 # (Spark HALF_UP on shortest repr vs DuckDB binary rounding on
 # midpoint-adjacent values).
-_CHANGED_R7 = frozenset({"q_scalar_subquery"})
+# q_math_funcs: price_up likewise unrounded (round(x*1.1, 2) breaks
+# 3-decimal midpoints differently per engine — confirmed live on
+# 1.15/17.15/33.05).
+_CHANGED_R7 = frozenset({"q_scalar_subquery", "q_math_funcs"})
 
 _EVER_GREEN = (
     _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
