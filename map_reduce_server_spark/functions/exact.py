@@ -77,6 +77,63 @@ def davg(col: Column | str, scale: int = 2, ndigits: int = 6) -> Column:
     return F.round(dsum(c, scale) / F.count(c), ndigits)
 
 
+_Q40 = 1099511627776.0  # 2^40 — power of two, so v * _Q40 is EXACT
+
+
+def q40_int(c: Column) -> Column:
+    """``floor(v * 2^40)`` as decimal(38,0) — the TIE-FREE exact cast
+    for full-precision doubles (embeddings), where ``checked_decimal``
+    is unsafe: a double→decimal(p,s) cast rounds ties HALF_UP in
+    Spark but half-to-even in DuckDB, and low-precision embedding
+    elements (k/2^13 etc.) ARE exact scale-12/scale-9 midpoints — the
+    sf0.01 gate data contains 2 such elements, sf0.1 contains 9.
+    Here every step is engine-exact instead: multiplying by a power
+    of two only shifts the exponent (no rounding), ``floor`` is
+    exact, and the decimal cast of an exact integer has no fraction
+    to round. Loud-failure envelope mirrors ``checked_decimal``:
+    NaN/Inf raise (DuckDB's decimal cast raises on them natively),
+    and |v| >= 2^23 raises because Spark's ``floor(double)`` returns
+    a BIGINT that would silently wrap past 2^63 under the non-ANSI
+    session."""
+    bad = F.isnan(c) | (F.abs(c) >= F.lit(2.0**23))
+    raise_expr = F.raise_error(
+        F.concat(
+            F.lit(
+                "exact: value not representable at 2^-40 "
+                "quantization (NaN/Inf/|v|>=2^23): "
+            ),
+            c.cast("string"),
+        )
+    ).cast("decimal(38,0)")
+    return F.when(c.isNull(), F.lit(None).cast("decimal(38,0)")).otherwise(
+        F.when(bad, raise_expr).otherwise(
+            F.floor(c * F.lit(_Q40)).cast("decimal(38,0)")
+        )
+    )
+
+
+def qmean40(c: Column) -> Column:
+    """Engine-exact mean of a double column at 2^-40 quantization:
+    exact integer sum (order-independent, overflow-proof in
+    decimal(38,0) to ~1e25 unit-scale rows), then two IEEE double
+    divisions both engines perform identically. The result is the
+    mean of the floor-quantized values — bias is < 2^-40 ≈ 9.1e-13,
+    the same ballpark the old decimal(38,12) cast truncated at, but
+    with NO rounding tie for the engines to disagree on."""
+    return (
+        F.sum(q40_int(c)).cast("double") / F.count("*")
+    ) / F.lit(_Q40)
+
+
+def sql_qmean40(expr: str) -> str:
+    """DuckDB oracle twin of :func:`qmean40` (same floor, same exact
+    integer sum, same division order)."""
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * 1099511627776.0) AS "
+        f"DECIMAL(38,0))) AS DOUBLE) / COUNT(*)) / 1099511627776.0"
+    )
+
+
 def sql_dsum(expr: str, scale: int = 2) -> str:
     """DuckDB oracle twin of :func:`dsum` (DuckDB's cast raises on
     NaN/Inf/overflow natively — the Spark side mirrors that)."""

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from map_reduce_server_spark.functions.exact import qmean40, sql_qmean40
 from map_reduce_server_spark.functions.hashing import sql_md5_long
 from map_reduce_server_spark.functions.vector import (
     SQL_COSINE,
@@ -19,6 +20,7 @@ from map_reduce_server_spark.functions.vector import (
     SQL_QUANT,
     SQL_RECON,
     cosine,
+    dot,
     int8_quantize,
     int8_reconstruct,
     max_abs,
@@ -117,14 +119,15 @@ def _plane_col(j: int) -> Column:
 
 
 def _bucket_col(vec: Column) -> Column:
-    """Bucket id = sign bits of the vector's dot with each plane."""
+    """Bucket id = sign bits of the vector's dot with each plane.
+
+    The projection reuses :func:`functions.vector.dot` — the one
+    sequential-fold dot product whose SQL twin (`list_dot_product`
+    parity) the oracles assume — so any parity fix there reaches
+    bucket assignment too."""
     bucket = F.lit(0)
     for j in range(_N_PLANES):
-        dot_j = F.aggregate(
-            F.zip_with(vec, _plane_col(j), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot_j = dot(vec, _plane_col(j))
         bucket = bucket + F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
 
@@ -572,18 +575,17 @@ def _km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _km_update(assigned: DataFrame) -> DataFrame:
-    """Element-wise centroid means in long format: exact decimal sums
-    per (cluster, dim) — order-independent, so identical on any
-    partitioning and any engine — re-packed to arrays ordered by dim."""
+    """Element-wise centroid means in long format: tie-free exact
+    integer sums per (cluster, dim) (``qmean40`` — the former
+    decimal(38,12) cast rounded scale-12 midpoints HALF_UP in Spark
+    but half-to-even in DuckDB, and the gate embeddings contain such
+    k/2^13 elements) — order-independent, so identical on any
+    partitioning and any engine — re-packed to arrays ordered by
+    dim."""
     long = assigned.select(
         "cluster", F.posexplode("vec").alias("dim", "v")
     )
-    means = long.groupBy("cluster", "dim").agg(
-        (
-            F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
-            / F.count("*")
-        ).alias("m")
-    )
+    means = long.groupBy("cluster", "dim").agg(qmean40(F.col("v")).alias("m"))
     return means.groupBy("cluster").agg(
         F.array_sort(F.collect_list(F.struct("dim", "m")))
         .getField("m")
@@ -614,9 +616,7 @@ def _sql_kmeans_oracle() -> str:
     lng AS (SELECT cluster, unnest(vec) AS v,
                    unnest(range(0, len(vec))) AS dim
             FROM a1),
-    m1 AS (SELECT cluster, dim,
-                  CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
-                    / COUNT(*) AS m
+    m1 AS (SELECT cluster, dim, {sql_qmean40('v')} AS m
            FROM lng GROUP BY cluster, dim),
     c1 AS (SELECT cluster, list(m ORDER BY dim) AS cvec
            FROM m1 GROUP BY cluster),
@@ -635,7 +635,8 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-sized side + per-vector window argmax), and the only
     shuffle is the (cluster, dim) centroid mean. Deterministic end to
     end: seed centroids by lowest vec_id, rounded-cosine argmax with
-    label tie-break, exact decimal means — so even this clustering
+    label tie-break, tie-free exact integer means — so even this
+    clustering
     is value-checked against the oracle's unrolled recurrence, not
     rows-counted. Fixed iterations keep it SQL-expressible; a
     convergence-loop variant would follow dedup_cluster's
@@ -789,15 +790,7 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("qvec"), F.col("rvec")).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select(
-            "query_id", "neighbor_id", "rnk",
-            F.round("cos", 6).alias("cos_sim"),
-        )
-    )
+    return _topk(scored)
 
 
 # ---------------------------------------------------------------------------
@@ -816,9 +809,7 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM (SELECT split, vec,
                        unnest(range(1, len(vec) + 1)) AS pos
                 FROM s) t),
-    m AS (SELECT split, pos,
-                 CAST(SUM(CAST(val AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*)
-                   AS mu
+    m AS (SELECT split, pos, {{qm}} AS mu
           FROM x GROUP BY split, pos),
     c AS (SELECT split, array_agg(mu ORDER BY pos) AS cvec
           FROM m GROUP BY split),
@@ -831,12 +822,14 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pair
     """.format(
         h=sql_md5_long("'es:' || CAST(vec_id AS VARCHAR)"),
+        qm=sql_qmean40("val"),
     ),
 )
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift: split the corpus by a deterministic
-    hash, compute each half's centroid with EXACT per-dimension
-    decimal sums, and report centroid cosine + the largest per-
+    hash, compute each half's centroid with tie-free exact
+    per-dimension integer sums (``qmean40``), and report centroid
+    cosine + the largest per-
     dimension delta — the embedding-side complement of q_drift_psi
     (which monitors a scalar feature). In production the two "splits"
     are yesterday's corpus vs today's; a centroid_cos dip or a
@@ -845,7 +838,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: vectors never move whole — posexplode reduces them
     to (split, dim, value) and the only shuffle is the 2×64-key
     mean aggregate; the two 64-dim centroids then compare in a
-    broadcast pair join. Exact decimal sums make the centroid
+    broadcast pair join. Exact integer sums make the centroid
     bit-identical on any partitioning — monitoring that must not
     flap with cluster layout.
     """
@@ -858,12 +851,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = emb.select(
         split.alias("split"), F.posexplode("vec").alias("pos", "val")
     )
-    m = x.groupBy("split", "pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(30,9)")).cast("double")
-            / F.count("*")
-        ).alias("mu")
-    )
+    m = x.groupBy("split", "pos").agg(qmean40(F.col("val")).alias("mu"))
     c = m.groupBy("split").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("pos", "mu"))),
