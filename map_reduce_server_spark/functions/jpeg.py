@@ -196,6 +196,41 @@ def _write_block(w: _BitWriter, blk: np.ndarray, prev_dc: int) -> int:
     return dc
 
 
+def _check_dims(width: int, height: int) -> None:
+    """SOF dimensions are u16 fields (T.81 B.2.2): reject
+    out-of-range sizes with the module's ValueError contract instead
+    of letting struct.pack escape with a struct.error."""
+    if not (1 <= width <= 65535 and 1 <= height <= 65535):
+        raise ValueError("width/height must be in 1..65535")
+
+
+def _frame_prefix(
+    width: int, height: int, quant: int, ncomp: int,
+    sof_marker: bytes, y_sampling: int = 0x11,
+) -> list[bytes]:
+    """SOI/APP0/DQT/SOF shared by the baseline (SOF0) and progressive
+    (SOF2) assemblers — ONE definition of the JFIF preamble,
+    quant-table layout, and component descriptors so the two frame
+    types cannot drift (same rationale as ``_bt601_planes``)."""
+    qtabs = bytes([0]) + bytes([quant] * 64)
+    if ncomp == 1:
+        sof_comps = bytes([1, 1, 0x11, 0])
+    else:
+        qtabs += bytes([1]) + bytes([quant] * 64)
+        sof_comps = bytes(
+            [3, 1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )  # ncomp, then (id, sampling, tq) per component
+    return [
+        b"\xff\xd8",  # SOI
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00",  # APP0
+        b"\xff\xdb" + struct.pack(">H", len(qtabs) + 2) + qtabs,  # DQT
+        sof_marker
+        + struct.pack(">H", 8 + 3 * ncomp)
+        + bytes([8]) + struct.pack(">HH", height, width) + sof_comps,
+    ]
+
+
 def _headers(
     width: int, height: int, quant: int, ncomp: int,
     y_sampling: int = 0x11,
@@ -205,28 +240,17 @@ def _headers(
     id 0; chroma components use id 1 (whose DHT re-declares the
     Annex K luminance tables — spec-valid: the decoder honors
     whatever DHT declares)."""
-    qtabs = bytes([0]) + bytes([quant] * 64)
     dhts = _dht(0, 0, _DC_BITS, _DC_VALS) + _dht(1, 0, _AC_BITS, _AC_VALS)
     if ncomp == 1:
-        sof_comps = bytes([1, 1, 0x11, 0])
         sos_comps = bytes([1, 1, 0x00])
     else:
-        qtabs += bytes([1]) + bytes([quant] * 64)
         dhts += _dht(0, 1, _DC_BITS, _DC_VALS) + _dht(
             1, 1, _AC_BITS, _AC_VALS
         )
-        sof_comps = bytes(
-            [3, 1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]
-        )  # ncomp, then (id, sampling, tq) per component
         sos_comps = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11])
-    return [
-        b"\xff\xd8",  # SOI
-        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-        + struct.pack(">HH", 1, 1) + b"\x00\x00",  # APP0
-        b"\xff\xdb" + struct.pack(">H", len(qtabs) + 2) + qtabs,  # DQT
-        b"\xff\xc0"
-        + struct.pack(">H", 8 + 3 * ncomp)  # SOF0
-        + bytes([8]) + struct.pack(">HH", height, width) + sof_comps,
+    return _frame_prefix(
+        width, height, quant, ncomp, b"\xff\xc0", y_sampling
+    ) + [
         dhts,
         b"\xff\xda"
         + struct.pack(">H", 6 + 2 * ncomp)  # SOS
@@ -242,6 +266,7 @@ def encode_gray8(
     ``quant`` fills a uniform quantization table (1 = unit table:
     flat blocks round-trip exactly, general content within +/-1).
     """
+    _check_dims(width, height)
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
     if not 1 <= quant <= 255:
@@ -278,6 +303,32 @@ def _bt601_planes(pixels: bytes, width: int, height: int) -> list[np.ndarray]:
     ]
 
 
+def _subsample_420(
+    planes: list[np.ndarray], width: int, height: int
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Pad [Y, Cb, Cr] to whole 16x16 MCUs (edge replication) and
+    2x2 box-mean the chroma planes — ONE definition shared by the
+    sequential and progressive color encoders: the rint rounding
+    here is replayed bit-for-bit by the SQL color oracle, so it must
+    not drift between frame types (same rationale as
+    ``_bt601_planes``). Returns (padded Y, [Cb, Cr] half-res)."""
+    ph, pw = -height % 16, -width % 16
+    padded = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in planes]
+    chroma = [
+        np.clip(
+            np.rint(
+                p.astype(np.float64)
+                .reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
+                .mean(axis=(1, 3))
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        for p in padded[1:]
+    ]
+    return padded[0], chroma
+
+
 def encode_rgb8(
     width: int,
     height: int,
@@ -301,6 +352,7 @@ def encode_rgb8(
     for flat-gray MCUs too, but chroma averaging makes general
     content lossier; it is the realism profile, not the oracle one.)
     """
+    _check_dims(width, height)
     if len(pixels) != width * height * 3:
         raise ValueError("pixel buffer does not match dimensions")
     if not 1 <= quant <= 255:
@@ -318,21 +370,7 @@ def encode_rgb8(
         )
     # 4:2:0: pad everything to full 16x16 MCUs first so the Y block
     # grid is exactly 2x the chroma grid, then box-average chroma
-    ph, pw = -height % 16, -width % 16
-    padded = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in planes]
-    yp = padded[0]
-    chroma = [
-        np.clip(
-            np.rint(
-                p.astype(np.float64)
-                .reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
-                .mean(axis=(1, 3))
-            ),
-            0,
-            255,
-        ).astype(np.uint8)
-        for p in padded[1:]
-    ]
+    yp, chroma = _subsample_420(planes, width, height)
     zz_y = _plane_to_zz(yp, quant)
     zz_c = [_plane_to_zz(p, quant) for p in chroma]
     mcux, mcuy = yp.shape[1] // 16, yp.shape[0] // 16
@@ -543,33 +581,21 @@ def _prog_frame(
     AC refinement, interleaved DC refinement."""
     ncomp = len(zzs)
     mcux, mcuy = mcu_grid
-    qtabs = bytes([0]) + bytes([quant] * 64)
     dhts = _dht(0, 0, _DC_BITS, _DC_VALS) + _dht(
         1, 0, _PROG_AC_BITS, _PROG_AC_VALS
     )
+    y_sampling = 0x11
     if ncomp == 1:
-        sof_comps = bytes([1, 1, 0x11, 0])
         ids = [(1, 0x00)]
     else:
-        qtabs += bytes([1]) + bytes([quant] * 64)
         dhts += _dht(0, 1, _DC_BITS, _DC_VALS) + _dht(
             1, 1, _PROG_AC_BITS, _PROG_AC_VALS
         )
         y_sampling = 0x22 if comp_geo[0][0] == 2 else 0x11
-        sof_comps = bytes(
-            [3, 1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]
-        )
         ids = [(1, 0x00), (2, 0x11), (3, 0x11)]
-    parts = [
-        b"\xff\xd8",
-        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-        + struct.pack(">HH", 1, 1) + b"\x00\x00",
-        b"\xff\xdb" + struct.pack(">H", len(qtabs) + 2) + qtabs,
-        b"\xff\xc2"
-        + struct.pack(">H", 8 + 3 * ncomp)
-        + bytes([8]) + struct.pack(">HH", height, width) + sof_comps,
-        dhts,
-    ]
+    parts = _frame_prefix(
+        width, height, quant, ncomp, b"\xff\xc2", y_sampling
+    ) + [dhts]
     # interleaved MCU-order (comp, band) pairs for the DC scans
     dc_pairs = []
     for my in range(mcuy):
@@ -620,6 +646,7 @@ def encode_gray8_progressive(
     across multiple spectral-selection + successive-approximation
     scans — so decoding a progressive encode must reproduce the
     baseline decode bit-for-bit (pinned in tests)."""
+    _check_dims(width, height)
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
     if not 1 <= quant <= 255:
@@ -643,6 +670,7 @@ def encode_rgb8_progressive(
     4:2:0 — identical coefficients to :func:`encode_rgb8` (shared
     BT.601 transform and chroma downsampling), progressive entropy
     coding."""
+    _check_dims(width, height)
     if len(pixels) != width * height * 3:
         raise ValueError("pixel buffer does not match dimensions")
     if not 1 <= quant <= 255:
@@ -654,21 +682,7 @@ def encode_rgb8_progressive(
         gh = (height + 7) // 8
         geo = [(1, 1, gw, (gh, gw))] * 3
         return _prog_frame(width, height, quant, zzs, geo, (gw, gh))
-    ph, pw = -height % 16, -width % 16
-    padded = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in planes]
-    yp = padded[0]
-    chroma = [
-        np.clip(
-            np.rint(
-                p.astype(np.float64)
-                .reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
-                .mean(axis=(1, 3))
-            ),
-            0,
-            255,
-        ).astype(np.uint8)
-        for p in padded[1:]
-    ]
+    yp, chroma = _subsample_420(planes, width, height)
     zz_y = _plane_to_zz(yp, quant)
     zz_c = [_plane_to_zz(p, quant) for p in chroma]
     mcux, mcuy = yp.shape[1] // 16, yp.shape[0] // 16
@@ -783,6 +797,14 @@ def _seq_scan(reader, zz, sof_comps, grids, tabs_for, mcux, mcuy) -> None:
                     for bhx in range(h):
                         b = (my * v + bv) * grids[c][1] + mx * h + bhx
                         cat = _read_symbol(reader, dc_tab)
+                        if cat > 15:
+                            # a crafted DHT can map a code to any
+                            # value byte; an unchecked category
+                            # would build a >64-bit amplitude and
+                            # crash the int64 store with an
+                            # OverflowError instead of the decoder's
+                            # ValueError contract
+                            raise ValueError("DC category exceeds 15")
                         diff = _extend(reader.read_bits(cat), cat)
                         prev_dc[c] += diff
                         zz[c][b, 0] = prev_dc[c]
@@ -793,6 +815,10 @@ def _seq_scan(reader, zz, sof_comps, grids, tabs_for, mcux, mcuy) -> None:
                                 break
                             if sym == 0xF0:  # ZRL
                                 i += 16
+                                if i > 63:
+                                    raise ValueError(
+                                        "AC run overflows block"
+                                    )
                                 continue
                             run, cat = sym >> 4, sym & 0x0F
                             i += run
@@ -817,6 +843,8 @@ def _prog_dc_scan(reader, zz, pairs, ah, al) -> None:
         pred = {}
         for c, b, dc_tab in pairs:
             cat = _read_symbol(reader, dc_tab)
+            if cat > 15:
+                raise ValueError("DC category exceeds 15")
             diff = _extend(reader.read_bits(cat), cat)
             pred[c] = pred.get(c, 0) + diff
             zz[c][b, 0] = pred[c] << al
@@ -845,6 +873,8 @@ def _prog_ac_first(reader, band, ac_tab, ss, se, al, eobrun) -> int:
         else:
             if r == 15:  # ZRL: sixteen zero coefficients
                 k += 16
+                if k > se:
+                    raise ValueError("AC run overflows band")
                 continue
             eobrun = (1 << r) - 1
             if r:

@@ -1012,3 +1012,36 @@ def test_jpeg_ac_refinement_pairing_coefficient_level():
                 reader, got, ac_tab, ss, se, al, eobrun
             )
             assert np.array_equal(got, state(band, al)), (trial, al)
+
+
+def test_jpeg_exception_contract_under_byte_corruption():
+    """Single-byte corruption anywhere in a valid file must surface
+    as ValueError (or the documented NotImplementedError scope gate
+    for fields that select out-of-scope features, e.g. 16-bit quant
+    tables) — never OverflowError/struct.error/IndexError. Pins the
+    crafted-DHT fix: a DC value byte > 15 used to build a >64-bit
+    amplitude and crash the int64 store with OverflowError."""
+    import pytest
+
+    from map_reduce_server_spark.functions import jpeg
+
+    pix = bytes((i * 7 + 3) % 256 for i in range(24 * 24))
+    for data in (
+        jpeg.encode_gray8(24, 24, pix),
+        jpeg.encode_gray8_progressive(24, 24, pix),
+    ):
+        for i in range(len(data)):
+            buf = bytearray(data)
+            buf[i] ^= 0x70
+            try:
+                jpeg.decode_gray8(bytes(buf))
+            except (ValueError, NotImplementedError):
+                pass  # the documented failure contract
+
+    # dimension range now rejected as ValueError, not struct.error
+    with pytest.raises(ValueError, match="1..65535"):
+        jpeg.encode_gray8(70000, 1, bytes(70000))
+    with pytest.raises(ValueError, match="1..65535"):
+        jpeg.encode_rgb8(1, 0, b"")
+    with pytest.raises(ValueError, match="1..65535"):
+        jpeg.encode_rgb8_progressive(66000, 2, bytes(66000 * 6))
