@@ -23,16 +23,22 @@ from pyspark.sql.window import WindowSpec
 DEFAULT_GAP = "INTERVAL 30 MINUTES"
 
 
-def _w() -> WindowSpec:
+def _w(keys: tuple[str, ...] = ("user_id",)) -> WindowSpec:
     # The window spec is frame-independent — it resolves against
     # whatever DataFrame the expression is applied to. Built lazily
     # because constructing a spec needs an active SparkContext.
-    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return Window.partitionBy(*keys).orderBy("ts", "event_id")
 
 
-def session_flags(ev: DataFrame, gap: str = DEFAULT_GAP) -> DataFrame:
+def session_flags(
+    ev: DataFrame,
+    gap: str = DEFAULT_GAP,
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
     """Add ``prev_ts`` and ``is_new`` (1 on the first event of every
     session: no predecessor, or predecessor more than ``gap`` older).
+    ``keys`` sets the partition grain (q_debounce_events sessionizes
+    per (user_id, event_type); everything else per user).
 
     NULL-ts rows are DROPPED, mirroring Spark's native
     ``session_window`` (SessionWindowing discards them) and the
@@ -43,7 +49,7 @@ def session_flags(ev: DataFrame, gap: str = DEFAULT_GAP) -> DataFrame:
     on this helper carries the matching ``ts IS NOT NULL`` guard.
     """
     ev = ev.where(F.col("ts").isNotNull())
-    return ev.withColumn("prev_ts", F.lag("ts").over(_w())).withColumn(
+    return ev.withColumn("prev_ts", F.lag("ts").over(_w(keys))).withColumn(
         "is_new",
         F.when(
             F.col("prev_ts").isNull()

@@ -22,7 +22,10 @@ from map_reduce_server_spark.functions.exact import (
     sql_dsum,
 )
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
-from map_reduce_server_spark.functions.sessionize import session_spans
+from map_reduce_server_spark.functions.sessionize import (
+    session_flags,
+    session_spans,
+)
 from map_reduce_server_spark.functions.tokens import (
     SQL_TOKS,
     word_tokens_col,
@@ -66,11 +69,19 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    # NULL-key guard: the oracle's ASOF condition `e.user_id =
+    # x.user_id` never matches a NULL key, while a Spark window
+    # groups NULL user_ids into one partition and would carry a
+    # NULL-user error across them. Current testdata has no NULL
+    # user_ids (checked at all SFs), but the twin must not depend
+    # on that staying true.
     return ev.select(
         "event_id",
         "user_id",
         "ts",
-        F.max(err_ts).over(w).alias("last_error_ts"),
+        F.when(
+            F.col("user_id").isNotNull(), F.max(err_ts).over(w)
+        ).alias("last_error_ts"),
     )
 
 
@@ -608,16 +619,18 @@ def _roundtrip(
     """Write df in `fmt`, read it back with the explicit schema —
     exercising the writer+reader pair end to end."""
     tmp = tempfile.mkdtemp(prefix=f"mrss_{fmt}_")
+    # register BEFORE the eager write: a failed write must still
+    # leave the dir on the atexit purge list (files stay alive until
+    # interpreter exit either way, so the returned DF is unaffected)
+    cleanup_at_exit(tmp)
     path = os.path.join(tmp, "data")
     df.write.mode("overwrite").format(fmt).options(**reader_opts).save(path)
-    back = (
+    return (
         spark.read.format(fmt)
         .options(**reader_opts)
         .schema(df.schema)
         .load(path)
     )
-    cleanup_at_exit(tmp)  # keep the files until the DF is dead
-    return back
 
 
 @register(
@@ -1139,20 +1152,15 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     event is suppressed even when the burst outlasts the window —
     inactivity-gap semantics, same family as q_sessionize.)
     """
-    # NULL-ts guard mirrored in the oracle: under Spark's
-    # NULLS-FIRST ordering a NULL-ts row would become a burst leader
-    # while DuckDB (NULLS LAST) drops it.
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull()
+    # The gap recurrence (NULL-ts drop, strict > compare, (ts,
+    # event_id) tie-break) is the shared sessionizer's, at the
+    # (user_id, event_type) grain — burst leader == session opener.
+    ev = load_table(spark, sf_dir, "events")
+    flagged = session_flags(
+        ev, "INTERVAL 10 MINUTES", keys=("user_id", "event_type")
     )
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return (
-        ev.withColumn("prev_ts", F.lag("ts").over(w))
-        .filter(
-            F.col("prev_ts").isNull()
-            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 10 MINUTES"))
-        )
-        .select("event_id", "user_id", "event_type", "ts")
+    return flagged.filter(F.col("is_new") == 1).select(
+        "event_id", "user_id", "event_type", "ts"
     )
 
 
@@ -1482,9 +1490,12 @@ def q_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("long").alias("o_year"),
     )
     tmp = tempfile.mkdtemp(prefix="mrss_partlayout_")
+    # register BEFORE the eager write (see _roundtrip): a failed
+    # write must still leave the dir on the atexit purge list
+    cleanup_at_exit(tmp)
     path = os.path.join(tmp, "data")
     orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
-    back = (
+    return (
         spark.read.parquet(path)
         .filter(F.col("o_year").isin(1996, 1997))
         .groupBy("o_year", "o_orderstatus")
@@ -1493,8 +1504,6 @@ def q_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total"),
         )
     )
-    cleanup_at_exit(tmp)  # keep the layout until the DF is dead
-    return back
 
 
 # ---------------------------------------------------------------------------
