@@ -136,7 +136,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
              AS jaccard
     FROM pairs
     JOIN sz sa ON doc_a = sa.doc_id
@@ -170,18 +170,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    # RAW double, no round — see dedup_jaccard_prefix; the unrounded
+    # ratio also makes the top-20 cut engine-identical by
+    # construction (same IEEE division on both sides).
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _attach_sizes(pairs, sz)
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            (
                 F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ).alias("jaccard"),
         )
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
@@ -203,6 +202,51 @@ _MINHASH_B = _MINHASH_K // _MINHASH_R
 # cap on the band CTE), so the DuckDB oracles replay it exactly and
 # the scale-safe plan is the one with the green driver row.
 _LSH_BUCKET_CAP = 1000
+
+
+def _cap_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
+    """Drop (band, bkey) buckets larger than ``cap`` BEFORE pair
+    expansion — the ONE implementation of the hot-bucket cap both
+    LSH families share, so the rule cannot drift between them (their
+    oracles replay the identical HAVING form).
+
+    Window count, NOT a groupBy+semi-join: the join formulation
+    re-evaluates the whole signature subtree for the counting branch
+    (measured 2.4× the query at sf0.1), while the window rides the
+    same (band, bkey) shuffle the pair join needs anyway."""
+    w = Window.partitionBy("band", "bkey")
+    return (
+        bands.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= cap)
+        .drop("bucket_n")
+    )
+
+
+def _attach_sizes(pairs: DataFrame, sz: DataFrame) -> DataFrame:
+    """Join per-doc shingle counts onto (doc_a, doc_b, ...) pairs as
+    ``n_a``/``n_b`` — the size-attach step every exact-similarity
+    verifier ends with."""
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return pairs.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def _verified_common(
+    cand: DataFrame, sh: DataFrame, sz: DataFrame
+) -> DataFrame:
+    """Exact verification stage shared by ``dedup_jaccard_prefix``
+    and ``dedup_containment`` (the oracles' common CTE shape): count
+    the common shingles of each candidate pair, then attach both
+    sizes. Returns (doc_a, doc_b, n_common, n_a, n_b)."""
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _attach_sizes(common, sz)
 
 
 def minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,17 +316,7 @@ def minhash_candidate_pairs(
     """
     bands = minhash_band_keys(wide)
     if max_bucket_size is not None:
-        # Window count, NOT a groupBy+semi-join: the join formulation
-        # re-evaluates the whole shingle→md5→signature subtree for
-        # the counting branch (measured 2.4× the query at sf0.1),
-        # while the window rides the same (band, bkey) shuffle the
-        # pair join needs anyway.
-        w = Window.partitionBy("band", "bkey")
-        bands = (
-            bands.withColumn("bucket_n", F.count("*").over(w))
-            .filter(F.col("bucket_n") <= max_bucket_size)
-            .drop("bucket_n")
-        )
+        bands = _cap_hot_buckets(bands, max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -552,9 +586,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash near-dup cutoff — interpolated into the oracle like every
+# other twin-shared threshold so Spark and DuckDB cannot disagree.
+# 4 bands guarantee recall for hamming <= 3 (pigeonhole); <= 6 keeps
+# high-but-not-total recall, the standard LSH tradeoff.
+_SIMHASH_MAX_HAMMING = 6
+
+
 def simhash_pairs(
     halves: DataFrame,
-    max_hamming: int = 6,
+    max_hamming: int = _SIMHASH_MAX_HAMMING,
     max_bucket_size: int | None = _LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs from (doc_id, lo, hi) fingerprint halves:
@@ -579,15 +620,7 @@ def simhash_pairs(
         ).alias("bkey"),
     )
     if max_bucket_size is not None:
-        # Window count instead of groupBy+semi-join — same rationale
-        # as minhash_candidate_pairs (avoids re-evaluating the
-        # fingerprint subtree for the counting branch).
-        w = Window.partitionBy("band", "bkey")
-        bands = (
-            bands.withColumn("bucket_n", F.count("*").over(w))
-            .filter(F.col("bucket_n") <= max_bucket_size)
-            .drop("bucket_n")
-        )
+        bands = _cap_hot_buckets(bands, max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -639,7 +672,8 @@ def simhash_pairs(
            CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
                 AS INTEGER) AS hamming
     FROM cand
-    WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 6
+    WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+          <= {_SIMHASH_MAX_HAMMING}
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,8 +755,8 @@ def ranked_prefix(
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b,
-           round(CAST(n_common AS DOUBLE)
-                 / (sa.n + sb.n - n_common), 6) AS jaccard
+           CAST(n_common AS DOUBLE)
+                 / (sa.n + sb.n - n_common) AS jaccard
     FROM common
     JOIN sz sa ON doc_a = sa.doc_id
     JOIN sz sb ON doc_b = sb.doc_id
@@ -778,24 +812,18 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     j = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
+    # RAW double, no round: the ratio of identically-computed
+    # integers is bit-identical on both engines, while round(x, 6)
+    # breaks on non-dyadic 7-decimal midpoints (e.g. 321/640 —
+    # Spark HALF_UP on the shortest repr vs DuckDB on the binary
+    # value), the confirmed-live class _CHANGED_R7 documents.
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _verified_common(cand, sh, sz)
         .filter(j >= _PJ_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", j.alias("jaccard"))
     )
 
 
@@ -832,8 +860,8 @@ _CT_FREQ_CAP = 1000  # prefix shingles with global freq above this are skipped
       JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY c.doc_a, c.doc_b)
     SELECT doc_a, doc_b,
-           round(CAST(n_common AS DOUBLE) / sa.n, 6) AS c_a_in_b,
-           round(CAST(n_common AS DOUBLE) / sb.n, 6) AS c_b_in_a
+           CAST(n_common AS DOUBLE) / sa.n AS c_a_in_b,
+           CAST(n_common AS DOUBLE) / sb.n AS c_b_in_a
     FROM common
     JOIN sz sa ON doc_a = sa.doc_id
     JOIN sz sb ON doc_b = sb.doc_id
@@ -875,26 +903,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     ca = F.col("n_common").cast("double") / F.col("n_a")
     cb = F.col("n_common").cast("double") / F.col("n_b")
+    # RAW doubles, no round — see dedup_jaccard_prefix
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _verified_common(cand, sh, sz)
         .filter((ca >= _CT_THRESHOLD) | (cb >= _CT_THRESHOLD))
         .select(
             "doc_a",
             "doc_b",
-            F.round(ca, 6).alias("c_a_in_b"),
-            F.round(cb, 6).alias("c_b_in_a"),
+            ca.alias("c_a_in_b"),
+            cb.alias("c_b_in_a"),
         )
     )

@@ -282,8 +282,18 @@ _DRIVER_GREEN_R6 = frozenset({
 # 0.144146931 -> 0.144146932. kmeans_embeddings got the same rework
 # but its sf0.01/sf0.1 outputs are bit-identical, so its r4 green
 # row still certifies.
+# dedup_ngram_jaccard / dedup_jaccard_prefix / dedup_containment:
+# jaccard/containment ratios now emitted as RAW doubles (the ratio
+# of identically-computed integers is bit-identical on both
+# engines) — the former round(x, 6) breaks on non-dyadic 7-decimal
+# midpoints like 321/640, the same confirmed-live class as
+# q_math_funcs.
 _CHANGED_R7 = frozenset(
-    {"q_scalar_subquery", "q_math_funcs", "q_embedding_drift"}
+    {
+        "q_scalar_subquery", "q_math_funcs", "q_embedding_drift",
+        "dedup_ngram_jaccard", "dedup_jaccard_prefix",
+        "dedup_containment",
+    }
 )
 
 _EVER_GREEN = (

@@ -125,7 +125,7 @@ def test_jaccard_prefix_filter_loses_nothing(spark, sf_small):
         for r in pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(j >= _PJ_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", j.alias("jaccard"))
         .collect()
     }
     pruned = {
