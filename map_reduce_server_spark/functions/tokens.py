@@ -26,14 +26,16 @@ def word_tokens_col(col: Column | str = "text") -> Column:
 
 
 def distinct_ratio_col() -> Column:
-    """Lexical diversity: distinct tokens / tokens, 6-rounded (the
-    cheap quality proxy shared by text_quality and q_quality_gate —
-    one definition, or the twins drift)."""
+    """Lexical diversity: distinct tokens / tokens as a RAW double
+    (the cheap quality proxy shared by text_quality and
+    q_quality_gate — one definition, or the twins drift). No round:
+    the ratio of identically-computed integers is bit-identical on
+    both engines, while round(x, 6) breaks on non-dyadic 7-decimal
+    midpoints (41/640 rounds to ...63 in Spark, ...62 in DuckDB —
+    the confirmed-live class _CHANGED_R7 documents)."""
     toks = word_tokens_col()
-    return F.round(
-        F.size(F.array_distinct(toks)).cast("double")
-        / F.greatest(F.size(toks), F.lit(1)),
-        6,
+    return F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
     )
 
 
@@ -41,6 +43,6 @@ def sql_distinct_ratio(toks: str = SQL_TOKS) -> str:
     """DuckDB twin of :func:`distinct_ratio_col`; pass a CTE-bound
     token-list alias to avoid recomputing the split."""
     return (
-        f"round(CAST(len(list_distinct({toks})) AS DOUBLE)"
-        f" / greatest(len({toks}), 1), 6)"
+        f"CAST(len(list_distinct({toks})) AS DOUBLE)"
+        f" / greatest(len({toks}), 1)"
     )

@@ -223,6 +223,7 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(o_orderdate) OVER w AS valid_to,
            (LEAD(o_orderdate) OVER w IS NULL) AS is_current
     FROM orders
+    WHERE o_orderdate IS NOT NULL
     WINDOW w AS (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey)
     """,
@@ -234,8 +235,16 @@ def q_scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks attribute history, built here with one window pass (no
     self-join). The window ORDER BY ends in the unique o_orderkey so
     same-day orders version deterministically on every engine.
+
+    NULL-date guard mirrored in the oracle: a NULL o_orderdate sorts
+    FIRST in Spark windows and LAST in DuckDB, flipping valid_to /
+    is_current for its neighbors — the same engine-divergence class
+    q_point_in_time_join guards (no NULL dates in current data, but
+    the twin must not depend on that).
     """
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -354,9 +363,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select(
         "doc_id", "source", F.size(toks).alias("n_tokens")
     )
+    # asc_nulls_last: DuckDB ASC defaults NULLS LAST while Spark
+    # defaults NULLS FIRST — a NULL doc_id would otherwise shift
+    # every prefix sum in its source between the twins (documents
+    # currently have none, but the ordering must not depend on that)
     w = (
         Window.partitionBy("source")
-        .orderBy("doc_id")
+        .orderBy(F.col("doc_id").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     packed = sized.select(
@@ -613,7 +626,7 @@ _PSI_EPS = 1e-6
              n_a / (SELECT CAST(ta AS DOUBLE) FROM tot) + {_PSI_EPS} AS pa,
              n_b / (SELECT CAST(tb AS DOUBLE) FROM tot) + {_PSI_EPS} AS pb
       FROM counts)
-    SELECT bucket, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+    SELECT bucket, pa AS p_a, pb AS p_b,
            round((pa - pb) * ln(pa / pb), 6) AS psi_term
     FROM shares
     """,
@@ -628,7 +641,8 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan to bucket counts (map-side partial agg), totals
     broadcast back; epsilon-smoothed shares keep ln() defined for
     empty buckets; all float math runs on identical doubles in both
-    engines, rounded to 6 for display.
+    engines — shares emitted raw, only the libm-bearing psi_term
+    rounded.
     """
     docs = load_table(spark, sf_dir, "documents")
     s = split_hash(F.col("doc_id")) % 2
@@ -659,10 +673,15 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_a") / F.col("ta") + _PSI_EPS).alias("pa"),
         (F.col("n_b") / F.col("tb") + _PSI_EPS).alias("pb"),
     )
+    # p_a/p_b RAW: rational + epsilon on identical doubles is
+    # bit-identical across engines, while round(x, 6) breaks on
+    # 7-decimal-midpoint shares (the _CHANGED_R7 class). psi_term
+    # KEEPS its round — it absorbs genuine 1-ulp ln() differences
+    # between the engines' libm, which raw output would expose.
     return shares.select(
         "bucket",
-        F.round("pa", 6).alias("p_a"),
-        F.round("pb", 6).alias("p_b"),
+        F.col("pa").alias("p_a"),
+        F.col("pb").alias("p_b"),
         F.round(
             (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6
         ).alias("psi_term"),

@@ -288,11 +288,16 @@ _DRIVER_GREEN_R6 = frozenset({
 # engines) — the former round(x, 6) breaks on non-dyadic 7-decimal
 # midpoints like 321/640, the same confirmed-live class as
 # q_math_funcs.
+# text_quality / q_quality_gate (shared distinct_ratio twins) and
+# q_drift_psi's p_a/p_b shares: same rounding class, now raw doubles
+# (q_drift_psi keeps psi_term's round — it absorbs 1-ulp libm ln()
+# differences, per the sql_davg policy).
 _CHANGED_R7 = frozenset(
     {
         "q_scalar_subquery", "q_math_funcs", "q_embedding_drift",
         "dedup_ngram_jaccard", "dedup_jaccard_prefix",
-        "dedup_containment",
+        "dedup_containment", "text_quality", "q_quality_gate",
+        "q_drift_psi",
     }
 )
 
