@@ -104,7 +104,7 @@ def decode_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
             "(not in container); real codecs exist for RGB PNG "
             "(functions/png.py), gray/color/progressive JPEG "
             "(functions/jpeg.py), PCM WAV (functions/wavcodec.py), "
-            "G.711 mu-law (functions/g711.py) and MJPEG AVI "
+            "G.711 mu-law/A-law (functions/g711.py) and MJPEG AVI "
             "(functions/avi.py) — use fake=True here for the "
             "deterministic byte-derived decode"
         )
@@ -255,6 +255,19 @@ def with_png_payload(docs: DataFrame) -> DataFrame:
     return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
 
 
+def _px_stats_select(stats: DataFrame) -> DataFrame:
+    """Shared output projection for the single-image pixel-stats
+    queries (png, resize, jpeg baseline/progressive): ONE definition
+    of the 6-digit mean rounding the four oracles replay."""
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        "max_px",
+    )
+
+
 def _px_stats_stage(df: DataFrame, decode_fn) -> DataFrame:
     """Shared image-decode stats stage: ``decode_fn(bytes) ->
     (width, height, pixel_bytes)``, output = per-image pixel
@@ -318,14 +331,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal_decode_video; only perceptual audio (mp3/ogg) and
     inter-frame video stay env-gated (see :func:`decode_batch`)."""
     docs = load_table(spark, sf_dir, "documents")
-    stats = png_stats(with_png_payload(docs))
-    return stats.select(
-        "doc_id",
-        "width",
-        "height",
-        F.round("mean_px", 6).alias("mean_px"),
-        "max_px",
-    )
+    return _px_stats_select(png_stats(with_png_payload(docs)))
 
 
 @register(
@@ -354,13 +360,7 @@ def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     the resampling arithmetic is value-checked too."""
     docs = load_table(spark, sf_dir, "documents")
     resized = resize_images(with_png_payload(docs), _RS_W, _RS_H)
-    return png_stats(resized).select(
-        "doc_id",
-        "width",
-        "height",
-        F.round("mean_px", 6).alias("mean_px"),
-        "max_px",
-    )
+    return _px_stats_select(png_stats(resized))
 
 
 @register(
@@ -618,17 +618,23 @@ def _flat_block_gray(hex24: str) -> bytes:
     return img.tobytes()
 
 
-def with_jpeg_payload(docs: DataFrame) -> DataFrame:
-    """Encode a REAL baseline grayscale JFIF JPEG per document
-    (pure numpy/stdlib encoder: DCT, quantization, Annex K Huffman
-    coding, byte stuffing)."""
+def _gray_jpeg_payload(docs: DataFrame, salt: str, encoder) -> DataFrame:
+    """One scaffold for the gray-JPEG payload builders (baseline +
+    progressive): the legs differ ONLY in hex salt and encoder, so
+    the select + mapInPandas + NULL-propagation shape is defined
+    once. ``encoder(width, height, pixels) -> bytes``."""
+    hex_col = (
+        F.md5(F.concat(F.lit(salt), F.col("text")))
+        if salt
+        else F.md5(F.col("text"))
+    )
     flat = docs.select(
-        "doc_id", F.substring(F.md5(F.col("text")), 1, 24).alias("pix_hex")
+        "doc_id", F.substring(hex_col, 1, 24).alias("pix_hex")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def enc(h: str) -> bytes:
-            return jpeg.encode_gray8(_JPG_W, _JPG_H, _flat_block_gray(h))
+            return encoder(_JPG_W, _JPG_H, _flat_block_gray(h))
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -641,18 +647,14 @@ def with_jpeg_payload(docs: DataFrame) -> DataFrame:
     return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
 
 
-def jpeg_stats(df: DataFrame) -> DataFrame:
-    """Decode stage over real JPEG payloads: marker parse, Huffman
-    entropy decode, dequantize, IDCT — then per-image pixel stats."""
-    return _px_stats_stage(df, jpeg.decode_gray8)
-
-
-@register(
-    "multimodal_decode_jpeg",
-    oracle=f"""
+def _gray_jpeg_oracle(hex_expr: str) -> str:
+    """Shared oracle body for the gray-JPEG legs: the pixel-stats
+    arithmetic must stay in lockstep with ``jpeg_stats`` for BOTH
+    legs, so the SQL exists once with only the hex recipe varying."""
+    return f"""
     WITH px AS (
       SELECT doc_id, list_transform(range(1, 13),
-               i -> CAST(('0x' || substr({_SQL_JPG_HEX}, i*2-1, 2))
+               i -> CAST(('0x' || substr({hex_expr}, i*2-1, 2))
                     AS BIGINT)) AS bs
       FROM documents WHERE text IS NOT NULL),
     st AS (
@@ -663,7 +665,25 @@ def jpeg_stats(df: DataFrame) -> DataFrame:
       FROM px)
     SELECT d.doc_id, st.width, st.height, st.mean_px, st.max_px
     FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
-    """,
+    """
+
+
+def with_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL baseline grayscale JFIF JPEG per document
+    (pure numpy/stdlib encoder: DCT, quantization, Annex K Huffman
+    coding, byte stuffing)."""
+    return _gray_jpeg_payload(docs, "", jpeg.encode_gray8)
+
+
+def jpeg_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real JPEG payloads: marker parse, Huffman
+    entropy decode, dequantize, IDCT — then per-image pixel stats."""
+    return _px_stats_stage(df, jpeg.decode_gray8)
+
+
+@register(
+    "multimodal_decode_jpeg",
+    oracle=_gray_jpeg_oracle(_SQL_JPG_HEX),
 )
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-codec round-trip: encode each document's
@@ -685,14 +705,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; payloads live only inside a task.
     """
     docs = load_table(spark, sf_dir, "documents")
-    stats = jpeg_stats(with_jpeg_payload(docs))
-    return stats.select(
-        "doc_id",
-        "width",
-        "height",
-        F.round("mean_px", 6).alias("mean_px"),
-        "max_px",
-    )
+    return _px_stats_select(jpeg_stats(with_jpeg_payload(docs)))
 
 
 # --- real PROGRESSIVE JPEG codec path (SOF2) ---------------------------------
@@ -708,47 +721,12 @@ def with_jpeg_progressive_payload(docs: DataFrame) -> DataFrame:
     coded across six spectral-selection + successive-approximation
     scans (interleaved DC first/refine, split-band AC first, AC
     refine) with EOBn run coding on the sparse high band."""
-    flat = docs.select(
-        "doc_id",
-        F.substring(
-            F.md5(F.concat(F.lit("p"), F.col("text"))), 1, 24
-        ).alias("pix_hex"),
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def enc(h: str) -> bytes:
-            return jpeg.encode_gray8_progressive(
-                _JPG_W, _JPG_H, _flat_block_gray(h)
-            )
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": pdf["pix_hex"].map(_nn(enc)),
-                }
-            )
-
-    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+    return _gray_jpeg_payload(docs, "p", jpeg.encode_gray8_progressive)
 
 
 @register(
     "multimodal_decode_jpeg_progressive",
-    oracle=f"""
-    WITH px AS (
-      SELECT doc_id, list_transform(range(1, 13),
-               i -> CAST(('0x' || substr({_SQL_JPGP_HEX}, i*2-1, 2))
-                    AS BIGINT)) AS bs
-      FROM documents WHERE text IS NOT NULL),
-    st AS (
-      SELECT doc_id, CAST({_JPG_W} AS INTEGER) AS width,
-             CAST({_JPG_H} AS INTEGER) AS height,
-             round(CAST(list_sum(bs) AS DOUBLE) / 12, 6) AS mean_px,
-             CAST(list_max(bs) AS INTEGER) AS max_px
-      FROM px)
-    SELECT d.doc_id, st.width, st.height, st.mean_px, st.max_px
-    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
-    """,
+    oracle=_gray_jpeg_oracle(_SQL_JPGP_HEX),
 )
 def multimodal_decode_jpeg_progressive(
     spark: SparkSession, sf_dir: str
@@ -773,14 +751,7 @@ def multimodal_decode_jpeg_progressive(
     shuffle; payloads live only inside a task.
     """
     docs = load_table(spark, sf_dir, "documents")
-    stats = jpeg_stats(with_jpeg_progressive_payload(docs))
-    return stats.select(
-        "doc_id",
-        "width",
-        "height",
-        F.round("mean_px", 6).alias("mean_px"),
-        "max_px",
-    )
+    return _px_stats_select(jpeg_stats(with_jpeg_progressive_payload(docs)))
 
 
 # --- real COLOR JPEG codec path (YCbCr 4:2:0) -------------------------------

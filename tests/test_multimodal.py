@@ -281,6 +281,9 @@ def test_null_text_yields_null_stats_not_crash(spark):
             "multimodal_resize_png",
             "multimodal_decode_wav",
             "multimodal_decode_jpeg",
+            "multimodal_decode_jpeg_color",
+            "multimodal_decode_jpeg_progressive",
+            "multimodal_decode_alaw",
             "multimodal_decode_mulaw",
             "multimodal_decode_video",
             "multimodal_features",
