@@ -110,9 +110,19 @@ def decode_alaw_sample(c: int) -> int:
 
 # RIFF format tags for the two companding laws.
 _TAG_ALAW, _TAG_MULAW = 6, 7
+# 256-entry expansion tables, built once from the same closed forms
+# the SQL oracles replay: the per-byte decode is the file's only hot
+# loop (it runs inside Arrow-batched workers for every payload), and
+# a list index beats a Python call + range guard per sample.
 _LAW = {
-    _TAG_ALAW: ("WAVE_FORMAT_ALAW (6)", decode_alaw_sample),
-    _TAG_MULAW: ("WAVE_FORMAT_MULAW (7)", decode_sample),
+    _TAG_ALAW: (
+        "WAVE_FORMAT_ALAW (6)",
+        tuple(decode_alaw_sample(c) for c in range(256)),
+    ),
+    _TAG_MULAW: (
+        "WAVE_FORMAT_MULAW (7)",
+        tuple(decode_sample(c) for c in range(256)),
+    ),
 }
 
 
@@ -174,22 +184,36 @@ def _decode_wav_g711(data: bytes, want_tag: int) -> tuple[int, list[int]]:
         if pos + 8 + size > end or len(body) != size:
             raise ValueError(f"truncated {tag!r} chunk")
         if tag == b"fmt ":
-            if size < 8:
+            # conforming fmt chunks carry at least the 16-byte
+            # common fields; parse through bits-per-sample so a
+            # 16-bit or multi-byte-frame file fails loud instead of
+            # expanding every byte as a G.711 code (garbage samples)
+            if size < 16:
                 raise ValueError("fmt chunk too short")
-            fmt_tag, channels, framerate = struct.unpack("<HHI", body[:8])
+            fmt_tag, channels, framerate, _byterate, align, bits = (
+                struct.unpack("<HHIIHH", body[:16])
+            )
             if fmt_tag != want_tag:
                 raise NotImplementedError(
                     f"format tag {fmt_tag}: only {_LAW[want_tag][0]}"
                 )
             if channels != 1:
                 raise NotImplementedError("only mono G.711")
+            if bits != 8 or align != 1:
+                raise NotImplementedError(
+                    "only 8-bit mono G.711 (block align 1)"
+                )
         elif tag == b"data":
+            if codes is not None:
+                # conforming files have exactly ONE data chunk; a
+                # second must not silently overwrite the samples
+                raise ValueError("duplicate data chunk")
             codes = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if framerate is None or codes is None:
         raise ValueError("missing fmt /data chunk")
     expand = _LAW[want_tag][1]
-    return framerate, [expand(c) for c in codes]
+    return framerate, [expand[c] for c in codes]
 
 
 # Functions above run inside Arrow-batched Python workers — ship

@@ -1048,3 +1048,28 @@ def test_jpeg_exception_contract_under_byte_corruption():
         jpeg.encode_rgb8(1, 0, b"")
     with pytest.raises(ValueError, match="1..65535"):
         jpeg.encode_rgb8_progressive(66000, 2, bytes(66000 * 6))
+
+
+def test_g711_rejects_unsupported_fmt_and_duplicate_data():
+    """Conforming-but-unsupported G.711 containers fail loud: a
+    16-bit/multi-byte-frame fmt must raise NotImplementedError
+    instead of expanding every byte as a code, and a second data
+    chunk must raise rather than silently overwrite the samples."""
+    import struct as st
+
+    import pytest
+
+    from map_reduce_server_spark.functions import g711
+
+    base = g711.encode_wav_mulaw(8000, bytes(10))
+    fmtoff = base.find(b"fmt ") + 8
+    # fmt common fields: tag(2) ch(2) rate(4) byterate(4) align(2) bits(2)
+    for off, value in ((14, 16), (12, 2)):  # bits=16; block align=2
+        buf = bytearray(base)
+        buf[fmtoff + off : fmtoff + off + 2] = st.pack("<H", value)
+        with pytest.raises(NotImplementedError, match="8-bit mono"):
+            g711.decode_wav_mulaw(bytes(buf))
+    dup = bytearray(base + b"data" + st.pack("<I", 4) + bytes(4))
+    dup[4:8] = st.pack("<I", len(dup) - 8)
+    with pytest.raises(ValueError, match="duplicate data"):
+        g711.decode_wav_mulaw(bytes(dup))
