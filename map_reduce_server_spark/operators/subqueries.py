@@ -11,21 +11,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_server_spark.functions.exact import spark_sql_dsum, sql_dsum
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
 
 @register(
     "q_scalar_subquery",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_totalprice,
            CAST(o_totalprice AS DOUBLE)
-                 - (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,2)))
-                               AS DOUBLE) / COUNT(*)
+                 - (SELECT {sql_dsum('o2.o_totalprice')} / COUNT(*)
                     FROM orders o2) AS diff_from_mean
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o3.o_totalprice
-                                          AS DECIMAL(30,2))) AS DOUBLE)
+    WHERE o_totalprice > 2 * (SELECT {sql_dsum('o3.o_totalprice')}
                                      / COUNT(*)
                               FROM orders o3)
     """,
@@ -33,14 +32,18 @@ from map_reduce_server_spark.tables import load_table
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subqueries in projection and predicate.
 
-    diff_from_mean is emitted as the RAW double difference (explicit
-    DOUBLE cast of the decimal price, then one IEEE subtraction —
-    bit-identical across engines). The previous ``round(double, 6)``
-    was a latent twin divergence: Spark rounds HALF_UP on the
-    shortest decimal repr while DuckDB rounds the binary value, so
-    midpoint-adjacent doubles (e.g. 0.0001245) round differently —
-    245 divergences in a 9,000-value probe, invisible at driver SF
-    only because the data happens to miss the midpoints.
+    diff_from_mean is emitted as the RAW double difference
+    (o_totalprice is already a parquet DOUBLE; the CAST is shape
+    bookkeeping, and the bit-identity comes from both engines
+    subtracting the same two doubles). The previous
+    ``round(double, 6)`` was a latent twin divergence: Spark rounds
+    HALF_UP on the shortest decimal repr while DuckDB rounds the
+    binary value, so midpoint-adjacent doubles (e.g. 0.0001245)
+    round differently — 245 divergences in a 9,000-value probe,
+    invisible at driver SF only because the data misses the
+    midpoints. The engine-side exact sums go through
+    ``spark_sql_dsum`` so NaN/Inf garbage raises loudly instead of
+    being silently skipped by SUM under the non-ANSI session.
     """
     orders = load_table(spark, sf_dir, "orders")
     # fixed name + OrReplace: the repo's no-accumulation convention
@@ -50,12 +53,10 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT o_orderkey, o_totalprice,
                CAST(o_totalprice AS DOUBLE)
-                     - (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,2)))
-                                   AS DOUBLE) / COUNT(*)
+                     - (SELECT {spark_sql_dsum('o2.o_totalprice')} / COUNT(*)
                         FROM {view} o2) AS diff_from_mean
         FROM {view}
-        WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o3.o_totalprice
-                                              AS DECIMAL(30,2))) AS DOUBLE)
+        WHERE o_totalprice > 2 * (SELECT {spark_sql_dsum('o3.o_totalprice')}
                                          / COUNT(*)
                                   FROM {view} o3)
         """

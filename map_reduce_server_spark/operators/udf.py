@@ -51,7 +51,24 @@ def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the plain SQL arithmetic, proving the Arrow exchange is
     value-exact."""
     part = load_table(spark, sf_dir, "part")
-    raw = _price_score("p_retailprice", "p_size")
+    # Loud NaN/Inf envelope, enforced BEFORE the UDF: inside the
+    # pandas batch a NULL and a NaN price are the same float64 NaN
+    # (indistinguishable), and the Arrow return path would silently
+    # turn a NaN score into NULL where the DuckDB twin emits NaN — a
+    # baffling gate mismatch. NULL passes through (isnan(NULL) is
+    # NULL, so the when-condition falls to otherwise), matching the
+    # oracle's NULL propagation.
+    price = F.when(
+        F.isnan("p_retailprice")
+        | (F.abs("p_retailprice") == F.lit(float("inf"))),
+        F.raise_error(
+            F.concat(
+                F.lit("udf score: non-finite p_retailprice: "),
+                F.col("p_retailprice").cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(F.col("p_retailprice"))
+    raw = _price_score(price, F.col("p_size"))
     return part.select(
         "p_partkey",
         (F.floor(raw * 1e6 + F.lit(0.5)) / 1e6).alias("score"),
