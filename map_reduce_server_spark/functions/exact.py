@@ -112,6 +112,22 @@ def q40_int(c: Column) -> Column:
     )
 
 
+def qsum40(c: Column) -> Column:
+    """Engine-exact sum of a double column at 2^-40 quantization —
+    the non-averaged sibling of :func:`qmean40` (pagerank mass
+    accumulation). The double division by 2^40 is an exact exponent
+    shift, so the result is bit-identical on both engines."""
+    return F.sum(q40_int(c)).cast("double") / F.lit(_Q40)
+
+
+def sql_qsum40(expr: str) -> str:
+    """DuckDB oracle twin of :func:`qsum40`."""
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * 1099511627776.0) AS "
+        f"DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0"
+    )
+
+
 def qmean40(c: Column) -> Column:
     """Engine-exact mean of a double column at 2^-40 quantization:
     exact integer sum (order-independent, overflow-proof in

@@ -25,6 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_server_spark.functions.exact import qsum40, sql_qsum40
 from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
@@ -196,6 +197,12 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        # materialize BEFORE symmetrizing: both union branches read
+        # pairs, and while ReuseExchange dedups the shuffle below the
+        # distinct, the post-shuffle aggregate + projection would
+        # still run twice over the full pair set (same rationale as
+        # pagerank's own edge checkpoint)
+        .localCheckpoint(eager=True)
     )
     return pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -213,12 +220,14 @@ def pagerank(
     Every node in ``edges`` has out-degree ≥ 1 (the trade graph is
     symmetrized), so there is no dangling-mass term. Per iteration:
     ``r(v) ← (1−d)/N + d·Σ_{u→v} r(u)/deg(u)``. The contribution sum
-    is an exact DECIMAL(38,18) aggregate — order-independent, so the
-    result is bit-stable across partitionings AND replayable by a SQL
-    engine; per-contribution double arithmetic (division, damping) is
-    identical on identical inputs. Fixed iteration count (not a
-    convergence test) keeps the computation a finite, oracle-
-    expressible unrolled recurrence.
+    is a tie-free exact integer aggregate at 2^-40 quantization
+    (``qsum40``) — order-independent, so the result is bit-stable
+    across partitionings AND bit-identical to the SQL oracle replay
+    (the former decimal(38,18) bridge disagreed between engines in
+    both cast directions); per-contribution double arithmetic
+    (division, damping) is identical on identical inputs. Fixed
+    iteration count (not a convergence test) keeps the computation a
+    finite, oracle-expressible unrolled recurrence.
 
     Scale: each iteration is one join plus one aggregate, all on
     compact (id, double) columns. The per-iteration lineage cut
@@ -301,11 +310,17 @@ def pagerank(
                 (F.col("rank") / F.col("deg")).alias("c"),
             )
             .groupBy("node")
-            .agg(
-                F.sum(F.col("c").cast("decimal(38,18)"))
-                .cast("double")
-                .alias("in_mass")
-            )
+            # Tie-free engine-exact mass sum: the former
+            # decimal(38,18) bridge disagreed between engines in BOTH
+            # cast directions (Spark rounds the shortest decimal repr
+            # HALF_UP where DuckDB rounds the binary value, and
+            # DuckDB double-rounds unscaled mantissas > 2^53 back to
+            # double) — hundreds of 1e-18 discrepancies per run that
+            # only the final ROUND(rank, 12) hid. floor(c * 2^40)
+            # integer sums are exact at every step on both engines;
+            # normalized ranks keep every contribution <= 1, so the
+            # scaled sums stay far below 2^53.
+            .agg(qsum40(F.col("c")).alias("in_mass"))
         )
         nxt = (
             ranks.select("node")
@@ -360,8 +375,7 @@ def _sql_pagerank_oracle() -> str:
                  + {_PR_DAMPING} * COALESCE(m.in_mass, 0.0) AS rank
           FROM deg d LEFT JOIN (
             SELECT e.dst AS node,
-                   CAST(SUM(CAST(r.rank / d2.deg AS DECIMAL(38,18)))
-                        AS DOUBLE) AS in_mass
+                   {sql_qsum40('r.rank / d2.deg')} AS in_mass
             FROM edges e
             JOIN {prev} r ON e.src = r.node
             JOIN deg d2 ON e.src = d2.node

@@ -292,12 +292,15 @@ _DRIVER_GREEN_R6 = frozenset({
 # q_drift_psi's p_a/p_b shares: same rounding class, now raw doubles
 # (q_drift_psi keeps psi_term's round — it absorbs 1-ulp libm ln()
 # differences, per the sql_davg policy).
+# graph_pagerank: the decimal(38,18) mass bridge disagreed between
+# engines in BOTH cast directions (measured); masses now accumulate
+# via tie-free 2^-40 integer sums (qsum40), shifting ranks ~1e-10.
 _CHANGED_R7 = frozenset(
     {
         "q_scalar_subquery", "q_math_funcs", "q_embedding_drift",
         "dedup_ngram_jaccard", "dedup_jaccard_prefix",
         "dedup_containment", "text_quality", "q_quality_gate",
-        "q_drift_psi",
+        "q_drift_psi", "graph_pagerank",
     }
 )
 
