@@ -116,15 +116,25 @@ def connected_components(
     )
 
 
-def _sql_dedup_cluster_oracle() -> str:
-    from map_reduce_server_spark.operators.dedup import _SQL_MINHASH_CAND
-
+def sql_closure_oracle(
+    pairs_sql: str,
+    a_col: str,
+    b_col: str,
+    entity_table: str,
+    id_col: str,
+) -> str:
+    """Recursive-CTE replay of ``connected_components`` + min-label +
+    singleton coalesce — ONE SQL template shared by ``dedup_cluster``
+    (MinHash pairs over documents) and similarity's
+    ``dedup_semantic_cluster`` (cosine pairs over embeddings), so a
+    change to the closure semantics cannot desynchronize the two
+    gates."""
     return f"""
     WITH RECURSIVE
-    pairs AS (SELECT doc_a, doc_b FROM {_SQL_MINHASH_CAND} c),
+    pairs AS (SELECT {a_col}, {b_col} FROM {pairs_sql} p),
     edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
+      SELECT {a_col} AS src, {b_col} AS dst FROM pairs
+      UNION SELECT {b_col}, {a_col} FROM pairs
     ),
     reach(a, b) AS (
       SELECT src, dst FROM edges
@@ -135,10 +145,40 @@ def _sql_dedup_cluster_oracle() -> str:
       SELECT a AS node, LEAST(a, MIN(b)) AS component
       FROM reach GROUP BY a
     )
-    SELECT d.doc_id,
-           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id
-    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    SELECT d.{id_col},
+           CAST(COALESCE(c.component, d.{id_col}) AS BIGINT) AS cluster_id
+    FROM {entity_table} d LEFT JOIN comp c ON d.{id_col} = c.node
     """
+
+
+def label_components(
+    pairs: DataFrame,
+    entities: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Connected components over (a_col, b_col) pairs with every
+    entity labeled by its component's smallest id (singletons label
+    themselves) — the Spark twin of :func:`sql_closure_oracle`."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    comp = connected_components(edges)
+    return entities.join(
+        comp, entities[id_col] == comp.node, "left"
+    ).select(
+        id_col,
+        F.coalesce("component", id_col).alias("cluster_id"),
+    )
+
+
+def _sql_dedup_cluster_oracle() -> str:
+    from map_reduce_server_spark.operators.dedup import _SQL_MINHASH_CAND
+
+    return sql_closure_oracle(
+        _SQL_MINHASH_CAND, "doc_a", "doc_b", "documents", "doc_id"
+    )
 
 
 @register("dedup_cluster", oracle=_sql_dedup_cluster_oracle(), bench=True)
@@ -153,17 +193,9 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from map_reduce_server_spark.operators.dedup import dedup_minhash_lsh
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    comp = connected_components(pairs)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return (
-        docs.join(comp, docs.doc_id == comp.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("cluster_id"),
-        )
+    return label_components(
+        dedup_minhash_lsh(spark, sf_dir), docs, "doc_id", "doc_a", "doc_b"
     )
 
 

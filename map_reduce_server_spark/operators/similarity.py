@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions.exact import qmean40, sql_qmean40
 from map_reduce_server_spark.functions.hashing import sql_md5_long
+from map_reduce_server_spark.operators.clustering import (
+    label_components,
+    sql_closure_oracle,
+)
 from map_reduce_server_spark.functions.vector import (
     SQL_COSINE,
     SQL_MAX_ABS,
@@ -495,26 +499,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic_cluster",
-    oracle=f"""
-    WITH RECURSIVE
-    pairs AS (SELECT vec_a, vec_b FROM {_SQL_COS_PAIRS} p),
-    edges AS (
-      SELECT vec_a AS src, vec_b AS dst FROM pairs
-      UNION SELECT vec_b, vec_a FROM pairs
+    oracle=sql_closure_oracle(
+        _SQL_COS_PAIRS, "vec_a", "vec_b", "embeddings", "vec_id"
     ),
-    reach(a, b) AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
-    ),
-    comp AS (
-      SELECT a AS node, LEAST(a, MIN(b)) AS component
-      FROM reach GROUP BY a
-    )
-    SELECT v.vec_id,
-           CAST(COALESCE(c.component, v.vec_id) AS BIGINT) AS cluster_id
-    FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node
-    """,
 )
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup groups: connected components over the
@@ -522,19 +509,12 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_cluster`` (which clusters the token-shingle MinHash
     graph). Pairs come from the bucket-co-partitioned cosine join;
     the transitive closure runs on 8-byte vec_ids only, and the
-    oracle replays closure + min-label as a recursive CTE."""
-    from map_reduce_server_spark.operators.clustering import (
-        connected_components,
-    )
-
-    pairs = dedup_embedding_cosine(spark, sf_dir).select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
-    )
-    comp = connected_components(pairs)
+    oracle replays closure + min-label via the SAME
+    ``sql_closure_oracle`` template ``dedup_cluster`` uses."""
     emb = _emb(spark, sf_dir).select("vec_id")
-    return emb.join(comp, emb.vec_id == comp.node, "left").select(
-        "vec_id",
-        F.coalesce("component", "vec_id").alias("cluster_id"),
+    return label_components(
+        dedup_embedding_cosine(spark, sf_dir), emb, "vec_id",
+        "vec_a", "vec_b",
     )
 
 
