@@ -116,7 +116,15 @@ def qsum40(c: Column) -> Column:
     """Engine-exact sum of a double column at 2^-40 quantization —
     the non-averaged sibling of :func:`qmean40` (pagerank mass
     accumulation). The double division by 2^40 is an exact exponent
-    shift, so the result is bit-identical on both engines."""
+    shift, so the result is bit-identical on both engines.
+
+    Call-site envelope (not runtime-checked — the per-element guard
+    cannot see the aggregate): the SCALED integer sum must stay
+    below 2^53, i.e. the group's true sum below 2^13 = 8192, for the
+    final decimal→double conversion to be exact on both engines
+    (DuckDB's multi-limb hugeint→double can differ by 1 ulp from
+    BigDecimal.doubleValue above that). Current callers sum
+    normalized masses ≤ 1 per group — far inside the envelope."""
     return F.sum(q40_int(c)).cast("double") / F.lit(_Q40)
 
 
@@ -135,18 +143,20 @@ def qmean40(c: Column) -> Column:
     divisions both engines perform identically. The result is the
     mean of the floor-quantized values — bias is < 2^-40 ≈ 9.1e-13,
     the same ballpark the old decimal(38,12) cast truncated at, but
-    with NO rounding tie for the engines to disagree on."""
-    return (
-        F.sum(q40_int(c)).cast("double") / F.count("*")
-    ) / F.lit(_Q40)
+    with NO rounding tie for the engines to disagree on.
+
+    Denominator is COUNT(c), not COUNT(*): SUM skips NULL inputs, so
+    counting them would silently treat each NULL as 0 (davg's
+    contract, mirrored in :func:`sql_qmean40`)."""
+    return (F.sum(q40_int(c)).cast("double") / F.count(c)) / F.lit(_Q40)
 
 
 def sql_qmean40(expr: str) -> str:
     """DuckDB oracle twin of :func:`qmean40` (same floor, same exact
-    integer sum, same division order)."""
+    integer sum, same NULL-skipping count, same division order)."""
     return (
         f"(CAST(SUM(CAST(FLOOR(({expr}) * 1099511627776.0) AS "
-        f"DECIMAL(38,0))) AS DOUBLE) / COUNT(*)) / 1099511627776.0"
+        f"DECIMAL(38,0))) AS DOUBLE) / COUNT({expr})) / 1099511627776.0"
     )
 
 

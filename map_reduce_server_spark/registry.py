@@ -98,6 +98,12 @@ def register(
                     "which whitespace collapsing would extend over the "
                     "whole remaining query — remove it"
                 )
+        if name in QUERIES:
+            # refuse loudly, like the literal/comment lints above: a
+            # duplicate name would silently shadow the earlier query
+            # (shrinking the corpus the gate checks) and double-time
+            # a bench entry
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = pinned
         if oracle is not None:
             ORACLE[name] = " ".join(oracle.split())
@@ -105,7 +111,11 @@ def register(
             BENCH_QUERIES.append(name)
         if prepare is not None:
             PREPARE[name] = prepare
-        return fn
+        # return the PINNED wrapper, not the raw fn: direct imports
+        # of a query function (notebooks, internal composition like
+        # dedup_cluster -> dedup_minhash_lsh) must get the same
+        # session-conf guarantees the registry path gets
+        return pinned
 
     return deco
 
@@ -140,16 +150,16 @@ def load_all() -> None:
     _LOADED = True
 
 
-# Driver verification history (CORRECTNESS_r0{1,2,3,4}.json): the
+# Driver verification history (CORRECTNESS_r01..r06.json): the
 # driver samples a ~50-query registry prefix each round, so
 # ``all_queries``/``all_oracles`` order the registry stalest-first —
-# queries with NO driver row yet first, then by the round of their
-# freshest green row (round-2 greens before round-3 greens before
-# round-4 greens). Local oracle-parity tests always cover all
-# queries regardless of this ordering.
+# queries with NO green row certifying current code first (new
+# registrations + _CHANGED_R7 reworks), then by the round of their
+# freshest green row (round-2 greens before round-3 before … before
+# round-6). Local oracle-parity tests always cover all queries
+# regardless of this ordering.
 
-# The 49 queries hash-verified green by CORRECTNESS_r03.json — the
-# freshest driver rows, ordered LAST.
+# The 50 queries hash-verified green by CORRECTNESS_r03.json.
 _DRIVER_GREEN_R3 = frozenset({
     "q_bucketed_join", "q_share_of_total", "q_corr", "q_histogram",
     "q_csv_roundtrip", "q_json_roundtrip", "q_orc_roundtrip",

@@ -100,3 +100,71 @@ def test_dsum_fails_loud_on_uncastable(spark):
     df = spark.createDataFrame([(1.5,), (None,), (2.5,)], ["v"])
     row = df.agg(dsum("v").alias("s"), davg("v").alias("a")).first()
     assert row.s == 4.0 and row.a == 2.0
+
+
+def test_q40_matches_python_floor_reference(spark):
+    """qsum40/qmean40 equal a pure-Python floor(v*2^40) reference
+    bit-for-bit, including the k/2^13 decimal-cast-midpoint values
+    that broke the old decimal bridge, and NULLs are skipped by both
+    the sum and qmean40's denominator."""
+    import math
+
+    from map_reduce_server_spark.functions.exact import qmean40, qsum40
+
+    vals = [
+        0.1983642578125,      # 1625/8192 — exact scale-12 midpoint
+        0.0010986328125,
+        -0.1983642578125,
+        0.3333333333333333,
+        1.0,
+        -1e-12,
+        None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = df.agg(qsum40(F.col("v")).alias("s"),
+                 qmean40(F.col("v")).alias("m")).first()
+    q = 2.0**40
+    ints = [math.floor(v * q) for v in vals if v is not None]
+    assert row.s == sum(ints) / q
+    assert row.m == (sum(ints) / len(ints)) / q  # COUNT(v), not COUNT(*)
+
+
+def test_q40_twin_parity_with_duckdb(spark):
+    """The SQL twins replay qsum40/qmean40 bit-for-bit in DuckDB on
+    midpoint-laden input."""
+    import duckdb
+
+    from map_reduce_server_spark.functions.exact import (
+        qmean40,
+        qsum40,
+        sql_qmean40,
+        sql_qsum40,
+    )
+
+    vals = [k / 8192.0 for k in range(-20, 21)] + [0.1983642578125, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    srow = df.agg(qsum40(F.col("v")).alias("s"),
+                  qmean40(F.col("v")).alias("m")).first()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    orow = con.execute(
+        f"SELECT {sql_qsum40('v')} AS s, {sql_qmean40('v')} AS m FROM t"
+    ).fetchone()
+    con.close()
+    assert repr(srow.s) == repr(orow[0])
+    assert repr(srow.m) == repr(orow[1])
+
+
+def test_q40_fails_loud_on_out_of_envelope(spark):
+    """NaN, Inf, and |v| >= 2^23 must raise (bigint-wrap guard), not
+    silently vanish from the sum; NULL passes through."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from map_reduce_server_spark.functions.exact import qsum40
+
+    for bad in (float("nan"), float("inf"), -float("inf"), 2.0**23):
+        df = spark.createDataFrame([(1.0,), (bad,)], "v double")
+        with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+            df.agg(qsum40(F.col("v")).alias("s")).first()
