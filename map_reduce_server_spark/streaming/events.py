@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
 from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.tables import normalize_events_ts
 
 _WINDOW = "5 minutes"
 
@@ -65,7 +66,7 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
              epoch(ts) AS t
       FROM events
     )
-    SELECT CAST(to_timestamp(w_start_sec) AS TIMESTAMP) AS w_start,
+    SELECT make_timestamp(w_start_sec * CAST(1000000 AS BIGINT)) AS w_start,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
@@ -113,21 +114,17 @@ def _events_stream(
     # register up front: if anything between here and the caller's
     # cleanup raises, the dir must still go at interpreter exit
     cleanup_at_exit(stage)
+    # abspath: the symlink target resolves relative to the SYMLINK's
+    # directory (in /tmp), so a relative sf_dir would stage a
+    # dangling link — batch reads work (Spark resolves against cwd)
+    # while every streaming query fails on the source.
     os.symlink(
-        f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet")
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stage, "events.parquet"),
     )
     stream = spark.readStream.schema(batch_schema).format("parquet").load(stage)
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        # TIMESTAMP(NANOS) parquet arrives as a nanos long (see
-        # tables.load_table); convert before event-time semantics.
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif ts_type == "timestamp_ntz":
-        # timestamp[us] without UTC adjustment: watermarks/event-time
-        # require a zoned TIMESTAMP; NTZ wall time == UTC instant
-        # (session TZ pinned above), same as tables.load_table.
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream, stage
+    # shared batch/stream ts normalization — see tables.normalize_events_ts
+    return normalize_events_ts(stream), stage
 
 
 def _read_deltas(spark: SparkSession, out: str, agg_schema) -> DataFrame:
@@ -203,8 +200,8 @@ def _run_update_to_deltas(
 
 
 _STREAM_ORACLE = """
-    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300)
-                AS TIMESTAMP) AS w_start,
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT)
+                          * CAST(300000000 AS BIGINT)) AS w_start,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
@@ -294,9 +291,18 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="mrss_stream_complete_")
     cleanup_at_exit(out)
     dest = os.path.join(out, "r")
-    spark.table(sink).write.parquet(dest)
-    spark.catalog.dropTempView(sink)
-    return spark.read.parquet(dest)
+    result = spark.table(sink)
+    schema = result.schema
+    try:
+        result.write.parquet(dest)
+    finally:
+        # even a failed write must not leak the memory-sink view —
+        # retries would pin one complete-mode result set per attempt
+        spark.catalog.dropTempView(sink)
+    # explicit schema: an empty result writes no part files, and a
+    # bare read would fail schema inference where the oracle simply
+    # returns 0 rows (same defense as _read_deltas)
+    return spark.read.schema(schema).parquet(dest)
 
 
 @register("stream_window_counts_incremental", oracle=_STREAM_ORACLE)
@@ -326,8 +332,8 @@ def stream_window_counts_incremental(
 
 _STREAM_TRENDING_ORACLE = """
     WITH counts AS (
-      SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600)
-                  AS TIMESTAMP) AS w_start,
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT)
+                            * CAST(600000000 AS BIGINT)) AS w_start,
              event_type, COUNT(*) AS n_events
       FROM events GROUP BY 1, 2),
     ranked AS (
@@ -353,7 +359,11 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count DESC, event_type) is total, so top-3 is engine-exact.
     """
     stream, stage = _events_stream(spark, sf_dir)
-    counts = stream.groupBy(
+    # watermark bounds the update-mode window state on an unbounded
+    # source (without it every window's count row lives forever);
+    # no-op for the bounded gate input, same setting as
+    # windowed_event_counts
+    counts = stream.withWatermark("ts", "10 minutes").groupBy(
         F.window("ts", "10 minutes").getField("start").alias("w_start"),
         "event_type",
     ).agg(F.count("*").alias("n_events"))

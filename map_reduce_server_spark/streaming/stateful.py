@@ -47,6 +47,11 @@ def _update_counts(
     boundaries, the streaming analog of the engine's decimal-sum
     rule.
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    cent = Decimal("0.01")
     n, total_cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
@@ -58,14 +63,15 @@ def _update_counts(
         # the total depend on batch boundaries, and the former
         # floor(|v|*100 + 0.5) trick mis-rounds values like 0.145
         # whose *100 falls a ulp below the half boundary. NULL/NaN
-        # values carry no measurable amount: dropped here exactly
-        # like SUM over a NULL (n still counts the row — COUNT(*)).
-        from decimal import ROUND_HALF_UP, Decimal
-
-        cent = Decimal("0.01")
+        # AND +/-inf values carry no measurable amount: the
+        # decimal(30,2) cast yields NULL for all of them and SUM
+        # skips the value (n still counts the row — COUNT(*));
+        # Decimal('Infinity').quantize would raise instead.
+        vals = pdf["value"].dropna()
+        vals = vals[np.isfinite(vals)]
         total_cents += sum(
             int(Decimal(repr(float(v))).quantize(cent, ROUND_HALF_UP) * 100)
-            for v in pdf["value"].dropna()
+            for v in vals
         )
     state.update((n, total_cents))
     yield pd.DataFrame(

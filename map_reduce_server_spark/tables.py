@@ -58,17 +58,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            # NTZ wall time == UTC instant; session TZ is UTC (above),
-            # so this cast attaches the zone without shifting.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        # withColumn replaced ts IN PLACE above, so no re-select: a
-        # hardcoded column list would make the normalized schema
-        # differ from the native-timestamp branch for any events
-        # variant with extra/missing columns
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df):
+    """Normalize the events ``ts`` column to a zoned TIMESTAMP —
+    ONE definition shared by the batch loader and the streaming
+    source (``streaming/events.py``), so a ts-encoding change cannot
+    silently diverge the streams' event-time semantics from the
+    batch oracles' input. Requires ``nanosAsLong`` + UTC session TZ
+    (set by the callers). withColumn replaces ts IN PLACE, so no
+    re-select: a hardcoded column list would make the normalized
+    schema differ from the native-timestamp branch for any events
+    variant with extra/missing columns."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # TIMESTAMP(NANOS) arrives as a nanos long under nanosAsLong;
+        # integer division is exact (zero sub-microsecond residue).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # NTZ wall time == UTC instant; session TZ is UTC, so this
+        # cast attaches the zone without shifting.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
