@@ -112,27 +112,57 @@ def q40_int(c: Column) -> Column:
     )
 
 
+_Q40_SUM_LIMIT = 9007199254740992  # 2^53
+
+
+def _checked_q40_sum(c: Column) -> Column:
+    """The exact scaled integer sum, RUNTIME-guarded at 2^53: above
+    that the decimal→double conversion is no longer tie-free on both
+    engines (DuckDB's multi-limb hugeint→double can differ by 1 ulp
+    from BigDecimal.doubleValue), so a group whose true sum exceeds
+    2^13 = 8192 raises loudly instead of silently diverging from the
+    oracle (whose twin carries the identical guard)."""
+    s = F.sum(q40_int(c))
+    return F.when(
+        F.abs(s) >= F.lit(_Q40_SUM_LIMIT).cast("decimal(38,0)"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "exact: q40 group sum exceeds the 2^53 tie-free "
+                    "envelope (true sum >= 8192): "
+                ),
+                s.cast("string"),
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(s)
+
+
+def _sql_checked_q40_sum(expr: str) -> str:
+    """DuckDB twin of :func:`_checked_q40_sum` (``error()`` raises)."""
+    s = (
+        f"SUM(CAST(FLOOR(({expr}) * 1099511627776.0) AS DECIMAL(38,0)))"
+    )
+    return (
+        f"CASE WHEN ABS({s}) >= {_Q40_SUM_LIMIT} THEN "
+        f"CAST(error('exact: q40 group sum exceeds the 2^53 envelope') "
+        f"AS DECIMAL(38,0)) ELSE {s} END"
+    )
+
+
 def qsum40(c: Column) -> Column:
     """Engine-exact sum of a double column at 2^-40 quantization —
     the non-averaged sibling of :func:`qmean40` (pagerank mass
     accumulation). The double division by 2^40 is an exact exponent
-    shift, so the result is bit-identical on both engines.
-
-    Call-site envelope (not runtime-checked — the per-element guard
-    cannot see the aggregate): the SCALED integer sum must stay
-    below 2^53, i.e. the group's true sum below 2^13 = 8192, for the
-    final decimal→double conversion to be exact on both engines
-    (DuckDB's multi-limb hugeint→double can differ by 1 ulp from
-    BigDecimal.doubleValue above that). Current callers sum
-    normalized masses ≤ 1 per group — far inside the envelope."""
-    return F.sum(q40_int(c)).cast("double") / F.lit(_Q40)
+    shift, so the result is bit-identical on both engines. The
+    scaled sum is runtime-guarded at 2^53 (see
+    :func:`_checked_q40_sum`)."""
+    return _checked_q40_sum(c).cast("double") / F.lit(_Q40)
 
 
 def sql_qsum40(expr: str) -> str:
     """DuckDB oracle twin of :func:`qsum40`."""
     return (
-        f"CAST(SUM(CAST(FLOOR(({expr}) * 1099511627776.0) AS "
-        f"DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0"
+        f"CAST({_sql_checked_q40_sum(expr)} AS DOUBLE) / 1099511627776.0"
     )
 
 
@@ -147,16 +177,23 @@ def qmean40(c: Column) -> Column:
 
     Denominator is COUNT(c), not COUNT(*): SUM skips NULL inputs, so
     counting them would silently treat each NULL as 0 (davg's
-    contract, mirrored in :func:`sql_qmean40`)."""
-    return (F.sum(q40_int(c)).cast("double") / F.count(c)) / F.lit(_Q40)
+    contract, mirrored in :func:`sql_qmean40`). The scaled sum is
+    runtime-guarded at 2^53 (see :func:`_checked_q40_sum`) — mean
+    callers aggregate unbounded group totals (a corpus-half of
+    embedding elements per dimension), so the envelope must be
+    enforced, not assumed."""
+    return (
+        _checked_q40_sum(c).cast("double") / F.count(c)
+    ) / F.lit(_Q40)
 
 
 def sql_qmean40(expr: str) -> str:
     """DuckDB oracle twin of :func:`qmean40` (same floor, same exact
-    integer sum, same NULL-skipping count, same division order)."""
+    integer sum, same guard, same NULL-skipping count, same division
+    order)."""
     return (
-        f"(CAST(SUM(CAST(FLOOR(({expr}) * 1099511627776.0) AS "
-        f"DECIMAL(38,0))) AS DOUBLE) / COUNT({expr})) / 1099511627776.0"
+        f"(CAST({_sql_checked_q40_sum(expr)} AS DOUBLE)"
+        f" / COUNT({expr})) / 1099511627776.0"
     )
 
 

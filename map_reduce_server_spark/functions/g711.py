@@ -184,6 +184,11 @@ def _decode_wav_g711(data: bytes, want_tag: int) -> tuple[int, list[int]]:
         if pos + 8 + size > end or len(body) != size:
             raise ValueError(f"truncated {tag!r} chunk")
         if tag == b"fmt ":
+            if framerate is not None:
+                # same silent-overwrite class as duplicate data: a
+                # second fmt must not reattribute the samples to a
+                # different rate
+                raise ValueError("duplicate fmt chunk")
             # conforming fmt chunks carry at least the 16-byte
             # common fields; parse through bits-per-sample so a
             # 16-bit or multi-byte-frame file fails loud instead of

@@ -416,7 +416,7 @@ def _sql_pagerank_oracle() -> str:
         """
         prev = f"r{i}"
     sql += f"""
-    SELECT node, ROUND(rank, 12) AS rank FROM {prev}
+    SELECT node, rank FROM {prev}
     """
     return sql
 
@@ -426,10 +426,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer↔supplier trade graph — the second
     iterative-algorithm pattern (after connected components): a
     driver loop of pure DataFrame joins with lineage truncation,
-    deterministic by exact-decimal mass sums, and value-checked
-    against the oracle's unrolled recurrence."""
+    deterministic by tie-free exact integer mass sums, and
+    value-checked against the oracle's unrolled recurrence. Ranks
+    emit RAW: with in_mass engine-exact the whole recurrence is
+    bit-identical, and a round(double, 12) would re-introduce the
+    midpoint tie class the qsum40 rework just removed."""
     ranks = pagerank(_trade_edges(spark, sf_dir))
-    return ranks.select("node", F.round("rank", 12).alias("rank"))
+    return ranks.select("node", "rank")
 
 
 # ---------------------------------------------------------------------------

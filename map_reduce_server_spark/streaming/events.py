@@ -362,11 +362,18 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermark bounds the update-mode window state on an unbounded
     # source (without it every window's count row lives forever);
     # no-op for the bounded gate input, same setting as
-    # windowed_event_counts
-    counts = stream.withWatermark("ts", "10 minutes").groupBy(
-        F.window("ts", "10 minutes").getField("start").alias("w_start"),
-        "event_type",
-    ).agg(F.count("*").alias("n_events"))
+    # windowed_event_counts. MUST group by the window STRUCT —
+    # grouping by .getField("start") drops the event-time metadata
+    # and the watermark silently never binds (verified: append mode
+    # rejects that shape as "aggregation without watermark").
+    counts = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n_events"
+        )
+    )
     table = _run_update_to_deltas(
         spark, counts, ["w_start", "event_type"], stage, "mrss_stream_trend_"
     )
