@@ -150,13 +150,13 @@ def load_all() -> None:
     _LOADED = True
 
 
-# Driver verification history (CORRECTNESS_r01..r06.json): the
+# Driver verification history (CORRECTNESS_r01..r07.json): the
 # driver samples a ~50-query registry prefix each round, so
 # ``all_queries``/``all_oracles`` order the registry stalest-first —
 # queries with NO green row certifying current code first (new
-# registrations + _CHANGED_R7 reworks), then by the round of their
-# freshest green row (round-2 greens before round-3 before … before
-# round-6). Local oracle-parity tests always cover all queries
+# registrations + _CHANGED_R8 reworks), then by the round of their
+# freshest green row (round-3 greens before round-4 before … before
+# round-7). Local oracle-parity tests always cover all queries
 # regardless of this ordering.
 
 # The 50 queries hash-verified green by CORRECTNESS_r03.json.
@@ -275,69 +275,62 @@ _DRIVER_GREEN_R6 = frozenset({
     "text_token_stats", "text_train_test_split", "wordcount",
 })
 
+# The 50 queries hash-verified green by CORRECTNESS_r07.json — the
+# freshest driver rows, ordered LAST. Includes the 3 round-7 codec
+# additions (alaw / jpeg_color / jpeg_progressive), all 10
+# _CHANGED_R7 raw-double/qsum40 reworks (re-certified on round-7
+# code), the 3 round-2-stale streaming windows (certifying the r6
+# streaming hardening), and the bulk of the round-3-stale group.
+_DRIVER_GREEN_R7 = frozenset({
+    "dedup_cluster", "dedup_containment", "dedup_exact",
+    "dedup_fingerprint", "dedup_jaccard_prefix", "dedup_keep_one",
+    "dedup_minhash_estimate", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "graph_pagerank",
+    "multimodal_decode", "multimodal_decode_alaw",
+    "multimodal_decode_jpeg_color", "multimodal_decode_jpeg_progressive",
+    "multimodal_features", "multimodal_meta", "q1_pricing_summary",
+    "q1_sql_entry", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q_bucketed_join", "q_corr", "q_csv_roundtrip", "q_cube",
+    "q_distinct_agg", "q_drift_psi", "q_embedding_drift", "q_group_having",
+    "q_histogram", "q_join_anti", "q_join_left_outer", "q_join_semi",
+    "q_json_roundtrip", "q_math_funcs", "q_not_in_nulls", "q_orc_roundtrip",
+    "q_pivot_events", "q_quality_gate", "q_rollup", "q_scalar_subquery",
+    "q_share_of_total", "q_sliding_window", "q_window_funcs",
+    "q_window_range_frame", "q_window_running", "stream_window_counts",
+    "stream_window_counts_incremental", "text_quality",
+})
+
 # Queries whose RESULT changed after their last green driver row
-# (round-7 rework): their stale green row no longer certifies the
+# (round-8 rework): their stale green row no longer certifies the
 # current code, so they rejoin the never-verified head.
-# q_scalar_subquery: diff_from_mean is now the RAW double difference
-# — the former round(double, 6) was a latent engine divergence
-# (Spark HALF_UP on shortest repr vs DuckDB binary rounding on
-# midpoint-adjacent values).
-# q_math_funcs: price_up likewise unrounded (round(x*1.1, 2) breaks
-# 3-decimal midpoints differently per engine — confirmed live on
-# 1.15/17.15/33.05).
-# q_embedding_drift: centroid means moved from decimal(30,9) casts
-# (whose double->decimal tie rounds HALF_UP in Spark, half-to-even
-# in DuckDB — the gate embeddings contain exact k/2^10 midpoints) to
-# tie-free 2^-40 integer quantization; centroid_cos at sf0.01 moved
-# 0.144146931 -> 0.144146932. kmeans_embeddings got the same rework
-# but its sf0.01/sf0.1 outputs are bit-identical, so its r4 green
-# row still certifies.
-# dedup_ngram_jaccard / dedup_jaccard_prefix / dedup_containment:
-# jaccard/containment ratios now emitted as RAW doubles (the ratio
-# of identically-computed integers is bit-identical on both
-# engines) — the former round(x, 6) breaks on non-dyadic 7-decimal
-# midpoints like 321/640, the same confirmed-live class as
-# q_math_funcs.
-# text_quality / q_quality_gate (shared distinct_ratio twins) and
-# q_drift_psi's p_a/p_b shares: same rounding class, now raw doubles
-# (q_drift_psi keeps psi_term's round — it absorbs 1-ulp libm ln()
-# differences, per the sql_davg policy).
-# graph_pagerank: the decimal(38,18) mass bridge disagreed between
-# engines in BOTH cast directions (measured); masses now accumulate
-# via tie-free 2^-40 integer sums (qsum40), shifting ranks ~1e-10.
-_CHANGED_R7 = frozenset(
-    {
-        "q_scalar_subquery", "q_math_funcs", "q_embedding_drift",
-        "dedup_ngram_jaccard", "dedup_jaccard_prefix",
-        "dedup_containment", "text_quality", "q_quality_gate",
-        "q_drift_psi", "graph_pagerank",
-    }
-)
+_CHANGED_R8: frozenset[str] = frozenset()
 
 _EVER_GREEN = (
     _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
-    | _DRIVER_GREEN_R5 | _DRIVER_GREEN_R6
-) - _CHANGED_R7
+    | _DRIVER_GREEN_R5 | _DRIVER_GREEN_R6 | _DRIVER_GREEN_R7
+) - _CHANGED_R8
 
 
 def _stale_first(d: dict) -> dict:
-    # Head: no green driver row certifying current code (round-7
-    # additions plus any _CHANGED_R7 reworks). Then round-2 greens
-    # (stalest — the 3 streaming-window rows pre-dating the r6
-    # hardening), round-3, round-4, round-5, round-6 last. A query
-    # green in multiple rounds sorts by its FRESHEST row.
+    # Head: no green driver row certifying current code (round-8
+    # additions plus any _CHANGED_R8 reworks). Then round-3 greens
+    # (now the stalest — round 7 cleared the r2 group), round-4,
+    # round-5, round-6, round-7 last. A query green in multiple
+    # rounds sorts by its FRESHEST row.
     head = {k: v for k, v in d.items() if k not in _EVER_GREEN}
-    r6 = _DRIVER_GREEN_R6 - _CHANGED_R7
-    r5 = _DRIVER_GREEN_R5 - r6 - _CHANGED_R7
-    r4 = _DRIVER_GREEN_R4 - r6 - r5 - _CHANGED_R7
-    r3 = _DRIVER_GREEN_R3 - r6 - r5 - r4 - _CHANGED_R7
-    r2 = _DRIVER_GREEN_R2 - r6 - r5 - r4 - r3 - _CHANGED_R7
+    r7 = _DRIVER_GREEN_R7 - _CHANGED_R8
+    r6 = _DRIVER_GREEN_R6 - r7 - _CHANGED_R8
+    r5 = _DRIVER_GREEN_R5 - r7 - r6 - _CHANGED_R8
+    r4 = _DRIVER_GREEN_R4 - r7 - r6 - r5 - _CHANGED_R8
+    r3 = _DRIVER_GREEN_R3 - r7 - r6 - r5 - r4 - _CHANGED_R8
+    r2 = _DRIVER_GREEN_R2 - r7 - r6 - r5 - r4 - r3 - _CHANGED_R8
     d2 = {k: v for k, v in d.items() if k in r2}
     d3 = {k: v for k, v in d.items() if k in r3}
     d4 = {k: v for k, v in d.items() if k in r4}
     d5 = {k: v for k, v in d.items() if k in r5}
     d6 = {k: v for k, v in d.items() if k in r6}
-    return {**head, **d2, **d3, **d4, **d5, **d6}
+    d7 = {k: v for k, v in d.items() if k in r7}
+    return {**head, **d2, **d3, **d4, **d5, **d6, **d7}
 
 
 def all_queries() -> dict[str, QueryFn]:
