@@ -32,6 +32,7 @@ from map_reduce_server_spark.functions.tokens import (
 )
 from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
 from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.stagecut import stage_cut
 from map_reduce_server_spark.tables import load_table
 
 
@@ -796,7 +797,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_plans.py::test_time_rollup_single_scan).
     hourly = ev.groupBy("bucket").agg(
         F.count("*").alias("n_events"), F.sum("v").alias("sv")
-    ).localCheckpoint(eager=True)
+    ).transform(stage_cut)
     daily = (
         hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket"))
         .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
@@ -1354,7 +1355,7 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours = local.groupBy("hour").agg(
         F.sum("delta").alias("hour_sum"),
         F.max("local_run").alias("local_max"),
-    ).localCheckpoint(eager=True)
+    ).transform(stage_cut)
     # Pass 2a: carry from earlier hours of the SAME year (partitioned).
     hours = hours.withColumn("yr", F.year("hour"))
     wyear = Window.partitionBy("yr").orderBy("hour").rowsBetween(
@@ -1544,7 +1545,7 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice per execution (same convention as q_time_rollup).
     daily = ev.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(stage_cut)
     contrib = daily.select(
         F.explode(
             F.sequence(

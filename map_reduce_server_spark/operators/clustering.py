@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from map_reduce_server_spark.functions.exact import qsum40, sql_qsum40
 from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
 from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.stagecut import stage_cut
 from map_reduce_server_spark.tables import load_table
 
 
@@ -52,7 +53,7 @@ def connected_components(
     # derivation re-evaluates the (potentially expensive) upstream
     # candidate-pair pipeline — measured as ~2× the whole LSH stage
     # inside dedup_cluster at sf0.1.
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    edges = edges.select("src", "dst").transform(stage_cut)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -68,17 +69,18 @@ def connected_components(
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
     )
-    # localCheckpoint each iteration: truncates the lineage so the
+    # stage_cut each iteration: truncates the lineage so the
     # logical plan stays O(1) deep instead of O(iterations) — without
-    # it Catalyst re-analyzes an exponentially growing tree.
-    adj = adj.localCheckpoint(eager=True)
+    # it Catalyst re-analyzes an exponentially growing tree. (See
+    # stagecut.py for the local-vs-reliable checkpoint policy.)
+    adj = adj.transform(stage_cut)
     # Seed labels with one propagation for free: min over neighbors
     # (self-loop included) IS iteration 1's pre-jump candidate, and
     # this aggregate costs the same single shuffle the identity init
     # would — one fewer loop round on every graph.
     labels = adj.groupBy(F.col("src").alias("node")).agg(
         F.min("dst").alias("component")
-    ).localCheckpoint(eager=True)
+    ).transform(stage_cut)
     for _ in range(max_iter):
         # candidate label for each node: min over neighbors' labels
         # (self-loop includes the node's own label)
@@ -103,7 +105,7 @@ def connected_components(
                     F.least("cand", "cand_comp") < F.col("component")
                 ).alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            .transform(stage_cut)
         )
         changed = updated.filter("changed").limit(1).count()
         labels = updated.select("node", "component")
@@ -234,7 +236,7 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # distinct, the post-shuffle aggregate + projection would
         # still run twice over the full pair set (same rationale as
         # pagerank's own edge checkpoint)
-        .localCheckpoint(eager=True)
+        .transform(stage_cut)
     )
     return pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -263,7 +265,7 @@ def pagerank(
 
     Scale: each iteration is one join plus one aggregate, all on
     compact (id, double) columns. The per-iteration lineage cut
-    (``localCheckpoint``) is load-bearing — lazily composed
+    (``stage_cut``) is load-bearing — lazily composed
     iterations share attribute ids between ``adj`` and the
     ``adj``-derived ranks, and Spark silently misresolves that
     self-join — but a checkpointed scan advertises
@@ -289,15 +291,15 @@ def pagerank(
     # Materialize the edge list once: deg, the rank init, and the
     # adjacency build below all derive from it, and without this the
     # (possibly join-produced) edge subtree re-evaluates three times.
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(stage_cut)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
-    ).localCheckpoint(eager=True)
+    ).transform(stage_cut)
     # Node count materializes ONCE as a checkpointed 1-row table:
     # the rank init and every iteration's broadcast teleport base
     # derive from it, and without this each of the iters broadcasts
     # would lazily re-run the COUNT over the node-sized deg table.
-    n1 = deg.agg(F.count("*").alias("n_nodes")).localCheckpoint(eager=True)
+    n1 = deg.agg(F.count("*").alias("n_nodes")).transform(stage_cut)
     basedf = n1.select(
         (
             (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes").cast("double")
@@ -309,7 +311,7 @@ def pagerank(
             "node",
             (F.lit(1.0) / F.col("n_nodes").cast("double")).alias("rank"),
         )
-        .localCheckpoint(eager=True)
+        .transform(stage_cut)
     )
     adj = edges.join(deg.withColumnRenamed("node", "src"), "src")
     if bucketed_adjacency:
@@ -333,7 +335,7 @@ def pagerank(
         cleanup_at_exit(tmp)
         adj = spark.table(tname)
     else:
-        adj = adj.localCheckpoint(eager=True)
+        adj = adj.transform(stage_cut)
     for i in range(iters):
         contrib = (
             adj.join(ranks, adj.src == ranks.node)
@@ -369,7 +371,7 @@ def pagerank(
         # Cut lineage between iterations (self-join safety + O(1)
         # plan depth) — but return the last one lazy: callers
         # consume it exactly once and its plan stays inspectable.
-        ranks = nxt.localCheckpoint(eager=True) if i < iters - 1 else nxt
+        ranks = nxt.transform(stage_cut) if i < iters - 1 else nxt
     return ranks
 
 
@@ -525,7 +527,7 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering coefficient (that denominator is Σ_v C(deg_v, 2),
     available from ``graph_degree_stats``).
     """
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _copurchase_edges(spark, sf_dir).transform(stage_cut)
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
@@ -608,7 +610,7 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(stage_cut)
     )
     n = li.agg(
         F.count_distinct("l_orderkey").cast("double").alias("n_orders")
@@ -678,7 +680,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # two consumers (u- and v-branch of the union): materialize once,
     # same rationale as the triangles call site
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _copurchase_edges(spark, sf_dir).transform(stage_cut)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

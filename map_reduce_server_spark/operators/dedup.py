@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
 from map_reduce_server_spark.functions.tokens import SQL_TOKS, word_tokens_col
 from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.stagecut import stage_cut
 from map_reduce_server_spark.tables import load_table
 
 # --- shared shingling (word 3-grams over non-empty lowercase tokens) -------
@@ -155,7 +156,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # three consumers (both self-join sides + sz): materialize once,
     # same rationale as dedup_jaccard_prefix's measured −29%
-    sh = shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    sh = shingles_df(spark, sf_dir).transform(stage_cut)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -446,8 +447,8 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-side similarity used to rank/filter candidates without
     touching the documents again (at 100 TB the signatures are 12×32
     bytes per doc; the texts never reshuffle)."""
-    wide = minhash_wide(spark, sf_dir).localCheckpoint(
-        eager=True  # reused by candidates AND agreement
+    wide = minhash_wide(spark, sf_dir).transform(
+        stage_cut  # reused by candidates AND agreement
     )
     cand = minhash_candidate_pairs(wide)
     agree_expr = sum(
@@ -790,7 +791,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and at cluster scale it saves three full explode+distinct
     shuffles of the corpus's largest intermediate).
     """
-    sh = shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    sh = shingles_df(spark, sf_dir).transform(stage_cut)
     prefix, sz = ranked_prefix(sh)
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -887,7 +888,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — compact keys, hash-distributed, AQE-splittable — then
     exact intersection counts verify only the candidates.
     """
-    sh = shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    sh = shingles_df(spark, sf_dir).transform(stage_cut)
     prefix, sz = ranked_prefix(sh, freq_cap=_CT_FREQ_CAP)
     p = prefix.alias("p")
     s = sh.alias("s")

@@ -29,6 +29,7 @@ from map_reduce_server_spark.functions.tokens import SQL_TOKS as _SQL_TOKS
 from map_reduce_server_spark.functions.tokens import word_tokens_col
 from map_reduce_server_spark.functions.vector import SQL_COSINE, cosine
 from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.stagecut import stage_cut
 from map_reduce_server_spark.tables import load_table
 
 # Imported at module top (no cycle — similarity does not import
@@ -255,7 +256,7 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each leg reduces the corpus to a top-50 candidate
     set (TakeOrdered — no global sort), materialized once via
-    localCheckpoint — `_join_rank` consumes its input as both probe
+    `stage_cut` — `_join_rank` consumes its input as both probe
     and broadcast build side, which would otherwise re-execute each
     leg's full corpus pipeline twice; ranks come from a broadcast
     self-join count over those 50 rows; the fusion is a full outer
@@ -269,7 +270,7 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != _RRF_QVEC)
         .orderBy(F.desc("score"), "doc_id")
         .limit(_RRF_CAND)
-        .localCheckpoint(eager=True)
+        .transform(stage_cut)
     )
     bm_rank = _join_rank(bm_top, "score", "doc_id")
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -288,7 +289,7 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos").isNotNull())
         .orderBy(F.desc("cos"), "doc_id")
         .limit(_RRF_CAND)
-        .localCheckpoint(eager=True)
+        .transform(stage_cut)
     )
     cos_rank = _join_rank(cos_top, "cos", "doc_id")
     bm = bm_rank.select("doc_id", F.col("rnk").alias("bm_rnk"))
@@ -437,7 +438,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three consumers previously recomputed this explode+distinct;
         # one materialization + one join-aggregate pass replaces the
         # shared/per_doc/totals triple-plan
-        .localCheckpoint(eager=True)
+        .transform(stage_cut)
     )
     shared = wins.groupBy("h").agg(F.count("*").alias("n")).filter(
         F.col("n") >= 2

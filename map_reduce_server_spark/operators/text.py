@@ -30,6 +30,7 @@ from map_reduce_server_spark.operators.dedup import (
     _SQL_SHINGLES as _DEDUP_SQL_SHINGLES,
 )
 from map_reduce_server_spark.registry import register
+from map_reduce_server_spark.stagecut import stage_cut
 from map_reduce_server_spark.tables import load_table
 
 # Tokenization contract (shared with every oracle): lowercase, split
@@ -1016,7 +1017,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from a full corpus scan + tokenize + explode — the same
     # measured lineage-cut convention as dedup's shingle stream and
     # q_time_rollup's hourly grain.
-    bg = bg.localCheckpoint(eager=True)
+    bg = bg.transform(stage_cut)
     cb = bg.groupBy("bigram").agg(F.count("*").alias("cab"))
     cu = bg.groupBy("tok1").agg(F.count("*").alias("ca"))
     tok = docs.select(

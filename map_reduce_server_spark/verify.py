@@ -141,7 +141,7 @@ def verify_all(
 def release_session_blocks(spark) -> None:
     """Drop blocks a consumed query left pinned in the session.
 
-    Iterative/multi-consumer operators ``localCheckpoint`` compact
+    Iterative/multi-consumer operators ``stage_cut`` compact
     intermediates (edge lists, shingle tables, rank vectors); the
     blocks can only be released AFTER the result is consumed, which
     the operator itself never sees. A long-lived session sweeping
