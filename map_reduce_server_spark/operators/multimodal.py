@@ -258,7 +258,20 @@ def with_png_payload(docs: DataFrame) -> DataFrame:
 def _px_stats_select(stats: DataFrame) -> DataFrame:
     """Shared output projection for the single-image pixel-stats
     queries (png, resize, jpeg baseline/progressive): ONE definition
-    of the 6-digit mean rounding the four oracles replay."""
+    of the 6-digit mean rounding the four oracles replay.
+
+    Why round(…, 6) survives here when the sql_davg policy removed
+    it from pure-arithmetic queries: mean_px is ``integer_sum / d``
+    for a FIXED small divisor (d ∈ {36, 12, 24}), so the reachable
+    input set is finite — k/d for k in [0, 255·d]. The Spark-vs-
+    DuckDB round divergence class needs a value whose double sits on
+    a 7-decimal midpoint boundary; an EXHAUSTIVE cross-engine sweep
+    of all three domains (18,363 values, real Spark vs real DuckDB)
+    found zero disagreements, so the rounding is tie-free by
+    enumeration, not by luck — pinned in
+    tests/test_multimodal.py::test_mean_px_round_tie_free_domains.
+    (The color leg needs no such proof: its means are dyadic
+    sums/1024 and /4, exact in both engines.)"""
     return stats.select(
         "doc_id",
         "width",

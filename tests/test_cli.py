@@ -86,6 +86,43 @@ def test_register_lint_handles_escaped_quotes():
     assert "x_quote_probe" not in registry.QUERIES
 
 
+def test_register_lint_quote_runs():
+    """Quote runs of length >= 3 (a literal BEGINNING with an escaped
+    apostrophe, e.g. ''''a' meaning the value 'a) collapse the opening
+    quote together with the escape pair, so the lint's reported span
+    boundaries can shift — but the inside/outside-quote PARITY the
+    classification relies on must hold for every run length (ADVICE
+    round 7). Pin it: data stays data, unsafe stays refused."""
+    import pytest
+
+    from map_reduce_server_spark import registry
+
+    # leading escaped quote, safe content: must register verbatim
+    registry.register(
+        "x_run_probe", oracle="SELECT '''ok' AS t"
+    )(lambda s, d: None)
+    assert registry.ORACLE.pop("x_run_probe") == "SELECT '''ok' AS t"
+    registry.QUERIES.pop("x_run_probe", None)
+    # '--' inside a leading-escaped-quote literal: data, must register
+    registry.register(
+        "x_run_probe", oracle="SELECT '''a--b' AS t"
+    )(lambda s, d: None)
+    assert registry.ORACLE.pop("x_run_probe") == "SELECT '''a--b' AS t"
+    registry.QUERIES.pop("x_run_probe", None)
+    # unsafe whitespace inside such a literal: still caught
+    with pytest.raises(ValueError, match="whitespace collapsing"):
+        registry.register(
+            "x_run_probe", oracle="SELECT '''a  b' AS t"
+        )(lambda s, d: None)
+    # quote-run of 4 ('''' = empty-ish literal value ' followed by
+    # more): parity must survive into the tail of the query too
+    with pytest.raises(ValueError, match="line comment"):
+        registry.register(
+            "x_run_probe", oracle="SELECT '''''' AS t -- trailing"
+        )(lambda s, d: None)
+    assert "x_run_probe" not in registry.QUERIES
+
+
 def test_cli_list():
     res = _run_cli("list")
     assert res.returncode == 0

@@ -1073,3 +1073,39 @@ def test_g711_rejects_unsupported_fmt_and_duplicate_data():
     dup[4:8] = st.pack("<I", len(dup) - 8)
     with pytest.raises(ValueError, match="duplicate data"):
         g711.decode_wav_mulaw(bytes(dup))
+
+
+def test_mean_px_round_tie_free_domains(spark):
+    """_px_stats_select keeps round(mean_px, 6) (ADVICE round 7 asked
+    why): mean_px = integer_sum / d for fixed d, so the reachable
+    inputs are finite and the Spark-HALF_UP-on-shortest-repr vs
+    DuckDB-binary-value divergence class can be EXCLUDED by
+    exhaustive enumeration — every k/d for k in [0, 255*d] must round
+    identically on both engines. Covers all three non-dyadic
+    divisors: 12 (gray jpeg legs), 24 (video), 36 (png)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    for d in (12, 24, 36):
+        n = 255 * d
+        srows = {
+            r["k"]: r["r"]
+            for r in (
+                spark.range(0, n + 1)
+                .select(
+                    F.col("id").alias("k"),
+                    F.round(F.col("id").cast("double") / d, 6).alias("r"),
+                )
+                .collect()
+            )
+        }
+        drows = dict(
+            con.execute(
+                f"SELECT k, round(CAST(k AS DOUBLE)/{d}, 6) "
+                f"FROM range(0, {n + 1}) t(k)"
+            ).fetchall()
+        )
+        bad = [k for k in srows if srows[k] != drows[k]]
+        assert not bad, f"divisor {d}: cross-engine round ties at {bad[:5]}"
