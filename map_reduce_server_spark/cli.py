@@ -67,13 +67,21 @@ def _cmd_verify(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="mrss-verify")
     names = args.names or None
     results = verify_all(spark, args.sf_dir, names)
-    fails = 0
+    fails = skips = 0
     for name, (ok, msg) in results.items():
-        if not ok:
+        skipped = ok and msg.startswith("skipped")
+        if skipped:
+            skips += 1
+        elif not ok:
             fails += 1
-        if not ok or args.verbose:
-            print(("PASS " if ok else "FAIL ") + name, "" if ok else msg)
-    print(f"{len(results) - fails}/{len(results)} queries match the oracle")
+        if not ok or skipped or args.verbose:
+            tag = "SKIP " if skipped else ("PASS " if ok else "FAIL ")
+            print(tag + name, "" if ok and not skipped else msg)
+    checked = len(results) - skips
+    line = f"{checked - fails}/{checked} queries match the oracle"
+    if skips:
+        line += f" ({skips} skipped: rows-only, no SQL oracle)"
+    print(line)
     return 1 if fails else 0
 
 

@@ -10,8 +10,22 @@ from __future__ import annotations
 
 import math
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame
+
+# Characters Hadoop's globStatus treats as pattern syntax in a READ
+# path; backslash-escaping them makes the path literal. (Write paths
+# are never globbed.)
+_HADOOP_GLOB = re.compile(r"([{}\[\]*?\\])")
+
+
+def _hadoop_glob_escape(path: str) -> str:
+    """Escape ``path`` for Spark/Hadoop read-path glob resolution —
+    a staging dir under ``run[1]/`` must re-read as a literal path,
+    not fail (or worse, match a sibling) as a character class."""
+    return _HADOOP_GLOB.sub(r"\\\1", path)
 
 
 def _dir_bytes(path: str) -> int:
@@ -44,7 +58,9 @@ def write_compacted(
 
     Two-phase: stage the data once (parallel write, true on-disk
     size becomes known), then rewrite coalesced to
-    ``ceil(total / target)`` files. Returns the final file count.
+    ``ceil(total / target)`` files. Returns the ACTUAL final file
+    count (the parquet writer skips empty partitions, so a
+    wider-than-rows repartition yields fewer files than requested).
     On a cluster the staging write is the job's normal output and the
     rewrite is a cheap metadata-sized follow-up job.
     """
@@ -59,19 +75,22 @@ def write_compacted(
             "is not a local directory (use the Hadoop FS API on a cluster)"
         )
     df.write.mode("overwrite").parquet(staging)
-    total = _dir_bytes(staging)
-    n_files = max(1, math.ceil(total / target_file_bytes))
-    spark = df.sparkSession
-    staged = spark.read.parquet(staging)
-    # coalesce only narrows; going wider (splitting huge files) needs
-    # a real repartition
-    if n_files <= staged.rdd.getNumPartitions():
-        staged = staged.coalesce(n_files)
-    else:
-        staged = staged.repartition(n_files)
-    staged.write.mode("overwrite").parquet(path)
-    # clean staging
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
-    return n_files
+    try:
+        total = _dir_bytes(staging)
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        spark = df.sparkSession
+        staged = spark.read.parquet(_hadoop_glob_escape(staging))
+        # coalesce only narrows; going wider (splitting huge files)
+        # needs a real repartition
+        if n_files <= staged.rdd.getNumPartitions():
+            staged = staged.coalesce(n_files)
+        else:
+            staged = staged.repartition(n_files)
+        staged.write.mode("overwrite").parquet(path)
+    finally:
+        # any failure after staging (metachar path resolution, final
+        # write error, interrupt) must not leak a full staged copy
+        shutil.rmtree(staging, ignore_errors=True)
+    return sum(
+        1 for f in os.listdir(path) if f.startswith("part-")
+    )

@@ -17,6 +17,15 @@ import shutil
 from pyspark.sql import DataFrame
 
 
+def _glob_in(directory: str, pattern: str) -> list[str]:
+    """Glob ``pattern`` inside ``directory`` with the DIRECTORY part
+    escaped: a destination like ``run[1]/out`` must be treated as a
+    literal path, not a character class — an unescaped glob silently
+    matches nothing there, which for the finalize step below would
+    mean fabricating empty outputs and deleting the staged data."""
+    return glob.glob(os.path.join(glob.escape(directory), pattern))
+
+
 def write_numbered_text(
     df: DataFrame, output_dir: str, pre_finalize=None
 ) -> list[str]:
@@ -34,8 +43,8 @@ def write_numbered_text(
 
     ``pre_finalize`` (optional callable) runs AFTER the distributed
     write action completes but BEFORE the destination is touched —
-    the hook for post-action input validation (accumulator values are
-    final only once the action finishes). If it raises, the staging
+    the hook for any post-action validation a caller wants between
+    the write and the visible rename. If it raises, the staging
     directory is removed and any previous output files are left
     intact, so a failed job never leaves complete-looking but
     data-missing output behind.
@@ -52,10 +61,10 @@ def write_numbered_text(
     os.makedirs(output_dir, exist_ok=True)
     # a previous wider run's outputfileNN must not survive a narrower
     # re-run — a glob consumer would silently mix stale and new data
-    for old in glob.glob(os.path.join(output_dir, "outputfile*")):
+    for old in _glob_in(output_dir, "outputfile*"):
         os.remove(old)
     by_pid = {}
-    for part in glob.glob(os.path.join(staging, "part-*")):
+    for part in _glob_in(staging, "part-*"):
         pid = int(os.path.basename(part).split("-")[1])
         by_pid[pid] = part
     out_paths = []

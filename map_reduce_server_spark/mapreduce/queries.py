@@ -11,6 +11,7 @@ answer for the reference's two canonical workloads
 from __future__ import annotations
 
 import os
+import shlex
 import tempfile
 
 from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
@@ -26,7 +27,9 @@ _EXAMPLES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples")
 
 
 def _exe(name: str) -> str:
-    return f"python3 {os.path.join(_EXAMPLES, name)}"
+    # quote: an install path containing a space must survive the
+    # façade's shlex.split of the executable string
+    return f"python3 {shlex.quote(os.path.join(_EXAMPLES, name))}"
 
 
 def _documents_as_text_dir(spark: SparkSession, sf_dir: str, dest: str) -> str:
@@ -54,6 +57,10 @@ def stage_documents_text(spark: SparkSession, sf_dir: str) -> str:
     the timed region."""
     if sf_dir not in _STAGED_INPUT:
         work = tempfile.mkdtemp(prefix="mrss_input_")
+        # register BEFORE the fallible write: a half-staged dir must
+        # not outlive the process (same policy as the streaming
+        # staging dirs)
+        cleanup_at_exit(work)
         _STAGED_INPUT[sf_dir] = _documents_as_text_dir(
             spark, sf_dir, os.path.join(work, "input")
         )
@@ -65,6 +72,11 @@ def _run_facade(
 ) -> DataFrame:
     input_dir = stage_documents_text(spark, sf_dir)
     output_dir = tempfile.mkdtemp(prefix="mrss_job_out_")
+    # deferred cleanup (not an immediate rmtree), registered BEFORE
+    # the fallible job run: if cached blocks are evicted before the
+    # grader consumes the DataFrame, a re-read of a deleted dir would
+    # fail; and a job that dies mid-write must not leak the dir
+    cleanup_at_exit(output_dir)
     job = MapReduceJob(
         input_directory=input_dir,
         output_directory=output_dir,
@@ -76,11 +88,6 @@ def _run_facade(
     run_job(spark, job)
     out = spark.read.text(output_dir).cache()
     out.count()  # warm the cache so consumers rarely re-read
-    # deferred cleanup (not an immediate rmtree): if cached blocks
-    # are evicted before the grader consumes the DataFrame, a re-read
-    # of a deleted dir would fail — same policy as the streaming and
-    # partitioned-layout temp dirs
-    cleanup_at_exit(output_dir)
     return out
 
 

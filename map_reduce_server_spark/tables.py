@@ -25,12 +25,13 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any scale factor:
-# region (5 rows) and nation (25 rows) are CONSTANT-size. Everything
+# Broadcast policy (enforced at each join site, not via a constant —
+# a registry nothing consults would silently diverge from the actual
+# F.broadcast() hints): region (5 rows) and nation (25 rows) are
+# CONSTANT-size and safe to hint at any scale factor. Everything
 # else — including supplier (10k x SF) — is SF-linear and carries NO
 # hard broadcast hint; AQE broadcasts those sides only while they
-# actually fit. Used by operators to hint broadcast joins explicitly.
-BROADCAST_TABLES = frozenset({"region", "nation"})
+# actually fit.
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -67,11 +68,19 @@ def normalize_events_ts(df):
     ONE definition shared by the batch loader and the streaming
     source (``streaming/events.py``), so a ts-encoding change cannot
     silently diverge the streams' event-time semantics from the
-    batch oracles' input. Requires ``nanosAsLong`` + UTC session TZ
-    (set by the callers). withColumn replaces ts IN PLACE, so no
+    batch oracles' input. ``nanosAsLong`` must be set by the caller
+    BEFORE the read; the UTC session TZ the NTZ cast depends on is
+    pinned HERE (not trusted to callers — a third call site from a
+    local-TZ session would otherwise shift every instant by the JVM
+    offset with no error). withColumn replaces ts IN PLACE, so no
     re-select: a hardcoded column list would make the normalized
     schema differ from the native-timestamp branch for any events
     variant with extra/missing columns."""
+    # The cast in the NTZ branch resolves the zone at analysis time;
+    # sticky-pinning UTC is deliberate (restoring the previous TZ
+    # after this call would re-shift the cast when the lazy plan
+    # actually executes).
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         # TIMESTAMP(NANOS) arrives as a nanos long under nanosAsLong;
@@ -84,7 +93,22 @@ def normalize_events_ts(df):
     return df
 
 
+# Last sf_dir whose views were registered, per Spark application —
+# register_views is called per SQL-entry query invocation, and
+# re-reading 10 parquet footers each time is wasted driver latency.
+_REGISTERED: dict[str, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view (for the SQL entry path)."""
+    """Register every table as a temp view (for the SQL entry path).
+
+    Idempotent per (application, sf_dir): a repeat call for the
+    sf_dir whose views are ALREADY current is a no-op; a call for a
+    different sf_dir re-registers (temp views are session-global,
+    last registration wins)."""
+    app_id = spark.sparkContext.applicationId
+    if _REGISTERED.get(app_id) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED[app_id] = sf_dir

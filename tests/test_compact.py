@@ -26,3 +26,35 @@ def test_write_compacted_splits_at_small_target(spark, sf_small, tmp_path):
     files = glob.glob(out + "/part-*")
     assert len(files) == n > 1
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_write_compacted_metachar_path(spark, sf_small, tmp_path):
+    """A destination containing glob metacharacters must compact and
+    clean up: the staging RE-READ goes through Hadoop glob
+    resolution (read paths are patterns, write paths are literal),
+    so an unescaped '[1]' failed after the full staging write and
+    leaked the staged copy."""
+    import os
+
+    li = load_table(spark, sf_small, "lineitem").repartition(4)
+    out = str(tmp_path / "run[1]" / "compacted")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    n = write_compacted(li, out, target_file_bytes=512 * 1024 * 1024)
+    assert n == 1
+    assert not os.path.exists(out.rstrip("/") + "_staging")
+    from map_reduce_server_spark.io.compact import _hadoop_glob_escape
+
+    assert (
+        spark.read.parquet(_hadoop_glob_escape(out)).count() == li.count()
+    )
+
+
+def test_write_compacted_returns_actual_file_count(spark, sf_small, tmp_path):
+    """The parquet writer skips empty partitions: a wider-than-rows
+    repartition writes fewer files than requested, and the return
+    value must report what was actually written."""
+    tiny = load_table(spark, sf_small, "region")  # 5 rows, tiny bytes
+    out = str(tmp_path / "tiny")
+    n = write_compacted(tiny, out, target_file_bytes=64)
+    files = glob.glob(out + "/part-*")
+    assert len(files) == n

@@ -63,3 +63,57 @@ def test_write_numbered_text_pre_finalize_failure_leaves_dest_intact(
         p: open(os.path.join(out, p)).read() for p in sorted(os.listdir(out))
     }
     assert after == before  # old outputs intact, no staging dir left
+
+
+def test_write_numbered_text_metachar_output_dir(spark, tmp_path):
+    """An output dir containing glob metacharacters must finalize
+    correctly: an unescaped glob over the staging dir matches
+    nothing, which silently fabricated EMPTY outputfileNN files and
+    deleted the staged data (total output loss with a success
+    return)."""
+    df = spark.createDataFrame([("x",), ("y",)], ["value"]).repartition(2)
+    out = str(tmp_path / "run[1]" / "out,dir")
+    paths = write_numbered_text(df, out)
+    lines = []
+    for p in paths:
+        lines.extend(open(p).read().splitlines())
+    assert sorted(lines) == ["x", "y"]
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+
+def test_events_ntz_normalization_is_tz_proof(spark, tmp_path):
+    """The timestamp[us]-without-UTC-adjustment events encoding
+    (read as TIMESTAMP_NTZ) must normalize to the same UTC instants
+    whatever the session timezone at call time — the NTZ->zoned cast
+    resolves the zone at analysis time, so normalize_events_ts pins
+    UTC itself rather than trusting callers (review-sweep class:
+    host-TZ-sensitive semantics)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_server_spark.tables import load_table
+
+    sf_dir = str(tmp_path)
+    wall = datetime.datetime(2024, 3, 10, 6, 30, 0)  # US DST morning
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([wall], pa.timestamp("us")),  # no tz => NTZ
+        }
+    )
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = load_table(spark, sf_dir, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        [row] = df.collect()
+        # session TZ is UTC after the load (pinned); the rendered
+        # wall time must equal the file's wall time — the instant was
+        # attached AS UTC, not shifted by America/New_York
+        assert row["ts"] == wall
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

@@ -234,11 +234,11 @@ def test_empty_input_dir_raises(spark, tmp_path):
         )
 
 
-def test_directory_scan_ingestion_parity(spark, tmp_path):
-    """Above 64 input files run_job switches to the single-directory-
-    scan plan (O(1) driver-side RDDs — VERDICT r1 #9). Same observable
-    contract: per-file mapper subprocess, round-robin file dealing,
-    sorted round-robin group partitioning.
+def test_many_files_ingestion_parity(spark, tmp_path):
+    """A large file count must keep the observable contract (the
+    rank-list plan is O(1) driver-side objects at any count —
+    VERDICT r1 #9): per-file mapper subprocess, round-robin file
+    dealing, sorted round-robin group partitioning.
 
     Mapper is ``head -1``: its output is the FIRST line of each FILE,
     so the assertion proves both per-file subprocess granularity
@@ -266,24 +266,22 @@ def test_directory_scan_ingestion_parity(spark, tmp_path):
     assert got == [f"id{i:03d}" for i in range(n_files)]
 
 
-def test_directory_scan_mapped_partitions(spark, tmp_path):
-    """The directory-scan map stage produces exactly num_mappers
-    partitions from ONE scan, files dealt by sorted-rank mod M."""
+def test_mapped_lines_task_partitions(spark, tmp_path):
+    """The map stage produces exactly num_mappers partitions, files
+    dealt by sorted-rank mod M (reference master/__main__.py:288-297),
+    with one mapper subprocess per file inside each task."""
     from map_reduce_server_spark.mapreduce.job import (
         _list_input_files,
-        _mapped_lines_directory,
+        _mapped_lines,
     )
 
     d = tmp_path / "in"
     d.mkdir()
     for i in range(9):
         (d / f"f{i}").write_text(f"line{i}\n")
-    mapped, _ = _mapped_lines_directory(
-        spark, _list_input_files(str(d)), "cat", 4
-    )
+    mapped = _mapped_lines(spark, _list_input_files(str(d)), "cat", 4)
     assert mapped.getNumPartitions() == 4
     per_part = mapped.glom().collect()
-    # sorted file i → task i % 4 (reference master/__main__.py:288-297)
     assert per_part == [
         ["line0", "line4", "line8"],
         ["line1", "line5"],
@@ -292,14 +290,12 @@ def test_directory_scan_mapped_partitions(spark, tmp_path):
     ]
 
 
-def test_per_file_plan_task_grouping(spark, tmp_path):
-    """The ≤64-file plan groups per-file pipes into num_mappers Spark
-    tasks by the reference's dealing (``master/__main__.py:288-297``)
-    while still running one mapper subprocess per file (``head -1``
-    emits one line per FILE, not per task)."""
+def test_mapped_lines_per_file_subprocess(spark, tmp_path):
+    """One mapper subprocess per FILE, not per task: ``head -1``
+    emits one line per file, grouped by the reference's dealing."""
     from map_reduce_server_spark.mapreduce.job import (
         _list_input_files,
-        _mapped_lines_per_file,
+        _mapped_lines,
     )
 
     d = tmp_path / "in"
@@ -307,7 +303,7 @@ def test_per_file_plan_task_grouping(spark, tmp_path):
     for i in range(9):
         (d / f"f{i}").write_text(f"first{i}\nrest\n")
     files = _list_input_files(str(d))
-    mapped = _mapped_lines_per_file(spark, files, "head -1", 4)
+    mapped = _mapped_lines(spark, files, "head -1", 4)
     assert mapped.getNumPartitions() == 4
     assert mapped.glom().collect() == [
         ["first0", "first4", "first8"],
@@ -319,11 +315,12 @@ def test_per_file_plan_task_grouping(spark, tmp_path):
 
 @pytest.mark.parametrize("n_files", [4, 70])
 def test_hidden_and_empty_files(spark, tmp_path, n_files):
-    """Hadoop silently skips ``_``/``.``-prefixed files and never
-    schedules 0-byte files, but the reference's os.listdir-driven
-    master pipes ALL of them (``master/__main__.py:288-289``); `wc -l`
-    as mapper proves the empty file still spawns a subprocess (its
-    '0' line must appear) on BOTH ingestion plans (ADVICE r2)."""
+    """The reference's os.listdir-driven master pipes hidden
+    (``_``/``.``-prefixed) and 0-byte files like any other
+    (``master/__main__.py:288-289``) — an input-format-based scan
+    would silently skip them; `wc -l` as mapper proves the empty
+    file still spawns a subprocess (its '0' line must appear) at
+    both small and large file counts (ADVICE r2)."""
     d = tmp_path / "in"
     d.mkdir()
     for i in range(n_files):
@@ -350,7 +347,7 @@ def test_hidden_and_empty_files(spark, tmp_path, n_files):
 
 def test_hidden_file_content_read(spark, tmp_path):
     """Hidden files' CONTENT flows through the mapper (not just a
-    subprocess count) on the directory-scan plan."""
+    subprocess count), also at a large file count."""
     d = tmp_path / "in"
     d.mkdir()
     for i in range(70):
@@ -378,10 +375,10 @@ def test_hidden_file_content_read(spark, tmp_path):
 
 @pytest.mark.parametrize("n_files", [3, 70])
 def test_unsafe_filenames(spark, tmp_path, n_files):
-    """Filenames containing ',' (Hadoop multi-path separator) or glob
-    metacharacters must be read literally, as the reference's
-    os.listdir-driven master does — both ingestion plans route them
-    through the alias staging."""
+    """Filenames containing ',' (the Hadoop multi-path separator) or
+    glob metacharacters must be read literally, as the reference's
+    os.listdir-driven master does — plain ``open()`` in the map task
+    has none of Hadoop's path-resolution quirks."""
     d = tmp_path / "in"
     d.mkdir()
     for i in range(n_files):
@@ -408,33 +405,96 @@ def test_unsafe_filenames(spark, tmp_path, n_files):
     assert got == expected
 
 
-def test_multi_split_file_line_order(spark, tmp_path):
-    """Pin the within-file ordering invariant the directory-scan plan
-    relies on (``job.py`` ``_mapped_lines_directory`` docstring): when
-    one file spans MANY splits (tiny maxPartitionBytes), the mapper
-    must still see the file's lines on stdin in file order — the
-    reference streams each file start-to-finish
-    (``worker/__main__.py:109-117``). A Spark upgrade that changes
-    split packing order fails here, not silently at scale."""
+def test_large_file_line_order(spark, tmp_path):
+    """The mapper must see a file's lines on stdin in file order
+    however large the file — the reference streams each file
+    start-to-finish (``worker/__main__.py:109-117``); the rank-list
+    plan opens the raw file inside the task, so order is inherent
+    (no split-packing assumption to break on a Spark upgrade)."""
     from map_reduce_server_spark.mapreduce.job import (
         _list_input_files,
-        _mapped_lines_directory,
+        _mapped_lines,
     )
 
     d = tmp_path / "in"
     d.mkdir()
     lines = [f"line{i:05d}" for i in range(500)]
     (d / "big").write_text("\n".join(lines) + "\n")
-    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "512")
-    try:
-        files = _list_input_files(str(d))
-        df_parts = spark.read.text(files).rdd.getNumPartitions()
-        assert df_parts > 4, "fixture must actually span many splits"
-        got = _mapped_lines_directory(spark, files, "cat", 1)[0].collect()
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    got = _mapped_lines(spark, _list_input_files(str(d)), "cat", 1).collect()
     assert got == lines
+
+
+def test_raw_stdin_parity(spark, tmp_path):
+    """The mapper's stdin is the file's RAW bytes (reference
+    ``worker/__main__.py:109-117``), pinned via ``wc -c``:
+
+    - a final line with NO terminating newline is not given one
+      (an earlier revision reconstructed stdin from parsed lines,
+      appending a newline — ``wc -l`` then counted a line the
+      reference's mapper never saw);
+    - CRLF terminators are not normalized;
+    - non-UTF-8 bytes pass through undecoded.
+    """
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "f_noeol").write_bytes(b"abc")          # 3 bytes, 0 newlines
+    (d / "f_crlf").write_bytes(b"a\r\nb\r\n")    # 6 bytes
+    (d / "f_bin").write_bytes(b"\xff\xfe\x00\n")  # invalid UTF-8, 4 bytes
+    out = str(tmp_path / "out")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=str(d),
+            output_directory=out,
+            mapper_executable="wc -c",
+            reducer_executable="cat",
+            num_mappers=2,
+            num_reducers=1,
+        ),
+    )
+    assert sorted(_read_outputs(out), key=int) == ["3", "4", "6"]
+    # and wc -l agrees the unterminated line is NOT a line
+    out2 = str(tmp_path / "out2")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=str(d),
+            output_directory=out2,
+            mapper_executable="wc -l",
+            reducer_executable="cat",
+            num_mappers=2,
+            num_reducers=1,
+        ),
+    )
+    assert sorted(_read_outputs(out2), key=int) == ["0", "1", "2"]
+
+
+def test_subprocess_env_inherited(spark, tmp_path):
+    """Mapper and reducer subprocesses inherit the executor (Python
+    worker) environment, as the reference's workers inherit theirs —
+    ``RDD.pipe`` launches with an EMPTY environment, where a bare
+    executable name resolves against os.defpath only and env-reading
+    mappers silently change behavior. The probe asserts the worker's
+    real PATH (containing /usr/bin) reached the subprocess; a probe
+    var set via monkeypatch can NOT work here, because the Python
+    worker daemon forked at session start with its own env snapshot."""
+    probe = "case :$PATH: in *:/usr/bin:*) echo ok;; *) echo bad;; esac"
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "f1").write_text("x\n")
+    out = str(tmp_path / "out")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=str(d),
+            output_directory=out,
+            mapper_executable=f'sh -c "echo map-$({probe})"',
+            reducer_executable=f'sh -c "cat; echo red-$({probe})"',
+            num_mappers=1,
+            num_reducers=1,
+        ),
+    )
+    assert sorted(_read_outputs(out)) == ["map-ok", "red-ok"]
 
 
 def test_output_file_naming(spark, tmp_path, input_dir):
@@ -585,3 +645,29 @@ def test_zero_reducers_rejected_at_driver(spark, tmp_path, input_dir):
                     num_reducers=nr,
                 ),
             )
+
+
+def test_pipe_partition_feeder_error_propagates():
+    """An upstream iterator failing mid-feed must fail the task, not
+    hang it: the feeder closes the consumer's stdin on EVERY exit
+    path (a dead feeder leaves `cat` waiting for EOF forever) and
+    rethrows non-pipe errors after join, like RDD.pipe's feeder."""
+    from map_reduce_server_spark.mapreduce.job import _pipe_partition
+
+    def bad_iter():
+        yield "a"
+        raise OSError("upstream shuffle read failed")
+
+    run = _pipe_partition(["cat"])
+    with pytest.raises(OSError, match="upstream shuffle read failed"):
+        list(run(bad_iter()))
+
+
+def test_pipe_partition_early_exit_consumer():
+    """A consumer that exits before draining stdin (`head`) must
+    succeed with its partial output, not raise BrokenPipeError."""
+    from map_reduce_server_spark.mapreduce.job import _pipe_partition
+
+    run = _pipe_partition(["head", "-2"])
+    got = list(run(iter([f"line{i}" for i in range(100000)])))
+    assert got == ["line0", "line1"]
