@@ -150,13 +150,13 @@ def load_all() -> None:
     _LOADED = True
 
 
-# Driver verification history (CORRECTNESS_r01..r07.json): the
+# Driver verification history (CORRECTNESS_r01..r08.json): the
 # driver samples a ~50-query registry prefix each round, so
 # ``all_queries``/``all_oracles`` order the registry stalest-first —
 # queries with NO green row certifying current code first (new
-# registrations + _CHANGED_R8 reworks), then by the round of their
-# freshest green row (round-3 greens before round-4 before … before
-# round-7). Local oracle-parity tests always cover all queries
+# registrations + _CHANGED_R9 reworks), then by the round of their
+# freshest green row (round-4 greens before round-5 before … before
+# round-8). Local oracle-parity tests always cover all queries
 # regardless of this ordering.
 
 # The 50 queries hash-verified green by CORRECTNESS_r03.json.
@@ -305,32 +305,68 @@ _DRIVER_GREEN_R7 = frozenset({
 # current code, so they rejoin the never-verified head.
 _CHANGED_R8: frozenset[str] = frozenset()
 
+# The 50 queries hash-verified green by CORRECTNESS_r08.json — the
+# freshest driver rows, ordered LAST. Clears the 14 remaining
+# round-3-stale rows and 36 of the 42 round-4-stale ones (all 50
+# rows green: rows/schema/hash matched at sf0.01).
+_DRIVER_GREEN_R8 = frozenset({
+    "ann_topk_ivf", "ann_topk_lsh_multiprobe", "ann_topk_quantized",
+    "dedup_embedding_cosine", "dedup_minhash_keep_one",
+    "dedup_semantic_cluster", "kmeans_embeddings",
+    "q10_returned_items", "q12_priority_lines",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q17_small_qty_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q4_order_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q_array_set_ops", "q_cdc_apply", "q_copurchase_triangles",
+    "q_data_expectations", "q_debounce_events", "q_domain_mixture",
+    "q_event_transitions", "q_funnel", "q_gap_islands",
+    "q_locf_gapfill", "q_mixture_temperature", "q_pack_sequences",
+    "q_partitioned_layout", "q_point_in_time_join",
+    "q_retention_cohorts", "q_rolling_active_users",
+    "q_scd2_customer_orders", "q_session_concurrency",
+    "q_stratified_sample", "q_time_rollup", "q_topk_global",
+    "q_topk_per_group", "q_training_shards",
+    "q_window_distribution", "q_window_values",
+    "stream_dedup_events", "text_decontaminate", "text_novelty",
+    "text_oov_rate", "text_pii_scrub", "text_repetition",
+    "text_unigram_logprob",
+})
+
+# Queries whose RESULT changed after their last green driver row
+# (round-9 rework): their stale green row no longer certifies the
+# current code, so they rejoin the never-verified head.
+_CHANGED_R9: frozenset[str] = frozenset()
+
 _EVER_GREEN = (
     _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
     | _DRIVER_GREEN_R5 | _DRIVER_GREEN_R6 | _DRIVER_GREEN_R7
-) - _CHANGED_R8
+    | _DRIVER_GREEN_R8
+) - _CHANGED_R9
 
 
 def _stale_first(d: dict) -> dict:
-    # Head: no green driver row certifying current code (round-8
-    # additions plus any _CHANGED_R8 reworks). Then round-3 greens
-    # (now the stalest — round 7 cleared the r2 group), round-4,
-    # round-5, round-6, round-7 last. A query green in multiple
-    # rounds sorts by its FRESHEST row.
+    # Head: no green driver row certifying current code (round-9
+    # additions plus any _CHANGED_R9 reworks). Then round-4 greens
+    # (now the stalest — round 8 cleared the r3 group), round-5,
+    # …, round-8 last. A query green in multiple rounds sorts by
+    # its FRESHEST row.
     head = {k: v for k, v in d.items() if k not in _EVER_GREEN}
-    r7 = _DRIVER_GREEN_R7 - _CHANGED_R8
-    r6 = _DRIVER_GREEN_R6 - r7 - _CHANGED_R8
-    r5 = _DRIVER_GREEN_R5 - r7 - r6 - _CHANGED_R8
-    r4 = _DRIVER_GREEN_R4 - r7 - r6 - r5 - _CHANGED_R8
-    r3 = _DRIVER_GREEN_R3 - r7 - r6 - r5 - r4 - _CHANGED_R8
-    r2 = _DRIVER_GREEN_R2 - r7 - r6 - r5 - r4 - r3 - _CHANGED_R8
+    r8 = _DRIVER_GREEN_R8 - _CHANGED_R9
+    r7 = _DRIVER_GREEN_R7 - r8 - _CHANGED_R9
+    r6 = _DRIVER_GREEN_R6 - r8 - r7 - _CHANGED_R9
+    r5 = _DRIVER_GREEN_R5 - r8 - r7 - r6 - _CHANGED_R9
+    r4 = _DRIVER_GREEN_R4 - r8 - r7 - r6 - r5 - _CHANGED_R9
+    r3 = _DRIVER_GREEN_R3 - r8 - r7 - r6 - r5 - r4 - _CHANGED_R9
+    r2 = _DRIVER_GREEN_R2 - r8 - r7 - r6 - r5 - r4 - r3 - _CHANGED_R9
     d2 = {k: v for k, v in d.items() if k in r2}
     d3 = {k: v for k, v in d.items() if k in r3}
     d4 = {k: v for k, v in d.items() if k in r4}
     d5 = {k: v for k, v in d.items() if k in r5}
     d6 = {k: v for k, v in d.items() if k in r6}
     d7 = {k: v for k, v in d.items() if k in r7}
-    return {**head, **d2, **d3, **d4, **d5, **d6, **d7}
+    d8 = {k: v for k, v in d.items() if k in r8}
+    return {**head, **d2, **d3, **d4, **d5, **d6, **d7, **d8}
 
 
 def all_queries() -> dict[str, QueryFn]:
