@@ -141,10 +141,12 @@ def _mapped_lines(
       ``num_mappers``, file order within a task = dealing order.
 
     Driver cost is O(1) plan objects at any file count; each task
-    carries only its path list. Mapper OUTPUT lines are decoded as
-    UTF-8 (strict — the group stage compares/sorts str, and for
-    valid UTF-8, codepoint order equals byte order, preserving the
-    reference's whole-line byte sort).
+    carries only its path list. Mapper OUTPUT lines stay raw
+    ``bytes`` — the group stage sorts/compares them directly, which
+    IS the reference's whole-line byte sort, so an identity mapper
+    over non-UTF-8 input (``cat`` on a binary file) flows through
+    map/sort/group/reduce exactly as the reference's byte-oriented
+    pipeline does; text decoding happens only at the final sink.
 
     A listed file that cannot be opened fails the task loudly — the
     scan-skips-a-file failure mode of input-format-based ingestion
@@ -164,7 +166,7 @@ def _mapped_lines(
                 ) as proc:
                     assert proc.stdout is not None
                     for line in proc.stdout:
-                        yield line.decode("utf-8").rstrip("\n")
+                        yield line.rstrip(b"\n")
                 _check_exit(cmd, proc.returncode)
 
     # numSlices == len(tasks) puts exactly one task's path list in
@@ -177,6 +179,9 @@ def _pipe_partition(cmd: list[str]):
     semantics (feeder thread, line-per-element, non-zero exit fails
     the task) but with the executor's environment inherited, matching
     the reference's workers (``RDD.pipe`` passes ``env={}``).
+    Elements in and out are raw ``bytes`` lines (str input is
+    accepted and UTF-8 encoded), so a binary-emitting consumer is
+    processed, not crashed on.
 
     A consumer that exits before draining stdin (``head`` as reducer)
     closes the pipe early; the feeder swallows the resulting
@@ -203,7 +208,12 @@ def _pipe_partition(cmd: list[str]):
                 # RDD.pipe's feeder does.
                 try:
                     for x in it:
-                        proc.stdin.write(x.encode("utf-8"))
+                        # bytes from the map/group pipeline pass
+                        # through raw; str (direct callers, tests)
+                        # is encoded — byte-identical for UTF-8.
+                        proc.stdin.write(
+                            x if isinstance(x, bytes) else x.encode("utf-8")
+                        )
                         proc.stdin.write(b"\n")
                 except (BrokenPipeError, ValueError):
                     # consumer exited early / closed its end
@@ -219,7 +229,7 @@ def _pipe_partition(cmd: list[str]):
             t = threading.Thread(target=feed, daemon=True)
             t.start()
             for line in proc.stdout:
-                yield line.decode("utf-8").rstrip("\n")
+                yield line.rstrip(b"\n")
             t.join()
             if feed_error:
                 raise feed_error[0]
@@ -309,7 +319,25 @@ def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
     # Explicit schema: toDF would need to infer from data and raises
     # on a job whose total output is empty — the reference writes
     # (empty) outputfileNN files instead.
+    #
+    # The pipeline above is byte-faithful end-to-end; the TEXT SINK
+    # is the one UTF-8 boundary (Spark's text writer stores strings).
+    # A reducer that emits non-UTF-8 bytes fails HERE with a named
+    # error instead of a bare UnicodeDecodeError inside a task — the
+    # reference copies raw reducer files so it has no such boundary;
+    # a binary-output job needs a binary sink, not silent mangling.
+    def _to_text_row(line: bytes):
+        try:
+            return (line.decode("utf-8"),)
+        except UnicodeDecodeError as exc:
+            raise ValueError(
+                f"reducer `{job.reducer_executable}' emitted a "
+                f"non-UTF-8 output line ({line[:40]!r}...); the text "
+                f"sink stores UTF-8 text — route binary output to a "
+                f"binary sink instead"
+            ) from exc
+
     out_df = spark.createDataFrame(
-        reduced.map(lambda line: (line,)), "value string"
+        reduced.map(_to_text_row), "value string"
     )
     return write_numbered_text(out_df, job.output_directory)

@@ -460,9 +460,9 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition bottleneck at any scale.
     """
     orders = load_table(spark, sf_dir, "orders")
-    # No broadcast hint on customer: it is SF-linear (150k rows x SF,
-    # not in BROADCAST_TABLES) — AQE picks broadcast at small SF and
-    # a shuffle join when customer outgrows the threshold.
+    # No broadcast hint on customer: it is SF-linear (150k rows x
+    # SF; broadcast policy in tables.py) — AQE broadcasts at small
+    # SF and shuffle-joins when customer outgrows the threshold.
     cust = load_table(spark, sf_dir, "customer")
     per_seg = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)

@@ -202,7 +202,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
-        # customer is SF-linear (excluded from BROADCAST_TABLES) —
+        # customer is SF-linear (broadcast policy in tables.py) —
         # no hard hint; AQE broadcasts when it actually fits
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))

@@ -77,9 +77,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No streaming state accrues: each micro-batch joins the bounded
     dim and flows on. The static side carries NO hard broadcast hint
-    — customer is SF-linear, and the engine's broadcast policy
-    (``tables.BROADCAST_TABLES``) reserves forced broadcasts for the
-    constant-size region/nation dims; Spark still broadcasts here
+    — customer is SF-linear, and the engine's broadcast policy (see
+    the policy comment in ``tables.py``) reserves forced broadcasts
+    for the constant-size region/nation dims; Spark still broadcasts here
     whenever the side actually fits (statistics-driven), which is
     the 100 TB/day pattern — dims broadcast while they fit, facts
     flow through. Append mode to a parquet sink with a checkpoint

@@ -9,6 +9,9 @@ the MapReduce façade lives in :mod:`map_reduce_server_spark.io`.
 
 from __future__ import annotations
 
+import warnings
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,8 +82,20 @@ def normalize_events_ts(df):
     # The cast in the NTZ branch resolves the zone at analysis time;
     # sticky-pinning UTC is deliberate (restoring the previous TZ
     # after this call would re-shift the cast when the lazy plan
-    # actually executes).
-    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    # actually executes). A session that arrives with a DIFFERENT
+    # explicit zone gets a loud warning: its other queries will see
+    # the new UTC zone too, and silence here would make that look
+    # like engine nondeterminism instead of this contract.
+    session = df.sparkSession
+    prev_tz = session.conf.get("spark.sql.session.timeZone", None)
+    if prev_tz not in (None, "UTC"):
+        warnings.warn(
+            f"normalize_events_ts: pinning spark.sql.session.timeZone "
+            f"to UTC (was {prev_tz!r}) for the whole session — the "
+            f"events ts semantics require it, and it is NOT restored",
+            stacklevel=2,
+        )
+    session.conf.set("spark.sql.session.timeZone", "UTC")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         # TIMESTAMP(NANOS) arrives as a nanos long under nanosAsLong;
@@ -93,22 +108,31 @@ def normalize_events_ts(df):
     return df
 
 
-# Last sf_dir whose views were registered, per Spark application —
+# Last sf_dir whose views were registered, per SparkSession —
 # register_views is called per SQL-entry query invocation, and
 # re-reading 10 parquet footers each time is wasted driver latency.
-_REGISTERED: dict[str, str] = {}
+# Keyed by the session (weakly — a dropped session must not leak its
+# cache slot), NOT by applicationId: temp views are per-session, so
+# an app-wide key would make spark.newSession() silently skip
+# registration and see absent views.
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL entry path).
 
-    Idempotent per (application, sf_dir): a repeat call for the
-    sf_dir whose views are ALREADY current is a no-op; a call for a
-    different sf_dir re-registers (temp views are session-global,
-    last registration wins)."""
-    app_id = spark.sparkContext.applicationId
-    if _REGISTERED.get(app_id) == sf_dir:
+    Idempotent per (session, sf_dir): a repeat call for the sf_dir
+    whose views are ALREADY current is a no-op; a call for a
+    different sf_dir re-registers (last registration wins). The
+    short-circuit additionally confirms one view still exists in the
+    session catalog, so a dropTempView/catalog reset between calls
+    re-registers instead of failing downstream SQL."""
+    if _REGISTERED.get(spark) == sf_dir and spark.catalog.tableExists(
+        TABLES[0]
+    ):
         return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED[app_id] = sf_dir
+    _REGISTERED[spark] = sf_dir

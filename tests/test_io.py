@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from map_reduce_server_spark.io import read_text_dir, write_numbered_text
 
 
@@ -117,3 +119,65 @@ def test_events_ntz_normalization_is_tz_proof(spark, tmp_path):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_events_tz_pin_warns_on_non_utc_session(spark, tmp_path):
+    """Pinning the session timezone to UTC from a session configured
+    with a DIFFERENT zone is a surprising global mutation — the load
+    helper must say so loudly instead of reconfiguring the session
+    in silence (ADVICE r8)."""
+    import datetime
+    import warnings as _w
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_server_spark.tables import normalize_events_ts
+
+    sf_dir = str(tmp_path)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1)], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        with pytest.warns(UserWarning, match="pinning .* to UTC"):
+            normalize_events_ts(df)
+        # and from an already-UTC session: silent (the common path)
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            normalize_events_ts(df)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_register_views_is_per_session(spark, sf_small):
+    """Temp views are per-SparkSession: the idempotence cache must
+    not let a sibling session (spark.newSession()) skip registration
+    on the strength of the first session's entry, and a dropTempView
+    in-session must trigger re-registration, not downstream
+    TABLE_OR_VIEW_NOT_FOUND (ADVICE r8)."""
+    from map_reduce_server_spark.tables import TABLES, register_views
+
+    register_views(spark, sf_small)
+    sibling = spark.newSession()
+    try:
+        assert not sibling.catalog.tableExists(TABLES[0])
+        register_views(sibling, sf_small)
+        assert sibling.sql("SELECT count(*) AS n FROM region").collect()[
+            0
+        ]["n"] > 0
+        # catalog reset within a session re-registers on next call
+        spark.catalog.dropTempView(TABLES[0])
+        register_views(spark, sf_small)
+        assert spark.catalog.tableExists(TABLES[0])
+    finally:
+        for name in TABLES:
+            sibling.catalog.dropTempView(name)

@@ -283,10 +283,10 @@ def test_mapped_lines_task_partitions(spark, tmp_path):
     assert mapped.getNumPartitions() == 4
     per_part = mapped.glom().collect()
     assert per_part == [
-        ["line0", "line4", "line8"],
-        ["line1", "line5"],
-        ["line2", "line6"],
-        ["line3", "line7"],
+        [b"line0", b"line4", b"line8"],
+        [b"line1", b"line5"],
+        [b"line2", b"line6"],
+        [b"line3", b"line7"],
     ]
 
 
@@ -306,10 +306,10 @@ def test_mapped_lines_per_file_subprocess(spark, tmp_path):
     mapped = _mapped_lines(spark, files, "head -1", 4)
     assert mapped.getNumPartitions() == 4
     assert mapped.glom().collect() == [
-        ["first0", "first4", "first8"],
-        ["first1", "first5"],
-        ["first2", "first6"],
-        ["first3", "first7"],
+        [b"first0", b"first4", b"first8"],
+        [b"first1", b"first5"],
+        [b"first2", b"first6"],
+        [b"first3", b"first7"],
     ]
 
 
@@ -421,7 +421,7 @@ def test_large_file_line_order(spark, tmp_path):
     lines = [f"line{i:05d}" for i in range(500)]
     (d / "big").write_text("\n".join(lines) + "\n")
     got = _mapped_lines(spark, _list_input_files(str(d)), "cat", 1).collect()
-    assert got == lines
+    assert got == [ln.encode() for ln in lines]
 
 
 def test_raw_stdin_parity(spark, tmp_path):
@@ -467,6 +467,54 @@ def test_raw_stdin_parity(spark, tmp_path):
         ),
     )
     assert sorted(_read_outputs(out2), key=int) == ["0", "1", "2"]
+
+
+def test_binary_lines_traverse_pipeline(spark, tmp_path):
+    """An identity mapper over non-UTF-8 input flows through
+    map/sort/group/reduce as raw bytes — the reference's byte-
+    oriented sort processes such files, so ours must too (an earlier
+    revision strict-decoded mapper output and killed the task). A
+    ``wc -l`` reducer makes the FINAL output valid text, proving the
+    binary lines crossed the whole shuffle, not just the map stage."""
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "f_bin").write_bytes(b"\xff\xfe\n\x80 high\n\xc3\xa9 ok\n")
+    out = str(tmp_path / "out")
+    run_job(
+        spark,
+        MapReduceJob(
+            input_directory=str(d),
+            output_directory=out,
+            mapper_executable="cat",
+            reducer_executable="wc -l",
+            num_mappers=1,
+            num_reducers=1,
+        ),
+    )
+    assert [ln.strip() for ln in _read_outputs(out)] == ["3"]
+
+
+def test_binary_reducer_output_fails_at_sink(spark, tmp_path):
+    """The one UTF-8 boundary is the TEXT SINK: a reducer that emits
+    non-UTF-8 output fails with a named error (not a bare
+    UnicodeDecodeError inside a task) — the reference copies raw
+    reducer files, so a binary-output job needs a binary sink."""
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "f_bin").write_bytes(b"\xff\xfe\n")
+    out = str(tmp_path / "out")
+    with pytest.raises(Exception, match="non-UTF-8 output line"):
+        run_job(
+            spark,
+            MapReduceJob(
+                input_directory=str(d),
+                output_directory=out,
+                mapper_executable="cat",
+                reducer_executable="cat",
+                num_mappers=1,
+                num_reducers=1,
+            ),
+        )
 
 
 def test_subprocess_env_inherited(spark, tmp_path):
@@ -670,4 +718,4 @@ def test_pipe_partition_early_exit_consumer():
 
     run = _pipe_partition(["head", "-2"])
     got = list(run(iter([f"line{i}" for i in range(100000)])))
-    assert got == ["line0", "line1"]
+    assert got == [b"line0", b"line1"]
