@@ -4,7 +4,10 @@ A 1000-executor job writing a partition per task produces thousands
 of small files; downstream scans then pay per-file open costs and
 the namenode/object-store pays per-object metadata. The standard
 cure is write → measure → rewrite at a target file size. The
-measure step reads only filesystem metadata, never data."""
+measure step reads only filesystem metadata, never data — locally
+via os.walk, on any Hadoop-visible filesystem (hdfs://, s3a://,
+file:) via the FileSystem API, so the operator is real on DFS, not
+an exception."""
 
 from __future__ import annotations
 
@@ -28,24 +31,51 @@ def _hadoop_glob_escape(path: str) -> str:
     return _HADOOP_GLOB.sub(r"\\\1", path)
 
 
-def _dir_bytes(path: str) -> int:
+def _is_uri(path: str) -> bool:
+    return "://" in path or path.startswith("file:")
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for a URI, resolved through the session's
+    Hadoop configuration — the same resolution the write itself uses,
+    so measure and write cannot disagree about which FS they mean."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _dir_bytes_local(path: str) -> int:
     """Local-filesystem staging size. os.walk on a URI (hdfs://,
     s3a://, even file:/) silently yields nothing — which would
     collapse the rewrite to ONE serialized file and no-op the
-    staging cleanup — so refuse anything that is not a local dir;
-    cluster deployments measure via the Hadoop FileSystem API
-    instead (docstring of write_compacted).
-    """
-    if "://" in path or path.startswith("file:") or not os.path.isdir(path):
+    staging cleanup — so this path handles plain local dirs only;
+    URIs take the Hadoop FileSystem branch."""
+    if _is_uri(path) or not os.path.isdir(path):
         raise ValueError(
-            f"write_compacted measures staging size locally; {path!r} "
-            "is not a local directory (use the Hadoop FS API on a cluster)"
+            f"_dir_bytes_local: {path!r} is not a local directory"
         )
     total = 0
     for root, _, files in os.walk(path):
         for f in files:
             if not f.startswith("_") and not f.startswith("."):
                 total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _dir_bytes_hadoop(spark, path: str) -> int:
+    """Staging size via the Hadoop FileSystem API — a recursive file
+    listing, metadata-only however large the data. Hidden files
+    (``_SUCCESS``, committer leftovers) are excluded exactly as the
+    local walk excludes them, so the two branches measure the same
+    bytes for the same data."""
+    fs, jpath = _hadoop_fs(spark, path)
+    it = fs.listFiles(jpath, True)
+    total = 0
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            total += status.getLen()
     return total
 
 
@@ -63,22 +93,23 @@ def write_compacted(
     wider-than-rows repartition yields fewer files than requested).
     On a cluster the staging write is the job's normal output and the
     rewrite is a cheap metadata-sized follow-up job.
+
+    Destinations may be plain local paths (measured with os.walk) or
+    any URI the session's Hadoop configuration can resolve —
+    ``file:``, ``hdfs://``, ``s3a://`` — measured, cleaned up, and
+    counted through the FileSystem API (metadata-only at any scale).
     """
     staging = path.rstrip("/") + "_staging"
-    # refuse non-local destinations BEFORE the expensive staging
-    # write: _dir_bytes would reject them anyway, but only after the
-    # full dataset had been staged (and a URI staging path could not
-    # even be cleaned up by shutil)
-    if "://" in path or path.startswith("file:"):
-        raise ValueError(
-            f"write_compacted measures staging size locally; {path!r} "
-            "is not a local directory (use the Hadoop FS API on a cluster)"
-        )
+    uri = _is_uri(path)
     df.write.mode("overwrite").parquet(staging)
+    spark = df.sparkSession
     try:
-        total = _dir_bytes(staging)
+        total = (
+            _dir_bytes_hadoop(spark, staging)
+            if uri
+            else _dir_bytes_local(staging)
+        )
         n_files = max(1, math.ceil(total / target_file_bytes))
-        spark = df.sparkSession
         staged = spark.read.parquet(_hadoop_glob_escape(staging))
         # coalesce only narrows; going wider (splitting huge files)
         # needs a real repartition
@@ -90,7 +121,19 @@ def write_compacted(
     finally:
         # any failure after staging (metachar path resolution, final
         # write error, interrupt) must not leak a full staged copy
-        shutil.rmtree(staging, ignore_errors=True)
-    return sum(
-        1 for f in os.listdir(path) if f.startswith("part-")
-    )
+        if uri:
+            try:
+                fs, jstaging = _hadoop_fs(spark, staging)
+                fs.delete(jstaging, True)
+            except Exception:
+                pass
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
+    if uri:
+        fs, jpath = _hadoop_fs(spark, path)
+        return sum(
+            1
+            for status in fs.listStatus(jpath)
+            if status.getPath().getName().startswith("part-")
+        )
+    return sum(1 for f in os.listdir(path) if f.startswith("part-"))
