@@ -56,3 +56,38 @@ def test_reliable_mode_without_dir_fails_loudly(spark):
                 spark.range(10).transform(stage_cut).count()
         finally:
             spark.conf.set(RELIABLE_CONF, "false")
+
+
+@pytest.mark.parametrize("name", ["graph_pagerank", "dedup_cluster"])
+def test_reliable_mode_carries_iterative_operators(spark, sf_small, name):
+    """The policy composed with the plans it was built for (VERDICT
+    r8): run the iterative operators whose per-iteration cuts are
+    load-bearing END TO END in reliable mode — conf on + checkpoint
+    dir — and assert full oracle parity, not just that the mode
+    switch flips. Catches anything a reliable checkpoint scan does
+    differently from a localCheckpoint scan mid-plan (partitioning
+    advertisement, attribute-id reuse across iterations)."""
+    from map_reduce_server_spark import registry
+    from tests.oracle_utils import compare_to_oracle
+
+    registry.load_all()
+    with tempfile.TemporaryDirectory() as d:
+        old_dir = spark.sparkContext._jsc.sc().getCheckpointDir()
+        spark.sparkContext.setCheckpointDir(d)
+        spark.conf.set(RELIABLE_CONF, "true")
+        try:
+            df = registry.QUERIES[name](spark, sf_small)
+            ok, msg = compare_to_oracle(
+                df, registry.ORACLE[name], sf_small
+            )
+            assert ok, f"{name} (reliable stage cuts): {msg}"
+            # and the reliable cuts actually wrote checkpoint blocks
+            import os
+
+            assert any(
+                fs for _, _, fs in os.walk(d)
+            ), "no reliable checkpoint data written"
+        finally:
+            spark.conf.set(RELIABLE_CONF, "false")
+            if not old_dir.isEmpty():
+                spark.sparkContext.setCheckpointDir(old_dir.get())
