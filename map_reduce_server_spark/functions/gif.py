@@ -1,0 +1,214 @@
+"""Pure-stdlib GIF89a codec (grayscale, single image).
+
+A THIRD compression family for the multimodal decode surface —
+dictionary coding (LZW with variable-width codes), alongside PNG's
+DEFLATE and JPEG's DCT+Huffman. Everything is from the public
+GIF89a specification: logical screen descriptor, 256-entry global
+color table, image descriptor, LZW-compressed index stream in
+≤255-byte data sub-blocks, trailer.
+
+The palette is the identity gray ramp (index i → (i, i, i)), so a
+pixel byte IS its palette index and the codec is bit-exact lossless
+end to end — which is what lets the decode query's DuckDB oracle
+recompute every pixel from the md5 hex the image was built from.
+
+Wire-format details implemented exactly (and pinned by a hand-packed
+golden in tests/test_gif_codec.py):
+
+- initial LZW code width = min_code_size + 1 = 9; CLEAR = 256,
+  EOI = 257; first dynamic code 258;
+- codes are packed LSB-first into the byte stream;
+- width growth is the classic asymmetric pair: the ENCODER widens
+  after registering entry ``1 << width`` (the next emitted code may
+  reference the entry registered one step earlier, which already
+  fits), the DECODER widens after registering entry
+  ``(1 << width) - 1`` (it runs one registration behind);
+- at 4096 entries both sides freeze the dictionary ("deferred
+  clear" — valid GIF, no reset synchronization to get wrong);
+- the KwKwK case (a code equal to the decoder's next unregistered
+  entry) is handled per the spec.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MIN_CODE_SIZE = 8
+_CLEAR = 1 << _MIN_CODE_SIZE  # 256
+_EOI = _CLEAR + 1  # 257
+_MAX_CODE = 4096
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """GIF-variant LZW: variable width 9→12 bits, LSB-first."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = _MIN_CODE_SIZE + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = _EOI + 1
+    emit(_CLEAR)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < _MAX_CODE:
+            table[wk] = next_code
+            next_code += 1
+            # widen AFTER registering 1<<width: the code emitted
+            # next can reference at most the PREVIOUS registration,
+            # which still fits in the old width (decoder mirror is
+            # one entry behind — see _lzw_decode)
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(_EOI)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, n_pixels: int) -> bytes:
+    """Inverse of :func:`_lzw_encode`; validates CLEAR/EOI framing
+    and stops after ``n_pixels`` output bytes."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = _MIN_CODE_SIZE + 1
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("gif: LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == _CLEAR:
+            table = table[: _EOI + 1]
+            width = _MIN_CODE_SIZE + 1
+            prev = None
+            continue
+        if code == _EOI:
+            raise ValueError("gif: EOI before all pixels decoded")
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: first code not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("gif: code beyond dictionary")
+        if prev is not None and len(table) < _MAX_CODE:
+            table.append(prev + entry[:1])
+            # decoder registers one entry behind the encoder, so it
+            # widens one registration earlier in code value
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def encode_gray8(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode ``width*height`` grayscale bytes as a GIF89a file with
+    the identity gray palette (pixel value == palette index)."""
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"gif: expected {width * height} pixels, got {len(pixels)}"
+        )
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: GCT present, 8 bits/channel
+    # resolution, unsorted, 256-entry GCT -> packed 0xF7
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):  # identity gray ramp
+        out += bytes((i, i, i))
+    # image descriptor: full frame, no local table, not interlaced
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out.append(_MIN_CODE_SIZE)
+    lzw = _lzw_encode(pixels)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a GIF produced by :func:`encode_gray8` (or any
+    single-image gray-ramp GIF): returns (width, height, pixels).
+    Rejects files whose palette is not the identity ramp — a
+    non-gray GIF silently "decoding" to wrong intensities is worse
+    than an error."""
+    if data[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("gif: bad signature")
+    width, height, packed, _bg, _aspect = struct.unpack(
+        "<HHBBB", data[6:13]
+    )
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("gif: missing global color table")
+    gct_len = 2 ** ((packed & 0x07) + 1)
+    gct = data[pos : pos + gct_len * 3]
+    pos += gct_len * 3
+    if gct_len != 256 or any(
+        gct[3 * i : 3 * i + 3] != bytes((i, i, i)) for i in range(256)
+    ):
+        raise ValueError("gif: palette is not the identity gray ramp")
+    # skip extension blocks (0x21 <label> sub-blocks...0)
+    while pos < len(data) and data[pos] == 0x21:
+        pos += 2
+        while data[pos]:
+            pos += 1 + data[pos]
+        pos += 1
+    if pos >= len(data) or data[pos] != 0x2C:
+        raise ValueError("gif: image descriptor not found")
+    _left, _top, iw, ih, ipacked = struct.unpack(
+        "<HHHHB", data[pos + 1 : pos + 10]
+    )
+    pos += 10
+    if ipacked & 0xC0:
+        raise ValueError("gif: local color table / interlace unsupported")
+    if (iw, ih) != (width, height):
+        raise ValueError("gif: sub-frame images unsupported")
+    min_code = data[pos]
+    pos += 1
+    if min_code != _MIN_CODE_SIZE:
+        raise ValueError(f"gif: unsupported LZW min code size {min_code}")
+    lzw = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("gif: truncated inside data sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(data):
+            raise ValueError("gif: truncated inside data sub-blocks")
+        lzw += data[pos : pos + n]
+        pos += n
+    return width, height, _lzw_decode(bytes(lzw), width * height)

@@ -6,8 +6,11 @@ the namenode/object-store pays per-object metadata. The standard
 cure is write → measure → rewrite at a target file size. The
 measure step reads only filesystem metadata, never data — locally
 via os.walk, on any Hadoop-visible filesystem (hdfs://, s3a://,
-file:) via the FileSystem API, so the operator is real on DFS, not
-an exception."""
+file:) via the FileSystem API. Which branch runs is decided by
+HADOOP'S OWN path resolution (scheme in the path, else
+fs.defaultFS), never by string-sniffing: a scheme-less path on a
+cluster whose defaultFS is HDFS stages to HDFS, so it must be
+measured and cleaned up there too."""
 
 from __future__ import annotations
 
@@ -31,29 +34,21 @@ def _hadoop_glob_escape(path: str) -> str:
     return _HADOOP_GLOB.sub(r"\\\1", path)
 
 
-def _is_uri(path: str) -> bool:
-    return "://" in path or path.startswith("file:")
-
-
 def _hadoop_fs(spark, path: str):
-    """(FileSystem, Path) for a URI, resolved through the session's
-    Hadoop configuration — the same resolution the write itself uses,
-    so measure and write cannot disagree about which FS they mean."""
+    """(FileSystem, Path) for ``path``, resolved through the
+    session's Hadoop configuration — the same resolution the write
+    itself uses (explicit scheme wins, else fs.defaultFS), so
+    measure/cleanup and the write cannot disagree about which
+    filesystem they mean."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
 def _dir_bytes_local(path: str) -> int:
-    """Local-filesystem staging size. os.walk on a URI (hdfs://,
-    s3a://, even file:/) silently yields nothing — which would
-    collapse the rewrite to ONE serialized file and no-op the
-    staging cleanup — so this path handles plain local dirs only;
-    URIs take the Hadoop FileSystem branch."""
-    if _is_uri(path) or not os.path.isdir(path):
-        raise ValueError(
-            f"_dir_bytes_local: {path!r} is not a local directory"
-        )
+    """Local-filesystem staging size: a recursive walk summing data
+    files, hidden committer markers (``_SUCCESS``, ``.*.crc``)
+    excluded."""
     total = 0
     for root, _, files in os.walk(path):
         for f in files:
@@ -62,21 +57,16 @@ def _dir_bytes_local(path: str) -> int:
     return total
 
 
-def _dir_bytes_hadoop(spark, path: str) -> int:
-    """Staging size via the Hadoop FileSystem API — a recursive file
-    listing, metadata-only however large the data. Hidden files
-    (``_SUCCESS``, committer leftovers) are excluded exactly as the
-    local walk excludes them, so the two branches measure the same
-    bytes for the same data."""
-    fs, jpath = _hadoop_fs(spark, path)
-    it = fs.listFiles(jpath, True)
-    total = 0
-    while it.hasNext():
-        status = it.next()
-        name = status.getPath().getName()
-        if not name.startswith("_") and not name.startswith("."):
-            total += status.getLen()
-    return total
+def _dir_bytes_hadoop(fs, jpath) -> int:
+    """Staging size via ``FileSystem.getContentSummary`` — ONE
+    metadata RPC however many files were staged (a per-file listing
+    loop from the driver would cost thousands of Py4J+namenode round
+    trips for exactly the many-small-files case this module exists
+    to fix). The summary counts committer markers too; on a real DFS
+    those are zero bytes (``_SUCCESS``), and on checksummed local
+    filesystems the ``.crc`` side files add <1% — noise against a
+    128 MB file-size target."""
+    return fs.getContentSummary(jpath).getLength()
 
 
 def write_compacted(
@@ -94,20 +84,30 @@ def write_compacted(
     On a cluster the staging write is the job's normal output and the
     rewrite is a cheap metadata-sized follow-up job.
 
-    Destinations may be plain local paths (measured with os.walk) or
-    any URI the session's Hadoop configuration can resolve —
-    ``file:``, ``hdfs://``, ``s3a://`` — measured, cleaned up, and
-    counted through the FileSystem API (metadata-only at any scale).
+    Destinations may be plain local paths, or URIs/defaultFS-relative
+    paths on any filesystem the session's Hadoop configuration can
+    resolve (``file:``, ``hdfs://``, ``s3a://``) — measured, cleaned
+    up, and counted through the FileSystem API, metadata-only at any
+    data size. The filesystem is resolved BEFORE the staging write,
+    and the staging write runs inside the cleanup scope: a failure
+    at ANY point after staging starts (mid-write task failure,
+    interrupt, final-write error) still removes the staged copy.
     """
-    staging = path.rstrip("/") + "_staging"
-    uri = _is_uri(path)
-    df.write.mode("overwrite").parquet(staging)
     spark = df.sparkSession
+    staging = path.rstrip("/") + "_staging"
+    fs, jstaging = _hadoop_fs(spark, staging)
+    # Local fast path ONLY for a scheme-less path that Hadoop itself
+    # resolves to the local filesystem; any explicit scheme (even
+    # file:) exercises the FileSystem branch end to end.
+    use_local = "://" not in staging and not staging.startswith(
+        "file:"
+    ) and fs.getScheme() == "file"
     try:
+        df.write.mode("overwrite").parquet(staging)
         total = (
-            _dir_bytes_hadoop(spark, staging)
-            if uri
-            else _dir_bytes_local(staging)
+            _dir_bytes_local(staging)
+            if use_local
+            else _dir_bytes_hadoop(fs, jstaging)
         )
         n_files = max(1, math.ceil(total / target_file_bytes))
         staged = spark.read.parquet(_hadoop_glob_escape(staging))
@@ -119,21 +119,24 @@ def write_compacted(
             staged = staged.repartition(n_files)
         staged.write.mode("overwrite").parquet(path)
     finally:
-        # any failure after staging (metachar path resolution, final
-        # write error, interrupt) must not leak a full staged copy
-        if uri:
+        # any failure once staging has started (mid-staging task
+        # failure, metachar path resolution, final write error,
+        # interrupt) must not leak a full or partial staged copy
+        if use_local:
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
             try:
-                fs, jstaging = _hadoop_fs(spark, staging)
                 fs.delete(jstaging, True)
             except Exception:
                 pass
-        else:
-            shutil.rmtree(staging, ignore_errors=True)
-    if uri:
-        fs, jpath = _hadoop_fs(spark, path)
-        return sum(
-            1
-            for status in fs.listStatus(jpath)
-            if status.getPath().getName().startswith("part-")
-        )
-    return sum(1 for f in os.listdir(path) if f.startswith("part-"))
+    if use_local:
+        return sum(1 for f in os.listdir(path) if f.startswith("part-"))
+    _, jpath = _hadoop_fs(spark, path)
+    # listStatus is literal (no glob interpretation), so metachar
+    # destinations count correctly; it runs over the COMPACTED file
+    # set, which the target size keeps small.
+    return sum(
+        1
+        for status in fs.listStatus(jpath)
+        if status.getPath().getName().startswith("part-")
+    )

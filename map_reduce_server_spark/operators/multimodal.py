@@ -1,13 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata + Pandas-UDF decode stages.
 
-Five modalities are REAL end to end — pure numpy/stdlib codecs run
+Six modalities are REAL end to end — pure numpy/stdlib codecs run
 inside Arrow-batched ``mapInPandas`` stages and are value-checked by
 oracles that recompute pixel/sample statistics from the md5 hex the
 files are built from:
 
 - PNG (:mod:`..functions.png`): chunk framing, CRC-32, DEFLATE,
   all five scanline filters, nearest-neighbor resize;
+- GIF (:mod:`..functions.gif`): a third compression family —
+  dictionary coding (variable-width LZW), identity gray palette,
+  sub-block framing;
 - PCM WAV (:mod:`..functions.wavcodec`): RIFF framing, 16-bit LE;
 - JPEG (:mod:`..functions.jpeg`): DCT, quantization, Annex K
   Huffman entropy coding — grayscale AND YCbCr color (4:4:4/4:2:0)
@@ -42,7 +45,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_server_spark.functions import avi, g711, jpeg, png, wavcodec
+from map_reduce_server_spark.functions import (
+    avi,
+    g711,
+    gif,
+    jpeg,
+    png,
+    wavcodec,
+)
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.tables import load_table
 
@@ -340,8 +350,9 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfiltering breaks the hash match. WAV gets the same stdlib-real
     treatment in multimodal_decode_wav, baseline JPEG in
     multimodal_decode_jpeg (+ _jpeg_color), G.711 compressed audio in
-    multimodal_decode_mulaw/_alaw, and MJPEG video in
-    multimodal_decode_video; only perceptual audio (mp3/ogg) and
+    multimodal_decode_mulaw/_alaw, MJPEG video in
+    multimodal_decode_video, and LZW dictionary coding in
+    multimodal_decode_gif; only perceptual audio (mp3/ogg) and
     inter-frame video stay env-gated (see :func:`decode_batch`)."""
     docs = load_table(spark, sf_dir, "documents")
     return _px_stats_select(png_stats(with_png_payload(docs)))
@@ -1312,3 +1323,91 @@ def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_px", 6).alias("mean_px"),
         "max_px",
     )
+
+
+# --- real GIF codec path (LZW) -----------------------------------------------
+
+# 8x3 grayscale = 24 pixels from two chained md5 digests; 24 is one
+# of the three divisors whose round(mean, 6) is proved tie-free by
+# enumeration (see _px_stats_select). GIF's identity gray palette
+# makes pixel value == palette index, so the LZW pipeline is
+# bit-exact lossless and the oracle recomputes every pixel from SQL.
+_GIF_W, _GIF_H = 8, 3
+_SQL_GIF_HEX = "substr(md5(text) || md5('g' || text), 1, 48)"
+
+
+def with_gif_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL 8x3 grayscale GIF89a per document (pure-stdlib
+    encoder: logical screen descriptor, 256-entry gray color table,
+    variable-width LZW, sub-block framing)."""
+    pix_hex = F.substring(
+        F.concat(
+            F.md5(F.col("text")),
+            F.md5(F.concat(F.lit("g"), F.col("text"))),
+        ),
+        1,
+        _GIF_W * _GIF_H * 2,
+    )
+    flat = docs.select("doc_id", pix_hex.alias("pix_hex"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["pix_hex"].map(
+                _nn(
+                    lambda h: gif.encode_gray8(
+                        _GIF_W, _GIF_H, bytes.fromhex(h)
+                    )
+                )
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payload}
+            )
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def gif_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real GIF payloads: signature/descriptor
+    parse, gray-ramp palette validation, variable-width LZW
+    decompression — then per-image pixel statistics."""
+    return _px_stats_stage(
+        df, lambda b: gif.decode_gray8(b)
+    )
+
+
+@register(
+    "multimodal_decode_gif",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, list_transform(range(1, 25),
+               i -> CAST(('0x' || substr({_SQL_GIF_HEX}, i*2-1, 2))
+                    AS BIGINT)) AS bs
+      FROM documents WHERE text IS NOT NULL),
+    st AS (
+      SELECT doc_id, CAST({_GIF_W} AS INTEGER) AS width,
+             CAST({_GIF_H} AS INTEGER) AS height,
+             round(CAST(list_sum(bs) AS DOUBLE) / 24, 6) AS mean_px,
+             CAST(list_max(bs) AS INTEGER) AS max_px
+      FROM px)
+    SELECT d.doc_id, st.width, st.height, st.mean_px, st.max_px
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+    """,
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for a THIRD compression family —
+    dictionary coding: encode each document's md5-derived pixels as
+    an actual GIF89a file (screen descriptor, gray color table,
+    variable-width LZW with the spec's asymmetric encoder/decoder
+    width growth, sub-block framing) and decode it back with the
+    pure-stdlib parser (``functions/gif.py``). The identity gray
+    palette makes the pipeline bit-exact lossless, so the oracle
+    recomputes the pixel statistics straight from the md5 hex — a
+    bug anywhere in LZW packing, width growth, palette handling, or
+    sub-block framing breaks the hash match. Joins PNG (DEFLATE),
+    JPEG (DCT+Huffman), G.711 (companding), and MJPEG/AVI
+    (container) as the fifth real image/video wire format.
+
+    Scale: embarrassingly parallel Arrow-batched mapInPandas, no
+    shuffle; payloads never leave the task."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _px_stats_select(gif_stats(with_gif_payload(docs)))

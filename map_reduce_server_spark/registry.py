@@ -14,6 +14,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from map_reduce_server_spark import tables
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
@@ -44,7 +46,7 @@ def register(
             # including the grading driver's vanilla one, which would
             # otherwise render timestamps under the JVM default TZ
             # until the first events load flips the conf mid-session.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            tables.pin_utc_session(spark)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             # Spark 4 defaults ANSI ON (x/0 throws); the oracle
             # contract is NULL-on-zero — a degenerate group must
@@ -338,11 +340,14 @@ _DRIVER_GREEN_R8 = frozenset({
 # current code, so they rejoin the never-verified head.
 _CHANGED_R9: frozenset[str] = frozenset()
 
+# A _CHANGED_R8 name stays ungreen unless round 8 itself re-certified
+# it (membership in _DRIVER_GREEN_R8) — subtracting the raw set would
+# let a pre-change green row count again once the round advances.
 _EVER_GREEN = (
     _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
     | _DRIVER_GREEN_R5 | _DRIVER_GREEN_R6 | _DRIVER_GREEN_R7
     | _DRIVER_GREEN_R8
-) - _CHANGED_R9
+) - (_CHANGED_R8 - _DRIVER_GREEN_R8) - _CHANGED_R9
 
 
 def _stale_first(d: dict) -> dict:

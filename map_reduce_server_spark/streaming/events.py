@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 
 from map_reduce_server_spark.io.tempdirs import cleanup_at_exit
 from map_reduce_server_spark.registry import register
-from map_reduce_server_spark.tables import normalize_events_ts
+from map_reduce_server_spark.tables import (
+    normalize_events_ts,
+    pin_utc_session,
+)
 
 _WINDOW = "5 minutes"
 
@@ -106,7 +109,7 @@ def _events_stream(
     """Streaming DataFrame over the bounded events table + the staged
     landing-zone dir (caller removes it when the query is done)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_utc_session(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file-stream source wants a directory; stage a symlink dir so
     # the (read-only) single-file table looks like a stream landing zone.

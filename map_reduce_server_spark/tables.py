@@ -37,6 +37,27 @@ TABLES = (
 # actually fit.
 
 
+def pin_utc_session(spark: SparkSession) -> None:
+    """Pin ``spark.sql.session.timeZone`` to UTC for the WHOLE
+    session — the engine's timestamp semantics contract (NTZ events
+    casts resolve the zone lazily, so the pin must be sticky; a
+    restore would re-shift plans at execution time). This is the ONE
+    place the conf is written: a session that arrives with a
+    DIFFERENT explicit zone gets a loud warning, because its other
+    queries will see the new zone too and silence would make that
+    look like engine nondeterminism instead of this contract."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev_tz not in (None, "UTC"):
+        warnings.warn(
+            f"map_reduce_server_spark: pinning "
+            f"spark.sql.session.timeZone to UTC (was {prev_tz!r}) "
+            f"for the whole session — the engine's timestamp "
+            f"semantics require it, and it is NOT restored",
+            stacklevel=3,
+        )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
 
@@ -59,7 +80,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Defensive: both configs are runtime-settable; the driver's
         # own session may have neither.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        pin_utc_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_events_ts(df)
@@ -82,20 +103,8 @@ def normalize_events_ts(df):
     # The cast in the NTZ branch resolves the zone at analysis time;
     # sticky-pinning UTC is deliberate (restoring the previous TZ
     # after this call would re-shift the cast when the lazy plan
-    # actually executes). A session that arrives with a DIFFERENT
-    # explicit zone gets a loud warning: its other queries will see
-    # the new UTC zone too, and silence here would make that look
-    # like engine nondeterminism instead of this contract.
-    session = df.sparkSession
-    prev_tz = session.conf.get("spark.sql.session.timeZone", None)
-    if prev_tz not in (None, "UTC"):
-        warnings.warn(
-            f"normalize_events_ts: pinning spark.sql.session.timeZone "
-            f"to UTC (was {prev_tz!r}) for the whole session — the "
-            f"events ts semantics require it, and it is NOT restored",
-            stacklevel=2,
-        )
-    session.conf.set("spark.sql.session.timeZone", "UTC")
+    # actually executes).
+    pin_utc_session(df.sparkSession)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         # TIMESTAMP(NANOS) arrives as a nanos long under nanosAsLong;
@@ -126,11 +135,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     Idempotent per (session, sf_dir): a repeat call for the sf_dir
     whose views are ALREADY current is a no-op; a call for a
     different sf_dir re-registers (last registration wins). The
-    short-circuit additionally confirms one view still exists in the
-    session catalog, so a dropTempView/catalog reset between calls
-    re-registers instead of failing downstream SQL."""
-    if _REGISTERED.get(spark) == sf_dir and spark.catalog.tableExists(
-        TABLES[0]
+    short-circuit additionally confirms EVERY view still exists in
+    the session catalog (ten driver-local lookups, no data access),
+    so a dropTempView/catalog reset between calls — of any table,
+    not just the first — re-registers instead of failing downstream
+    SQL."""
+    if _REGISTERED.get(spark) == sf_dir and all(
+        spark.catalog.tableExists(name) for name in TABLES
     ):
         return
     for name in TABLES:

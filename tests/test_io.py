@@ -123,17 +123,24 @@ def test_events_ntz_normalization_is_tz_proof(spark, tmp_path):
 
 def test_events_tz_pin_warns_on_non_utc_session(spark, tmp_path):
     """Pinning the session timezone to UTC from a session configured
-    with a DIFFERENT zone is a surprising global mutation — the load
-    helper must say so loudly instead of reconfiguring the session
-    in silence (ADVICE r8)."""
+    with a DIFFERENT zone is a surprising global mutation — the
+    engine must say so loudly instead of reconfiguring the session in
+    silence (ADVICE r8). The warning must fire through the REAL entry
+    paths (load_table, the registry's pinned wrapper), which write
+    the conf before normalize_events_ts ever reads it — a warning
+    only a direct normalize_events_ts call can reach would leave the
+    advertised scenario (a user session with its own zone running any
+    query) still silent (review r9)."""
     import datetime
     import warnings as _w
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from map_reduce_server_spark.tables import normalize_events_ts
+    from map_reduce_server_spark import registry
+    from map_reduce_server_spark.tables import load_table
 
+    registry.load_all()
     sf_dir = str(tmp_path)
     tbl = pa.table(
         {
@@ -147,13 +154,18 @@ def test_events_tz_pin_warns_on_non_utc_session(spark, tmp_path):
     old = spark.conf.get("spark.sql.session.timeZone")
     try:
         spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
         with pytest.warns(UserWarning, match="pinning .* to UTC"):
-            normalize_events_ts(df)
+            load_table(spark, sf_dir, "events")
+        # the registry's pinned wrapper pins BEFORE the query body
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        with pytest.warns(UserWarning, match="pinning .* to UTC"):
+            registry.QUERIES["q1_pricing_summary"](
+                spark, "/root/testdata/sf0.001"
+            )
         # and from an already-UTC session: silent (the common path)
         with _w.catch_warnings():
             _w.simplefilter("error")
-            normalize_events_ts(df)
+            load_table(spark, sf_dir, "events")
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
 
@@ -174,10 +186,12 @@ def test_register_views_is_per_session(spark, sf_small):
         assert sibling.sql("SELECT count(*) AS n FROM region").collect()[
             0
         ]["n"] > 0
-        # catalog reset within a session re-registers on next call
-        spark.catalog.dropTempView(TABLES[0])
+        # catalog reset within a session re-registers on next call —
+        # for ANY dropped view, not just the first (review r9: a
+        # TABLES[0]-only staleness probe missed the other nine)
+        spark.catalog.dropTempView("lineitem")
         register_views(spark, sf_small)
-        assert spark.catalog.tableExists(TABLES[0])
+        assert spark.catalog.tableExists("lineitem")
     finally:
         for name in TABLES:
             sibling.catalog.dropTempView(name)
