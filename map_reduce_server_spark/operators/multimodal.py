@@ -1,7 +1,7 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata + Pandas-UDF decode stages.
 
-Six modalities are REAL end to end — pure numpy/stdlib codecs run
+Seven wire formats are REAL end to end — pure numpy/stdlib codecs run
 inside Arrow-batched ``mapInPandas`` stages and are value-checked by
 oracles that recompute pixel/sample statistics from the md5 hex the
 files are built from:
@@ -19,6 +19,9 @@ files are built from:
 - G.711 compressed audio (:mod:`..functions.g711`): logarithmic
   companding, BOTH laws (WAVE_FORMAT_MULAW and WAVE_FORMAT_ALAW
   containers, one registered query each);
+- FLAC (:mod:`..functions.flac`): the predictive family — fixed
+  polynomial predictors, Rice-coded residuals, CRC-8/CRC-16 and
+  audio-MD5 integrity, all verified on decode;
 - Motion-JPEG AVI video (:mod:`..functions.avi`): RIFF 'AVI '
   framing over per-frame JPEGs, stride frame sampling.
 
@@ -47,6 +50,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions import (
     avi,
+    flac,
     g711,
     gif,
     jpeg,
@@ -351,8 +355,9 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     treatment in multimodal_decode_wav, baseline JPEG in
     multimodal_decode_jpeg (+ _jpeg_color), G.711 compressed audio in
     multimodal_decode_mulaw/_alaw, MJPEG video in
-    multimodal_decode_video, and LZW dictionary coding in
-    multimodal_decode_gif; only perceptual audio (mp3/ogg) and
+    multimodal_decode_video, LZW dictionary coding in
+    multimodal_decode_gif, and predictive coding in
+    multimodal_decode_flac; only perceptual audio (mp3/ogg) and
     inter-frame video stay env-gated (see :func:`decode_batch`)."""
     docs = load_table(spark, sf_dir, "documents")
     return _px_stats_select(png_stats(with_png_payload(docs)))
@@ -1411,3 +1416,117 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; payloads never leave the task."""
     docs = load_table(spark, sf_dir, "documents")
     return _px_stats_select(gif_stats(with_gif_payload(docs)))
+
+
+# --- real FLAC codec path (fixed prediction + Rice coding) -------------------
+
+_FLAC_N = 32          # samples per clip (dyadic -> exact mean_abs)
+_FLAC_RATE = 8000
+
+# 32 16-bit samples need 64 bytes = four chained md5 digests (own
+# salts, independent of the PCM-WAV recipe).
+_SQL_FLAC_HEX = (
+    "md5('p' || text) || md5('q' || text) "
+    "|| md5('r' || text) || md5('s' || text)"
+)
+# sample i (1-based): little-endian signed int16, same byte layout
+# as the PCM-WAV oracle.
+_SQL_FLAC_SAMPLES = f"""
+  list_transform(range(1, {_FLAC_N} + 1), i ->
+    CAST(('0x' || substr({_SQL_FLAC_HEX}, i*4-3, 2)) AS BIGINT)
+    + 256 * CAST(('0x' || substr({_SQL_FLAC_HEX}, i*4-1, 2)) AS BIGINT)
+    - CASE WHEN CAST(('0x' || substr({_SQL_FLAC_HEX}, i*4-1, 2)) AS BIGINT)
+                >= 128 THEN 65536 ELSE 0 END)
+"""
+
+
+def with_flac_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL mono 16-bit FLAC per document (pure-stdlib
+    encoder: STREAMINFO with the audio MD5, CRC-8 frame header,
+    best-of-5 fixed predictor, optimal Rice parameter, CRC-16)."""
+    hex_col = F.concat(
+        F.md5(F.concat(F.lit("p"), F.col("text"))),
+        F.md5(F.concat(F.lit("q"), F.col("text"))),
+        F.md5(F.concat(F.lit("r"), F.col("text"))),
+        F.md5(F.concat(F.lit("s"), F.col("text"))),
+    )
+    flat = docs.select("doc_id", hex_col.alias("sample_hex"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        for pdf in batches:
+            payload = pdf["sample_hex"].map(
+                _nn(
+                    lambda h: flac.encode_s16(
+                        list(
+                            _struct.unpack(
+                                f"<{_FLAC_N}h", bytes.fromhex(h)
+                            )
+                        ),
+                        _FLAC_RATE,
+                    )
+                )
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payload}
+            )
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def flac_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real FLAC payloads: metadata walk, frame
+    sync + CRC-8/CRC-16 validation, fixed-predictor reconstruction
+    from Rice-coded residuals, audio-MD5 verification — then the
+    same per-clip sample statistics the other audio legs compute
+    (the stats stage is shared with the G.711 legs; any
+    ``bytes -> (rate, samples)`` decoder fits it)."""
+    return _g711_stats(df, flac.decode_s16)
+
+
+@register(
+    "multimodal_decode_flac",
+    oracle=f"""
+    WITH sm AS (
+      SELECT doc_id, {_SQL_FLAC_SAMPLES} AS s FROM documents
+      WHERE text IS NOT NULL),
+    st AS (
+      SELECT doc_id, CAST({_FLAC_RATE} AS INTEGER) AS framerate,
+             CAST({_FLAC_N} AS INTEGER) AS n_samples,
+             round(CAST(list_sum(list_transform(s, x -> abs(x))) AS DOUBLE)
+                   / {_FLAC_N}, 6) AS mean_abs,
+             CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER)
+               AS max_abs
+      FROM sm)
+    SELECT d.doc_id, st.framerate, st.n_samples, st.mean_abs, st.max_abs
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+    """,
+)
+def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for the PREDICTIVE compression family:
+    encode each document's md5-derived int16 samples as an actual
+    FLAC file (STREAMINFO + audio MD5, sync-coded frame header with
+    CRC-8, best-of-5 fixed polynomial predictor, Rice-coded
+    residuals with the exactly-optimal parameter, frame CRC-16) and
+    decode it back with the pure-stdlib parser (``functions/
+    flac.py``), which verifies all three integrity fields. FLAC is
+    lossless, so the oracle recomputes the identical samples
+    straight from the md5 hex — a bug anywhere in bit packing,
+    prediction, Rice/zigzag coding, or CRC arithmetic breaks the
+    hash match. Completes the compression-family taxonomy: DEFLATE
+    (PNG), LZW (GIF), DCT+Huffman (JPEG), companding (G.711),
+    prediction+Rice (FLAC); perceptual codecs (mp3/ogg) stay
+    honestly env-gated.
+
+    Scale: embarrassingly parallel Arrow-batched mapInPandas, no
+    shuffle; payloads live only inside a task."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = flac_stats(with_flac_payload(docs))
+    return stats.select(
+        "doc_id",
+        "framerate",
+        "n_samples",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "max_abs",
+    )
