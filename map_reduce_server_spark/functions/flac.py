@@ -157,6 +157,10 @@ def encode_s16(samples: list[int], rate: int) -> bytes:
         raise ValueError("flac: block size must be in [16, 65535]")
     if any(not -32768 <= s <= 32767 for s in samples):
         raise ValueError("flac: samples out of int16 range")
+    if not 0 < rate < (1 << 20):
+        # the STREAMINFO field is 20 bits; an unchecked rate would
+        # truncate silently and decode cleanly to the wrong value
+        raise ValueError(f"flac: sample rate {rate} not in (0, 2^20)")
 
     # --- STREAMINFO ---
     raw = struct.pack(f"<{n}h", *samples)
@@ -190,11 +194,11 @@ def encode_s16(samples: list[int], rate: int) -> bytes:
     hdr_bytes = hdr.bytes()
 
     # --- FIXED subframe: pick the order with least residual mass ---
+    res_by_order = {o: _residuals(samples, o) for o in range(5)}
     best_order = min(
-        range(5),
-        key=lambda o: sum(abs(e) for e in _residuals(samples, o)),
+        range(5), key=lambda o: sum(map(abs, res_by_order[o]))
     )
-    res = _residuals(samples, best_order)
+    res = res_by_order[best_order]
     best_r = min(range(15), key=lambda r: _rice_cost(res, r))
 
     body = _BitWriter()
@@ -290,6 +294,8 @@ def decode_s16(data: bytes) -> tuple[int, list[int]]:
     if not 0b001000 <= sf_type <= 0b001100:
         raise ValueError("flac: only FIXED subframes supported")
     order = sf_type & 0x07
+    if order >= n:
+        raise ValueError("flac: predictor order >= block size")
     if br.read(1) != 0:
         raise ValueError("flac: wasted bits unsupported")
     samples = [br.read_signed(_BPS) for _ in range(order)]
@@ -313,6 +319,10 @@ def decode_s16(data: bytes) -> tuple[int, list[int]]:
     crc = struct.unpack(">H", data[br.byte : br.byte + 2])[0]
     if crc != _crc16(data[frame_start : br.byte]):
         raise ValueError("flac: frame CRC-16 mismatch")
+    if any(not -32768 <= s <= 32767 for s in samples):
+        # a crafted (CRC-recomputed) residual stream can reconstruct
+        # outside int16; keep the ValueError contract, not struct.error
+        raise ValueError("flac: reconstructed samples out of int16 range")
     raw = struct.pack(f"<{n}h", *samples)
     if hashlib.md5(raw).digest() != md5_expected:
         raise ValueError("flac: decoded audio MD5 mismatch")

@@ -127,14 +127,28 @@ def _lzw_decode(data: bytes, n_pixels: int) -> bytes:
             # widens one registration earlier in code value
             if len(table) >= (1 << width) and width < 12:
                 width += 1
+        if len(out) + len(entry) > n_pixels:
+            raise ValueError("gif: LZW output exceeds pixel count")
         out += entry
         prev = entry
+    # the stream must terminate with EOI exactly at the pixel count —
+    # a missing terminator or trailing data is malformed, not ignored
+    while nbits < width:
+        if pos >= len(data):
+            raise ValueError("gif: LZW stream truncated before EOI")
+        acc |= data[pos] << nbits
+        pos += 1
+        nbits += 8
+    if acc & ((1 << width) - 1) != _EOI:
+        raise ValueError("gif: missing EOI after final pixel")
     return bytes(out)
 
 
 def encode_gray8(width: int, height: int, pixels: bytes) -> bytes:
     """Encode ``width*height`` grayscale bytes as a GIF89a file with
     the identity gray palette (pixel value == palette index)."""
+    if not (1 <= width <= 65535 and 1 <= height <= 65535):
+        raise ValueError(f"gif: dimensions {width}x{height} out of range")
     if len(pixels) != width * height:
         raise ValueError(
             f"gif: expected {width * height} pixels, got {len(pixels)}"
@@ -166,6 +180,8 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
     than an error."""
     if data[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("gif: bad signature")
+    if len(data) < 13:
+        raise ValueError("gif: truncated screen descriptor")
     width, height, packed, _bg, _aspect = struct.unpack(
         "<HHBBB", data[6:13]
     )
@@ -175,6 +191,8 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
     gct_len = 2 ** ((packed & 0x07) + 1)
     gct = data[pos : pos + gct_len * 3]
     pos += gct_len * 3
+    if len(gct) != gct_len * 3:
+        raise ValueError("gif: truncated color table")
     if gct_len != 256 or any(
         gct[3 * i : 3 * i + 3] != bytes((i, i, i)) for i in range(256)
     ):
@@ -182,10 +200,10 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
     # skip extension blocks (0x21 <label> sub-blocks...0)
     while pos < len(data) and data[pos] == 0x21:
         pos += 2
-        while data[pos]:
+        while pos < len(data) and data[pos]:
             pos += 1 + data[pos]
         pos += 1
-    if pos >= len(data) or data[pos] != 0x2C:
+    if pos + 10 > len(data) or data[pos] != 0x2C:
         raise ValueError("gif: image descriptor not found")
     _left, _top, iw, ih, ipacked = struct.unpack(
         "<HHHHB", data[pos + 1 : pos + 10]
@@ -195,6 +213,8 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("gif: local color table / interlace unsupported")
     if (iw, ih) != (width, height):
         raise ValueError("gif: sub-frame images unsupported")
+    if pos >= len(data):
+        raise ValueError("gif: truncated before LZW min code size")
     min_code = data[pos]
     pos += 1
     if min_code != _MIN_CODE_SIZE:

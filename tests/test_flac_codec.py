@@ -102,3 +102,23 @@ def test_large_block_16bit_escape():
     """Block sizes over 256 use the 16-bit size escape."""
     s = [(i * 31) % 1000 - 500 for i in range(4096)]
     assert flac.decode_s16(flac.encode_s16(s, 8000))[1] == s
+
+
+def test_truncation_sweep_raises_valueerror():
+    """EVERY proper prefix of a valid file must raise ValueError —
+    never struct.error — so callers filtering on ValueError never
+    crash (review r9)."""
+    f = flac.encode_s16(list(range(16)), 8000)
+    for cut in range(len(f)):
+        with pytest.raises(ValueError):
+            flac.decode_s16(f[:cut])
+
+
+def test_encode_rejects_bad_rate():
+    """The STREAMINFO rate field is 20 bits: an unchecked 2 MHz rate
+    would truncate silently and decode cleanly to the wrong value
+    (review r9)."""
+    with pytest.raises(ValueError, match="sample rate"):
+        flac.encode_s16([0] * 16, 2_000_000)
+    with pytest.raises(ValueError, match="sample rate"):
+        flac.encode_s16([0] * 16, 0)

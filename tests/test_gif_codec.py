@@ -105,3 +105,36 @@ def test_decode_skips_extension_blocks():
     ext = bytes([0x21, 0xFE, 3, 65, 66, 67, 0])  # comment "ABC"
     patched = f[:pos] + ext + f[pos:]
     assert gif.decode_gray8(patched) == (2, 1, b"\x05\x06")
+
+
+def test_truncation_sweep_raises_valueerror():
+    """EVERY proper prefix of a valid file (except dropping only the
+    unread 0x3B trailer) must raise ValueError — never struct.error
+    or IndexError, which callers filtering on ValueError would crash
+    on (review r9). Also pins the EOI check: the LZW stream must
+    terminate exactly at the declared pixel count."""
+    f = gif.encode_gray8(8, 3, bytes(range(24)))
+    for cut in range(len(f) - 1):
+        with pytest.raises(ValueError):
+            gif.decode_gray8(f[:cut])
+
+
+def test_lzw_overrun_and_missing_eoi_rejected():
+    f = gif.encode_gray8(8, 3, bytes(range(24)))
+    # understate the dimensions: the stream then overruns the count
+    under = f[:6] + struct.pack("<HH", 4, 3) + f[10:]
+    pos = 13 + 768
+    under = (
+        under[:pos]
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 4, 3, 0)
+        + under[pos + 10 :]
+    )
+    with pytest.raises(ValueError, match="exceeds pixel count|missing EOI"):
+        gif.decode_gray8(under)
+
+
+def test_encode_rejects_bad_dims():
+    with pytest.raises(ValueError, match="out of range"):
+        gif.encode_gray8(120000, 1, bytes(120000))
+    with pytest.raises(ValueError, match="out of range"):
+        gif.encode_gray8(0, 0, b"")
