@@ -47,3 +47,27 @@ def test_group_partition_matches_reference_model(spark, lines, num_reducers):
     grouped = group_partition(rdd, num_reducers)
     got = grouped.glom().collect()
     assert got == reference_model(lines, num_reducers)
+
+
+_BYTES_LINE = st.binary(max_size=8).filter(lambda b: b"\n" not in b)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lines=st.lists(_BYTES_LINE, min_size=1, max_size=30),
+    num_reducers=st.integers(min_value=1, max_value=3),
+)
+def test_group_partition_byte_order(spark, lines, num_reducers):
+    """The r9 byte-faithful pipeline: group_partition over raw BYTES
+    elements (what the mapper stage now emits) must sort in byte
+    order — the reference's whole-line sort — including non-UTF-8
+    bytes (0x80-0xFF) that the former strict-decode pipeline crashed
+    on. Python sorts bytes lexicographically by byte value, so the
+    same reference model applies verbatim."""
+    rdd = spark.sparkContext.parallelize(lines, numSlices=2)
+    got = group_partition(rdd, num_reducers).glom().collect()
+    assert got == reference_model(lines, num_reducers)
