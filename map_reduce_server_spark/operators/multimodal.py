@@ -1375,9 +1375,7 @@ def gif_stats(df: DataFrame) -> DataFrame:
     """Decode stage over real GIF payloads: signature/descriptor
     parse, gray-ramp palette validation, variable-width LZW
     decompression — then per-image pixel statistics."""
-    return _px_stats_stage(
-        df, lambda b: gif.decode_gray8(b)
-    )
+    return _px_stats_stage(df, gif.decode_gray8)
 
 
 @register(

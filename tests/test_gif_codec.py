@@ -73,7 +73,12 @@ def test_roundtrip_width_boundaries(n, desc):
     the places an encoder/decoder desynchronization would bite."""
     import random
 
-    data = bytes(random.Random(n).randrange(256) for _ in range(n))
+    rng = random.Random(n)
+    data = bytes(rng.randrange(256) for _ in range(n))
+    # genuinely random: the dictionary must actually grow (a
+    # re-seeded-per-element RNG once produced a constant run here,
+    # silently skipping every width transition — review r9)
+    assert len(set(data)) > 200
     assert gif.decode_gray8(gif.encode_gray8(n, 1, data)) == (n, 1, data)
 
 

@@ -121,7 +121,7 @@ def test_events_ntz_normalization_is_tz_proof(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", old)
 
 
-def test_events_tz_pin_warns_on_non_utc_session(spark, tmp_path):
+def test_events_tz_pin_warns_on_non_utc_session(spark, tmp_path, sf_small):
     """Pinning the session timezone to UTC from a session configured
     with a DIFFERENT zone is a surprising global mutation — the
     engine must say so loudly instead of reconfiguring the session in
@@ -159,9 +159,7 @@ def test_events_tz_pin_warns_on_non_utc_session(spark, tmp_path):
         # the registry's pinned wrapper pins BEFORE the query body
         spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
         with pytest.warns(UserWarning, match="pinning .* to UTC"):
-            registry.QUERIES["q1_pricing_summary"](
-                spark, "/root/testdata/sf0.001"
-            )
+            registry.QUERIES["q1_pricing_summary"](spark, sf_small)
         # and from an already-UTC session: silent (the common path)
         with _w.catch_warnings():
             _w.simplefilter("error")
