@@ -89,9 +89,18 @@ def decode_rgb8(data: bytes) -> tuple[int, int, bytes]:
         elif tag == b"IEND":
             break
         pos += 12 + length
+    else:
+        # the stream ended without IEND — a truncated-at-a-chunk-
+        # boundary file must not pass as complete (spec requires it)
+        raise ValueError("truncated PNG: missing IEND")
     if width is None:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        # keep the codec's ValueError contract — callers filtering on
+        # ValueError must not crash on a corrupt DEFLATE stream
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = width * 3
     if len(raw) != (stride + 1) * height:
         raise ValueError("decompressed size mismatch")

@@ -308,15 +308,31 @@ def test_null_text_yields_null_stats_not_crash(spark):
 
 
 def test_png_truncation_raises_valueerror():
-    """Truncated or garbage-tailed input must fail with the codec's
-    ValueError contract, not a bare struct.error."""
+    """EVERY proper prefix must fail with the codec's ValueError
+    contract — not struct.error, not zlib.error (a cut right after
+    IHDR previously reached zlib.decompress(b'')), and not a silent
+    success for a file cut at the IEND boundary (r9: IEND is
+    required; a chunk-aligned truncation must not pass as
+    complete)."""
     from map_reduce_server_spark.functions import png
 
     data = png.encode_rgb8(2, 2, bytes(range(12)))
-    with pytest.raises(ValueError):
-        png.decode_rgb8(data[:20])
-    with pytest.raises(ValueError):
-        png.decode_rgb8(data[:-2])
+    for cut in range(len(data)):
+        with pytest.raises(ValueError):
+            png.decode_rgb8(data[:cut])
+
+
+def test_wav_truncation_raises_valueerror():
+    """The stdlib wave module raises wave.Error/EOFError/
+    struct.error on corrupt input; the codec must translate ALL of
+    them to its ValueError contract (r9 sweep: 108 of 108 truncation
+    points previously leaked a foreign exception type)."""
+    from map_reduce_server_spark.functions import wavcodec
+
+    data = wavcodec.encode_pcm16(list(range(32)), 8000)
+    for cut in range(len(data)):
+        with pytest.raises(ValueError):
+            wavcodec.decode_pcm16(data[:cut])
 
 
 # --- JPEG codec (functions/jpeg.py) ----------------------------------------
