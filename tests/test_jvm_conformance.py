@@ -155,3 +155,44 @@ def test_g711_decodes_in_javasound(spark, enc_fn, dec_fn, enc_name):
     order = ">" if pfmt.isBigEndian() else "<"
     jsamples = list(struct.unpack(f"{order}{len(raw) // 2}h", raw))
     assert jsamples == list(dec_fn(f)[1])
+
+
+def test_our_png_decoder_reads_jdk_encoded_png(spark):
+    """Reverse direction: a FOREIGN encoder's PNG (the JDK writer,
+    which picks its own filter strategy and zlib parameters) must
+    decode exactly in our parser — proving the decoder handles
+    standard files generally, not just our own encoder's output."""
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    img = BI(4, 3, BI.TYPE_INT_RGB)
+    rgb = bytes(range(36))
+    k = 0
+    for y in range(3):
+        for x in range(4):
+            img.setRGB(
+                x, y, (rgb[k] << 16) | (rgb[k + 1] << 8) | rgb[k + 2]
+            )
+            k += 3
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    assert png.decode_rgb8(bytes(baos.toByteArray())) == (4, 3, rgb)
+
+
+def test_our_wav_decoder_reads_jdk_encoded_wav(spark):
+    """Reverse direction for audio: the JDK's WAVE writer output
+    must decode exactly in wavcodec."""
+    jvm = spark._jvm
+    samples = [100, -200, 3000, -32768, 32767, 0]
+    raw = struct.pack("<6h", *samples)
+    fmt = jvm.javax.sound.sampled.AudioFormat(8000.0, 16, 1, True, False)
+    ais = jvm.javax.sound.sampled.AudioInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(raw)), fmt, 6
+    )
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.sound.sampled.AudioSystem.write(
+        ais, jvm.javax.sound.sampled.AudioFileFormat.Type.WAVE, baos
+    )
+    assert wavcodec.decode_pcm16(bytes(baos.toByteArray())) == (
+        8000,
+        samples,
+    )
