@@ -172,12 +172,28 @@ def encode_gray8(width: int, height: int, pixels: bytes) -> bytes:
     return bytes(out)
 
 
+def _identity_ramp_table(
+    data: bytes, pos: int, n_entries: int
+) -> tuple[bytes, int]:
+    """Read an ``n_entries``-color table at ``pos`` and require the
+    identity gray ramp — a non-gray GIF silently "decoding" to wrong
+    intensities is worse than an error. Returns (table, new pos)."""
+    table = data[pos : pos + n_entries * 3]
+    if len(table) != n_entries * 3:
+        raise ValueError("gif: truncated color table")
+    if n_entries != 256 or any(
+        table[3 * i : 3 * i + 3] != bytes((i, i, i)) for i in range(256)
+    ):
+        raise ValueError("gif: palette is not the identity gray ramp")
+    return table, pos + n_entries * 3
+
+
 def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
     """Decode a GIF produced by :func:`encode_gray8` (or any
-    single-image gray-ramp GIF): returns (width, height, pixels).
-    Rejects files whose palette is not the identity ramp — a
-    non-gray GIF silently "decoding" to wrong intensities is worse
-    than an error."""
+    single-image gray-ramp GIF — global OR local color table, e.g.
+    the JDK's ImageIO writer emits a local one): returns
+    (width, height, pixels). The table that applies to the image
+    must be the identity ramp; see :func:`_identity_ramp_table`."""
     if data[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("gif: bad signature")
     if len(data) < 13:
@@ -186,17 +202,18 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
         "<HHBBB", data[6:13]
     )
     pos = 13
-    if not packed & 0x80:
-        raise ValueError("gif: missing global color table")
-    gct_len = 2 ** ((packed & 0x07) + 1)
-    gct = data[pos : pos + gct_len * 3]
-    pos += gct_len * 3
-    if len(gct) != gct_len * 3:
-        raise ValueError("gif: truncated color table")
-    if gct_len != 256 or any(
-        gct[3 * i : 3 * i + 3] != bytes((i, i, i)) for i in range(256)
-    ):
-        raise ValueError("gif: palette is not the identity gray ramp")
+    has_gct = bool(packed & 0x80)
+    if has_gct:
+        gct_len = 2 ** ((packed & 0x07) + 1)
+        if gct_len == 256:
+            _, pos = _identity_ramp_table(data, pos, gct_len)
+        else:
+            # a small GCT may still be overridden by a full local
+            # table (the JDK writer does this); defer judgement
+            if pos + gct_len * 3 > len(data):
+                raise ValueError("gif: truncated color table")
+            has_gct = "small"
+            pos += gct_len * 3
     # skip extension blocks (0x21 <label> sub-blocks...0)
     while pos < len(data) and data[pos] == 0x21:
         pos += 2
@@ -209,8 +226,19 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
         "<HHHHB", data[pos + 1 : pos + 10]
     )
     pos += 10
-    if ipacked & 0xC0:
-        raise ValueError("gif: local color table / interlace unsupported")
+    interlaced = bool(ipacked & 0x40)
+    if ipacked & 0x80:
+        # a local table takes precedence for this image — IT must be
+        # the identity ramp, whatever the global one was
+        _, pos = _identity_ramp_table(
+            data, pos, 2 ** ((ipacked & 0x07) + 1)
+        )
+    elif has_gct is not True:
+        raise ValueError(
+            "gif: palette is not the identity gray ramp"
+            if has_gct == "small"
+            else "gif: missing color table"
+        )
     if (iw, ih) != (width, height):
         raise ValueError("gif: sub-frame images unsupported")
     if pos >= len(data):
@@ -231,7 +259,24 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError("gif: truncated inside data sub-blocks")
         lzw += data[pos : pos + n]
         pos += n
-    return width, height, _lzw_decode(bytes(lzw), width * height)
+    pixels = _lzw_decode(bytes(lzw), width * height)
+    if interlaced:
+        # GIF interlace: rows arrive in four passes (every 8th row
+        # from 0, every 8th from 4, every 4th from 2, every 2nd from
+        # 1) — a pure row permutation, undone here
+        order = (
+            list(range(0, height, 8))
+            + list(range(4, height, 8))
+            + list(range(2, height, 4))
+            + list(range(1, height, 2))
+        )
+        out = bytearray(len(pixels))
+        for stream_i, row in enumerate(order):
+            out[row * width : (row + 1) * width] = pixels[
+                stream_i * width : (stream_i + 1) * width
+            ]
+        pixels = bytes(out)
+    return width, height, pixels
 
 
 # Functions above run inside Arrow-batched Python workers — ship

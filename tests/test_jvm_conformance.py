@@ -196,3 +196,27 @@ def test_our_wav_decoder_reads_jdk_encoded_wav(spark):
         8000,
         samples,
     )
+
+
+@pytest.mark.parametrize("w,h", [(8, 3), (5, 17)])
+def test_our_gif_decoder_reads_jdk_encoded_gif(spark, w, h):
+    """Reverse direction for GIF: the JDK writer emits a LOCAL color
+    table and INTERLACED rows by default — our decoder must handle
+    both (the local table validated as the identity ramp, the
+    four-pass interlace row permutation undone) and reproduce the
+    exact pixels. 5x17 exercises odd pass boundaries."""
+    jvm = spark._jvm
+    ramp = bytearray(range(256))
+    icm = jvm.java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    BI = jvm.java.awt.image.BufferedImage
+    img = BI(w, h, BI.TYPE_BYTE_INDEXED, icm)
+    data = bytes((i * 11 + h) % 256 for i in range(w * h))
+    raster = img.getRaster()
+    k = 0
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, data[k])
+            k += 1
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "gif", baos)
+    assert gif.decode_gray8(bytes(baos.toByteArray())) == (w, h, data)
