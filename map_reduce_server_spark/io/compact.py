@@ -140,3 +140,80 @@ def write_compacted(
         for status in fs.listStatus(jpath)
         if status.getPath().getName().startswith("part-")
     )
+
+
+def write_compacted_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Hive-partitioned compaction: write ``df`` partitioned by
+    ``partition_cols`` with data files sized ~target_file_bytes
+    WITHIN each partition directory.
+
+    :func:`write_compacted`'s global ``ceil(total/target)`` count is
+    wrong for a partitioned layout — a global repartition scatters
+    every hive partition's rows across every output task, writing up
+    to ``n_tasks`` small files per directory. Instead: stage once
+    (true on-disk size and row count become known), derive the
+    on-disk bytes-per-row, convert the byte target to a row target,
+    then rewrite shuffled on the partition columns (each hive
+    partition lands in one task) with ``maxRecordsPerFile`` rolling
+    files at the row target. Skewed partitions still split — a
+    10 TB partition becomes ~80k files of ~128 MB, not one file —
+    while small partitions compact to a single file. At 100 TB this
+    is one extra metadata RPC plus one shuffle the final layout
+    needed anyway.
+
+    Returns the total final data-file count.
+    """
+    spark = df.sparkSession
+    staging = path.rstrip("/") + "_staging"
+    fs, jstaging = _hadoop_fs(spark, staging)
+    use_local = "://" not in staging and not staging.startswith(
+        "file:"
+    ) and fs.getScheme() == "file"
+    try:
+        df.write.mode("overwrite").parquet(staging)
+        total = (
+            _dir_bytes_local(staging)
+            if use_local
+            else _dir_bytes_hadoop(fs, jstaging)
+        )
+        staged = spark.read.parquet(_hadoop_glob_escape(staging))
+        n_rows = staged.count()
+        if n_rows:
+            bytes_per_row = max(1.0, total / n_rows)
+            rows_per_file = max(1, int(target_file_bytes / bytes_per_row))
+        else:
+            rows_per_file = 1
+        (
+            staged.repartition(*partition_cols)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_file)
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        if use_local:
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            try:
+                fs.delete(jstaging, True)
+            except Exception:
+                pass
+    if use_local:
+        return sum(
+            1
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.startswith("part-")
+        )
+    fs2, jpath = _hadoop_fs(spark, path)
+    it = fs2.listFiles(jpath, True)
+    count = 0
+    while it.hasNext():
+        if it.next().getPath().getName().startswith("part-"):
+            count += 1
+    return count

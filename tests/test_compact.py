@@ -89,3 +89,67 @@ def test_write_compacted_file_uri_splits(spark, sf_small, tmp_path):
     files = glob.glob(local + "/part-*")
     assert len(files) == n > 1
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_write_compacted_partitioned(spark, sf_small, tmp_path):
+    """Hive-partitioned compaction: small partitions compact to one
+    file each, the layout keys the directories, and the data
+    round-trips. A global-coalesce compactor would scatter every
+    hive partition across every task — the per-directory file count
+    is the real assertion."""
+    import os
+
+    from map_reduce_server_spark.io.compact import (
+        write_compacted_partitioned,
+    )
+
+    orders = load_table(spark, sf_small, "orders").repartition(8)
+    out = str(tmp_path / "by_prio")
+    n = write_compacted_partitioned(
+        orders, out, ["o_orderpriority"], target_file_bytes=512 * 1024 * 1024
+    )
+    part_dirs = [
+        d for d in os.listdir(out) if d.startswith("o_orderpriority=")
+    ]
+    assert len(part_dirs) == 5  # the 5 TPC-H priorities
+    # each small partition compacted to exactly one data file
+    for d in part_dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.startswith("part-")
+        ]
+        assert len(files) == 1, (d, files)
+    assert n == 5
+    got = spark.read.parquet(out)
+    assert got.count() == orders.count()
+    assert not os.path.exists(out + "_staging")
+
+
+def test_write_compacted_partitioned_splits_skew(spark, sf_small, tmp_path):
+    """A partition whose bytes exceed the target must split into
+    multiple files (maxRecordsPerFile rolling), not collapse to one
+    giant file — the skewed-partition half of the contract."""
+    import os
+
+    from map_reduce_server_spark.io.compact import (
+        write_compacted_partitioned,
+    )
+
+    li = load_table(spark, sf_small, "lineitem")
+    out = str(tmp_path / "by_flag")
+    write_compacted_partitioned(
+        li, out, ["l_returnflag"], target_file_bytes=32 * 1024
+    )
+    sizes = {}
+    for d in os.listdir(out):
+        if not d.startswith("l_returnflag="):
+            continue
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.startswith("part-")
+        ]
+        sizes[d] = len(files)
+    assert max(sizes.values()) > 1, sizes
+    assert spark.read.parquet(out).count() == li.count()
