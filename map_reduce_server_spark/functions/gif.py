@@ -202,18 +202,17 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
         "<HHBBB", data[6:13]
     )
     pos = 13
-    has_gct = bool(packed & 0x80)
-    if has_gct:
+    # Defer ALL global-table judgement: a local table, if present,
+    # takes precedence for the image, and only the table that
+    # APPLIES must be the identity ramp (the JDK writer pairs a
+    # local table with arbitrary globals).
+    gct_at: tuple[int, int] | None = None
+    if packed & 0x80:
         gct_len = 2 ** ((packed & 0x07) + 1)
-        if gct_len == 256:
-            _, pos = _identity_ramp_table(data, pos, gct_len)
-        else:
-            # a small GCT may still be overridden by a full local
-            # table (the JDK writer does this); defer judgement
-            if pos + gct_len * 3 > len(data):
-                raise ValueError("gif: truncated color table")
-            has_gct = "small"
-            pos += gct_len * 3
+        if pos + gct_len * 3 > len(data):
+            raise ValueError("gif: truncated color table")
+        gct_at = (pos, gct_len)
+        pos += gct_len * 3
     # skip extension blocks (0x21 <label> sub-blocks...0)
     while pos < len(data) and data[pos] == 0x21:
         pos += 2
@@ -233,12 +232,10 @@ def decode_gray8(data: bytes) -> tuple[int, int, bytes]:
         _, pos = _identity_ramp_table(
             data, pos, 2 ** ((ipacked & 0x07) + 1)
         )
-    elif has_gct is not True:
-        raise ValueError(
-            "gif: palette is not the identity gray ramp"
-            if has_gct == "small"
-            else "gif: missing color table"
-        )
+    elif gct_at is not None:
+        _identity_ramp_table(data, gct_at[0], gct_at[1])
+    else:
+        raise ValueError("gif: missing color table")
     if (iw, ih) != (width, height):
         raise ValueError("gif: sub-frame images unsupported")
     if pos >= len(data):

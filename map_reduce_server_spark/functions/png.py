@@ -136,7 +136,10 @@ def decode_rgb8(data: bytes) -> tuple[int, int, bytes]:
                     pr = c
                 line[i] = (line[i] + pr) & 0xFF
         elif ftype != 0:
-            raise NotImplementedError(f"filter type {ftype} not supported")
+            # 5-255 is not a valid PNG filter type at all — that's
+            # CORRUPT data, not an unsupported feature, so it stays
+            # inside the ValueError corrupt-input contract
+            raise ValueError(f"corrupt PNG: invalid filter type {ftype}")
         out += line
         prev = line
     return width, height, bytes(out)

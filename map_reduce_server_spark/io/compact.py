@@ -14,12 +14,14 @@ measured and cleaned up there too."""
 
 from __future__ import annotations
 
+import contextlib
 import math
 import os
 import re
 import shutil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # Characters Hadoop's globStatus treats as pattern syntax in a READ
 # path; backslash-escaping them makes the path literal. (Write paths
@@ -69,6 +71,66 @@ def _dir_bytes_hadoop(fs, jpath) -> int:
     return fs.getContentSummary(jpath).getLength()
 
 
+@contextlib.contextmanager
+def _staged_copy(df: DataFrame, path: str):
+    """Stage ``df`` as parquet at ``<path>_staging``; yield
+    ``(staged_df, total_bytes, use_local)`` and own the staging
+    lifecycle — the measure branch, and removal of the staged copy
+    on EVERY exit (mid-staging task failure, metachar path
+    resolution, final-write error, interrupt). The caller's final
+    write must happen inside the with-block, while the staged files
+    still exist. ONE definition shared by both compactors: the
+    use_local heuristic and cleanup semantics are subtle enough that
+    two hand-synced copies would drift."""
+    spark = df.sparkSession
+    staging = path.rstrip("/") + "_staging"
+    fs, jstaging = _hadoop_fs(spark, staging)
+    # Local fast path ONLY for a scheme-less path that Hadoop itself
+    # resolves to the local filesystem; any explicit scheme (even
+    # file:) exercises the FileSystem branch end to end.
+    use_local = "://" not in staging and not staging.startswith(
+        "file:"
+    ) and fs.getScheme() == "file"
+    try:
+        df.write.mode("overwrite").parquet(staging)
+        total = (
+            _dir_bytes_local(staging)
+            if use_local
+            else _dir_bytes_hadoop(fs, jstaging)
+        )
+        yield spark.read.parquet(_hadoop_glob_escape(staging)), total, use_local
+    finally:
+        if use_local:
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            try:
+                fs.delete(jstaging, True)
+            except Exception:
+                pass
+
+
+def _count_part_files(spark, path: str, use_local: bool) -> int:
+    """Count final ``part-*`` data files (recursively — covers both
+    flat and hive-partitioned layouts). Runs over the COMPACTED file
+    set, which the target size keeps small; listStatus/listFiles are
+    literal (no glob interpretation), so metachar destinations count
+    correctly."""
+    if use_local:
+        return sum(
+            1
+            for _, _, files in os.walk(path)
+            for f in files
+            if f.startswith("part-")
+        )
+    fs, jpath = _hadoop_fs(spark, path)
+    it = fs.listFiles(jpath, True)
+    count = 0
+    while it.hasNext():
+        if it.next().getPath().getName().startswith("part-"):
+            count += 1
+    return count
+
+
 def write_compacted(
     df: DataFrame,
     path: str,
@@ -93,24 +155,8 @@ def write_compacted(
     at ANY point after staging starts (mid-write task failure,
     interrupt, final-write error) still removes the staged copy.
     """
-    spark = df.sparkSession
-    staging = path.rstrip("/") + "_staging"
-    fs, jstaging = _hadoop_fs(spark, staging)
-    # Local fast path ONLY for a scheme-less path that Hadoop itself
-    # resolves to the local filesystem; any explicit scheme (even
-    # file:) exercises the FileSystem branch end to end.
-    use_local = "://" not in staging and not staging.startswith(
-        "file:"
-    ) and fs.getScheme() == "file"
-    try:
-        df.write.mode("overwrite").parquet(staging)
-        total = (
-            _dir_bytes_local(staging)
-            if use_local
-            else _dir_bytes_hadoop(fs, jstaging)
-        )
+    with _staged_copy(df, path) as (staged, total, use_local):
         n_files = max(1, math.ceil(total / target_file_bytes))
-        staged = spark.read.parquet(_hadoop_glob_escape(staging))
         # coalesce only narrows; going wider (splitting huge files)
         # needs a real repartition
         if n_files <= staged.rdd.getNumPartitions():
@@ -118,28 +164,7 @@ def write_compacted(
         else:
             staged = staged.repartition(n_files)
         staged.write.mode("overwrite").parquet(path)
-    finally:
-        # any failure once staging has started (mid-staging task
-        # failure, metachar path resolution, final write error,
-        # interrupt) must not leak a full or partial staged copy
-        if use_local:
-            shutil.rmtree(staging, ignore_errors=True)
-        else:
-            try:
-                fs.delete(jstaging, True)
-            except Exception:
-                pass
-    if use_local:
-        return sum(1 for f in os.listdir(path) if f.startswith("part-"))
-    _, jpath = _hadoop_fs(spark, path)
-    # listStatus is literal (no glob interpretation), so metachar
-    # destinations count correctly; it runs over the COMPACTED file
-    # set, which the target size keeps small.
-    return sum(
-        1
-        for status in fs.listStatus(jpath)
-        if status.getPath().getName().startswith("part-")
-    )
+    return _count_part_files(df.sparkSession, path, use_local)
 
 
 def write_compacted_partitioned(
@@ -158,62 +183,50 @@ def write_compacted_partitioned(
     to ``n_tasks`` small files per directory. Instead: stage once
     (true on-disk size and row count become known), derive the
     on-disk bytes-per-row, convert the byte target to a row target,
-    then rewrite shuffled on the partition columns (each hive
-    partition lands in one task) with ``maxRecordsPerFile`` rolling
-    files at the row target. Skewed partitions still split — a
-    10 TB partition becomes ~80k files of ~128 MB, not one file —
-    while small partitions compact to a single file. At 100 TB this
-    is one extra metadata RPC plus one shuffle the final layout
-    needed anyway.
+    then rewrite shuffled on (partition columns, bounded salt) with
+    ``maxRecordsPerFile`` rolling files at the row target. The salt
+    is ``hash(row) % ceil(partition_rows / row_target)`` via a
+    broadcast join of per-partition counts (one row per hive
+    partition — bounded), so a SKEWED partition spreads over as many
+    tasks as it needs files — a 10 TB partition is written by ~80k
+    parallel tasks, not one — while a small partition keeps salt 0
+    everywhere and still compacts to a single file.
+
+    Sizing tolerance, deliberate: bytes-per-row is measured on the
+    staged files, which still CONTAIN the partition columns (the
+    final files move them into directory names) — so the row target
+    errs small, keeping files under target. Post-shuffle row order
+    can also change compression in either direction; like every
+    estimate-based compactor, the target is approximate, not a
+    guarantee.
 
     Returns the total final data-file count.
     """
     spark = df.sparkSession
-    staging = path.rstrip("/") + "_staging"
-    fs, jstaging = _hadoop_fs(spark, staging)
-    use_local = "://" not in staging and not staging.startswith(
-        "file:"
-    ) and fs.getScheme() == "file"
-    try:
-        df.write.mode("overwrite").parquet(staging)
-        total = (
-            _dir_bytes_local(staging)
-            if use_local
-            else _dir_bytes_hadoop(fs, jstaging)
-        )
-        staged = spark.read.parquet(_hadoop_glob_escape(staging))
+    with _staged_copy(df, path) as (staged, total, use_local):
         n_rows = staged.count()
-        if n_rows:
-            bytes_per_row = max(1.0, total / n_rows)
-            rows_per_file = max(1, int(target_file_bytes / bytes_per_row))
-        else:
-            rows_per_file = 1
+        bytes_per_row = max(1.0, total / n_rows) if n_rows else 1.0
+        rows_per_file = max(1, int(target_file_bytes / bytes_per_row))
+        splits = F.broadcast(
+            staged.groupBy(*partition_cols).agg(
+                F.ceil(F.count("*") / rows_per_file).alias(
+                    "__mrss_splits"
+                )
+            )
+        )
+        salted = (
+            staged.join(splits, partition_cols)
+            .withColumn(
+                "__mrss_salt",
+                F.pmod(F.hash(*staged.columns), F.col("__mrss_splits")),
+            )
+            .repartition(*partition_cols, "__mrss_salt")
+            .drop("__mrss_splits", "__mrss_salt")
+        )
         (
-            staged.repartition(*partition_cols)
-            .write.mode("overwrite")
+            salted.write.mode("overwrite")
             .option("maxRecordsPerFile", rows_per_file)
             .partitionBy(*partition_cols)
             .parquet(path)
         )
-    finally:
-        if use_local:
-            shutil.rmtree(staging, ignore_errors=True)
-        else:
-            try:
-                fs.delete(jstaging, True)
-            except Exception:
-                pass
-    if use_local:
-        return sum(
-            1
-            for root, _, files in os.walk(path)
-            for f in files
-            if f.startswith("part-")
-        )
-    fs2, jpath = _hadoop_fs(spark, path)
-    it = fs2.listFiles(jpath, True)
-    count = 0
-    while it.hasNext():
-        if it.next().getPath().getName().startswith("part-"):
-            count += 1
-    return count
+    return _count_part_files(spark, path, use_local)

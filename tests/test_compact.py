@@ -142,6 +142,7 @@ def test_write_compacted_partitioned_splits_skew(spark, sf_small, tmp_path):
         li, out, ["l_returnflag"], target_file_bytes=32 * 1024
     )
     sizes = {}
+    writer_tasks = {}
     for d in os.listdir(out):
         if not d.startswith("l_returnflag="):
             continue
@@ -151,5 +152,12 @@ def test_write_compacted_partitioned_splits_skew(spark, sf_small, tmp_path):
             if f.startswith("part-")
         ]
         sizes[d] = len(files)
+        # part-NNNNN-... encodes the writing task's partition id
+        writer_tasks[d] = {f.split("-")[1] for f in files}
     assert max(sizes.values()) > 1, sizes
+    # the salt must spread a skewed hive partition over MULTIPLE
+    # writer tasks (review r9: an unsalted repartition on the
+    # partition columns funnels each partition through one task —
+    # a 10 TB partition would be written serially)
+    assert max(len(t) for t in writer_tasks.values()) > 1, writer_tasks
     assert spark.read.parquet(out).count() == li.count()
