@@ -138,9 +138,24 @@ def test_write_compacted_partitioned_splits_skew(spark, sf_small, tmp_path):
 
     li = load_table(spark, sf_small, "lineitem")
     out = str(tmp_path / "by_flag")
-    write_compacted_partitioned(
-        li, out, ["l_returnflag"], target_file_bytes=32 * 1024
-    )
+    # Shrink AQE's coalescing targets so the tiny test dataset keeps
+    # its shuffle partitions apart: the salt provides the CAPACITY
+    # for parallel writers, and AQE sizes the actual parallelism —
+    # at sf0.001 it correctly coalesces to one task unless told the
+    # advisory partition is 16 KB (at 100 TB the partitions dwarf
+    # any advisory size and stay parallel on their own).
+    advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    min_size = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    old_adv, old_min = spark.conf.get(advisory), spark.conf.get(min_size)
+    spark.conf.set(advisory, "16k")
+    spark.conf.set(min_size, "4k")
+    try:
+        write_compacted_partitioned(
+            li, out, ["l_returnflag"], target_file_bytes=32 * 1024
+        )
+    finally:
+        spark.conf.set(advisory, old_adv)
+        spark.conf.set(min_size, old_min)
     sizes = {}
     writer_tasks = {}
     for d in os.listdir(out):
