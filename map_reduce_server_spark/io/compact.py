@@ -185,12 +185,19 @@ def write_compacted_partitioned(
     on-disk bytes-per-row, convert the byte target to a row target,
     then rewrite shuffled on (partition columns, bounded salt) with
     ``maxRecordsPerFile`` rolling files at the row target. The salt
-    is ``hash(row) % ceil(partition_rows / row_target)`` via a
-    broadcast join of per-partition counts (one row per hive
-    partition — bounded), so a SKEWED partition spreads over as many
-    tasks as it needs files — a 10 TB partition is written by ~80k
-    parallel tasks, not one — while a small partition keeps salt 0
-    everywhere and still compacts to a single file.
+    is ``hash(input partition id, row) % ceil(partition_rows /
+    row_target)`` via a NULL-SAFE broadcast join of per-partition
+    counts (one row per hive partition — bounded; NULL partition
+    keys group, join, and land in ``__HIVE_DEFAULT_PARTITION__``
+    like any other value), so a SKEWED partition spreads over as
+    many tasks as it needs files — a 10 TB partition is written by
+    ~80k parallel tasks, not one — while a small partition keeps
+    salt 0 everywhere and still compacts to a single file. The
+    input-partition-id term bounds the degenerate all-identical-rows
+    partition (pure row hashes would collapse to one salt) to one
+    scan split per salt while staying deterministic under stage
+    replay; map-typed columns hash via ``map_entries`` (Spark's
+    ``hash`` rejects raw maps).
 
     Sizing tolerance, deliberate: bytes-per-row is measured on the
     staged files, which still CONTAIN the partition columns (the
@@ -202,26 +209,71 @@ def write_compacted_partitioned(
 
     Returns the total final data-file count.
     """
+    from pyspark.sql.types import MapType
+
+    from map_reduce_server_spark.stagecut import stage_cut
+
+    reserved = {"__mrss_n", "__mrss_splits"} | {
+        f"__mrss_k_{c}" for c in partition_cols
+    }
+    if reserved & set(df.columns) or "__mrss_salt" in df.columns:
+        raise ValueError(
+            "write_compacted_partitioned: input columns collide with "
+            f"reserved names {sorted(reserved | {'__mrss_salt'})}"
+        )
     spark = df.sparkSession
     with _staged_copy(df, path) as (staged, total, use_local):
-        n_rows = staged.count()
-        bytes_per_row = max(1.0, total / n_rows) if n_rows else 1.0
-        rows_per_file = max(1, int(target_file_bytes / bytes_per_row))
-        splits = F.broadcast(
+        # ONE pass over staging: the per-partition counts table is
+        # tiny (a row per hive partition) and stage-cut so the total
+        # below and the broadcast join both reuse it instead of
+        # re-scanning the staged files.
+        counts = stage_cut(
             staged.groupBy(*partition_cols).agg(
-                F.ceil(F.count("*") / rows_per_file).alias(
-                    "__mrss_splits"
-                )
+                F.count("*").alias("__mrss_n")
             )
         )
+        n_rows = (
+            counts.agg(F.sum("__mrss_n").alias("n")).collect()[0]["n"]
+            or 0
+        )
+        bytes_per_row = max(1.0, total / n_rows) if n_rows else 1.0
+        rows_per_file = max(1, int(target_file_bytes / bytes_per_row))
+        splits = counts.select(
+            *[
+                F.col(c).alias(f"__mrss_k_{c}")
+                for c in partition_cols
+            ],
+            F.ceil(F.col("__mrss_n") / rows_per_file).alias(
+                "__mrss_splits"
+            ),
+        )
+        # NULL = NULL is NULL under a plain equi join — NULL-keyed
+        # rows would silently vanish; eqNullSafe keeps them
+        cond = None
+        for c in partition_cols:
+            term = staged[c].eqNullSafe(F.col(f"__mrss_k_{c}"))
+            cond = term if cond is None else cond & term
+        hashable = [
+            F.map_entries(f.name)
+            if isinstance(f.dataType, MapType)
+            else F.col(f.name)
+            for f in staged.schema.fields
+        ]
         salted = (
-            staged.join(splits, partition_cols)
+            staged.join(F.broadcast(splits), cond)
             .withColumn(
                 "__mrss_salt",
-                F.pmod(F.hash(*staged.columns), F.col("__mrss_splits")),
+                F.pmod(
+                    F.hash(F.spark_partition_id(), *hashable),
+                    F.col("__mrss_splits"),
+                ),
             )
             .repartition(*partition_cols, "__mrss_salt")
-            .drop("__mrss_splits", "__mrss_salt")
+            .drop(
+                "__mrss_splits",
+                "__mrss_salt",
+                *[f"__mrss_k_{c}" for c in partition_cols],
+            )
         )
         (
             salted.write.mode("overwrite")

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import glob
 
+import pytest
+
 from map_reduce_server_spark.io.compact import write_compacted
 from map_reduce_server_spark.tables import load_table
 
@@ -176,3 +178,51 @@ def test_write_compacted_partitioned_splits_skew(spark, sf_small, tmp_path):
     # a 10 TB partition would be written serially)
     assert max(len(t) for t in writer_tasks.values()) > 1, writer_tasks
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_write_compacted_partitioned_null_keys_and_maps(spark, tmp_path):
+    """Review r9 regressions, pinned: NULL partition keys must land
+    in __HIVE_DEFAULT_PARTITION__ (a null-unsafe salt join silently
+    DROPPED them), and map-typed data columns must compact (Spark's
+    hash() rejects raw maps — the salt hashes map_entries)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_server_spark.io.compact import (
+        write_compacted_partitioned,
+    )
+
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id") % 3)
+        .alias("grp"),
+        F.col("id").alias("v"),
+        F.create_map(F.lit("k"), F.col("id")).alias("m"),
+    )
+    out = str(tmp_path / "nullable")
+    write_compacted_partitioned(df, out, ["grp"])
+    got = spark.read.parquet(out)
+    assert got.count() == 100  # NULL-keyed rows survived
+    assert any(
+        d.startswith("grp=__HIVE_DEFAULT_PARTITION__")
+        for d in os.listdir(out)
+    )
+    # map column round-trips
+    assert got.filter("v = 7").collect()[0]["m"] == {"k": 7}
+
+
+def test_write_compacted_partitioned_reserved_name_collision(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from map_reduce_server_spark.io.compact import (
+        write_compacted_partitioned,
+    )
+
+    df = spark.range(5).select(
+        F.col("id").alias("grp"), F.lit(1).alias("__mrss_salt")
+    )
+    with pytest.raises(ValueError, match="reserved names"):
+        write_compacted_partitioned(df, str(tmp_path / "x"), ["grp"])
