@@ -232,9 +232,12 @@ def write_compacted_partitioned(
                 F.count("*").alias("__mrss_n")
             )
         )
+        # ONE bounded driver scalar (the sum of a stage-cut
+        # per-partition count table — never row data): the byte
+        # target must become a maxRecordsPerFile DRIVER value, so
+        # some scalar action is inherent to the operator.
         n_rows = (
-            counts.agg(F.sum("__mrss_n").alias("n")).collect()[0]["n"]
-            or 0
+            counts.agg(F.sum("__mrss_n").alias("n")).first()["n"] or 0
         )
         bytes_per_row = max(1.0, total / n_rows) if n_rows else 1.0
         rows_per_file = max(1, int(target_file_bytes / bytes_per_row))
