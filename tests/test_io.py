@@ -193,3 +193,26 @@ def test_register_views_is_per_session(spark, sf_small):
     finally:
         for name in TABLES:
             sibling.catalog.dropTempView(name)
+
+
+def test_xml_roundtrip(spark, sf_small, tmp_path):
+    """Spark 4's NATIVE xml data source round-trips a real table —
+    schema and values intact. Unregistered (driver-window budget),
+    but pins that the engine's source/sink surface includes XML
+    alongside parquet/csv/json/orc/text."""
+    from map_reduce_server_spark.tables import load_table
+
+    region = load_table(spark, sf_small, "region")
+    out = str(tmp_path / "region_xml")
+    (
+        region.write.format("xml")
+        .option("rowTag", "region")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml").option("rowTag", "region").load(out)
+    ).select(*region.columns)  # xml infers columns alphabetically
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, region.collect())
+    )
