@@ -167,6 +167,21 @@ def write_compacted(
     return _count_part_files(df.sparkSession, path, use_local)
 
 
+def _contains_map(dt) -> bool:
+    """True if ``dt`` contains a MapType anywhere (Spark's ``hash``
+    rejects maps recursively — existsRecursively — so a top-level
+    isinstance check is not enough)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def write_compacted_partitioned(
     df: DataFrame,
     path: str,
@@ -196,8 +211,8 @@ def write_compacted_partitioned(
     input-partition-id term bounds the degenerate all-identical-rows
     partition (pure row hashes would collapse to one salt) to one
     scan split per salt while staying deterministic under stage
-    replay; map-typed columns hash via ``map_entries`` (Spark's
-    ``hash`` rejects raw maps).
+    replay; columns containing maps (at any nesting) are excluded
+    from the salt hash — Spark's ``hash`` rejects them recursively.
 
     Sizing tolerance, deliberate: bytes-per-row is measured on the
     staged files, which still CONTAIN the partition columns (the
@@ -209,17 +224,26 @@ def write_compacted_partitioned(
 
     Returns the total final data-file count.
     """
-    from pyspark.sql.types import MapType
-
     from map_reduce_server_spark.stagecut import stage_cut
 
-    reserved = {"__mrss_n", "__mrss_splits"} | {
-        f"__mrss_k_{c}" for c in partition_cols
+    # Spark resolves column names case-insensitively by default, so
+    # the collision guard must too (a user '__MRSS_SALT' would
+    # otherwise be silently replaced and then dropped).
+    reserved = {"__mrss_n", "__mrss_splits", "__mrss_salt"} | {
+        f"__mrss_k_{c}".lower() for c in partition_cols
     }
-    if reserved & set(df.columns) or "__mrss_salt" in df.columns:
+    if reserved & {c.lower() for c in df.columns}:
         raise ValueError(
             "write_compacted_partitioned: input columns collide with "
-            f"reserved names {sorted(reserved | {'__mrss_salt'})}"
+            f"reserved names {sorted(reserved)}"
+        )
+    if any("." in c or "`" in c for c in partition_cols):
+        # partition column names flow through groupBy/alias string
+        # resolution, where dots parse as struct access — reject
+        # loudly instead of mis-resolving after the staging write
+        raise ValueError(
+            "write_compacted_partitioned: partition column names may "
+            "not contain '.' or '`'"
         )
     spark = df.sparkSession
     with _staged_copy(df, path) as (staged, total, use_local):
@@ -256,27 +280,29 @@ def write_compacted_partitioned(
         for c in partition_cols:
             term = staged[c].eqNullSafe(F.col(f"__mrss_k_{c}"))
             cond = term if cond is None else cond & term
+        # Salt diversity comes from hashable columns (Spark's hash
+        # rejects MapType anywhere in a type, recursively — skip
+        # those columns; bracket access resolves dotted names
+        # literally) plus the input partition id, which alone bounds
+        # the worst case to one scan split per salt.
         hashable = [
-            F.map_entries(f.name)
-            if isinstance(f.dataType, MapType)
-            else F.col(f.name)
+            staged[f.name]
             for f in staged.schema.fields
+            if not _contains_map(f.dataType)
         ]
-        salted = (
-            staged.join(F.broadcast(splits), cond)
-            .withColumn(
-                "__mrss_salt",
-                F.pmod(
-                    F.hash(F.spark_partition_id(), *hashable),
-                    F.col("__mrss_splits"),
-                ),
-            )
-            .repartition(*partition_cols, "__mrss_salt")
-            .drop(
-                "__mrss_splits",
-                "__mrss_salt",
-                *[f"__mrss_k_{c}" for c in partition_cols],
-            )
+        joined = staged.join(F.broadcast(splits), cond).withColumn(
+            "__mrss_salt",
+            F.pmod(
+                F.hash(F.spark_partition_id(), *hashable),
+                F.col("__mrss_splits"),
+            ),
+        )
+        salted = joined.repartition(
+            *[joined[c] for c in partition_cols], joined["__mrss_salt"]
+        ).drop(
+            "__mrss_splits",
+            "__mrss_salt",
+            *[f"__mrss_k_{c}" for c in partition_cols],
         )
         (
             salted.write.mode("overwrite")

@@ -212,6 +212,27 @@ def test_write_compacted_partitioned_null_keys_and_maps(spark, tmp_path):
     assert got.filter("v = 7").collect()[0]["m"] == {"k": 7}
 
 
+def test_write_compacted_partitioned_nested_maps(spark, tmp_path):
+    """Spark's hash() rejects MapType RECURSIVELY — a map nested in
+    an array must also be excluded from the salt hash (review r9:
+    a top-level isinstance check missed array<map<...>>)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_server_spark.io.compact import (
+        write_compacted_partitioned,
+    )
+
+    df = spark.range(20).select(
+        (F.col("id") % 2).alias("grp"),
+        F.array(F.create_map(F.lit("k"), F.col("id"))).alias("am"),
+    )
+    out = str(tmp_path / "nested")
+    write_compacted_partitioned(df, out, ["grp"])
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    assert got.filter("am[0]['k'] = 7").count() == 1
+
+
 def test_write_compacted_partitioned_reserved_name_collision(
     spark, tmp_path
 ):
