@@ -59,6 +59,31 @@ def main() -> None:
             materialize(registry.QUERIES[name](spark, warm_dir))
     else:
         materialize(registry.QUERIES[names[0]](spark, sf_dir).limit(1))
+    # Uncounted decimal-sum warm-up AT THE MEASURED SCALE: the first
+    # large decimal-sum aggregate in a JVM session carries a ~0.6-1 s
+    # one-time JIT cost that the small-SF warm-up above does NOT
+    # amortize (C2 needs real invocation volume; measured in round 9,
+    # docs/SCALING.md "Round-9 noise check"). Without this, whichever
+    # query runs first in the TPC-H block — q1 — absorbs that shared
+    # cost and its cold reading sits ~0.7 s above its warm floor.
+    from pyspark.sql import functions as F
+
+    from map_reduce_server_spark import tables
+    from map_reduce_server_spark.functions.exact import davg, dsum
+
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    materialize(
+        li.agg(
+            dsum("l_quantity"),
+            dsum(
+                F.col("l_extendedprice")
+                * (F.lit(1) - F.col("l_discount"))
+                * (F.lit(1) + F.col("l_tax")),
+                scale=6,
+            ),
+            davg("l_discount"),
+        )
+    )
 
     total0 = time.time()
     for name in names:

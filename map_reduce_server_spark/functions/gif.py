@@ -93,8 +93,14 @@ def _lzw_decode(data: bytes, n_pixels: int) -> bytes:
     width = _MIN_CODE_SIZE + 1
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     prev: bytes | None = None
+    # True iff the registration performed while processing the FINAL
+    # data code crossed a width transition — the one case where the
+    # trailing EOI may legitimately still be at the previous width
+    # (see the terminator check below).
+    widened = False
 
     while len(out) < n_pixels:
+        widened = False
         while nbits < width:
             if pos >= len(data):
                 raise ValueError("gif: LZW stream truncated")
@@ -127,21 +133,34 @@ def _lzw_decode(data: bytes, n_pixels: int) -> bytes:
             # widens one registration earlier in code value
             if len(table) >= (1 << width) and width < 12:
                 width += 1
+                widened = True
         if len(out) + len(entry) > n_pixels:
             raise ValueError("gif: LZW output exceeds pixel count")
         out += entry
         prev = entry
-    # the stream must terminate with EOI exactly at the pixel count —
-    # a missing terminator or trailing data is malformed, not ignored
-    while nbits < width:
-        if pos >= len(data):
-            raise ValueError("gif: LZW stream truncated before EOI")
+    # The stream must terminate with EOI exactly at the pixel count —
+    # a missing terminator or trailing data is malformed, not ignored.
+    # Width-boundary tolerance: the decoder widens one registration
+    # EARLIER than the encoder (it registers one entry behind), so
+    # when the FINAL data code's registration crossed a transition
+    # the writer legitimately emitted EOI at the previous width. Our
+    # own encoder's zero padding makes the wide read see the same
+    # value (EOI's low bits ARE EOI, LSB-first), but a foreign
+    # gray-ramp stream ending byte-aligned right after an old-width
+    # EOI has no padding bit to widen into and was falsely rejected
+    # as truncated — accept EOI at the pre-transition width too.
+    while nbits < width and pos < len(data):
         acc |= data[pos] << nbits
         pos += 1
         nbits += 8
-    if acc & ((1 << width) - 1) != _EOI:
-        raise ValueError("gif: missing EOI after final pixel")
-    return bytes(out)
+    narrow = width - 1 if widened else width
+    if nbits >= width and acc & ((1 << width) - 1) == _EOI:
+        return bytes(out)
+    if nbits >= narrow and acc & ((1 << narrow) - 1) == _EOI:
+        return bytes(out)
+    if nbits < narrow:
+        raise ValueError("gif: LZW stream truncated before EOI")
+    raise ValueError("gif: missing EOI after final pixel")
 
 
 def encode_gray8(width: int, height: int, pixels: bytes) -> bytes:

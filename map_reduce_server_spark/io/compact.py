@@ -205,8 +205,12 @@ def write_compacted_partitioned(
     counts (one row per hive partition — bounded; NULL partition
     keys group, join, and land in ``__HIVE_DEFAULT_PARTITION__``
     like any other value), so a SKEWED partition spreads over as
-    many tasks as it needs files — a 10 TB partition is written by
-    ~80k parallel tasks, not one — while a small partition keeps
+    many shuffle keys as it needs files — a 10 TB partition gets
+    ~80k distinct salt values, so no single task is forced to write
+    it alone. The salt provides the CAPACITY; the realized write
+    parallelism is whatever AQE / ``spark.sql.shuffle.partitions``
+    sizes the rewrite stage to (see ``docs/SCALING.md``) — a small
+    partition meanwhile keeps
     salt 0 everywhere and still compacts to a single file. The
     input-partition-id term bounds the degenerate all-identical-rows
     partition (pure row hashes would collapse to one salt) to one

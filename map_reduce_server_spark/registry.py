@@ -152,13 +152,13 @@ def load_all() -> None:
     _LOADED = True
 
 
-# Driver verification history (CORRECTNESS_r01..r08.json): the
+# Driver verification history (CORRECTNESS_r01..r09.json): the
 # driver samples a ~50-query registry prefix each round, so
 # ``all_queries``/``all_oracles`` order the registry stalest-first —
 # queries with NO green row certifying current code first (new
-# registrations + _CHANGED_R9 reworks), then by the round of their
-# freshest green row (round-4 greens before round-5 before … before
-# round-8). Local oracle-parity tests always cover all queries
+# registrations + _CHANGED_R10 reworks), then by the round of their
+# freshest green row (round-5 greens before round-6 before … before
+# round-9). Local oracle-parity tests always cover all queries
 # regardless of this ordering.
 
 # The 50 queries hash-verified green by CORRECTNESS_r03.json.
@@ -340,30 +340,67 @@ _DRIVER_GREEN_R8 = frozenset({
 # current code, so they rejoin the never-verified head.
 _CHANGED_R9: frozenset[str] = frozenset()
 
+# The 50 queries hash-verified green by CORRECTNESS_r09.json — the
+# freshest driver rows, ordered LAST. Re-certified the 6
+# round-4-stale TPC-H rows (q9/q11/q15/q16/q20/q22), 42 of the 46
+# round-5-stale ones, and the 2 round-9 codec additions (gif/flac).
+_DRIVER_GREEN_R9 = frozenset({
+    "ann_topk_matryoshka", "embedding_quantize_int8",
+    "graph_degree_stats", "multimodal_decode_flac",
+    "multimodal_decode_gif", "multimodal_decode_png",
+    "multimodal_decode_wav", "multimodal_resize_png",
+    "q11_important_stock", "q15_top_supplier", "q16_parts_supplier",
+    "q20_part_promotion", "q22_dormant_customers", "q9_product_profit",
+    "q_ab_test_welch", "q_ann_recall", "q_anomaly_mad",
+    "q_attribution_last_touch", "q_benford_check", "q_bootstrap_ci",
+    "q_corr_matrix", "q_coverage_report", "q_crosstab_chisq",
+    "q_dp_count_release", "q_equidepth_histogram_exact",
+    "q_feature_hashing", "q_forecast_seasonal_naive",
+    "q_fuzzy_name_match", "q_gini_concentration",
+    "q_hybrid_retrieval_rrf", "q_interval_overlap_join",
+    "q_knn_classifier", "q_label_balance", "q_market_basket",
+    "q_profile_columns", "q_rfm_segments", "q_skyline_parts",
+    "q_snapshot_diff", "q_time_weighted_avg", "q_ts_similarity_search",
+    "q_user_ltv_decay", "q_weighted_sample", "text_bigram_logprob",
+    "text_bm25", "text_bpe_train", "text_dup_spans", "text_entropy",
+    "text_keywords", "text_readability", "text_zipf_fit",
+})
+
+# Queries whose RESULT changed after their last green driver row
+# (round-10 rework): their stale green row no longer certifies the
+# current code, so they rejoin the never-verified head.
+_CHANGED_R10: frozenset[str] = frozenset()
+
 # A _CHANGED_R8 name stays ungreen unless round 8 itself re-certified
 # it (membership in _DRIVER_GREEN_R8) — subtracting the raw set would
 # let a pre-change green row count again once the round advances.
 _EVER_GREEN = (
     _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
     | _DRIVER_GREEN_R5 | _DRIVER_GREEN_R6 | _DRIVER_GREEN_R7
-    | _DRIVER_GREEN_R8
-) - (_CHANGED_R8 - _DRIVER_GREEN_R8) - _CHANGED_R9
+    | _DRIVER_GREEN_R8 | _DRIVER_GREEN_R9
+) - (_CHANGED_R8 - _DRIVER_GREEN_R8) - (
+    _CHANGED_R9 - _DRIVER_GREEN_R9
+) - _CHANGED_R10
 
 
 def _stale_first(d: dict) -> dict:
-    # Head: no green driver row certifying current code (round-9
-    # additions plus any _CHANGED_R9 reworks). Then round-4 greens
-    # (now the stalest — round 8 cleared the r3 group), round-5,
-    # …, round-8 last. A query green in multiple rounds sorts by
+    # Head: no green driver row certifying current code (round-10
+    # additions plus any _CHANGED_R10 reworks). Then round-5 greens
+    # (now the stalest — round 9 cleared the r4 group), round-6,
+    # …, round-9 last. A query green in multiple rounds sorts by
     # its FRESHEST row.
     head = {k: v for k, v in d.items() if k not in _EVER_GREEN}
-    r8 = _DRIVER_GREEN_R8 - _CHANGED_R9
-    r7 = _DRIVER_GREEN_R7 - r8 - _CHANGED_R9
-    r6 = _DRIVER_GREEN_R6 - r8 - r7 - _CHANGED_R9
-    r5 = _DRIVER_GREEN_R5 - r8 - r7 - r6 - _CHANGED_R9
-    r4 = _DRIVER_GREEN_R4 - r8 - r7 - r6 - r5 - _CHANGED_R9
-    r3 = _DRIVER_GREEN_R3 - r8 - r7 - r6 - r5 - r4 - _CHANGED_R9
-    r2 = _DRIVER_GREEN_R2 - r8 - r7 - r6 - r5 - r4 - r3 - _CHANGED_R9
+    r9 = _DRIVER_GREEN_R9 - _CHANGED_R10
+    r8 = _DRIVER_GREEN_R8 - r9 - _CHANGED_R10
+    r7 = _DRIVER_GREEN_R7 - r9 - r8 - _CHANGED_R10
+    r6 = _DRIVER_GREEN_R6 - r9 - r8 - r7 - _CHANGED_R10
+    r5 = _DRIVER_GREEN_R5 - r9 - r8 - r7 - r6 - _CHANGED_R10
+    r4 = _DRIVER_GREEN_R4 - r9 - r8 - r7 - r6 - r5 - _CHANGED_R10
+    r3 = _DRIVER_GREEN_R3 - r9 - r8 - r7 - r6 - r5 - r4 - _CHANGED_R10
+    r2 = (
+        _DRIVER_GREEN_R2
+        - r9 - r8 - r7 - r6 - r5 - r4 - r3 - _CHANGED_R10
+    )
     d2 = {k: v for k, v in d.items() if k in r2}
     d3 = {k: v for k, v in d.items() if k in r3}
     d4 = {k: v for k, v in d.items() if k in r4}
@@ -371,7 +408,8 @@ def _stale_first(d: dict) -> dict:
     d6 = {k: v for k, v in d.items() if k in r6}
     d7 = {k: v for k, v in d.items() if k in r7}
     d8 = {k: v for k, v in d.items() if k in r8}
-    return {**head, **d2, **d3, **d4, **d5, **d6, **d7, **d8}
+    d9 = {k: v for k, v in d.items() if k in r9}
+    return {**head, **d2, **d3, **d4, **d5, **d6, **d7, **d8, **d9}
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -184,7 +184,9 @@ def test_write_compacted_partitioned_null_keys_and_maps(spark, tmp_path):
     """Review r9 regressions, pinned: NULL partition keys must land
     in __HIVE_DEFAULT_PARTITION__ (a null-unsafe salt join silently
     DROPPED them), and map-typed data columns must compact (Spark's
-    hash() rejects raw maps — the salt hashes map_entries)."""
+    hash() rejects maps recursively — the salt simply EXCLUDES any
+    column containing a map, per _contains_map; diversity still
+    comes from the remaining columns + spark_partition_id)."""
     import os
 
     from pyspark.sql import functions as F
@@ -247,3 +249,37 @@ def test_write_compacted_partitioned_reserved_name_collision(
     )
     with pytest.raises(ValueError, match="reserved names"):
         write_compacted_partitioned(df, str(tmp_path / "x"), ["grp"])
+
+
+def test_write_compacted_file_uri_final_write_failure_cleans_staging(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """A final-write failure on the Hadoop FileSystem branch must
+    still remove the staged copy: `_staged_copy` promises staging
+    removal on EVERY exit path, and the file:-URI branch cleans up
+    via `fs.delete`, not shutil — so the local-branch guarantee
+    needs its own proof here. The failure is injected at the exact
+    call site (DataFrameWriter.parquet on the destination path);
+    the staging write and the getContentSummary measure run for
+    real first."""
+    import os
+
+    import pyspark.sql.readwriter as rw
+
+    li = load_table(spark, sf_small, "region")
+    local = str(tmp_path / "uri_fail")
+    out = "file://" + local
+
+    orig = rw.DataFrameWriter.parquet
+
+    def failing(self, p, *a, **k):
+        if p == out:
+            raise RuntimeError("simulated destination write failure")
+        return orig(self, p, *a, **k)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", failing)
+    with pytest.raises(RuntimeError, match="destination write failure"):
+        write_compacted(li, out, target_file_bytes=512 * 1024 * 1024)
+    # staged copy removed through the FileSystem API, dest untouched
+    assert not os.path.exists(local + "_staging")
+    assert not os.path.exists(local)

@@ -143,3 +143,133 @@ def test_encode_rejects_bad_dims():
         gif.encode_gray8(120000, 1, bytes(120000))
     with pytest.raises(ValueError, match="out of range"):
         gif.encode_gray8(0, 0, b"")
+
+
+def _pack_lsb(codes, width):
+    """LSB-first bit-pack ``codes`` at a fixed ``width`` (the GIF
+    wire order), NO padding beyond the final byte boundary."""
+    return _pack_lsb_pairs((c, width) for c in codes)
+
+
+def _pack_lsb_pairs(pairs):
+    """LSB-first bit-pack ``(code, width)`` pairs — variable width,
+    no padding beyond the final byte boundary."""
+    acc = nbits = 0
+    out = bytearray()
+    for c, width in pairs:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _foreign_boundary_stream(n):
+    """Hand-pack a root-codes-only LZW stream of ``n`` data codes
+    ending with an encoder-late-width EOI, byte-aligned exactly.
+
+    A writer that never uses its dictionary (root codes only) is
+    valid LZW but must still follow the width schedule, since its
+    TABLE grows one entry per emitted code regardless. Data codes
+    are packed at the width the decoder will read them with; the
+    trailing EOI at the width an encoder-late writer uses — one step
+    NARROWER than the decoder's when n lands exactly on a transition
+    (n = 255 / 767 / 1791: the decoder's registration during the
+    final data code crosses 512 / 1024 / 2048 entries). Leading
+    CLEARs (table-resetting no-ops) pad the total to a whole byte so
+    there is no padding bit for the decoder's wide EOI read.
+    Returns (lzw_bytes, pixels)."""
+    pairs = []
+    w = 9
+    pixels = bytearray()
+    for i in range(1, n + 1):
+        code = (i - 1) % 256
+        pairs.append((code, w))
+        pixels.append(code)
+        # decoder widens while PROCESSING codes 255/767/1791 (its
+        # table hits 512/1024/2048), so later codes read wider
+        if i in (255, 767, 1791) and w < 12:
+            w += 1
+    eoi_w = w - 1 if n in (255, 767, 1791) else w
+    pairs.append((257, eoi_w))
+    bits = sum(width for _, width in pairs)
+    clears = next(c for c in range(8) if (bits + 9 * c) % 8 == 0)
+    pairs = [(256, 9)] * clears + pairs
+    return _pack_lsb_pairs(pairs), bytes(pixels)
+
+
+def _wrap_lzw(width, height, lzw):
+    """Minimal single-image gray-ramp GIF89a container around a raw
+    LZW payload (same framing encode_gray8 emits)."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out.append(8)  # LZW min code size
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("n", [255, 767, 1791])
+def test_foreign_eoi_at_width_boundary_byte_aligned(n):
+    """ADVICE r9: the decoder registers one entry behind the encoder
+    so it widens one registration EARLIER — when the FINAL data
+    code's registration lands exactly on a width transition (table
+    hits 512/1024/2048), a writer that emits EOI at the old width
+    with the stream ending byte-aligned leaves no padding bit to
+    widen into; the strict fixed-width EOI read falsely rejected it
+    as 'truncated before EOI'. One case per width transition
+    (9→10, 10→11, 11→12)."""
+    lzw, pixels = _foreign_boundary_stream(n)
+    f = _wrap_lzw(n, 1, lzw)
+    assert gif.decode_gray8(f) == (n, 1, pixels)
+
+
+@pytest.mark.parametrize("n", [254, 256, 766, 768])
+def test_foreign_eoi_off_boundary_still_strict(n):
+    """One code either side of a transition the widths agree, so the
+    same packer (EOI at the decoder's width there) must decode — and
+    prove the schedule arithmetic in the fixture itself is right."""
+    lzw, pixels = _foreign_boundary_stream(n)
+    f = _wrap_lzw(n, 1, lzw)
+    assert gif.decode_gray8(f) == (n, 1, pixels)
+
+
+def test_foreign_eoi_at_width_boundary_with_padding():
+    """Same boundary stream but with a zero pad byte after the
+    9-bit EOI: the wide (10-bit) read sees the same value (EOI's
+    low bits ARE EOI, LSB-first) — must also decode."""
+    codes = [256] * 8 + list(range(255)) + [257]
+    lzw = _pack_lsb(codes, 9) + b"\x00"
+    f = _wrap_lzw(255, 1, lzw)
+    assert gif.decode_gray8(f) == (255, 1, bytes(range(255)))
+
+
+def test_boundary_stream_truncated_before_eoi_still_rejected():
+    """The tolerance must not weaken the truncation contract: the
+    same boundary stream CUT before the EOI code still raises."""
+    codes = [256] * 8 + list(range(255))  # no EOI at all
+    lzw = _pack_lsb(codes, 9)
+    f = _wrap_lzw(255, 1, lzw)
+    with pytest.raises(ValueError, match="truncated before EOI"):
+        gif.decode_gray8(f)
+
+
+def test_boundary_stream_garbage_instead_of_eoi_rejected():
+    """A non-EOI code after the final pixel at the boundary (at
+    either width) still raises missing-EOI."""
+    codes = [256] * 8 + list(range(255)) + [100]
+    lzw = _pack_lsb(codes, 9)
+    f = _wrap_lzw(255, 1, lzw)
+    with pytest.raises(ValueError, match="missing EOI"):
+        gif.decode_gray8(f)
