@@ -66,24 +66,25 @@ def main() -> None:
     # docs/SCALING.md "Round-9 noise check"). Without this, whichever
     # query runs first in the TPC-H block — q1 — absorbs that shared
     # cost and its cold reading sits ~0.7 s above its warm floor.
-    from pyspark.sql import functions as F
+    if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        from pyspark.sql import functions as F
 
-    from map_reduce_server_spark import tables
-    from map_reduce_server_spark.functions.exact import davg, dsum
+        from map_reduce_server_spark import tables
+        from map_reduce_server_spark.functions.exact import davg, dsum
 
-    li = tables.load_table(spark, sf_dir, "lineitem")
-    materialize(
-        li.agg(
-            dsum("l_quantity"),
-            dsum(
-                F.col("l_extendedprice")
-                * (F.lit(1) - F.col("l_discount"))
-                * (F.lit(1) + F.col("l_tax")),
-                scale=6,
-            ),
-            davg("l_discount"),
+        li = tables.load_table(spark, sf_dir, "lineitem")
+        materialize(
+            li.agg(
+                dsum("l_quantity"),
+                dsum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                    * (F.lit(1) + F.col("l_tax")),
+                    scale=6,
+                ),
+                davg("l_discount"),
+            )
         )
-    )
 
     total0 = time.time()
     for name in names:

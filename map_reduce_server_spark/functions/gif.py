@@ -153,14 +153,19 @@ def _lzw_decode(data: bytes, n_pixels: int) -> bytes:
         acc |= data[pos] << nbits
         pos += 1
         nbits += 8
+    if nbits >= width:
+        # enough bits for a full current-width read: the terminator
+        # must BE the EOI value at that width — a wide non-EOI code
+        # whose low bits merely equal EOI is trailing garbage, not a
+        # terminator (the zero-padded narrow EOI reads as the same
+        # value at both widths, so it passes here)
+        if acc & ((1 << width) - 1) == _EOI:
+            return bytes(out)
+        raise ValueError("gif: missing EOI after final pixel")
     narrow = width - 1 if widened else width
-    if nbits >= width and acc & ((1 << width) - 1) == _EOI:
-        return bytes(out)
     if nbits >= narrow and acc & ((1 << narrow) - 1) == _EOI:
         return bytes(out)
-    if nbits < narrow:
-        raise ValueError("gif: LZW stream truncated before EOI")
-    raise ValueError("gif: missing EOI after final pixel")
+    raise ValueError("gif: LZW stream truncated before EOI")
 
 
 def encode_gray8(width: int, height: int, pixels: bytes) -> bytes:

@@ -371,45 +371,73 @@ _DRIVER_GREEN_R9 = frozenset({
 # current code, so they rejoin the never-verified head.
 _CHANGED_R10: frozenset[str] = frozenset()
 
-# A _CHANGED_R8 name stays ungreen unless round 8 itself re-certified
-# it (membership in _DRIVER_GREEN_R8) — subtracting the raw set would
-# let a pre-change green row count again once the round advances.
-_EVER_GREEN = (
-    _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
-    | _DRIVER_GREEN_R5 | _DRIVER_GREEN_R6 | _DRIVER_GREEN_R7
-    | _DRIVER_GREEN_R8 | _DRIVER_GREEN_R9
-) - (_CHANGED_R8 - _DRIVER_GREEN_R8) - (
-    _CHANGED_R9 - _DRIVER_GREEN_R9
-) - _CHANGED_R10
+# Rounds FRESHEST-FIRST with their green sets — the single place a
+# new round is added. _EVER_GREEN and _stale_first both derive from
+# this list, so advancing a round means adding one entry here plus
+# the next _CHANGED constant below (the rotation lint in
+# tests/test_registry_rotation.py enforces both).
+_GREEN_BY_ROUND: list[tuple[int, frozenset]] = [
+    (9, _DRIVER_GREEN_R9),
+    (8, _DRIVER_GREEN_R8),
+    (7, _DRIVER_GREEN_R7),
+    (6, _DRIVER_GREEN_R6),
+    (5, _DRIVER_GREEN_R5),
+    (4, _DRIVER_GREEN_R4),
+    (3, _DRIVER_GREEN_R3),
+    (2, _DRIVER_GREEN_R2),
+]
+
+# Result-changing reworks keyed by the round whose BUILD introduced
+# them (a round-N rework lands before round N's driver run, so a
+# green row from round >= N certifies the new result; an older green
+# row does not).
+_CHANGED_BY_ROUND: dict[int, frozenset] = {
+    8: _CHANGED_R8,
+    9: _CHANGED_R9,
+    10: _CHANGED_R10,
+}
+
+
+def _ever_green() -> frozenset:
+    """Names whose CURRENT result has at least one green driver row:
+    the union of all green sets, minus each changed set's names that
+    no round at-or-after the change re-certified. Subtracting a raw
+    changed set would let a PRE-change green row count again; the
+    old ``- (_CHANGED_RN - _DRIVER_GREEN_RN)`` form credited only
+    round N itself, permanently pinning a name round N's window
+    missed to the head even after a LATER round certified it."""
+    ever = frozenset().union(*(g for _, g in _GREEN_BY_ROUND))
+    for n, changed in _CHANGED_BY_ROUND.items():
+        recertified = frozenset().union(
+            *(g for m, g in _GREEN_BY_ROUND if m >= n), frozenset()
+        )
+        ever -= changed - recertified
+    return ever
+
+
+_EVER_GREEN = _ever_green()
 
 
 def _stale_first(d: dict) -> dict:
-    # Head: no green driver row certifying current code (round-10
-    # additions plus any _CHANGED_R10 reworks). Then round-5 greens
-    # (now the stalest — round 9 cleared the r4 group), round-6,
-    # …, round-9 last. A query green in multiple rounds sorts by
-    # its FRESHEST row.
-    head = {k: v for k, v in d.items() if k not in _EVER_GREEN}
-    r9 = _DRIVER_GREEN_R9 - _CHANGED_R10
-    r8 = _DRIVER_GREEN_R8 - r9 - _CHANGED_R10
-    r7 = _DRIVER_GREEN_R7 - r9 - r8 - _CHANGED_R10
-    r6 = _DRIVER_GREEN_R6 - r9 - r8 - r7 - _CHANGED_R10
-    r5 = _DRIVER_GREEN_R5 - r9 - r8 - r7 - r6 - _CHANGED_R10
-    r4 = _DRIVER_GREEN_R4 - r9 - r8 - r7 - r6 - r5 - _CHANGED_R10
-    r3 = _DRIVER_GREEN_R3 - r9 - r8 - r7 - r6 - r5 - r4 - _CHANGED_R10
-    r2 = (
-        _DRIVER_GREEN_R2
-        - r9 - r8 - r7 - r6 - r5 - r4 - r3 - _CHANGED_R10
-    )
-    d2 = {k: v for k, v in d.items() if k in r2}
-    d3 = {k: v for k, v in d.items() if k in r3}
-    d4 = {k: v for k, v in d.items() if k in r4}
-    d5 = {k: v for k, v in d.items() if k in r5}
-    d6 = {k: v for k, v in d.items() if k in r6}
-    d7 = {k: v for k, v in d.items() if k in r7}
-    d8 = {k: v for k, v in d.items() if k in r8}
-    d9 = {k: v for k, v in d.items() if k in r9}
-    return {**head, **d2, **d3, **d4, **d5, **d6, **d7, **d8, **d9}
+    # Head: no green driver row certifying current code (new
+    # registrations plus unrecertified _CHANGED names). Then green
+    # groups stalest-first; a query green in multiple rounds sorts
+    # by its FRESHEST row. Dict insertion keeps the FIRST position
+    # for a key, so a head name that also sits in an old green set
+    # stays at the head.
+    current_changed = _CHANGED_BY_ROUND[max(_CHANGED_BY_ROUND)]
+    taken = set(current_changed)
+    groups = []
+    for _, greens in _GREEN_BY_ROUND:  # freshest first
+        grp = greens - taken
+        taken |= grp
+        groups.append(grp)
+    out = {k: v for k, v in d.items() if k not in _EVER_GREEN}
+    for grp in reversed(groups):  # stalest group first
+        for k, v in d.items():
+            if k in grp and k not in out:
+                out[k] = v
+    return out
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -266,10 +266,39 @@ def test_boundary_stream_truncated_before_eoi_still_rejected():
 
 
 def test_boundary_stream_garbage_instead_of_eoi_rejected():
-    """A non-EOI code after the final pixel at the boundary (at
-    either width) still raises missing-EOI."""
+    """A non-EOI code after the final pixel at the boundary still
+    raises: the 9 remaining bits decode to 100, which is neither a
+    narrow EOI (so the tolerance stays shut) nor enough bits for the
+    wide read the decoder's schedule expects."""
     codes = [256] * 8 + list(range(255)) + [100]
     lzw = _pack_lsb(codes, 9)
     f = _wrap_lzw(255, 1, lzw)
+    with pytest.raises(ValueError, match="truncated before EOI|missing EOI"):
+        gif.decode_gray8(f)
+
+
+def test_boundary_wide_nonterminator_with_eoi_low_bits_rejected():
+    """Review r10: at the boundary the tolerance must not accept a
+    WIDE post-pixel code that is not EOI but whose low narrow bits
+    equal it (10-bit 769 = 0b1100000001): when a full wide read is
+    available, only the true wide EOI terminates."""
+    pairs = [(c, 9) for c in range(255)] + [(769, 10)]
+    bits = 255 * 9 + 10
+    clears = next(c for c in range(8) if (bits + 9 * c) % 8 == 0)
+    lzw = _pack_lsb_pairs([(256, 9)] * clears + pairs)
+    f = _wrap_lzw(255, 1, lzw)
     with pytest.raises(ValueError, match="missing EOI"):
         gif.decode_gray8(f)
+
+
+@settings(max_examples=60, deadline=None)
+@given(n=st.integers(min_value=1, max_value=2500))
+def test_foreign_stream_any_length_decodes(n):
+    """Property: a root-codes-only foreign stream of ANY length with
+    an encoder-late EOI and byte-aligned ending decodes to its code
+    values — on AND off the width-transition boundaries (the
+    generator emits the narrow EOI exactly at n=255/767/1791 and the
+    agreed width everywhere else)."""
+    lzw, pixels = _foreign_boundary_stream(n)
+    f = _wrap_lzw(n, 1, lzw)
+    assert gif.decode_gray8(f) == (n, 1, pixels)

@@ -102,3 +102,31 @@ def test_changed_constant_exists_for_current_round():
             n + 1
         )
     )
+
+
+def test_changed_name_recertified_by_later_round_counts_green(monkeypatch):
+    """Review r10: the old `- (_CHANGED_RN - _DRIVER_GREEN_RN)` form
+    credited only round N's own re-certification — a name changed in
+    round N but certified by a LATER round stayed pinned to the
+    never-verified head forever. _ever_green must credit any green
+    round at-or-after the change."""
+    # 'text_bm25' is green in r5 and r9. Changed in r8, not in r8's
+    # greens, but r9 re-certified it → must be ever-green.
+    monkeypatch.setitem(registry._CHANGED_BY_ROUND, 8, frozenset({"text_bm25"}))
+    assert "text_bm25" in registry._ever_green()
+
+
+def test_changed_name_never_recertified_stays_head(monkeypatch):
+    """A changed name no later round certified must NOT count green
+    (its only green rows predate the change)."""
+    # 'q1_pricing_summary' is green r3/r7 only; mark it changed in r9.
+    monkeypatch.setitem(
+        registry._CHANGED_BY_ROUND, 9, frozenset({"q1_pricing_summary"})
+    )
+    eg = registry._ever_green()
+    assert "q1_pricing_summary" not in eg
+    # _stale_first reads the module-level cache — refresh it for the
+    # simulated scenario, restored by monkeypatch afterwards
+    monkeypatch.setattr(registry, "_EVER_GREEN", eg)
+    order = list(registry._stale_first(dict.fromkeys(eg | {"q1_pricing_summary"})))
+    assert order[0] == "q1_pricing_summary"
