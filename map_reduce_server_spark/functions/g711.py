@@ -23,7 +23,8 @@ which a SQL oracle replays verbatim. A-law (format tag 6, the
 European telephony sibling) is implemented alongside with the same
 closed-form discipline — and without mu-law's negative-zero quirk,
 its codebook is invertible on all 256 codes. Scope is honest: mono
-G.711 only; ADPCM and perceptual codecs (mp3/ogg) stay env-gated in
+G.711 only; IMA ADPCM lives in its own module (:mod:`.adpcm`) and
+perceptual codecs (mp3/ogg) stay env-gated in
 :mod:`..operators.multimodal`.
 """
 

@@ -1,7 +1,7 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata + Pandas-UDF decode stages.
 
-Seven wire formats are REAL end to end — pure numpy/stdlib codecs run
+Eight wire formats are REAL end to end — pure numpy/stdlib codecs run
 inside Arrow-batched ``mapInPandas`` stages and are value-checked by
 oracles that recompute pixel/sample statistics from the md5 hex the
 files are built from:
@@ -19,6 +19,10 @@ files are built from:
 - G.711 compressed audio (:mod:`..functions.g711`): logarithmic
   companding, BOTH laws (WAVE_FORMAT_MULAW and WAVE_FORMAT_ALAW
   containers, one registered query each);
+- IMA ADPCM (:mod:`..functions.adpcm`): the STATEFUL family —
+  adaptive differential PCM (WAVE_FORMAT_IMA_ADPCM 0x11, block
+  headers, fact-chunk sample counts), oracle-replayed with a
+  recursive CTE over the predictor state machine;
 - FLAC (:mod:`..functions.flac`): the predictive family — fixed
   polynomial predictors, Rice-coded residuals, CRC-8/CRC-16 and
   audio-MD5 integrity, all verified on decode;
@@ -49,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions import (
+    adpcm,
     avi,
     flac,
     g711,
@@ -1521,6 +1526,141 @@ def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; payloads live only inside a task."""
     docs = load_table(spark, sf_dir, "documents")
     stats = flac_stats(with_flac_payload(docs))
+    return stats.select(
+        "doc_id",
+        "framerate",
+        "n_samples",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "max_abs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAVE format 0x11) — the STATEFUL compression family.
+
+_ADPCM_RATE = 11025
+_ADPCM_NIB = 64  # 4-bit codes per clip -> 65 output samples
+# The IMA step-size and index tables, inlined for the SQL twin
+# (duplicated from functions/adpcm.py BY DESIGN: the oracle must not
+# share the implementation's table, or a typo there would cancel out).
+_SQL_ADPCM_STEPS = "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767]"
+_SQL_ADPCM_IDXT = "[-1,-1,-1,-1,2,4,6,8]"
+
+
+def with_adpcm_payload(docs: DataFrame) -> DataFrame:
+    """Frame md5-derived header state + 32 nibble bytes per document
+    as a REAL WAVE_FORMAT_IMA_ADPCM (0x11) single-block RIFF file:
+    predictor from the first 4 hex chars of md5('p'||text) (as a
+    signed int16), step index from the next byte % 89, nibbles from
+    md5('q'||text)||md5('r'||text)."""
+    flat = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("p"), F.col("text"))).alias("ph"),
+        F.concat(
+            F.md5(F.concat(F.lit("q"), F.col("text"))),
+            F.md5(F.concat(F.lit("r"), F.col("text"))),
+        ).alias("dh"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def build(row):
+            ph, dh = row["ph"], row["dh"]
+            if ph is None or dh is None:
+                return None
+            v = int(ph[0:4], 16)
+            pred0 = v - 65536 if v >= 32768 else v
+            idx0 = int(ph[4:6], 16) % 89
+            return adpcm.frame_wav_ima(
+                _ADPCM_RATE, pred0, idx0, bytes.fromhex(dh)
+            )
+
+        for pdf in batches:
+            payload = pdf.apply(build, axis=1)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def adpcm_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real 0x11 payloads: container parse (format
+    tag, block-align/samples-per-block consistency, fact count) +
+    the sequential predictor state machine, then the shared per-clip
+    sample statistics."""
+    return _g711_stats(df, adpcm.decode_wav_ima)
+
+
+@register(
+    "multimodal_decode_adpcm",
+    oracle=f"""
+    WITH RECURSIVE src AS (
+      SELECT doc_id, md5('p' || text) AS ph,
+             md5('q' || text) || md5('r' || text) AS dh
+      FROM documents WHERE text IS NOT NULL),
+    init AS (
+      SELECT doc_id,
+             CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS pred,
+             CAST(('0x' || substr(ph, 5, 2)) AS INTEGER) % 89 AS idx,
+             dh
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(ph, 1, 4)) AS INTEGER) AS v,
+                   ph, dh FROM src) q),
+    dec AS (
+      SELECT doc_id, 0 AS i, pred, idx, dh FROM init
+      UNION ALL
+      SELECT doc_id, i + 1,
+             GREATEST(-32768, LEAST(32767,
+               pred + CASE WHEN nib >= 8 THEN -d ELSE d END)) AS pred,
+             GREATEST(0, LEAST(88,
+               idx + list_extract({_SQL_ADPCM_IDXT}, (nib % 8) + 1)))
+               AS idx,
+             dh
+      FROM (
+        SELECT doc_id, i, pred, idx, dh, nib,
+               (step // 8) + (nib % 2) * (step // 4)
+                 + ((nib // 2) % 2) * (step // 2)
+                 + ((nib // 4) % 2) * step AS d
+        FROM (
+          SELECT doc_id, i, pred, idx, dh,
+                 CASE WHEN (i % 2) = 0
+                      THEN CAST(('0x' || substr(dh, (i // 2) * 2 + 1, 2))
+                                AS INTEGER) % 16
+                      ELSE CAST(('0x' || substr(dh, (i // 2) * 2 + 1, 2))
+                                AS INTEGER) // 16
+                 END AS nib,
+                 list_extract({_SQL_ADPCM_STEPS}, idx + 1) AS step
+          FROM dec WHERE i < {_ADPCM_NIB}) a) b),
+    st AS (
+      SELECT doc_id, CAST({_ADPCM_RATE} AS INTEGER) AS framerate,
+             CAST({_ADPCM_NIB} + 1 AS INTEGER) AS n_samples,
+             round(CAST(sum(abs(pred)) AS DOUBLE)
+                   / ({_ADPCM_NIB} + 1), 6) AS mean_abs,
+             CAST(max(abs(pred)) AS INTEGER) AS max_abs
+      FROM dec GROUP BY doc_id)
+    SELECT d.doc_id, st.framerate, st.n_samples, st.mean_abs, st.max_abs
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+    """,
+)
+def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for the STATEFUL compression family:
+    frame each document's md5-derived predictor/index/nibble stream
+    as an actual WAVE_FORMAT_IMA_ADPCM (0x11) file — fmt extension
+    with wSamplesPerBlock, mandatory fact chunk, 4-byte block header
+    — and decode it back with the pure-stdlib state machine
+    (``functions/adpcm.py``, bit-exact to CPython's audioop DVI
+    reference on BOTH encode and decode, property-tested). Unlike
+    every other audio leg the decode is SEQUENTIAL (each sample's
+    reconstruction depends on all previous codes), so the oracle
+    replays the predictor recursion with a recursive CTE over the
+    IMA step table — a drift in step adaptation, clamping, nibble
+    order, or the diff reconstruction breaks the hash on every row.
+    Completes the taxonomy: DEFLATE (PNG), LZW (GIF), DCT+Huffman
+    (JPEG), companding (G.711), prediction+Rice (FLAC), adaptive
+    DPCM (this leg); perceptual codecs (mp3/ogg) stay env-gated.
+
+    Scale: embarrassingly parallel Arrow-batched mapInPandas, no
+    shuffle; payloads live only inside a task."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = adpcm_stats(with_adpcm_payload(docs))
     return stats.select(
         "doc_id",
         "framerate",
