@@ -110,15 +110,19 @@ def _decode_block(body: bytes, n_out: int) -> list[int]:
     if idx > 88:
         raise ValueError(f"adpcm: block step index {idx} > 88")
     out = [pred]
+    # check BEFORE decoding, not only after an append: a final block
+    # that owes just its header sample (fact = k*spb + 1) is commonly
+    # padded to full block-align by standard encoders, and its pad
+    # nibbles must not leak samples
+    if len(out) == n_out:
+        return out
     for b in body[4:]:
         for nib in (b & 0x0F, b >> 4):  # WAV packs LOW nibble first
             pred, idx = decode_nibble(nib, pred, idx)
             out.append(pred)
             if len(out) == n_out:
                 return out
-    if len(out) < n_out:
-        raise ValueError("adpcm: block ends before its sample count")
-    return out
+    raise ValueError("adpcm: block ends before its sample count")
 
 
 def _samples_per_block(block_align: int) -> int:
@@ -189,6 +193,10 @@ def frame_wav_ima(
         raise ValueError("sample out of int16 range")
     if not 0 <= idx0 <= 88:
         raise ValueError("adpcm: step index out of range")
+    if not nibble_bytes:
+        # block_align 4 / wSamplesPerBlock 1 fails the decoder's
+        # consistency check — refuse to emit an undecodable file
+        raise ValueError("adpcm: empty nibble payload")
     block = struct.pack("<hBB", pred0, idx0, 0) + nibble_bytes
     n = 1 + 2 * len(nibble_bytes)
     fmt = struct.pack(

@@ -1553,29 +1553,27 @@ def with_adpcm_payload(docs: DataFrame) -> DataFrame:
     predictor from the first 4 hex chars of md5('p'||text) (as a
     signed int16), step index from the next byte % 89, nibbles from
     md5('q'||text)||md5('r'||text)."""
-    flat = docs.select(
-        "doc_id",
-        F.md5(F.concat(F.lit("p"), F.col("text"))).alias("ph"),
-        F.concat(
-            F.md5(F.concat(F.lit("q"), F.col("text"))),
-            F.md5(F.concat(F.lit("r"), F.col("text"))),
-        ).alias("dh"),
+    # one 70-char hex column: 4 chars predictor + 2 chars index +
+    # 64 chars nibbles (concat is NULL if ANY part is — a NULL text
+    # flows through _nn like every sibling payload builder)
+    hex_col = F.concat(
+        F.substring(F.md5(F.concat(F.lit("p"), F.col("text"))), 1, 6),
+        F.md5(F.concat(F.lit("q"), F.col("text"))),
+        F.md5(F.concat(F.lit("r"), F.col("text"))),
     )
+    flat = docs.select("doc_id", hex_col.alias("hx"))
+
+    def build(h: str) -> bytes:
+        v = int(h[0:4], 16)
+        pred0 = v - 65536 if v >= 32768 else v
+        idx0 = int(h[4:6], 16) % 89
+        return adpcm.frame_wav_ima(
+            _ADPCM_RATE, pred0, idx0, bytes.fromhex(h[6:])
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def build(row):
-            ph, dh = row["ph"], row["dh"]
-            if ph is None or dh is None:
-                return None
-            v = int(ph[0:4], 16)
-            pred0 = v - 65536 if v >= 32768 else v
-            idx0 = int(ph[4:6], 16) % 89
-            return adpcm.frame_wav_ima(
-                _ADPCM_RATE, pred0, idx0, bytes.fromhex(dh)
-            )
-
         for pdf in batches:
-            payload = pdf.apply(build, axis=1)
+            payload = pdf["hx"].map(_nn(build))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
 
     return flat.mapInPandas(run, schema="doc_id bigint, payload binary")

@@ -207,3 +207,46 @@ def test_truncation_sweep_raises_valueerror():
     for cut in range(len(f)):
         with pytest.raises((ValueError, NotImplementedError)):
             adpcm.decode_wav_ima(f[:cut])
+
+
+def test_padded_final_block_layouts():
+    """Review r10: standard encoders (e.g. ffmpeg) pad EVERY block to
+    nBlockAlign and let the fact count trim — including the corner
+    where the final block owes ONLY its header sample (fact =
+    k*spb + 1). Hand-build that layout and require exact decode;
+    the pad nibbles must not leak samples or trip the trim check."""
+    spb, align = 9, 8  # 9 samples/block, 4 header + 4 nibble bytes
+    blocks = b""
+    idx = 0
+    ref = []
+    # block 1: full (9 samples), block 2: padded, owes only header
+    samples1 = [0, 500, -800, 1200, -1600, 30, 60, -90, 120]
+    pred = samples1[0]
+    blocks += struct.pack("<hBB", pred, idx, 0)
+    nibs = []
+    for s in samples1[1:]:
+        nib, pred, idx = adpcm.encode_step(s, pred, idx)
+        nibs.append(nib)
+    blocks += bytes(lo | (hi << 4) for lo, hi in zip(nibs[0::2], nibs[1::2]))
+    ref_decode = adpcm._decode_block(blocks[-8:], 9)
+    ref.extend(ref_decode)
+    blocks += struct.pack("<hBB", -12345, idx, 0) + b"\xab\xcd\xef\x01"
+    ref.append(-12345)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, align, 4, 2, spb)
+    fact = struct.pack("<I", 10)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(blocks)) + blocks
+    )
+    f = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    rate, got = adpcm.decode_wav_ima(f)
+    assert (rate, got) == (8000, ref)
+
+
+def test_frame_wav_ima_rejects_empty_nibbles():
+    """Review r10: an empty nibble payload would frame a file the
+    decoder's block-align consistency check rejects — refuse at the
+    source."""
+    with pytest.raises(ValueError, match="empty nibble"):
+        adpcm.frame_wav_ima(8000, 0, 0, b"")
