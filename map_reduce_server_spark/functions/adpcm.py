@@ -281,6 +281,12 @@ def decode_wav_ima(data: bytes) -> tuple[int, list[int]]:
         )
     if n_total is None:
         raise ValueError("missing fact chunk (required for ADPCM)")
+    if n_total == 0:
+        # zero samples with a data chunk present is malformed, and an
+        # empty sample list would push the failure downstream into
+        # the stats stage (max()/division on empty) instead of the
+        # codec's loud-ValueError contract
+        raise ValueError("adpcm: fact sample count is zero")
     out: list[int] = []
     bpos = 0
     while bpos < len(body) and len(out) < n_total:

@@ -153,19 +153,21 @@ def _lzw_decode(data: bytes, n_pixels: int) -> bytes:
         acc |= data[pos] << nbits
         pos += 1
         nbits += 8
-    if nbits >= width:
-        # enough bits for a full current-width read: the terminator
-        # must BE the EOI value at that width — a wide non-EOI code
-        # whose low bits merely equal EOI is trailing garbage, not a
-        # terminator (the zero-padded narrow EOI reads as the same
-        # value at both widths, so it passes here)
-        if acc & ((1 << width) - 1) == _EOI:
-            return bytes(out)
-        raise ValueError("gif: missing EOI after final pixel")
+    if nbits >= width and acc & ((1 << width) - 1) == _EOI:
+        return bytes(out)
     narrow = width - 1 if widened else width
     if nbits >= narrow and acc & ((1 << narrow) - 1) == _EOI:
+        # Deliberate charity at the boundary: a narrow EOI followed
+        # by a set padding bit is BIT-IDENTICAL to a malformed wide
+        # non-EOI code whose low bits equal EOI (e.g. 10-bit 769).
+        # The spec makes bits after EOI don't-care padding, so the
+        # conforming parse exists and rejecting it would falsely
+        # refuse a legal ones-padding writer; all pixels are already
+        # decoded either way.
         return bytes(out)
-    raise ValueError("gif: LZW stream truncated before EOI")
+    if nbits < narrow:
+        raise ValueError("gif: LZW stream truncated before EOI")
+    raise ValueError("gif: missing EOI after final pixel")
 
 
 def encode_gray8(width: int, height: int, pixels: bytes) -> bytes:

@@ -250,3 +250,14 @@ def test_frame_wav_ima_rejects_empty_nibbles():
     source."""
     with pytest.raises(ValueError, match="empty nibble"):
         adpcm.frame_wav_ima(8000, 0, 0, b"")
+
+
+def test_zero_fact_count_rejected():
+    """Review r10: fact = 0 must fail at the codec (the ValueError
+    contract), not flow an empty sample list into the stats stage
+    where max()/division crash the Spark task."""
+    f = bytearray(adpcm.frame_wav_ima(8000, 0, 0, bytes(4)))
+    i = f.find(b"fact")
+    f[i + 8 : i + 12] = struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="fact sample count is zero"):
+        adpcm.decode_wav_ima(bytes(f))

@@ -277,16 +277,31 @@ def test_boundary_stream_garbage_instead_of_eoi_rejected():
         gif.decode_gray8(f)
 
 
-def test_boundary_wide_nonterminator_with_eoi_low_bits_rejected():
-    """Review r10: at the boundary the tolerance must not accept a
-    WIDE post-pixel code that is not EOI but whose low narrow bits
-    equal it (10-bit 769 = 0b1100000001): when a full wide read is
-    available, only the true wide EOI terminates."""
+def test_boundary_ones_padding_after_narrow_eoi_accepted():
+    """Review r10 (two conflicting reviews, resolved for charity): a
+    narrow EOI at the boundary followed by a SET padding bit is
+    bit-identical to a malformed wide code 769 (0b1100000001) — but
+    the spec makes bits after EOI don't-care padding, so a legal
+    ones-padding writer produces exactly these bits and rejecting
+    them would falsely refuse a conforming file. Both parses leave
+    the pixels complete and identical; the conforming parse wins.
+    (The same bits written as '(769, 10)' decode identically.)"""
     pairs = [(c, 9) for c in range(255)] + [(769, 10)]
     bits = 255 * 9 + 10
     clears = next(c for c in range(8) if (bits + 9 * c) % 8 == 0)
     lzw = _pack_lsb_pairs([(256, 9)] * clears + pairs)
     f = _wrap_lzw(255, 1, lzw)
+    assert gif.decode_gray8(f) == (255, 1, bytes(range(255)))
+
+
+def test_off_boundary_wide_garbage_still_rejected():
+    """Away from a transition there is no narrow/padding ambiguity:
+    a full-width non-EOI code after the final pixel stays malformed."""
+    pairs = [(c, 9) for c in range(254)] + [(100, 9)]
+    bits = 255 * 9
+    clears = next(c for c in range(8) if (bits + 9 * c) % 8 == 0)
+    lzw = _pack_lsb_pairs([(256, 9)] * clears + pairs)
+    f = _wrap_lzw(254, 1, lzw)
     with pytest.raises(ValueError, match="missing EOI"):
         gif.decode_gray8(f)
 
