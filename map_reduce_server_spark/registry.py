@@ -371,12 +371,44 @@ _DRIVER_GREEN_R9 = frozenset({
 # current code, so they rejoin the never-verified head.
 _CHANGED_R10: frozenset[str] = frozenset()
 
+# The 50 queries hash-verified green by CORRECTNESS_r10.json — the
+# freshest driver rows, ordered LAST. Re-certified the 4 r5-stale
+# rows (q21 + the 3 streaming queries), 45 r6-stale ones, and the
+# round-10 ADPCM codec addition (all 50 rows green: rows/schema/hash
+# matched at sf0.01).
+_DRIVER_GREEN_R10 = frozenset({
+    "ann_topk_bruteforce", "ann_topk_lsh", "grep",
+    "multimodal_decode_adpcm", "multimodal_decode_jpeg",
+    "multimodal_decode_mulaw", "multimodal_decode_video",
+    "q21_waiting_suppliers", "q2_min_cost_supplier",
+    "q_approx_sketches", "q_array_funcs", "q_asof_join",
+    "q_bitwise_agg", "q_collect_sorted", "q_conditional_agg",
+    "q_correlated_exists", "q_date_funcs", "q_date_spine",
+    "q_equidepth_histogram", "q_grouping_sets", "q_json_funcs",
+    "q_like_regexp", "q_map_funcs", "q_minmax_by", "q_null_funcs",
+    "q_pandas_udf_score", "q_percentiles", "q_posexplode",
+    "q_range_join", "q_salted_join", "q_sessionize", "q_set_ops",
+    "q_set_ops_all", "q_stats_moments", "q_string_funcs",
+    "q_string_funcs2", "q_try_funcs", "q_union_by_name",
+    "q_unpivot", "q_upsert", "stream_static_enrich",
+    "stream_stream_interval_join", "stream_trending_topk",
+    "text_bpe_tokens", "text_fingerprint", "text_lang_id",
+    "text_tfidf", "text_token_stats", "text_train_test_split",
+    "wordcount",
+})
+
+# Queries whose RESULT changed after their last green driver row
+# (round-11 rework): their stale green row no longer certifies the
+# current code, so they rejoin the never-verified head.
+_CHANGED_R11: frozenset[str] = frozenset()
+
 # Rounds FRESHEST-FIRST with their green sets — the single place a
 # new round is added. _EVER_GREEN and _stale_first both derive from
 # this list, so advancing a round means adding one entry here plus
 # the next _CHANGED constant below (the rotation lint in
 # tests/test_registry_rotation.py enforces both).
 _GREEN_BY_ROUND: list[tuple[int, frozenset]] = [
+    (10, _DRIVER_GREEN_R10),
     (9, _DRIVER_GREEN_R9),
     (8, _DRIVER_GREEN_R8),
     (7, _DRIVER_GREEN_R7),
@@ -395,6 +427,7 @@ _CHANGED_BY_ROUND: dict[int, frozenset] = {
     8: _CHANGED_R8,
     9: _CHANGED_R9,
     10: _CHANGED_R10,
+    11: _CHANGED_R11,
 }
 
 
