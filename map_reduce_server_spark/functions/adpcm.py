@@ -295,6 +295,17 @@ def decode_wav_ima(data: bytes) -> tuple[int, list[int]]:
         bpos += align
     if len(out) != n_total:
         raise ValueError("adpcm: data ends before the fact sample count")
+    if bpos < len(body):
+        # Same strictness as the GIF decoder's trailing-data check: a
+        # fact count that leaves whole undecoded blocks behind means
+        # the header and the payload disagree about the file's length.
+        # (bpos already covers a padded partial FINAL block — the loop
+        # advances by block_align even when the block owes fewer than
+        # spb samples — so only genuinely surplus bytes land here.)
+        raise ValueError(
+            "adpcm: data continues beyond the fact sample count "
+            f"({len(body) - bpos} surplus byte(s))"
+        )
     return framerate, out
 
 
