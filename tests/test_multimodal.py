@@ -1125,3 +1125,78 @@ def test_mean_px_round_tie_free_domains(spark):
         )
         bad = [k for k in srows if srows[k] != drows[k]]
         assert not bad, f"divisor {d}: cross-engine round ties at {bad[:5]}"
+
+
+def _mb_adpcm_pcm(doc_id: int, n: int = 37) -> list:
+    """Deterministic per-doc multi-block PCM: md5-chained int16
+    stream (pure function shared by the Spark builder below and the
+    driver-side expectation, so the test pins the PLUMBING — the
+    codec itself is golden/audioop-pinned in test_adpcm_goldens)."""
+    import hashlib
+
+    out = []
+    seed = str(doc_id).encode()
+    block = b""
+    while len(out) < n:
+        block = hashlib.md5(seed + block).digest()
+        for i in range(0, 16, 2):
+            v = int.from_bytes(block[i : i + 2], "little", signed=True)
+            out.append(v)
+            if len(out) == n:
+                break
+    return out
+
+
+def test_adpcm_multiblock_spark_path(spark, sf_small):
+    """Multi-block ADPCM through the REAL distributed path: build
+    encode_wav_ima files (samples_per_block=9 -> 4 full blocks + a
+    header-only padded final block at n=37, exercising cross-block
+    index carry and the fact-trimmed tail) inside mapInPandas, run
+    the shared adpcm_stats decode stage, and check every row against
+    a driver-side replay of the closed-loop reconstruction. Kept
+    UNREGISTERED (round-10 verdict task 2: no new driver queries
+    while the rotation tail re-certifies)."""
+    from map_reduce_server_spark.functions import adpcm
+    from map_reduce_server_spark.operators.multimodal import adpcm_stats
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id").limit(40)
+
+    def build(batches):
+        for pdf in batches:
+            payload = pdf["doc_id"].map(
+                lambda d: adpcm.encode_wav_ima(
+                    11025, _mb_adpcm_pcm(int(d)), samples_per_block=9
+                )
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payload}
+            )
+
+    framed = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    got = {
+        r["doc_id"]: (
+            r["framerate"],
+            r["n_samples"],
+            r["mean_abs"],
+            r["max_abs"],
+        )
+        for r in adpcm_stats(framed).collect()
+    }
+    assert len(got) == 40
+    for doc_id, row in got.items():
+        pcm = _mb_adpcm_pcm(doc_id)
+        pred, idx = 0, 0
+        want = []
+        for k, s in enumerate(pcm):
+            if k % 9 == 0:
+                pred = s  # block header re-anchors; index carries
+                want.append(pred)
+            else:
+                _, pred, idx = adpcm.encode_step(s, pred, idx)
+                want.append(pred)
+        assert row == (
+            11025,
+            37,
+            sum(abs(x) for x in want) / 37,
+            max(abs(x) for x in want),
+        ), doc_id
