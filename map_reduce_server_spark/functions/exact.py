@@ -138,10 +138,21 @@ def _checked_q40_sum(c: Column) -> Column:
 
 
 def _sql_checked_q40_sum(expr: str) -> str:
-    """DuckDB twin of :func:`_checked_q40_sum` (``error()`` raises)."""
-    s = (
-        f"SUM(CAST(FLOOR(({expr}) * 1099511627776.0) AS DECIMAL(38,0)))"
+    """DuckDB twin of :func:`_checked_q40_sum` (``error()`` raises).
+    Carries BOTH guards the Spark side enforces: the per-row
+    :func:`q40_int` envelope (NaN/Inf/|v| >= 2^23 raises — without
+    it a group of large values that cancel would make Spark raise
+    while the oracle returned a finite answer) and the 2^53 sum
+    limit. NULL rows pass through the per-row CASE as NULL (the NOT
+    isfinite predicate is NULL, not true), matching SUM's skip."""
+    row = (
+        f"CASE WHEN NOT isfinite({expr}) OR ABS({expr}) >= 8388608.0 "
+        f"THEN CAST(error('exact: value not representable at 2^-40 "
+        f"quantization (NaN/Inf/|v|>=2^23)') AS DECIMAL(38,0)) "
+        f"ELSE CAST(FLOOR(({expr}) * 1099511627776.0) "
+        f"AS DECIMAL(38,0)) END"
     )
+    s = f"SUM({row})"
     return (
         f"CASE WHEN ABS({s}) >= {_Q40_SUM_LIMIT} THEN "
         f"CAST(error('exact: q40 group sum exceeds the 2^53 envelope') "

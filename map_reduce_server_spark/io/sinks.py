@@ -27,7 +27,7 @@ def _glob_in(directory: str, pattern: str) -> list[str]:
 
 
 def write_numbered_text(
-    df: DataFrame, output_dir: str, pre_finalize=None
+    df: DataFrame, output_dir: str, pre_finalize=None, n_parts=None
 ) -> list[str]:
     """Write a single-string-column DataFrame as text files named
     ``outputfile{NN}`` — exactly ONE per partition, numbered by
@@ -41,6 +41,17 @@ def write_numbered_text(
     empty). The partition id is authoritative: it is encoded in the
     ``part-NNNNN-*`` filename.
 
+    ``n_parts`` (optional int) is the caller's known partition count
+    — the mapreduce facade passes its reducer count so TRAILING
+    empty partitions also materialize as empty files. When omitted,
+    the count is derived from the written part files alone (gaps
+    still fill in; a trailing run of empty partitions does not),
+    because discovering it from the plan would mean a SECOND
+    ``df.rdd``-triggered execution: under AQE a shuffle-bearing plan
+    would run its stages once for the count and again for the write,
+    and the two independently-planned runs can even disagree on the
+    partition count — fabricating surplus empty files.
+
     ``pre_finalize`` (optional callable) runs AFTER the distributed
     write action completes but BEFORE the destination is touched —
     the hook for any post-action validation a caller wants between
@@ -49,7 +60,6 @@ def write_numbered_text(
     intact, so a failed job never leaves complete-looking but
     data-missing output behind.
     """
-    n_parts = df.rdd.getNumPartitions()
     staging = os.path.join(output_dir, "_staging")
     df.write.mode("overwrite").text(staging)
     if pre_finalize is not None:
@@ -68,10 +78,9 @@ def write_numbered_text(
         pid = int(os.path.basename(part).split("-")[1])
         by_pid[pid] = part
     out_paths = []
-    # the write plan's partition count is authoritative if it exceeds
-    # the separately-evaluated n_parts (e.g. AQE coalescing differing
-    # between the two executions) — never drop a written part file
-    for pid in range(max(n_parts, max(by_pid, default=-1) + 1)):
+    # the written files are authoritative if they exceed the caller's
+    # n_parts — never drop a written part file
+    for pid in range(max(n_parts or 0, max(by_pid, default=-1) + 1)):
         dest = os.path.join(output_dir, f"outputfile{pid + 1:02d}")
         if pid in by_pid:
             shutil.move(by_pid[pid], dest)

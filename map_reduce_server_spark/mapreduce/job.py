@@ -340,4 +340,9 @@ def run_job(spark: SparkSession, job: MapReduceJob) -> list[str]:
     out_df = spark.createDataFrame(
         reduced.map(_to_text_row), "value string"
     )
-    return write_numbered_text(out_df, job.output_directory)
+    # reducer count passed explicitly: trailing EMPTY reducers must
+    # still emit their outputfileNN (reference copies every reducer's
+    # file), and the sink must not re-execute the plan to count them
+    return write_numbered_text(
+        out_df, job.output_directory, n_parts=job.num_reducers
+    )

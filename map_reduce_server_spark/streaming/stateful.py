@@ -2,11 +2,25 @@
 
 The reference has no streaming at all (SURVEY.md §2.D); this is the
 north-star "custom stateful operator" path: user-defined per-key
-state evolved batch by batch, with watermark-driven timeout — the
-building block for streaming dedup, running aggregates with custom
-merge logic, or online feature extraction at 100 TB/day (state is
-partitioned by key across executors; only the key's state, never the
-stream, lives in memory).
+state evolved batch by batch, with watermark-driven state expiry —
+the building block for streaming dedup, running aggregates with
+custom merge logic, or online feature extraction at 100 TB/day
+(state is partitioned by key across executors; only the key's state,
+never the stream, lives in memory).
+
+Two state-lifetime modes, chosen per call:
+
+- ``idle_ttl_ms=None`` (default): state lives forever —
+  correct for LOW-cardinality keys (event types here) where the
+  running total is the product.
+- ``idle_ttl_ms=N``: EVENT-TIME timeout. Each update re-arms a
+  per-key timer at ``watermark + N``; when the watermark (driven by
+  the caller's ``withWatermark`` on the stream) passes it with no
+  new events for the key, the operator is invoked once more with
+  ``hasTimedOut`` set, emits the key's final snapshot, and REMOVES
+  the state. This is the mode a high-cardinality key (session id,
+  user id) must use, or state grows without bound until executors
+  OOM.
 """
 
 from __future__ import annotations
@@ -34,47 +48,42 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _update_counts(
-    key: tuple,
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterable[pd.DataFrame]:
-    """Fold each micro-batch into (count, exact-cents total) state.
+def _fold_cents(
+    batches: Iterator[pd.DataFrame], n: int, total_cents: int
+) -> tuple[int, int]:
+    """Fold micro-batches into (count, exact-cents total).
 
     Cents (int64) instead of float accumulation: each value rounds
     to cents independently (HALF_UP, matching decimal(30,2)), so the
     integer total is associative and exact — independent of batch
     boundaries, the streaming analog of the engine's decimal-sum
-    rule.
+    rule. Rounding detail: shortest decimal repr of the double (JVM
+    BigDecimal.valueOf == Python repr), then HALF_UP (ties away from
+    zero, for negatives too) — the former floor(|v|*100 + 0.5) trick
+    mis-rounds values like 0.145 whose *100 falls a ulp below the
+    half boundary. NULL/NaN AND +/-inf values carry no measurable
+    amount: the decimal(30,2) cast yields NULL for all of them and
+    SUM skips the value (n still counts the row — COUNT(*));
+    Decimal('Infinity').quantize would raise instead.
     """
     from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
 
     cent = Decimal("0.01")
-    n, total_cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        # round each VALUE to cents exactly as the engine's
-        # decimal(30,2) cast does — shortest decimal repr of the
-        # double (JVM BigDecimal.valueOf == Python repr), then
-        # HALF_UP (ties away from zero, for negatives too) — and sum
-        # integers: a per-batch float sum rounded once would make
-        # the total depend on batch boundaries, and the former
-        # floor(|v|*100 + 0.5) trick mis-rounds values like 0.145
-        # whose *100 falls a ulp below the half boundary. NULL/NaN
-        # AND +/-inf values carry no measurable amount: the
-        # decimal(30,2) cast yields NULL for all of them and SUM
-        # skips the value (n still counts the row — COUNT(*));
-        # Decimal('Infinity').quantize would raise instead.
         vals = pdf["value"].dropna()
         vals = vals[np.isfinite(vals)]
         total_cents += sum(
             int(Decimal(repr(float(v))).quantize(cent, ROUND_HALF_UP) * 100)
             for v in vals
         )
-    state.update((n, total_cents))
-    yield pd.DataFrame(
+    return n, total_cents
+
+
+def _snapshot(key: tuple, n: int, total_cents: int) -> pd.DataFrame:
+    return pd.DataFrame(
         {
             "event_type": [key[0]],
             "n_events": [n],
@@ -83,14 +92,69 @@ def _update_counts(
     )
 
 
-def running_counts_stream(events_stream: DataFrame) -> DataFrame:
-    """Per-event-type running (count, total) with custom state."""
+def _update_counts(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """No-timeout update: fold the batches, keep state forever."""
+    n, total_cents = state.get if state.exists else (0, 0)
+    n, total_cents = _fold_cents(batches, n, total_cents)
+    state.update((n, total_cents))
+    yield _snapshot(key, n, total_cents)
+
+
+def running_counts_stream(
+    events_stream: DataFrame, idle_ttl_ms: int | None = None
+) -> DataFrame:
+    """Per-event-type running (count, total) with custom state.
+
+    With ``idle_ttl_ms`` set, the input stream MUST carry a
+    watermark (``events_stream.withWatermark("ts", ...)``) — Spark
+    requires one for EventTimeTimeout — and a key idle for that long
+    in EVENT time emits one final snapshot and drops its state; a
+    later event for the same key starts from zero. Without it, state
+    is permanent (the low-cardinality default).
+    """
+    if idle_ttl_ms is None:
+        return events_stream.groupBy("event_type").applyInPandasWithState(
+            _update_counts,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    if idle_ttl_ms <= 0:
+        raise ValueError("idle_ttl_ms must be positive")
+
+    def update_with_ttl(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed the armed timer with no new events:
+            # emit the final snapshot once and free the state
+            n, total_cents = state.get
+            state.remove()
+            yield _snapshot(key, n, total_cents)
+            return
+        n, total_cents = state.get if state.exists else (0, 0)
+        n, total_cents = _fold_cents(batches, n, total_cents)
+        state.update((n, total_cents))
+        # re-arm: expire when the watermark advances idle_ttl_ms past
+        # NOW with no further events for this key (watermark is 0 on
+        # the first batch, so the timestamp is always > watermark,
+        # which EventTimeTimeout requires)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_ttl_ms)
+        yield _snapshot(key, n, total_cents)
+
     return events_stream.groupBy("event_type").applyInPandasWithState(
-        _update_counts,
+        update_with_ttl,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -216,3 +216,30 @@ def test_xml_roundtrip(spark, sf_small, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, region.collect())
     )
+
+
+def test_write_numbered_text_trailing_empty_needs_n_parts(spark, tmp_path):
+    """Trailing empty partitions: derivable only from the caller's
+    n_parts (the text writer emits no file for them, and the sink
+    must not re-execute the plan to count partitions). With n_parts
+    they materialize as empty files; without, the written files
+    alone bound the output."""
+    from pyspark.sql import Row
+
+    rdd = (
+        spark.sparkContext.parallelize([(0, "alpha")])
+        .partitionBy(3, lambda k: k)  # partitions 1 and 2 stay empty
+        .map(lambda kv: Row(value=kv[1]))
+    )
+    df = spark.createDataFrame(rdd, "value string")
+    out = str(tmp_path / "with_n")
+    paths = write_numbered_text(df, out, n_parts=3)
+    assert [os.path.basename(p) for p in paths] == [
+        "outputfile01", "outputfile02", "outputfile03",
+    ]
+    assert os.path.getsize(paths[1]) == 0
+    assert os.path.getsize(paths[2]) == 0
+
+    out2 = str(tmp_path / "without_n")
+    paths2 = write_numbered_text(df, out2)
+    assert [os.path.basename(p) for p in paths2] == ["outputfile01"]

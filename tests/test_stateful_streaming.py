@@ -60,3 +60,77 @@ def test_stateful_running_counts_match_batch(spark, sf_small):
         .collect()
     }
     assert got == expected
+
+
+def test_stateful_ttl_expires_and_restarts(spark, tmp_path):
+    """EventTimeTimeout path: a key idle past the TTL (in event time)
+    emits a final snapshot, its state is removed, and a LATER event
+    for the same key restarts the count from zero — the property that
+    bounds state for high-cardinality keys."""
+    import json
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_type string, value double, ts timestamp"
+
+    def drop(name, rows):
+        p = src / f"{name}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"event_type": e, "value": v, "ts": t})
+                for e, v, t in rows
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withWatermark("ts", "1 second")
+    )
+    out = running_counts_stream(stream, idle_ttl_ms=5_000)
+    name = f"ttl_out_{int(time.time() * 1000) % 100000}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        # batch 1: key A at t0
+        drop("b1", [("A", 1.0, "2024-01-01 00:00:00")])
+        q.processAllAvailable()
+        # batch 2: key B far in the future -> watermark jumps past
+        # A's (watermark + 5s) timer; A times out in the next batch
+        drop("b2", [("B", 2.0, "2024-01-01 01:00:00")])
+        q.processAllAvailable()
+        # batch 3: another B event advances the batch clock so the
+        # timed-out A invocation fires (if it hasn't already via a
+        # no-data batch), then batch 4 restarts A from zero
+        drop("b3", [("B", 3.0, "2024-01-01 02:00:00")])
+        q.processAllAvailable()
+        drop("b4", [("A", 10.0, "2024-01-01 03:00:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = [
+        (r.event_type, r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    ]
+    a_rows = [r for r in rows if r[0] == "A"]
+    # A: initial (1, 1.0), the timeout's final snapshot (1, 1.0)
+    # again — exactly once, the state is removed after it — then the
+    # restarted (1, 10.0), possibly followed by ITS own timeout
+    # snapshot in a later no-data batch (trigger-timing dependent).
+    # Never (2, 11.0): the restart must start from zero.
+    assert a_rows[0] == ("A", 1, 1.0)
+    assert a_rows[-1] == ("A", 1, 10.0), a_rows
+    assert a_rows.count(("A", 1, 1.0)) == 2, a_rows
+    assert ("A", 2, 11.0) not in a_rows, a_rows
+    # B's two events are an event-time HOUR apart with a 5 s TTL, so
+    # B expired and restarted too: final state is the second event
+    # alone, not an accumulated (2, 5.0)
+    b_rows = [r for r in rows if r[0] == "B"]
+    assert b_rows[0] == ("B", 1, 2.0)
+    assert b_rows[-1] == ("B", 1, 3.0), b_rows
