@@ -144,7 +144,14 @@ def _sql_checked_q40_sum(expr: str) -> str:
     it a group of large values that cancel would make Spark raise
     while the oracle returned a finite answer) and the 2^53 sum
     limit. NULL rows pass through the per-row CASE as NULL (the NOT
-    isfinite predicate is NULL, not true), matching SUM's skip."""
+    isfinite predicate is NULL, not true), matching SUM's skip.
+
+    Known cost, accepted: ``expr`` is interpolated three times
+    (isfinite / ABS / FLOOR) with no CSE across CASE branches, so
+    the ORACLE evaluates it up to 3x per row. Binding it once would
+    need a lateral/subquery reshaping every caller's aggregate SQL;
+    callers pass trivial expressions (a column or one division) and
+    the engine side is unaffected, so clarity wins."""
     row = (
         f"CASE WHEN NOT isfinite({expr}) OR ABS({expr}) >= 8388608.0 "
         f"THEN CAST(error('exact: value not representable at 2^-40 "

@@ -110,11 +110,13 @@ def running_counts_stream(
     """Per-event-type running (count, total) with custom state.
 
     With ``idle_ttl_ms`` set, the input stream MUST carry a
-    watermark (``events_stream.withWatermark("ts", ...)``) — Spark
-    requires one for EventTimeTimeout — and a key idle for that long
-    in EVENT time emits one final snapshot and drops its state; a
-    later event for the same key starts from zero. Without it, state
-    is permanent (the low-cardinality default).
+    watermark on its ``ts`` event-time column
+    (``events_stream.withWatermark("ts", ...)``) — Spark requires
+    one for EventTimeTimeout and the timer anchors at the key's own
+    latest ``ts`` — and a key idle for that long in EVENT time emits
+    one final snapshot and drops its state; a later event for the
+    same key starts from zero. Without it, state is permanent (the
+    low-cardinality default).
     """
     if idle_ttl_ms is None:
         return events_stream.groupBy("event_type").applyInPandasWithState(
@@ -140,13 +142,30 @@ def running_counts_stream(
             yield _snapshot(key, n, total_cents)
             return
         n, total_cents = state.get if state.exists else (0, 0)
-        n, total_cents = _fold_cents(batches, n, total_cents)
+        # track the key's own max event time while folding: the timer
+        # must anchor at EVENT time, not the global watermark — the
+        # watermark is 0 in the first batch (a watermark-relative
+        # timer would land in 1970 and expire the key spuriously on
+        # the next batch) and lags keys whose events run ahead of it
+        max_ts_ms = -1
+
+        def tap(bs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            nonlocal max_ts_ms
+            for pdf in bs:
+                ts = pdf["ts"].dropna()
+                if len(ts):
+                    m = int(pd.Timestamp(ts.max()).value // 1_000_000)
+                    max_ts_ms = max(max_ts_ms, m)
+                yield pdf
+
+        n, total_cents = _fold_cents(tap(batches), n, total_cents)
         state.update((n, total_cents))
-        # re-arm: expire when the watermark advances idle_ttl_ms past
-        # NOW with no further events for this key (watermark is 0 on
-        # the first batch, so the timestamp is always > watermark,
-        # which EventTimeTimeout requires)
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_ttl_ms)
+        # re-arm at (key's latest event, floored by the watermark so
+        # the timestamp is always > watermark as EventTimeTimeout
+        # requires) + TTL: the key expires only once the watermark
+        # advances idle_ttl_ms past its OWN last activity
+        anchor = max(state.getCurrentWatermarkMs(), max_ts_ms)
+        state.setTimeoutTimestamp(anchor + idle_ttl_ms)
         yield _snapshot(key, n, total_cents)
 
     return events_stream.groupBy("event_type").applyInPandasWithState(

@@ -128,9 +128,72 @@ def test_stateful_ttl_expires_and_restarts(spark, tmp_path):
     assert a_rows[-1] == ("A", 1, 10.0), a_rows
     assert a_rows.count(("A", 1, 1.0)) == 2, a_rows
     assert ("A", 2, 11.0) not in a_rows, a_rows
-    # B's two events are an event-time HOUR apart with a 5 s TTL, so
-    # B expired and restarted too: final state is the second event
-    # alone, not an accumulated (2, 5.0)
+    # B's second event (02:00) arrives in the SAME batch whose close
+    # advances the watermark past B's 01:00:05 timer — and Spark
+    # gives a key's new data priority over its pending timeout — so B
+    # ACCUMULATES to (2, 5.0) and re-arms; its timeout snapshot fires
+    # later once A's 03:00 event pushes the watermark past 02:00:05.
+    # (Expiry is watermark-driven: a key cannot expire "between"
+    # events if nothing advanced the watermark meanwhile.)
     b_rows = [r for r in rows if r[0] == "B"]
     assert b_rows[0] == ("B", 1, 2.0)
-    assert b_rows[-1] == ("B", 1, 3.0), b_rows
+    assert ("B", 2, 5.0) in b_rows, b_rows
+    assert b_rows[-1] == ("B", 2, 5.0), b_rows
+
+
+def test_stateful_ttl_no_premature_expiry(spark, tmp_path):
+    """A key active WITHIN its TTL (event time) must keep
+    accumulating — the regression class here is a watermark-relative
+    timer: with the watermark at 0 in batch 1, such a timer lands in
+    1970 and the next batch expires the key spuriously. TTL = 1 h,
+    events 10-20 min apart: every snapshot must accumulate, never
+    restart."""
+    import json
+    import time
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    schema = "event_type string, value double, ts timestamp"
+
+    def drop(name, rows):
+        (src / f"{name}.json").write_text(
+            "\n".join(
+                json.dumps({"event_type": e, "value": v, "ts": t})
+                for e, v, t in rows
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withWatermark("ts", "1 second")
+    )
+    out = running_counts_stream(stream, idle_ttl_ms=3_600_000)
+    name = f"ttl_np_{int(time.time() * 1000) % 100000}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        # batch 1: A at t0 (watermark still 0 when its timer is set)
+        drop("b1", [("A", 1.0, "2024-01-01 00:00:00")])
+        q.processAllAvailable()
+        # batch 2: only B, 10 min later — advances the watermark past
+        # any 1970-anchored timer without giving A data
+        drop("b2", [("B", 2.0, "2024-01-01 00:10:00")])
+        q.processAllAvailable()
+        # batch 3: A again 20 min after its first event — inside TTL
+        drop("b3", [("A", 5.0, "2024-01-01 00:20:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    a_rows = [
+        (r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+        if r.event_type == "A"
+    ]
+    # accumulation, never a restart and never a timeout snapshot
+    assert a_rows == [(1, 1.0), (2, 6.0)], a_rows
