@@ -215,6 +215,48 @@ def frame_wav_ima(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def frame_wav_ima_multi(
+    framerate: int, blocks: list[tuple[int, int, bytes]]
+) -> bytes:
+    """Frame SEVERAL raw blocks — each an explicit (pred0, idx0,
+    nibble_bytes) triple — as one conforming 0x11 file. Every block
+    carries its own header state (frame-style payloads are data, not
+    an encoding, so nothing carries between blocks), and all blocks
+    must pack the same nibble count because the RIFF fmt declares ONE
+    block align. The multi-block sibling of :func:`frame_wav_ima`."""
+    if not blocks:
+        raise ValueError("adpcm: no blocks")
+    nb = len(blocks[0][2])
+    if nb == 0:
+        raise ValueError("adpcm: empty nibble payload")
+    body = bytearray()
+    for pred0, idx0, nibble_bytes in blocks:
+        if not -32768 <= pred0 <= 32767:
+            raise ValueError("sample out of int16 range")
+        if not 0 <= idx0 <= 88:
+            raise ValueError("adpcm: step index out of range")
+        if len(nibble_bytes) != nb:
+            raise ValueError("adpcm: blocks must share one size")
+        body += struct.pack("<hBB", pred0, idx0, 0) + nibble_bytes
+    align = 4 + nb
+    spb = 1 + 2 * nb
+    n = spb * len(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        _TAG_IMA, 1, framerate,
+        (framerate * align + spb - 1) // spb,
+        align, 4, 2, spb,
+    )
+    fact = struct.pack("<I", n)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(body)) + bytes(body)
+        + (b"\x00" if len(body) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def decode_wav_ima(data: bytes) -> tuple[int, list[int]]:
     """Parse a WAVE_FORMAT_IMA_ADPCM (0x11) file -> (framerate,
     int16 samples). Validates RIFF framing, format tag, mono/4-bit,

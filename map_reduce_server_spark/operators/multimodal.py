@@ -1666,3 +1666,128 @@ def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_abs", 6).alias("mean_abs"),
         "max_abs",
     )
+
+
+# ---------------------------------------------------------------
+# Multi-block ADPCM — prepared for a FUTURE round's registration.
+# Unregistered on purpose: the round-10/11 rotation plan reserves the
+# driver window for re-certifying stale rows until round 13; flipping
+# this on is one @register decorator (oracle below is gate-ready and
+# the local parity test tests/test_multimodal.py already runs it
+# against DuckDB).
+
+_ADPCM_MB_NIB = 32  # nibbles per block (one md5 per block)
+_ADPCM_MB_SAMPLES = 2 * (_ADPCM_MB_NIB + 1)  # two blocks
+
+
+def with_adpcm_multiblock_payload(docs: DataFrame) -> DataFrame:
+    """Frame TWO md5-derived blocks per document as one 0x11 file:
+    each block carries its own header state (pred from 4 hex chars as
+    signed int16, index from the next byte % 89) and 16 nibble bytes
+    from its own md5 — exercising the decoder's multi-block container
+    walk (block boundaries, per-block header re-seed) through the
+    registered-query plumbing, while keeping the oracle recursion
+    per-(doc, block) independent."""
+    hex_col = F.concat(
+        F.substring(F.md5(F.concat(F.lit("p"), F.col("text"))), 1, 6),
+        F.md5(F.concat(F.lit("q"), F.col("text"))),
+        F.substring(F.md5(F.concat(F.lit("s"), F.col("text"))), 1, 6),
+        F.md5(F.concat(F.lit("t"), F.col("text"))),
+    )
+    flat = docs.select("doc_id", hex_col.alias("hx"))
+
+    def build(h: str) -> bytes:
+        def hdr(hh: str) -> tuple[int, int]:
+            v = int(hh[0:4], 16)
+            return (v - 65536 if v >= 32768 else v, int(hh[4:6], 16) % 89)
+
+        p0, i0 = hdr(h[0:6])
+        p1, i1 = hdr(h[38:44])
+        return adpcm.frame_wav_ima_multi(
+            _ADPCM_RATE,
+            [
+                (p0, i0, bytes.fromhex(h[6:38])),
+                (p1, i1, bytes.fromhex(h[44:76])),
+            ],
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["hx"].map(_nn(build))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+_ADPCM_MB_ORACLE = f"""
+    WITH RECURSIVE src AS (
+      SELECT doc_id, b.blk,
+             CASE WHEN b.blk = 0 THEN md5('p' || text)
+                  ELSE md5('s' || text) END AS ph,
+             CASE WHEN b.blk = 0 THEN md5('q' || text)
+                  ELSE md5('t' || text) END AS dh
+      FROM documents, (VALUES (0), (1)) b(blk) WHERE text IS NOT NULL),
+    init AS (
+      SELECT doc_id, blk,
+             CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS pred,
+             CAST(('0x' || substr(ph, 5, 2)) AS INTEGER) % 89 AS idx,
+             dh
+      FROM (SELECT doc_id, blk,
+                   CAST(('0x' || substr(ph, 1, 4)) AS INTEGER) AS v,
+                   ph, dh FROM src) q),
+    dec AS (
+      SELECT doc_id, blk, 0 AS i, pred, idx, dh FROM init
+      UNION ALL
+      SELECT doc_id, blk, i + 1,
+             GREATEST(-32768, LEAST(32767,
+               pred + CASE WHEN nib >= 8 THEN -d ELSE d END)) AS pred,
+             GREATEST(0, LEAST(88,
+               idx + list_extract({_SQL_ADPCM_IDXT}, (nib % 8) + 1)))
+               AS idx,
+             dh
+      FROM (
+        SELECT doc_id, blk, i, pred, idx, dh, nib,
+               (step // 8) + (nib % 2) * (step // 4)
+                 + ((nib // 2) % 2) * (step // 2)
+                 + ((nib // 4) % 2) * step AS d
+        FROM (
+          SELECT doc_id, blk, i, pred, idx, dh,
+                 CASE WHEN (i % 2) = 0
+                      THEN CAST(('0x' || substr(dh, (i // 2) * 2 + 1, 2))
+                                AS INTEGER) % 16
+                      ELSE CAST(('0x' || substr(dh, (i // 2) * 2 + 1, 2))
+                                AS INTEGER) // 16
+                 END AS nib,
+                 list_extract({_SQL_ADPCM_STEPS}, idx + 1) AS step
+          FROM dec WHERE i < {_ADPCM_MB_NIB}) a) b),
+    st AS (
+      SELECT doc_id, CAST({_ADPCM_RATE} AS INTEGER) AS framerate,
+             CAST({_ADPCM_MB_SAMPLES} AS INTEGER) AS n_samples,
+             round(CAST(sum(abs(pred)) AS DOUBLE)
+                   / {_ADPCM_MB_SAMPLES}, 6) AS mean_abs,
+             CAST(max(abs(pred)) AS INTEGER) AS max_abs
+      FROM dec GROUP BY doc_id)
+    SELECT d.doc_id, st.framerate, st.n_samples, st.mean_abs, st.max_abs
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+    """
+
+
+def multimodal_decode_adpcm_multiblock(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-block sibling of :func:`multimodal_decode_adpcm`: two
+    self-describing blocks per file, so the engine exercises the
+    container's block walk (fixed block align, per-block header
+    re-seed) rather than a single state machine run. The oracle
+    replays each block's recursion independently — partitioned by
+    (doc_id, blk) — then aggregates per document. Same zero-shuffle
+    Arrow-batched mapInPandas scale shape as every audio leg."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = adpcm_stats(with_adpcm_multiblock_payload(docs))
+    return stats.select(
+        "doc_id",
+        "framerate",
+        "n_samples",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "max_abs",
+    )

@@ -1200,3 +1200,20 @@ def test_adpcm_multiblock_spark_path(spark, sf_small):
             sum(abs(x) for x in want) / 37,
             max(abs(x) for x in want),
         ), doc_id
+
+
+def test_adpcm_multiblock_query_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED multi-block ADPCM query
+    (registration is deferred until the rotation tail is fresh): the
+    Spark result must match the per-(doc, block) recursive-CTE oracle
+    exactly as the driver's compare would check it."""
+    from tests.oracle_utils import compare_to_oracle
+
+    from map_reduce_server_spark.operators.multimodal import (
+        _ADPCM_MB_ORACLE,
+        multimodal_decode_adpcm_multiblock,
+    )
+
+    df = multimodal_decode_adpcm_multiblock(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _ADPCM_MB_ORACLE, sf_small)
+    assert ok, msg
