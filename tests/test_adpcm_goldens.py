@@ -228,3 +228,46 @@ def test_multiblock_roundtrip_equals_flat_replay(data, spb):
             _, pred, idx = adpcm.encode_step(s, pred, idx)
             want.append(pred)
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.integers(min_value=-32768, max_value=32767),
+            st.integers(min_value=0, max_value=88),
+            st.binary(min_size=7, max_size=7),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_frame_wav_ima_multi_roundtrip(blocks):
+    """Multi-block framing: decode replays each block's state machine
+    independently from its own header — nothing carries across
+    frame-style blocks — and the fact count covers all blocks."""
+    f = adpcm.frame_wav_ima_multi(8000, blocks)
+    rate, got = adpcm.decode_wav_ima(f)
+    assert rate == 8000
+    want = []
+    for pred0, idx0, payload in blocks:
+        pred, idx = pred0, idx0
+        want.append(pred)
+        for b in payload:
+            for nib in (b & 0x0F, b >> 4):
+                pred, idx = adpcm.decode_nibble(nib, pred, idx)
+                want.append(pred)
+    assert got == want
+
+
+def test_frame_wav_ima_multi_rejects_bad_blocks():
+    with pytest.raises(ValueError, match="no blocks"):
+        adpcm.frame_wav_ima_multi(8000, [])
+    with pytest.raises(ValueError, match="empty nibble"):
+        adpcm.frame_wav_ima_multi(8000, [(0, 0, b"")])
+    with pytest.raises(ValueError, match="share one size"):
+        adpcm.frame_wav_ima_multi(8000, [(0, 0, b"ab"), (0, 0, b"a")])
+    with pytest.raises(ValueError, match="step index"):
+        adpcm.frame_wav_ima_multi(8000, [(0, 89, b"a")])
+    with pytest.raises(ValueError, match="int16"):
+        adpcm.frame_wav_ima_multi(8000, [(40000, 0, b"a")])
