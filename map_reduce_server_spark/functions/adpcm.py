@@ -188,31 +188,12 @@ def frame_wav_ima(
 ) -> bytes:
     """Frame a raw single-block payload (explicit header state +
     packed nibbles) as a conforming 0x11 file — the query-payload
-    path, where the nibble stream is data, not an encoding of PCM."""
-    if not -32768 <= pred0 <= 32767:
-        raise ValueError("sample out of int16 range")
-    if not 0 <= idx0 <= 88:
-        raise ValueError("adpcm: step index out of range")
-    if not nibble_bytes:
-        # block_align 4 / wSamplesPerBlock 1 fails the decoder's
-        # consistency check — refuse to emit an undecodable file
-        raise ValueError("adpcm: empty nibble payload")
-    block = struct.pack("<hBB", pred0, idx0, 0) + nibble_bytes
-    n = 1 + 2 * len(nibble_bytes)
-    fmt = struct.pack(
-        "<HHIIHHHH",
-        _TAG_IMA, 1, framerate,
-        (framerate * len(block) + n - 1) // n,
-        len(block), 4, 2, n,
-    )
-    fact = struct.pack("<I", n)
-    chunks = (
-        b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"fact" + struct.pack("<I", len(fact)) + fact
-        + b"data" + struct.pack("<I", len(block)) + block
-        + (b"\x00" if len(block) % 2 else b"")
-    )
-    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    path, where the nibble stream is data, not an encoding of PCM.
+    Exactly :func:`frame_wav_ima_multi` with one block (delegates,
+    so the two framers cannot drift): align = 4 + len(nibble_bytes),
+    wSamplesPerBlock = 1 + 2*len(nibble_bytes), same byterate/fact/
+    RIFF-pad assembly."""
+    return frame_wav_ima_multi(framerate, [(pred0, idx0, nibble_bytes)])
 
 
 def frame_wav_ima_multi(

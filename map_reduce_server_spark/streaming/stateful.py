@@ -14,13 +14,13 @@ Two state-lifetime modes, chosen per call:
   correct for LOW-cardinality keys (event types here) where the
   running total is the product.
 - ``idle_ttl_ms=N``: EVENT-TIME timeout. Each update re-arms a
-  per-key timer at ``watermark + N``; when the watermark (driven by
-  the caller's ``withWatermark`` on the stream) passes it with no
-  new events for the key, the operator is invoked once more with
-  ``hasTimedOut`` set, emits the key's final snapshot, and REMOVES
-  the state. This is the mode a high-cardinality key (session id,
-  user id) must use, or state grows without bound until executors
-  OOM.
+  per-key timer at the key's OWN latest event time (floored by the
+  watermark) ``+ N``; when the watermark (driven by the caller's
+  ``withWatermark`` on the stream) passes it with no new events for
+  the key, the operator is invoked once more with ``hasTimedOut``
+  set, emits the key's final snapshot, and REMOVES the state. This
+  is the mode a high-cardinality key (session id, user id) must
+  use, or state grows without bound until executors OOM.
 """
 
 from __future__ import annotations
@@ -128,6 +128,19 @@ def running_counts_stream(
         )
     if idle_ttl_ms <= 0:
         raise ValueError("idle_ttl_ms must be positive")
+    # applyInPandasWithState hands timestamp columns to the Python
+    # worker as tz-NAIVE pandas values rendered in the SESSION
+    # timezone (the Arrow serializer localizes, then drops the tz),
+    # while getCurrentWatermarkMs()/setTimeoutTimestamp() speak true
+    # UTC epoch millis. Capture the session tz HERE (driver side, at
+    # query build) so the worker can localize the naive values back
+    # before comparing — a naive-as-UTC read is off by the session
+    # offset: premature expiry west of UTC, state growth east of it.
+    # (The repo's own get_spark pins UTC, which would mask the bug;
+    # this template must not depend on that.)
+    session_tz = events_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone"
+    )
 
     def update_with_ttl(
         key: tuple,
@@ -154,7 +167,21 @@ def running_counts_stream(
             for pdf in bs:
                 ts = pdf["ts"].dropna()
                 if len(ts):
-                    m = int(pd.Timestamp(ts.max()).value // 1_000_000)
+                    # localize the session-tz-naive value back to an
+                    # aware instant before taking epoch millis (DST
+                    # folds/gaps resolved arbitrarily-but-totally —
+                    # a one-hour anchor skew only shifts an idle
+                    # timeout, never corrupts data)
+                    m = (
+                        pd.Timestamp(ts.max())
+                        .tz_localize(
+                            session_tz,
+                            ambiguous=True,
+                            nonexistent="shift_forward",
+                        )
+                        .value
+                        // 1_000_000
+                    )
                     max_ts_ms = max(max_ts_ms, m)
                 yield pdf
 
@@ -165,7 +192,16 @@ def running_counts_stream(
         # requires) + TTL: the key expires only once the watermark
         # advances idle_ttl_ms past its OWN last activity
         anchor = max(state.getCurrentWatermarkMs(), max_ts_ms)
-        state.setTimeoutTimestamp(anchor + idle_ttl_ms)
+        if anchor > 0:
+            state.setTimeoutTimestamp(anchor + idle_ttl_ms)
+        # else: every row so far lacked an event time AND the
+        # watermark hasn't moved (first micro-batch) — arming now
+        # would plant a 1970+TTL timer that expires the key
+        # spuriously as soon as the watermark first advances. Leave
+        # the timer unset; the next invocation (new data, or any
+        # batch after the watermark moves) arms it. A key whose rows
+        # ALL lack event time can never be event-time expired — that
+        # is a data-quality property of the stream, not the operator.
         yield _snapshot(key, n, total_cents)
 
     return events_stream.groupBy("event_type").applyInPandasWithState(

@@ -197,3 +197,130 @@ def test_stateful_ttl_no_premature_expiry(spark, tmp_path):
     ]
     # accumulation, never a restart and never a timeout snapshot
     assert a_rows == [(1, 1.0), (2, 6.0)], a_rows
+
+
+def test_stateful_ttl_non_utc_session_tz(spark, tmp_path):
+    """The TTL anchor must survive a non-UTC session timezone.
+    applyInPandasWithState hands ``ts`` to the worker as a tz-naive
+    value rendered in the SESSION tz while the timer APIs speak UTC
+    epoch millis — reading the naive value as UTC shifts the anchor
+    by the session offset. West of UTC (America/New_York, -5h in
+    January) the mis-read anchor lands hours in the past, so a key
+    active well within its TTL is spuriously expired as soon as any
+    other key advances the watermark."""
+    import json
+    import time
+
+    src = tmp_path / "src_tz"
+    src.mkdir()
+    schema = "event_type string, value double, ts timestamp"
+
+    def drop(name, rows):
+        (src / f"{name}.json").write_text(
+            "\n".join(
+                json.dumps({"event_type": e, "value": v, "ts": t})
+                for e, v, t in rows
+            )
+        )
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .withWatermark("ts", "1 second")
+        )
+        out = running_counts_stream(stream, idle_ttl_ms=3_600_000)
+        name = f"ttl_tz_{int(time.time() * 1000) % 100000}"
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            # A at t0; TTL 1 h
+            drop("b1", [("A", 1.0, "2024-01-01 00:00:00")])
+            q.processAllAvailable()
+            # B 30 min later: watermark -> t0+30min-1s. A naive-as-UTC
+            # anchor (t0 - 5 h) would have armed A's timer at t0 - 4 h,
+            # already behind this watermark -> spurious expiry.
+            drop("b2", [("B", 2.0, "2024-01-01 00:30:00")])
+            q.processAllAvailable()
+            # A again 40 min after its first event — inside TTL
+            drop("b3", [("A", 5.0, "2024-01-01 00:40:00")])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        a_rows = [
+            (r.n_events, r.total_value)
+            for r in spark.table(name).collect()
+            if r.event_type == "A"
+        ]
+        assert a_rows == [(1, 1.0), (2, 6.0)], a_rows
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stateful_ttl_null_ts_only_first_batch(spark, tmp_path):
+    """A key whose FIRST batch carries only null event times must not
+    be expired when the watermark first advances: with no event ts
+    and the watermark at 0 there is nothing to anchor a timer to, so
+    none is armed (the regression is anchoring at watermark 0 — a
+    1970+TTL timer that fires as soon as any key moves the
+    watermark). The key keeps accumulating when its real events
+    arrive."""
+    import json
+    import time
+
+    src = tmp_path / "src_null"
+    src.mkdir()
+    schema = "event_type string, value double, ts timestamp"
+
+    def drop(name, rows):
+        (src / f"{name}.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {"event_type": e, "value": v}
+                    if t is None
+                    else {"event_type": e, "value": v, "ts": t}
+                )
+                for e, v, t in rows
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withWatermark("ts", "1 second")
+    )
+    out = running_counts_stream(stream, idle_ttl_ms=3_600_000)
+    name = f"ttl_null_{int(time.time() * 1000) % 100000}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        # batch 1: A with NO event time (watermark stays 0)
+        drop("b1", [("A", 1.0, None)])
+        q.processAllAvailable()
+        # batch 2: B advances the watermark; a 1970-anchored A timer
+        # would now fire and discard A's count
+        drop("b2", [("B", 2.0, "2024-01-01 00:10:00")])
+        q.processAllAvailable()
+        # batch 3: A's real event — must ACCUMULATE onto the null-ts
+        # row's count, proving the state survived
+        drop("b3", [("A", 5.0, "2024-01-01 00:20:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    a_rows = [
+        (r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+        if r.event_type == "A"
+    ]
+    assert a_rows == [(1, 1.0), (2, 6.0)], a_rows
