@@ -54,6 +54,29 @@ GROUP_COLS = ["l_returnflag", "l_linestatus", "l_suppkey", "l_linenumber"]
 MONEY_COLS = sorted(NUM_COLS)
 CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
 
+# per-table leaf envelopes for the join fuzz (both NULL-free;
+# o_custkey 0-149 covers every c_custkey, so unmatched left rows
+# only exist when the customer-side predicate removes some)
+ORDERS_SPEC = {
+    "num": {"o_totalprice": (1000.0, 510000.0)},
+    "int": {"o_custkey": (0, 155)},
+    "str": {
+        "o_orderstatus": ["F", "O", "P"],
+        "o_orderpriority": [
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+        ],
+    },
+}
+CUSTOMER_SPEC = {
+    "num": {"c_acctbal": (-900.0, 10000.0)},
+    "int": {"c_nationkey": (0, 25), "c_custkey": (0, 155)},
+    "str": {
+        "c_mktsegment": [
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+        ],
+    },
+}
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -66,9 +89,9 @@ def duck():
 
 
 @st.composite
-def _num_leaf(draw):
-    col = draw(st.sampled_from(sorted(NUM_COLS)))
-    lo, hi = NUM_COLS[col]
+def _num_leaf(draw, cols):
+    col = draw(st.sampled_from(sorted(cols)))
+    lo, hi = cols[col]
     # 2-decimal literals: exactly the data's own quantization, and
     # repr() renders them identically for both parsers
     cents = draw(st.integers(int(lo * 100), int(hi * 100)))
@@ -76,26 +99,26 @@ def _num_leaf(draw):
 
 
 @st.composite
-def _int_leaf(draw):
-    col = draw(st.sampled_from(sorted(INT_COLS)))
-    lo, hi = INT_COLS[col]
+def _int_leaf(draw, cols):
+    col = draw(st.sampled_from(sorted(cols)))
+    lo, hi = cols[col]
     return ("int", col, draw(st.sampled_from(CMP_OPS)), draw(st.integers(lo, hi)))
 
 
 @st.composite
-def _str_leaf(draw):
-    col = draw(st.sampled_from(sorted(STR_COLS)))
+def _str_leaf(draw, cols):
+    col = draw(st.sampled_from(sorted(cols)))
     if draw(st.booleans()):
         vals = draw(
             st.lists(
-                st.sampled_from(STR_COLS[col]),
+                st.sampled_from(cols[col]),
                 min_size=1,
-                max_size=len(STR_COLS[col]),
+                max_size=len(cols[col]),
                 unique=True,
             )
         )
         return ("in", col, sorted(vals))
-    return ("str", col, draw(st.sampled_from(["=", "<>"])), draw(st.sampled_from(STR_COLS[col])))
+    return ("str", col, draw(st.sampled_from(["=", "<>"])), draw(st.sampled_from(cols[col])))
 
 
 @st.composite
@@ -105,15 +128,30 @@ def _ts_leaf(draw):
     return ("ts", draw(st.sampled_from(CMP_OPS)), day.isoformat())
 
 
-_LEAF = st.one_of(_num_leaf(), _int_leaf(), _str_leaf(), _ts_leaf())
+def _tree(leaf, max_leaves=4):
+    return st.recursive(
+        leaf,
+        lambda kids: st.one_of(
+            st.tuples(st.sampled_from(["and", "or"]), kids, kids),
+            st.tuples(st.just("not"), kids),
+        ),
+        max_leaves=max_leaves,
+    )
 
-PRED = st.recursive(
-    _LEAF,
-    lambda kids: st.one_of(
-        st.tuples(st.sampled_from(["and", "or"]), kids, kids),
-        st.tuples(st.just("not"), kids),
-    ),
-    max_leaves=4,
+
+def table_pred(spec, with_ts=False, max_leaves=4):
+    leaves = [
+        _num_leaf(spec["num"]),
+        _int_leaf(spec["int"]),
+        _str_leaf(spec["str"]),
+    ]
+    if with_ts:
+        leaves.append(_ts_leaf())
+    return _tree(st.one_of(*leaves), max_leaves)
+
+
+PRED = table_pred(
+    {"num": NUM_COLS, "int": INT_COLS, "str": STR_COLS}, with_ts=True
 )
 
 _PY_OPS = {
@@ -289,3 +327,200 @@ def test_fuzz_filter_rowset(spark, duck, pred):
     )
     ok, msg = compare_to_oracle(df, sql, SF, con=duck)
     assert ok, f"{msg}\nplan: pred={pred}\nsql: {sql}"
+
+
+# --- window fuzz (orders: o_orderkey is unique, so every ordered
+# frame is deterministic — the engine's window contract requires the
+# ORDER BY to end in a unique key, tests/../SKILL.md) ---------------
+
+
+_WIN_FUNCS = [
+    "row_number",
+    "running_count",
+    "running_sum_int",
+    "running_dsum",
+    "lag_key",
+]
+
+
+def _win_pair(fn: str, over_col: str, over_sql: str) -> tuple[Column, str]:
+    from pyspark.sql import Window
+
+    base = (
+        Window.partitionBy(over_col)
+        if over_col
+        else Window.partitionBy(F.lit(1))
+    ).orderBy("o_orderkey")
+    # ranking/offset functions take NO explicit frame (both engines
+    # reject or ignore one); aggregates get the pinned ROWS frame
+    framed = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    part = f"PARTITION BY {over_sql} " if over_sql else ""
+    over_plain = f"OVER ({part}ORDER BY o_orderkey)"
+    over_framed = (
+        f"OVER ({part}ORDER BY o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    if fn == "row_number":
+        return F.row_number().over(base), f"ROW_NUMBER() {over_plain}"
+    if fn == "running_count":
+        return F.count(F.lit(1)).over(framed), f"COUNT(*) {over_framed}"
+    if fn == "running_sum_int":
+        # bigint cast: DuckDB widens SUM(BIGINT) to HUGEINT
+        return (
+            F.sum("o_custkey").over(framed),
+            f"CAST(SUM(o_custkey) {over_framed} AS BIGINT)",
+        )
+    if fn == "running_dsum":
+        return (
+            F.sum(exact.checked_decimal(F.col("o_totalprice"), 2))
+            .over(framed)
+            .cast("double"),
+            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) {over_framed} "
+            "AS DOUBLE)",
+        )
+    if fn == "lag_key":
+        # coalesce the partition-leading NULL to a sentinel: a NULL
+        # bigint becomes float64 NaN through one engine's toPandas
+        # and nullable Int64 through the other's, and the comparator
+        # is deliberately strict about that encoding
+        return (
+            F.coalesce(F.lag("o_orderkey", 1).over(base), F.lit(-1)),
+            f"COALESCE(LAG(o_orderkey, 1) {over_plain}, -1)",
+        )
+    raise AssertionError(fn)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    part=st.sampled_from(["", "o_orderstatus", "o_orderpriority", "o_custkey"]),
+    funcs=st.lists(st.sampled_from(_WIN_FUNCS), min_size=1, max_size=4, unique=True),
+    pred=table_pred(ORDERS_SPEC, max_leaves=3),
+)
+@example(
+    part="",
+    funcs=["row_number", "running_dsum", "lag_key"],
+    pred=("str", "o_orderstatus", "<>", "P"),
+)
+def test_fuzz_window_running(spark, duck, part, funcs, pred):
+    """Windowed running aggregates over a unique ORDER BY must be
+    row-identical across engines (frames pinned to ROWS BETWEEN)."""
+    df = load_table(spark, SF, "orders").filter(pred_col(pred))
+    pairs = [_win_pair(fn, part, part) for fn in funcs]
+    out = df.select(
+        "o_orderkey",
+        *[c.alias(f"w{i}") for i, (c, _) in enumerate(pairs)],
+    )
+    select = ", ".join(
+        ["o_orderkey"] + [f"{s} AS w{i}" for i, (_, s) in enumerate(pairs)]
+    )
+    sql = f"SELECT {select} FROM orders WHERE {pred_sql(pred)}"
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, f"{msg}\nplan: part={part} funcs={funcs} pred={pred}\nsql: {sql}"
+
+
+# --- join fuzz (orders x customer) -----------------------------------------
+
+_JOIN_AGGS = {
+    # (spark column FACTORY — Columns need a live SparkContext, so
+    # they cannot be built at import time —, duckdb snippet, needs
+    # right side)
+    "n": (lambda: F.count(F.lit(1)), "COUNT(*)", False),
+    "n_matched": (lambda: F.count("c_custkey"), "COUNT(c_custkey)", True),
+    "dsum_price": (
+        lambda: exact.dsum("o_totalprice"),
+        exact.sql_dsum("o_totalprice"),
+        False,
+    ),
+    "dsum_bal": (
+        lambda: exact.dsum("c_acctbal"),
+        exact.sql_dsum("c_acctbal"),
+        True,
+    ),
+    "nuniq_cust": (
+        lambda: F.countDistinct("o_custkey"),
+        "COUNT(DISTINCT o_custkey)",
+        False,
+    ),
+}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(["inner", "left", "semi", "anti"]),
+    opred=table_pred(ORDERS_SPEC, max_leaves=3),
+    cpred=table_pred(CUSTOMER_SPEC, max_leaves=3),
+    aggs=st.lists(
+        st.sampled_from(sorted(_JOIN_AGGS)), min_size=1, max_size=3, unique=True
+    ),
+    key=st.sampled_from(["", "o_orderstatus", "c_mktsegment"]),
+)
+@example(
+    how="left",
+    opred=("str", "o_orderstatus", "=", "O"),
+    cpred=("str", "c_mktsegment", "=", "BUILDING"),
+    aggs=["n", "n_matched", "dsum_bal"],
+    key="c_mktsegment",
+)
+@example(
+    how="anti",
+    opred=("int", "o_custkey", ">=", 0),
+    cpred=("num", "c_acctbal", ">", 0.0),
+    aggs=["n", "dsum_price"],
+    key="o_orderstatus",
+)
+def test_fuzz_join_aggregate(spark, duck, how, opred, cpred, aggs, key):
+    """Filtered equi-joins of every type, then exact aggregates.
+    Unmatched-left rows exist exactly when the customer-side filter
+    removes customers (the FK is complete), so LEFT joins exercise
+    the NULL-right plane; semi/anti restrict to left columns."""
+    if how in ("semi", "anti") or (how == "left" and key == "c_mktsegment"):
+        # semi/anti expose only left columns; a right-side group key
+        # under LEFT join is fine (NULL group), but not under semi/anti
+        if key == "c_mktsegment":
+            key = "o_orderstatus"
+    if how in ("semi", "anti"):
+        aggs = [a for a in aggs if not _JOIN_AGGS[a][2]] or ["n"]
+
+    o = load_table(spark, SF, "orders").filter(pred_col(opred))
+    c = load_table(spark, SF, "customer").filter(pred_col(cpred))
+    joined = o.join(
+        c,
+        o["o_custkey"] == c["c_custkey"],
+        {"semi": "left_semi", "anti": "left_anti"}.get(how, how),
+    )
+    cols = [_JOIN_AGGS[a][0]().alias(a) for a in aggs]
+    out = joined.groupBy(key).agg(*cols) if key else joined.agg(*cols)
+
+    csub = f"(SELECT * FROM customer WHERE {pred_sql(cpred)}) c"
+    on = "o.o_custkey = c.c_custkey"
+    if how in ("inner", "left"):
+        join_sql = (
+            f"(SELECT * FROM orders WHERE {pred_sql(opred)}) o "
+            f"{'LEFT ' if how == 'left' else ''}JOIN {csub} ON {on}"
+        )
+    else:
+        exists = "NOT EXISTS" if how == "anti" else "EXISTS"
+        join_sql = (
+            f"(SELECT * FROM orders WHERE {pred_sql(opred)}) o "
+            f"WHERE {exists} (SELECT 1 FROM {csub} WHERE {on})"
+        )
+    select = ", ".join(
+        ([key] if key else [])
+        + [f"{_JOIN_AGGS[a][1]} AS {a}" for a in aggs]
+    )
+    sql = f"SELECT {select} FROM {join_sql}"
+    if key:
+        sql += f" GROUP BY {key}"
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, (
+        f"{msg}\nplan: how={how} key={key} aggs={aggs} "
+        f"opred={opred} cpred={cpred}\nsql: {sql}"
+    )
