@@ -524,3 +524,254 @@ def test_fuzz_join_aggregate(spark, duck, how, opred, cpred, aggs, key):
         f"{msg}\nplan: how={how} key={key} aggs={aggs} "
         f"opred={opred} cpred={cpred}\nsql: {sql}"
     )
+
+
+# --- scalar expression fuzz -------------------------------------------------
+# Nested string expressions over part (ASCII-only data), date parts /
+# truncation / arithmetic over orders, double math over p_retailprice
+# — the q_string_funcs / q_date_funcs / q_math_funcs recipe space with
+# fuzzed nesting and literals. Excluded ON PURPOSE (known-nonportable,
+# the batches document the workarounds): bare round() on money values
+# (HALF_UP vs HALF_EVEN at the .5 boundary), boolean outputs (numpy
+# bool_ vs int canonicalization), ln without rounding (libm 1-ulp).
+
+_STR_COLS_PART = ["p_name", "p_brand", "p_type"]
+
+_STR_LEAF = st.tuples(st.just("col"), st.sampled_from(_STR_COLS_PART))
+
+
+@st.composite
+def _str_node(draw, kids):
+    kind = draw(
+        st.sampled_from(
+            ["upper", "lower", "trim", "reverse", "substr", "concat", "replace"]
+        )
+    )
+    if kind in ("upper", "lower", "trim", "reverse"):
+        return (kind, draw(kids))
+    if kind == "substr":
+        return (kind, draw(kids), draw(st.integers(1, 6)), draw(st.integers(1, 8)))
+    if kind == "concat":
+        return (kind, draw(kids), draw(st.sampled_from(["/", "-", " "])), draw(kids))
+    return (
+        "replace",
+        draw(kids),
+        draw(st.sampled_from(["Brand#", "widget", "PROMO", "o", "e"])),
+        draw(st.sampled_from(["B", "X", ""])),
+    )
+
+
+_STR_EXPR = st.recursive(_STR_LEAF, lambda kids: _str_node(kids), max_leaves=3)
+
+# terminal renderings: the raw string, its length, or a LIKE flag
+# folded to 'y'/'n' (never a bare boolean column)
+_STR_OUT = st.one_of(
+    st.tuples(st.just("str"), _STR_EXPR),
+    st.tuples(st.just("len"), _STR_EXPR),
+    st.tuples(
+        st.just("like"),
+        _STR_EXPR,
+        st.sampled_from(["%widget%", "%ECO%", "B%", "%o", "% %"]),
+    ),
+)
+
+
+def _str_col(e) -> Column:
+    kind = e[0]
+    if kind == "col":
+        return F.col(e[1])
+    if kind in ("upper", "lower", "trim", "reverse"):
+        return getattr(F, kind)(_str_col(e[1]))
+    if kind == "substr":
+        return F.substring(_str_col(e[1]), e[2], e[3])
+    if kind == "concat":
+        return F.concat(_str_col(e[1]), F.lit(e[2]), _str_col(e[3]))
+    if kind == "replace":
+        return F.replace(_str_col(e[1]), F.lit(e[2]), F.lit(e[3]))
+    raise AssertionError(e)
+
+
+def _str_sql(e) -> str:
+    kind = e[0]
+    if kind == "col":
+        return e[1]
+    if kind in ("upper", "lower", "trim", "reverse"):
+        return f"{kind}({_str_sql(e[1])})"
+    if kind == "substr":
+        return f"substr({_str_sql(e[1])}, {e[2]}, {e[3]})"
+    if kind == "concat":
+        return f"({_str_sql(e[1])} || '{e[2]}' || {_str_sql(e[3])})"
+    if kind == "replace":
+        return f"replace({_str_sql(e[1])}, '{e[2]}', '{e[3]}')"
+    raise AssertionError(e)
+
+
+def _str_out_pair(out, alias) -> tuple[Column, str]:
+    kind, e = out[0], out[1]
+    if kind == "str":
+        return _str_col(e), _str_sql(e)
+    if kind == "len":
+        return (
+            F.length(_str_col(e)),
+            f"CAST(length({_str_sql(e)}) AS INTEGER)",
+        )
+    pat = out[2]
+    return (
+        F.when(_str_col(e).like(pat), F.lit("y")).otherwise(F.lit("n")),
+        f"CASE WHEN {_str_sql(e)} LIKE '{pat}' THEN 'y' ELSE 'n' END",
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(outs=st.lists(_STR_OUT, min_size=1, max_size=4, unique=True))
+@example(
+    outs=[
+        ("str", ("replace", ("reverse", ("col", "p_brand")), "Brand#", "")),
+        ("len", ("substr", ("concat", ("col", "p_name"), "/", ("col", "p_type")), 6, 8)),
+        ("like", ("lower", ("col", "p_type")), "%ECO%"),
+    ]
+)
+def test_fuzz_string_exprs(spark, duck, outs):
+    df = load_table(spark, SF, "part")
+    pairs = [_str_out_pair(o, f"s{i}") for i, o in enumerate(outs)]
+    out = df.select(
+        "p_partkey", *[c.alias(f"s{i}") for i, (c, _) in enumerate(pairs)]
+    )
+    select = ", ".join(
+        ["p_partkey"] + [f"{s} AS s{i}" for i, (_, s) in enumerate(pairs)]
+    )
+    sql = f"SELECT {select} FROM part"
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, f"{msg}\nplan: outs={outs}\nsql: {sql}"
+
+
+_TRUNC_UNITS = ["year", "quarter", "month", "week", "day"]
+_DIFF_BASES = ["1994-01-01", "1995-01-01", "1998-06-15"]
+
+_DATE_OUT = st.one_of(
+    st.tuples(
+        st.just("part"),
+        st.sampled_from(["year", "month", "quarter", "weekofyear", "dayofyear", "dayofmonth"]),
+    ),
+    st.tuples(st.just("trunc"), st.sampled_from(_TRUNC_UNITS)),
+    st.tuples(st.just("adddays"), st.integers(1, 400)),
+    st.tuples(st.just("datediff"), st.sampled_from(_DIFF_BASES)),
+)
+
+_DUCK_PART = {
+    "year": "year",
+    "month": "month",
+    "quarter": "quarter",
+    "weekofyear": "weekofyear",
+    "dayofyear": "dayofyear",
+    "dayofmonth": "day",
+}
+
+
+def _date_out_pair(out) -> tuple[Column, str]:
+    kind = out[0]
+    if kind == "part":
+        fn = out[1]
+        return (
+            getattr(F, fn)("o_orderdate"),
+            f"CAST({_DUCK_PART[fn]}(o_orderdate) AS INTEGER)",
+        )
+    if kind == "trunc":
+        unit = out[1]
+        return (
+            F.date_trunc(unit, F.col("o_orderdate")),
+            f"CAST(date_trunc('{unit}', o_orderdate) AS TIMESTAMP)",
+        )
+    if kind == "adddays":
+        n = out[1]
+        return (
+            F.col("o_orderdate") + F.expr(f"INTERVAL {n} DAYS"),
+            f"CAST(o_orderdate + INTERVAL {n} DAY AS TIMESTAMP)",
+        )
+    base = out[1]
+    return (
+        F.datediff(F.col("o_orderdate"), F.lit(base).cast("date")),
+        f"CAST(datediff('day', TIMESTAMP '{base} 00:00:00', o_orderdate) "
+        "AS INTEGER)",
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(outs=st.lists(_DATE_OUT, min_size=1, max_size=4, unique=True))
+@example(
+    outs=[
+        ("trunc", "week"),
+        ("adddays", 91),
+        ("datediff", "1998-06-15"),
+        ("part", "weekofyear"),
+    ]
+)
+def test_fuzz_date_exprs(spark, duck, outs):
+    df = load_table(spark, SF, "orders")
+    pairs = [_date_out_pair(o) for o in outs]
+    out = df.select(
+        "o_orderkey", *[c.alias(f"d{i}") for i, (c, _) in enumerate(pairs)]
+    )
+    select = ", ".join(
+        ["o_orderkey"] + [f"{s} AS d{i}" for i, (_, s) in enumerate(pairs)]
+    )
+    sql = f"SELECT {select} FROM orders"
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, f"{msg}\nplan: outs={outs}\nsql: {sql}"
+
+
+_MATH_OUT = st.one_of(
+    st.tuples(st.just("mul"), st.integers(1, 500)),
+    st.tuples(st.just("abs_dist"), st.integers(85000, 95000)),
+    st.just(("floor",)),
+    st.just(("ceil",)),
+    st.just(("sqrt",)),
+    st.just(("ln9",)),
+)
+
+
+def _math_out_pair(out) -> tuple[Column, str]:
+    kind = out[0]
+    c = F.col("p_retailprice")
+    if kind == "mul":
+        lit = out[1] / 100.0
+        return c * F.lit(lit), f"(p_retailprice * {lit!r})"
+    if kind == "abs_dist":
+        lit = out[1] / 100.0
+        return F.abs(c - F.lit(lit)), f"abs(p_retailprice - {lit!r})"
+    if kind == "floor":
+        return F.floor(c), "CAST(floor(p_retailprice) AS BIGINT)"
+    if kind == "ceil":
+        return F.ceil(c), "CAST(ceil(p_retailprice) AS BIGINT)"
+    if kind == "sqrt":
+        # IEEE-754 sqrt is correctly rounded — bit-portable unrounded
+        return F.sqrt(c), "sqrt(p_retailprice)"
+    return F.round(F.log(c), 9), "round(ln(p_retailprice), 9)"
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(outs=st.lists(_MATH_OUT, min_size=1, max_size=4, unique=True))
+def test_fuzz_math_exprs(spark, duck, outs):
+    df = load_table(spark, SF, "part")
+    pairs = [_math_out_pair(o) for o in outs]
+    out = df.select(
+        "p_partkey", *[c.alias(f"m{i}") for i, (c, _) in enumerate(pairs)]
+    )
+    select = ", ".join(
+        ["p_partkey"] + [f"{s} AS m{i}" for i, (_, s) in enumerate(pairs)]
+    )
+    sql = f"SELECT {select} FROM part"
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, f"{msg}\nplan: outs={outs}\nsql: {sql}"
