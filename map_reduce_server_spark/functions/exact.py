@@ -72,6 +72,16 @@ def davg(col: Column | str, scale: int = 2, ndigits: int = 6) -> Column:
     precision. Composed from :func:`dsum`, so numerator and
     denominator agree about which rows exist: the guarded cast
     raises on garbage rather than letting SUM drop rows COUNT keeps.
+
+    Residual risk, documented not fixed: round(double, n) itself is
+    not fully portable — Spark rounds the double's shortest decimal
+    repr half-up while DuckDB disagrees on part of the .5-boundary
+    set (tests/test_engine_portability_pins.py pins 1.005 -> 1.01 vs
+    1.0). The quotient here would have to land EXACTLY on a
+    shortest-repr half boundary at digit ndigits+1 to diverge —
+    never observed across the full oracle gate at any SF — and both
+    sides round the bit-identical quotient, so the exposure is only
+    to that representational corner, not to accumulation order.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(dsum(c, scale) / F.count(c), ndigits)

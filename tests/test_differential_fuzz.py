@@ -531,9 +531,15 @@ def test_fuzz_join_aggregate(spark, duck, how, opred, cpred, aggs, key):
 # truncation / arithmetic over orders, double math over p_retailprice
 # — the q_string_funcs / q_date_funcs / q_math_funcs recipe space with
 # fuzzed nesting and literals. Excluded ON PURPOSE (known-nonportable,
-# the batches document the workarounds): bare round() on money values
-# (HALF_UP vs HALF_EVEN at the .5 boundary), boolean outputs (numpy
-# bool_ vs int canonicalization), ln without rounding (libm 1-ulp).
+# pinned with their verified directions in
+# test_engine_portability_pins.py): substr starts < 1, negative
+# left/right lengths, non-ASCII case mapping, concat() over NULLs,
+# LIKE-escape without an explicit ESCAPE clause, stringified doubles,
+# boolean outputs (numpy bool_ vs int canonicalization), and bare
+# round(double, n) — Spark rounds the double's SHORTEST DECIMAL REPR
+# half-up (Java BigDecimal.valueOf) while DuckDB tracks the binary
+# value on part of the boundary set, so 1.005 -> 1.01 vs 1.0 even
+# though many poison values (2.675, 0.35) happen to agree.
 
 _STR_COLS_PART = ["p_name", "p_brand", "p_type"]
 

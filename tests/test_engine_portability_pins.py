@@ -1,0 +1,174 @@
+"""Executable pins for Spark-vs-DuckDB scalar divergences.
+
+Every query in the registry ships a DuckDB oracle twin, so the
+portable expression subset is a load-bearing design surface. Each
+test here PINS a verified divergence (or a verified agreement that
+folklore says should diverge) in its actual direction on both
+engines — the rulebook for oracle authors, kept alive by CI instead
+of drifting in prose:
+
+RULES (each backed by a test below):
+- substr: 1-based starts only — position 0 changes MEANING across
+  engines, not just validity.
+- left/right: non-negative lengths only (negative flips semantics).
+- Case mapping: upper/lower only over ASCII data (Java's full
+  Unicode case mapping vs DuckDB's differ, e.g. U+00DF).
+- concat(): NULL-propagating in Spark, NULL-SKIPPING in DuckDB —
+  use `||` on both sides when operands can be NULL.
+- LIKE with escaped wildcards: DuckDB has NO default escape
+  character — always write an explicit `ESCAPE '\\'` in oracle SQL.
+- double -> string casts diverge in rendering (Java scientific
+  notation vs shortest round-trip; NaN/Infinity spellings) — never
+  hash or compare a stringified double (functions/hashing.py
+  enforces the same rule for hash keys).
+- initcap: Spark-only; no DuckDB twin.
+- round(double, n): NOT portable. Spark rounds the double's
+  SHORTEST DECIMAL REPR half-up (Java BigDecimal.valueOf(double)),
+  so 1.005 -> 1.01 even though the binary value is 1.00499...;
+  DuckDB keeps the binary value on part of the boundary set
+  (1.005 -> 1.0) while agreeing on other classic poison values
+  (2.675 -> 2.68 on both). The subtlety is the trap: spot-checking
+  a handful of .5-boundary literals can "prove" agreement. Only
+  round (a) decimals, or (b) results of computations whose value
+  cannot sit at a shortest-repr half boundary (the round(ln(x), 9)
+  pattern).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_utils import duck_connection
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF)
+    yield con
+    con.close()
+
+
+def _spark1(spark, expr: str):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0][0]
+
+
+def _duck1(duck, expr: str):
+    return duck.execute(f"SELECT {expr} AS v").fetchone()[0]
+
+
+def test_substr_position_zero_diverges(spark, duck):
+    # Spark treats start 0 as "position 0 exists": the 3-char window
+    # starting there covers chars 1-2 plus the virtual 0th -> 'abc'
+    # consumes length from position 0; DuckDB clips to 'ab'.
+    assert _spark1(spark, "substring('abcdef', 0, 3)") == "abc"
+    assert _duck1(duck, "substr('abcdef', 0, 3)") == "ab"
+    # 1-based starts agree (the portable subset)
+    assert _spark1(spark, "substring('abcdef', 2, 3)") == "bcd"
+    assert _duck1(duck, "substr('abcdef', 2, 3)") == "bcd"
+
+
+def test_left_negative_length_diverges(spark, duck):
+    # Spark: negative n -> empty; DuckDB: all but the last |n| chars
+    assert _spark1(spark, "left('abcdef', -2)") == ""
+    assert _duck1(duck, "left('abcdef', -2)") == "abcd"
+    assert _spark1(spark, "left('abcdef', 2)") == "ab"
+    assert _duck1(duck, "left('abcdef', 2)") == "ab"
+
+
+def test_upper_nonascii_diverges(spark, duck):
+    # Java full case mapping expands U+00DF to 'SS'; DuckDB maps to
+    # the capital sharp-s U+1E9E. ASCII-only case mapping agrees.
+    assert _spark1(spark, "upper('straße')") == "STRASSE"
+    assert _duck1(duck, "upper('straße')") == "STRAẞE"
+    assert _spark1(spark, "upper('abc')") == "ABC"
+    assert _duck1(duck, "upper('abc')") == "ABC"
+
+
+def test_concat_null_semantics_diverge(spark, duck):
+    # Spark concat(): any NULL operand -> NULL. DuckDB concat():
+    # NULLs are SKIPPED. `||` propagates NULL on both engines.
+    assert _spark1(spark, "concat('a', CAST(NULL AS STRING))") is None
+    assert _duck1(duck, "concat('a', CAST(NULL AS VARCHAR))") == "a"
+    assert _spark1(spark, "'a' || CAST(NULL AS STRING)") is None
+    assert _duck1(duck, "'a' || CAST(NULL AS VARCHAR)") is None
+
+
+def test_like_escape_needs_explicit_escape_in_duckdb(spark, duck):
+    # Spark's LIKE has backslash as the DEFAULT escape character;
+    # DuckDB's LIKE has NONE unless an ESCAPE clause is written.
+    assert (
+        _spark1(spark, r"CASE WHEN 'a_c' LIKE 'a\\_c' THEN 'y' ELSE 'n' END")
+        == "y"
+    )
+    assert (
+        _duck1(duck, r"CASE WHEN 'a_c' LIKE 'a\_c' THEN 'y' ELSE 'n' END")
+        == "n"
+    )
+    assert (
+        _duck1(
+            duck,
+            r"CASE WHEN 'a_c' LIKE 'a\_c' ESCAPE '\' THEN 'y' ELSE 'n' END",
+        )
+        == "y"
+    )
+
+
+def test_double_to_string_rendering_diverges(spark, duck):
+    # Java Double.toString scientific notation vs DuckDB's shortest
+    # round-trip decimal; special values spell differently too. This
+    # is why hash/partition keys must never be stringified doubles
+    # (functions/hashing.py key-type envelope).
+    assert _spark1(spark, "CAST(CAST(10000000 AS DOUBLE) AS STRING)") == "1.0E7"
+    assert (
+        _duck1(duck, "CAST(CAST(10000000 AS DOUBLE) AS VARCHAR)")
+        == "10000000.0"
+    )
+    assert _spark1(spark, "CAST(CAST(0.0001 AS DOUBLE) AS STRING)") == "1.0E-4"
+    assert _duck1(duck, "CAST(CAST(0.0001 AS DOUBLE) AS VARCHAR)") == "0.0001"
+    assert (
+        _spark1(spark, "CAST(CAST('Infinity' AS DOUBLE) AS STRING)")
+        == "Infinity"
+    )
+    assert (
+        _duck1(duck, "CAST(CAST('Infinity' AS DOUBLE) AS VARCHAR)") == "inf"
+    )
+
+
+def test_initcap_is_spark_only(spark, duck):
+    assert (
+        _spark1(spark, "initcap('hello-world foo_bar')")
+        == "Hello-world Foo_bar"
+    )
+    with pytest.raises(Exception, match="initcap|Catalog|not.*exist"):
+        _duck1(duck, "initcap('x')")
+
+
+@pytest.mark.parametrize(
+    "lit, nd, expect_spark, expect_duck",
+    [
+        # the DIVERGENT class: shortest repr ends in 5 at the target
+        # digit while the binary value sits just below the half —
+        # Spark rounds the repr up, DuckDB keeps the binary value
+        ("1.005", 2, 1.01, 1.0),
+        ("0.145", 2, 0.15, 0.14),
+        ("1.015", 2, 1.02, 1.01),
+        # the AGREEING class — including classic poison values that
+        # make spot-checks falsely "prove" portability
+        ("0.25", 1, 0.3, 0.3),
+        ("0.35", 1, 0.4, 0.4),
+        ("2.675", 2, 2.68, 2.68),
+        ("8.445", 2, 8.45, 8.45),
+        ("-2.5", 0, -3.0, -3.0),
+        ("2.5", 0, 3.0, 3.0),
+    ],
+)
+def test_round_double_boundary_pins(spark, duck, lit, nd, expect_spark, expect_duck):
+    """Bare round(double, n) is NOT portable: Spark rounds the
+    shortest-decimal-repr half-up, DuckDB disagrees on part of the
+    boundary set — each engine's answer pinned explicitly."""
+    s = _spark1(spark, f"round(CAST({lit} AS DOUBLE), {nd})")
+    d = _duck1(duck, f"round(CAST({lit} AS DOUBLE), {nd})")
+    assert repr(float(s)) == repr(expect_spark), (lit, nd, s)
+    assert repr(float(d)) == repr(expect_duck), (lit, nd, d)
