@@ -734,6 +734,58 @@ def test_fuzz_date_exprs(spark, duck, outs):
     assert ok, f"{msg}\nplan: outs={outs}\nsql: {sql}"
 
 
+# --- set-operation fuzz ----------------------------------------------------
+# Two filtered projections of orders onto a NON-unique column pair
+# (so the ALL variants exercise true multiset semantics, not the
+# degenerate duplicate-free case), combined with every set operator.
+
+_SETOP = {
+    # name -> (spark combiner, SQL keyword)
+    "union_all": (lambda a, b: a.union(b), "UNION ALL"),
+    "union": (lambda a, b: a.union(b).distinct(), "UNION"),
+    "intersect": (lambda a, b: a.intersect(b), "INTERSECT"),
+    "intersect_all": (lambda a, b: a.intersectAll(b), "INTERSECT ALL"),
+    "except": (lambda a, b: a.subtract(b), "EXCEPT"),
+    "except_all": (lambda a, b: a.exceptAll(b), "EXCEPT ALL"),
+}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(sorted(_SETOP)),
+    preda=table_pred(ORDERS_SPEC, max_leaves=3),
+    predb=table_pred(ORDERS_SPEC, max_leaves=3),
+)
+@example(
+    op="except_all",
+    preda=("str", "o_orderstatus", "<>", "P"),
+    predb=("int", "o_custkey", "<", 100),
+)
+@example(
+    op="intersect_all",
+    preda=("num", "o_totalprice", ">", 200000.0),
+    predb=("num", "o_totalprice", ">", 100000.0),
+)
+def test_fuzz_set_ops(spark, duck, op, preda, predb):
+    cols = ["o_orderstatus", "o_custkey"]
+    base = load_table(spark, SF, "orders")
+    a = base.filter(pred_col(preda)).select(*cols)
+    b = base.filter(pred_col(predb)).select(*cols)
+    out = _SETOP[op][0](a, b)
+    sel = ", ".join(cols)
+    sql = (
+        f"SELECT {sel} FROM orders WHERE {pred_sql(preda)} "
+        f"{_SETOP[op][1]} "
+        f"SELECT {sel} FROM orders WHERE {pred_sql(predb)}"
+    )
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, f"{msg}\nplan: op={op} preda={preda} predb={predb}\nsql: {sql}"
+
+
 _MATH_OUT = st.one_of(
     st.tuples(st.just("mul"), st.integers(1, 500)),
     st.tuples(st.just("abs_dist"), st.integers(85000, 95000)),
