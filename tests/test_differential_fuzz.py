@@ -734,6 +734,52 @@ def test_fuzz_date_exprs(spark, duck, outs):
     assert ok, f"{msg}\nplan: outs={outs}\nsql: {sql}"
 
 
+# --- top-k fuzz -------------------------------------------------------------
+# ORDER BY <sort col> <dir>, o_orderkey LIMIT k: the unique trailing
+# key makes every prefix deterministic (the engine's own window/top-k
+# contract — see the dup-key note in the verify skill), so the k rows
+# must be IDENTICAL across engines, not merely same-ranked.
+
+_SORT_COLS = ["o_totalprice", "o_custkey", "o_orderdate", "o_orderstatus"]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sort_col=st.sampled_from(_SORT_COLS),
+    desc=st.booleans(),
+    k=st.integers(1, 60),
+    pred=table_pred(ORDERS_SPEC, max_leaves=3),
+)
+@example(
+    sort_col="o_totalprice",
+    desc=True,
+    k=10,
+    pred=("str", "o_orderstatus", "=", "O"),
+)
+def test_fuzz_topk(spark, duck, sort_col, desc, k, pred):
+    df = load_table(spark, SF, "orders").filter(pred_col(pred))
+    order = [
+        F.col(sort_col).desc() if desc else F.col(sort_col).asc(),
+        F.col("o_orderkey").asc(),
+    ]
+    sel = list(dict.fromkeys(["o_orderkey", sort_col, "o_orderstatus"]))
+    out = df.orderBy(*order).select(*sel).limit(k)
+    direction = "DESC" if desc else "ASC"
+    sql = (
+        f"SELECT {', '.join(sel)} FROM orders "
+        f"WHERE {pred_sql(pred)} "
+        f"ORDER BY {sort_col} {direction}, o_orderkey LIMIT {k}"
+    )
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, (
+        f"{msg}\nplan: sort={sort_col} desc={desc} k={k} pred={pred}\nsql: {sql}"
+    )
+
+
 # --- set-operation fuzz ----------------------------------------------------
 # Two filtered projections of orders onto a NON-unique column pair
 # (so the ALL variants exercise true multiset semantics, not the
