@@ -8,6 +8,19 @@ text queries. Their DuckDB oracles all derive from the same
 identically; before this module the expression was pasted in seven
 places across five operator modules, held in sync only by
 discipline.
+
+CHARACTER ENVELOPE: the twins agree on any text whose lowercase
+mapping is one-to-one and context-free — all ASCII, and verified
+multi-byte cases like U+00DF. Two known exceptions, both pinned in
+tests/test_engine_portability_pins.py: U+0130 (Turkish dotted
+capital I — Java expands to 'i' + U+0307 combining dot, DuckDB maps
+to plain 'i') and U+03A3 (capital sigma — Java applies the
+CONTEXTUAL final-sigma rule, 'ÄΣ' -> 'äς', while DuckDB always
+yields 'σ'; a bare 'Σ' probe falsely shows agreement). Token
+equality, shingles, and fingerprints diverge on text containing
+either; such corpora must be normalized (NFKC or casefold) upstream
+of the tokenizer before oracle comparison is meaningful.
+tests/test_differential_fuzz.py fuzzes the agreeing plane.
 """
 
 from __future__ import annotations

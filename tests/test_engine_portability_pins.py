@@ -136,6 +136,30 @@ def test_double_to_string_rendering_diverges(spark, duck):
     )
 
 
+def test_lower_dotted_capital_i_diverges(spark, duck):
+    # U+0130: Java lowercase EXPANDS to 'i' + U+0307 combining dot;
+    # DuckDB maps to plain 'i'. This is the one known hole in the
+    # shared tokenizer's character envelope (functions/tokens.py) —
+    # corpora containing it must be normalized upstream.
+    assert _spark1(spark, "lower('İ')") == "i̇"
+    assert _duck1(duck, "lower('İ')") == "i"
+    assert (
+        _spark1(spark, "lower('STRASSE straße')")
+        == _duck1(duck, "lower('STRASSE straße')")
+    )
+
+
+def test_lower_final_sigma_is_contextual_in_spark(spark, duck):
+    # Found BY the tokenizer fuzz, not by spot-probing: Java's
+    # String.toLowerCase applies the contextual final-sigma rule
+    # (Σ after a cased letter at word end -> 'ς'); DuckDB maps Σ to
+    # 'σ' unconditionally. A bare 'Σ' has no preceding cased letter,
+    # so the obvious one-char probe FALSELY shows agreement.
+    assert _spark1(spark, "lower('ÄΣ')") == "äς"
+    assert _duck1(duck, "lower('ÄΣ')") == "äσ"
+    assert _spark1(spark, "lower('Σ')") == _duck1(duck, "lower('Σ')") == "σ"
+
+
 def test_initcap_is_spark_only(spark, duck):
     assert (
         _spark1(spark, "initcap('hello-world foo_bar')")
