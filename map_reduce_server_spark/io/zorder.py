@@ -1,0 +1,97 @@
+"""Z-order (Morton) data layout for two-dimensional scan pruning.
+
+The reference has no storage layout control at all (its sort task
+orders lines inside one output file, reference ``master/__main__.py``
+sort stage); this is the engine's answer to the lakehouse
+``OPTIMIZE ... ZORDER BY (a, b)``: rewrite a table so parquet
+file-level min/max statistics stay TIGHT on two filter dimensions at
+once. A layout range-partitioned on interleaved key bits gives every
+file a small axis-aligned rectangle of the key space, so a point or
+range predicate on EITHER column prunes all but ~sqrt(n_files) files
+— a single-column sort gives perfect pruning on that column and NO
+pruning on the other.
+
+At 100 TB this is the difference between "dimension-two queries scan
+the whole table" and "every query scans ~1/sqrt(files)": the rewrite
+is one repartitionByRange + per-partition sort (one shuffle, no
+driver data path), then pruning is free forever after — Spark's
+parquet reader consults footer min/max before reading row groups.
+
+Everything stays in whole-stage codegen: the z-value is a fixed
+unrolled chain of shift/and/or expressions, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def z_value(a: Column | str, b: Column | str, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative integer
+    columns into a Morton code (a in even positions, b in odd).
+
+    Inputs OUTSIDE [0, 2^bits) raise loudly instead of silently
+    aliasing distant keys onto nearby z-values (which would corrupt
+    the layout's pruning guarantee, not just an answer): callers map
+    wider domains down first — rank, bucket id, epoch-day, or a
+    truncating shift they choose consciously.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    limit = 1 << bits
+    # interleave over the RAW columns, then wrap the range check
+    # around the finished expression ONCE per column — checking
+    # inside the bit loop would paste the guard CASE into all
+    # 2*bits terms of the unrolled chain (the guard branch wins
+    # before any garbage interleave of an out-of-range value could
+    # be returned)
+    z = F.lit(0).cast("long")
+    for shift, c in ((0, a), (1, b)):
+        cl = c.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(cl, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, 2 * i + shift))
+    out = z
+    for name, c in (("b", b), ("a", a)):
+        out = F.when(
+            (c < 0) | (c >= limit),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"zorder: column '{name}' out of [0, {limit}): "),
+                    c.cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(out)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Rewrite ``df`` as ``n_files`` parquet files range-partitioned
+    and internally sorted by the Morton code of (col_a, col_b).
+
+    One shuffle (the range exchange samples boundaries, then each
+    task sorts its slice); the z column is dropped before the write
+    so the stored schema is unchanged. File counts are the caller's
+    scale decision: pick ``n_files`` so each file lands near the
+    cluster's target file size (e.g. 1 GiB) — pruning efficiency is
+    ~sqrt(n_files) files touched per single-dimension predicate.
+    """
+    if n_files < 1:
+        raise ValueError("zorder: n_files must be >= 1")
+    z = z_value(col_a, col_b, bits).alias("__z")
+    (
+        df.select("*", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,123 @@
+"""Z-order layout: Morton-code correctness against a pure-Python
+reference, and the pruning property the layout exists for — parquet
+file-level min/max stats must stay tight on BOTH key dimensions,
+where a single-column sort leaves the second dimension unprunable.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from map_reduce_server_spark.io.zorder import write_zordered, z_value
+
+
+def _z_ref(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=30,
+    ),
+    bits=st.sampled_from([4, 8, 16]),
+)
+def test_z_value_matches_reference(spark, pairs, bits):
+    mask = (1 << bits) - 1
+    pairs = [(a & mask, b & mask) for a, b in pairs]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = [
+        r.z
+        for r in df.select(z_value("a", "b", bits).alias("z"))
+        .orderBy("a", "b")
+        .collect()
+    ]
+    want = [_z_ref(a, b, bits) for a, b in sorted(pairs)]
+    assert got == want
+
+
+def test_z_value_out_of_range_raises(spark):
+    df = spark.createDataFrame([(70000, 1)], "a long, b long")
+    with pytest.raises(Exception, match="zorder: column 'a' out of"):
+        df.select(z_value("a", "b", 16).alias("z")).collect()
+    df2 = spark.createDataFrame([(1, -1)], "a long, b long")
+    with pytest.raises(Exception, match="zorder: column 'b' out of"):
+        df2.select(z_value("a", "b", 16).alias("z")).collect()
+
+
+def _files_overlapping(path: str, col: str, value: int) -> tuple[int, int]:
+    """(#part-files whose [min,max] for col contains value, #files)."""
+    pq = pytest.importorskip("pyarrow.parquet")
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        lo = min(
+            md.row_group(g).column(idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        if lo <= value <= hi:
+            hit += 1
+    return hit, len(files)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """64x64 uniform grid into 16 files: a point predicate on EITHER
+    key must overlap only a minority of files under z-order, while
+    the single-column-sorted layout leaves every file overlapping
+    for the other column."""
+    grid = (
+        spark.range(64)
+        .select(F.col("id").alias("a"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("b")))
+    )
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(grid, zpath, "a", "b", n_files=16, bits=6)
+    spath = str(tmp_path / "sorted_a")
+    (
+        grid.repartitionByRange(16, "a", "b")
+        .sortWithinPartitions("a", "b")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    # same rows back (layout is a rewrite, never a filter)
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(spath).count()
+        == 64 * 64
+    )
+
+    za, zn = _files_overlapping(zpath, "a", 17)
+    zb, _ = _files_overlapping(zpath, "b", 42)
+    sa, sn = _files_overlapping(spath, "a", 17)
+    sb, _ = _files_overlapping(spath, "b", 42)
+    assert zn == sn == 16
+    # z-order: ~sqrt(16)=4 files per dimension; range-sampling noise
+    # gives it slack to 8 but never the full scan
+    assert za <= 8 and zb <= 8, (za, zb)
+    # the single-column sort prunes its own column perfectly ...
+    assert sa <= 4, sa
+    # ... and cannot prune the second column AT ALL
+    assert sb == 16, sb
