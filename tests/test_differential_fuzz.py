@@ -790,6 +790,91 @@ def test_fuzz_tokenizer_twins(spark, duck, texts):
     assert got == oracle
 
 
+# --- hash-family fuzz -------------------------------------------------------
+# The md5-derived hash family (functions/hashing.py) is the
+# portability backbone of dedup, sampling, and splits. Fuzz the
+# Spark/DuckDB twins over generated STRING and INTEGER keys — the
+# documented key-type envelope (floating-point keys are explicitly
+# out; the module header pins why).
+
+_HASH_KEY = st.one_of(
+    st.text(
+        alphabet=st.characters(codec="ascii", min_codepoint=32, max_codepoint=126),
+        max_size=24,
+    ),
+    st.integers(-(2**40), 2**40),
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(_HASH_KEY, min_size=1, max_size=25),
+    seed=st.integers(0, 10_000),
+    mod=st.sampled_from([999_999, 1_000_000]),
+)
+@example(keys=["", " ", "0", 0, -1, "a:b", "'", 2**40], seed=7, mod=1_000_000)
+def test_fuzz_hash_family_twins(spark, seed, keys, mod):
+    from map_reduce_server_spark.functions import hashing
+
+    rows = [(i, str(k)) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "i long, k string")
+    got = {
+        r.i: (r.h, r.u, r.s, r.m)
+        for r in df.select(
+            "i",
+            hashing.md5_long(F.col("k")).alias("h"),
+            hashing.uniform01("fuzz", F.col("k"), mod).alias("u"),
+            hashing.split_hash(F.col("k")).alias("s"),
+            hashing.seeded_md5(F.col("k"), seed).alias("m"),
+        ).collect()
+    }
+    con = duck_connection(SF)
+    try:
+        oracle = {
+            i: vals
+            for i, *vals in con.execute(
+                f"SELECT i, {hashing.sql_md5_long('k')}, "
+                f"{hashing.sql_uniform01('fuzz', 'k', mod)}, "
+                f"{hashing.sql_split_hash('k')}, "
+                f"{hashing.sql_seeded_md5('k', seed)} "
+                "FROM (SELECT unnest($ids) AS i, unnest($ks) AS k)",
+                {"ids": [i for i, _ in rows], "ks": [k for _, k in rows]},
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert {i: tuple(v) for i, v in oracle.items()} == got
+
+    # INTEGER keys exercised as actual integer columns, so each
+    # engine performs its own int->string rendering inside the
+    # recipe (the envelope's second allowed key type)
+    int_keys = [k for k in keys if isinstance(k, int)] or [0]
+    irows = [(i, k) for i, k in enumerate(int_keys)]
+    idf = spark.createDataFrame(irows, "i long, ik long")
+    igot = {
+        r.i: r.s
+        for r in idf.select(
+            "i", hashing.split_hash(F.col("ik")).alias("s")
+        ).collect()
+    }
+    con = duck_connection(SF)
+    try:
+        ioracle = dict(
+            con.execute(
+                f"SELECT i, {hashing.sql_split_hash('ik')} "
+                "FROM (SELECT unnest($ids) AS i, unnest($iks) AS ik)",
+                {"ids": [i for i, _ in irows], "iks": [k for _, k in irows]},
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert ioracle == igot
+
+
 # --- top-k fuzz -------------------------------------------------------------
 # ORDER BY <sort col> <dir>, o_orderkey LIMIT k: the unique trailing
 # key makes every prefix deterministic (the engine's own window/top-k
