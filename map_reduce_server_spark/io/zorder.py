@@ -37,6 +37,13 @@ def z_value(a: Column | str, b: Column | str, bits: int = 16) -> Column:
     wider domains down first — rank, bucket id, epoch-day, or a
     truncating shift they choose consciously.
     """
+    if not 1 <= bits <= 31:
+        # 2*30+1 = 61 is the highest bit position used at bits=31;
+        # bits=32 would put b's top bit on the long SIGN bit (rows
+        # with large b sort FIRST, splitting the keyspace), and
+        # beyond that Java shift counts wrap mod 64 and alias
+        # distant keys — both silently destroy the layout
+        raise ValueError("zorder: bits must be in [1, 31]")
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     limit = 1 << bits
@@ -54,12 +61,16 @@ def z_value(a: Column | str, b: Column | str, bits: int = 16) -> Column:
             z = z.bitwiseOR(F.shiftleft(bit, 2 * i + shift))
     out = z
     for name, c in (("b", b), ("a", a)):
+        # NULL is outside [0, 2^bits) too: a bare (c < 0) predicate
+        # is NULL for NULL input and when() would fall through to
+        # the interleave, silently clustering all NULL-key rows
+        # instead of failing loudly as documented
         out = F.when(
-            (c < 0) | (c >= limit),
+            c.isNull() | (c < 0) | (c >= limit),
             F.raise_error(
                 F.concat(
                     F.lit(f"zorder: column '{name}' out of [0, {limit}): "),
-                    c.cast("string"),
+                    F.coalesce(c.cast("string"), F.lit("NULL")),
                 )
             ).cast("long"),
         ).otherwise(out)

@@ -128,16 +128,24 @@ def running_counts_stream(
         )
     if idle_ttl_ms <= 0:
         raise ValueError("idle_ttl_ms must be positive")
-    # applyInPandasWithState hands timestamp columns to the Python
-    # worker as tz-NAIVE pandas values rendered in the SESSION
-    # timezone (the Arrow serializer localizes, then drops the tz),
-    # while getCurrentWatermarkMs()/setTimeoutTimestamp() speak true
-    # UTC epoch millis. Capture the session tz HERE (driver side, at
-    # query build) so the worker can localize the naive values back
-    # before comparing — a naive-as-UTC read is off by the session
-    # offset: premature expiry west of UTC, state growth east of it.
-    # (The repo's own get_spark pins UTC, which would mask the bug;
-    # this template must not depend on that.)
+    # applyInPandasWithState hands TIMESTAMP (LTZ) columns to the
+    # Python worker as tz-NAIVE pandas values rendered in the
+    # SESSION timezone (the Arrow serializer localizes, then drops
+    # the tz), while getCurrentWatermarkMs()/setTimeoutTimestamp()
+    # speak true UTC epoch millis. Capture the session tz HERE
+    # (driver side, at query build) so the worker can localize the
+    # naive values back before comparing — a naive-as-UTC read is
+    # off by the session offset: premature expiry west of UTC,
+    # state growth east of it. (The repo's own get_spark pins UTC,
+    # which would mask the bug; this template must not depend on
+    # that.) The session-tz localization is ALWAYS the right inverse
+    # here: EventTimeTimeout requires a watermark, and Spark only
+    # permits watermarks on TIMESTAMP (LTZ) — an NTZ event-time
+    # column fails analysis with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    # before this function ever runs (pinned in
+    # tests/test_stateful_streaming.py), so callers with raw-parquet
+    # NTZ timestamps must cast to TIMESTAMP upstream and the worker
+    # can never legally receive an un-rendered NTZ wall time.
     session_tz = events_stream.sparkSession.conf.get(
         "spark.sql.session.timeZone"
     )
@@ -197,11 +205,17 @@ def running_counts_stream(
         # else: every row so far lacked an event time AND the
         # watermark hasn't moved (first micro-batch) — arming now
         # would plant a 1970+TTL timer that expires the key
-        # spuriously as soon as the watermark first advances. Leave
-        # the timer unset; the next invocation (new data, or any
-        # batch after the watermark moves) arms it. A key whose rows
-        # ALL lack event time can never be event-time expired — that
-        # is a data-quality property of the stream, not the operator.
+        # spuriously as soon as the watermark first advances, so no
+        # timer is set. KNOWN COST, chosen deliberately: Spark only
+        # re-invokes a key on NEW DATA or a FIRED timer (watermark
+        # movement alone does not), so a key that never receives
+        # another row keeps its state forever. The alternative —
+        # expiring data we were never able to time — silently drops
+        # a live count; a leak is observable and attributable to the
+        # upstream data-quality bug (event rows with no event time),
+        # a spurious expiry is not. Bound the blast radius upstream
+        # by filtering or defaulting null event times before the
+        # watermark.
         yield _snapshot(key, n, total_cents)
 
     return events_stream.groupBy("event_type").applyInPandasWithState(

@@ -232,7 +232,7 @@ AGGS = st.lists(_AGG_SPEC, min_size=1, max_size=4, unique=True)
 KEYS = st.lists(st.sampled_from(GROUP_COLS), unique=True, max_size=2)
 
 
-def agg_pair(spec, alias: str) -> tuple[Column, str]:
+def agg_pair(spec) -> tuple[Column, str]:
     kind = spec[0]
     if kind == "count_star":
         return F.count(F.lit(1)), "COUNT(*)"
@@ -256,7 +256,7 @@ def agg_pair(spec, alias: str) -> tuple[Column, str]:
 
 def _run_agg_plan(spark, duck, pred, keys, aggs):
     df = load_table(spark, SF, "lineitem").filter(pred_col(pred))
-    pairs = [agg_pair(s, f"a{i}") for i, s in enumerate(aggs)]
+    pairs = [agg_pair(s) for s in aggs]
     cols = [c.alias(f"a{i}") for i, (c, _) in enumerate(pairs)]
     out = df.groupBy(*keys).agg(*cols) if keys else df.agg(*cols)
     select = ", ".join(
@@ -481,12 +481,12 @@ def test_fuzz_join_aggregate(spark, duck, how, opred, cpred, aggs, key):
     Unmatched-left rows exist exactly when the customer-side filter
     removes customers (the FK is complete), so LEFT joins exercise
     the NULL-right plane; semi/anti restrict to left columns."""
-    if how in ("semi", "anti") or (how == "left" and key == "c_mktsegment"):
-        # semi/anti expose only left columns; a right-side group key
-        # under LEFT join is fine (NULL group), but not under semi/anti
+    if how in ("semi", "anti"):
+        # semi/anti expose only left columns — a right-side group
+        # key or aggregate is unrepresentable there; LEFT joins KEEP
+        # right-side keys so the NULL-group plane gets exercised
         if key == "c_mktsegment":
             key = "o_orderstatus"
-    if how in ("semi", "anti"):
         aggs = [a for a in aggs if not _JOIN_AGGS[a][2]] or ["n"]
 
     o = load_table(spark, SF, "orders").filter(pred_col(opred))
@@ -775,18 +775,14 @@ def test_fuzz_tokenizer_twins(spark, duck, texts):
         r.doc_id: r.toks
         for r in df.select("doc_id", word_tokens_col().alias("toks")).collect()
     }
-    con = duck_connection(SF)
-    try:
-        oracle = {
-            i: toks
-            for i, toks in con.execute(
-                f"SELECT i, {SQL_TOKS} "
-                "FROM (SELECT unnest($ids) AS i, unnest($txts) AS text)",
-                {"ids": [i for i, _ in rows], "txts": [t for _, t in rows]},
-            ).fetchall()
-        }
-    finally:
-        con.close()
+    oracle = {
+        i: toks
+        for i, toks in duck.execute(
+            f"SELECT i, {SQL_TOKS} "
+            "FROM (SELECT unnest($ids) AS i, unnest($txts) AS text)",
+            {"ids": [i for i, _ in rows], "txts": [t for _, t in rows]},
+        ).fetchall()
+    }
     assert got == oracle
 
 
@@ -817,7 +813,7 @@ _HASH_KEY = st.one_of(
     mod=st.sampled_from([999_999, 1_000_000]),
 )
 @example(keys=["", " ", "0", 0, -1, "a:b", "'", 2**40], seed=7, mod=1_000_000)
-def test_fuzz_hash_family_twins(spark, seed, keys, mod):
+def test_fuzz_hash_family_twins(spark, duck, seed, keys, mod):
     from map_reduce_server_spark.functions import hashing
 
     rows = [(i, str(k)) for i, k in enumerate(keys)]
@@ -832,21 +828,17 @@ def test_fuzz_hash_family_twins(spark, seed, keys, mod):
             hashing.seeded_md5(F.col("k"), seed).alias("m"),
         ).collect()
     }
-    con = duck_connection(SF)
-    try:
-        oracle = {
-            i: vals
-            for i, *vals in con.execute(
-                f"SELECT i, {hashing.sql_md5_long('k')}, "
-                f"{hashing.sql_uniform01('fuzz', 'k', mod)}, "
-                f"{hashing.sql_split_hash('k')}, "
-                f"{hashing.sql_seeded_md5('k', seed)} "
-                "FROM (SELECT unnest($ids) AS i, unnest($ks) AS k)",
-                {"ids": [i for i, _ in rows], "ks": [k for _, k in rows]},
-            ).fetchall()
-        }
-    finally:
-        con.close()
+    oracle = {
+        i: vals
+        for i, *vals in duck.execute(
+            f"SELECT i, {hashing.sql_md5_long('k')}, "
+            f"{hashing.sql_uniform01('fuzz', 'k', mod)}, "
+            f"{hashing.sql_split_hash('k')}, "
+            f"{hashing.sql_seeded_md5('k', seed)} "
+            "FROM (SELECT unnest($ids) AS i, unnest($ks) AS k)",
+            {"ids": [i for i, _ in rows], "ks": [k for _, k in rows]},
+        ).fetchall()
+    }
     assert {i: tuple(v) for i, v in oracle.items()} == got
 
     # INTEGER keys exercised as actual integer columns, so each
@@ -861,17 +853,13 @@ def test_fuzz_hash_family_twins(spark, seed, keys, mod):
             "i", hashing.split_hash(F.col("ik")).alias("s")
         ).collect()
     }
-    con = duck_connection(SF)
-    try:
-        ioracle = dict(
-            con.execute(
-                f"SELECT i, {hashing.sql_split_hash('ik')} "
-                "FROM (SELECT unnest($ids) AS i, unnest($iks) AS ik)",
-                {"ids": [i for i, _ in irows], "iks": [k for _, k in irows]},
-            ).fetchall()
-        )
-    finally:
-        con.close()
+    ioracle = dict(
+        duck.execute(
+            f"SELECT i, {hashing.sql_split_hash('ik')} "
+            "FROM (SELECT unnest($ids) AS i, unnest($iks) AS ik)",
+            {"ids": [i for i, _ in irows], "iks": [k for _, k in irows]},
+        ).fetchall()
+    )
     assert ioracle == igot
 
 

@@ -263,6 +263,31 @@ def test_stateful_ttl_non_utc_session_tz(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", old_tz)
 
 
+def test_watermark_rejects_ntz_event_time(spark, tmp_path):
+    """Why the TTL anchor's session-tz localization is ALWAYS the
+    right inverse: Spark refuses a watermark on TIMESTAMP_NTZ at
+    analysis time, so the EventTimeTimeout worker can never receive
+    an un-rendered NTZ wall time — raw-parquet NTZ timestamps must
+    be cast to TIMESTAMP upstream (this pin is the contract the
+    anchor code's comment relies on; if a future Spark starts
+    ACCEPTING NTZ watermarks, the anchor needs a column-type branch
+    localizing NTZ as UTC instead of session tz)."""
+    import pytest as _pytest
+
+    src = tmp_path / "src_ntz"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(
+            "event_type string, value double, ts timestamp_ntz"
+        )
+        .json(str(src))
+    )
+    with _pytest.raises(
+        Exception, match="EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE"
+    ):
+        stream.withWatermark("ts", "1 second")
+
+
 def test_stateful_ttl_null_ts_only_first_batch(spark, tmp_path):
     """A key whose FIRST batch carries only null event times must not
     be expired when the watermark first advances: with no event ts

@@ -60,6 +60,22 @@ def test_z_value_out_of_range_raises(spark):
         df2.select(z_value("a", "b", 16).alias("z")).collect()
 
 
+def test_z_value_null_key_raises(spark):
+    """NULL is outside [0, 2^bits) too: a NULL key must fail loudly,
+    not silently cluster into a NULL z (a bare `c < 0` predicate is
+    NULL for NULL input and would fall through the guard)."""
+    df = spark.createDataFrame([(None, 1)], "a long, b long")
+    with pytest.raises(Exception, match="zorder: column 'a' out of"):
+        df.select(z_value("a", "b", 16).alias("z")).collect()
+
+
+def test_z_value_bits_envelope():
+    with pytest.raises(ValueError, match="bits must be in"):
+        z_value("a", "b", 32)
+    with pytest.raises(ValueError, match="bits must be in"):
+        z_value("a", "b", 0)
+
+
 def _files_overlapping(path: str, col: str, value: int) -> tuple[int, int]:
     """(#part-files whose [min,max] for col contains value, #files)."""
     pq = pytest.importorskip("pyarrow.parquet")
