@@ -863,6 +863,70 @@ def test_fuzz_hash_family_twins(spark, duck, seed, keys, mod):
     assert ioracle == igot
 
 
+# --- q40 exact-aggregation fuzz ---------------------------------------------
+# qsum40/qmean40 are the tie-free exact aggregates for full-precision
+# doubles (embeddings, pagerank mass). Fuzz them over ADVERSARIAL
+# values: dyadic rationals k/2^e are exactly the decimal-cast
+# midpoints that made checked_decimal unsafe for this data class —
+# the q40 path must stay bit-identical on them by construction.
+
+# |v| <= 2^20/2^13 = 128, so 30 rows can never reach the 2^13 group
+# envelope (the guard itself is exercised by test_exact_aggregation's
+# dedicated cases, not here); e >= 13 keeps k/2^13-style midpoints in
+_DYADIC = st.builds(
+    lambda k, e: k / (1 << e),
+    st.integers(-(1 << 20), 1 << 20),
+    st.integers(13, 30),
+)
+_Q40_VAL = st.one_of(
+    _DYADIC,
+    st.integers(-12000, 12000).map(lambda c: c / 100.0),
+    st.none(),
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]), _Q40_VAL),
+        min_size=1,
+        max_size=30,
+    )
+)
+@example(vals=[("g1", 3.0 / 4096), ("g1", 1.0 / (1 << 13)), ("g2", None)])
+@example(vals=[("g1", -0.5), ("g1", 0.5)])  # exact cancellation
+def test_fuzz_q40_exact_twins(spark, duck, vals):
+    from pyspark.sql import types as T_
+
+    schema = T_.StructType(
+        [
+            T_.StructField("g", T_.StringType()),
+            T_.StructField("v", T_.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(vals, schema)
+    got = {
+        r.g: (r.s, r.m)
+        for r in df.groupBy("g")
+        .agg(exact.qsum40(F.col("v")).alias("s"), exact.qmean40(F.col("v")).alias("m"))
+        .collect()
+    }
+    oracle = {
+        g: (s, m)
+        for g, s, m in duck.execute(
+            f"SELECT g, {exact.sql_qsum40('v')} AS s, "
+            f"{exact.sql_qmean40('v')} AS m "
+            "FROM (SELECT unnest($gs) AS g, unnest($vs) AS v) GROUP BY g",
+            {"gs": [g for g, _ in vals], "vs": [v for _, v in vals]},
+        ).fetchall()
+    }
+    assert got == oracle, vals
+
+
 # --- top-k fuzz -------------------------------------------------------------
 # ORDER BY <sort col> <dir>, o_orderkey LIMIT k: the unique trailing
 # key makes every prefix deterministic (the engine's own window/top-k
