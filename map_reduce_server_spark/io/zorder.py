@@ -1,20 +1,20 @@
-"""Z-order (Morton) data layout for two-dimensional scan pruning.
+"""Z-order (Morton) data layout for multi-dimensional scan pruning.
 
 The reference has no storage layout control at all (its sort task
 orders lines inside one output file, reference ``master/__main__.py``
 sort stage); this is the engine's answer to the lakehouse
-``OPTIMIZE ... ZORDER BY (a, b)``: rewrite a table so parquet
-file-level min/max statistics stay TIGHT on two filter dimensions at
-once. A layout range-partitioned on interleaved key bits gives every
-file a small axis-aligned rectangle of the key space, so a point or
-range predicate on EITHER column prunes all but ~sqrt(n_files) files
-— a single-column sort gives perfect pruning on that column and NO
-pruning on the other.
+``OPTIMIZE ... ZORDER BY (a, b, ...)``: rewrite a table so parquet
+file-level min/max statistics stay TIGHT on several filter
+dimensions at once. A layout range-partitioned on interleaved key
+bits gives every file a small axis-aligned box of the key space, so
+a point or range predicate on ANY of the keys prunes all but
+~n_files^((k-1)/k) files — a single-column sort gives perfect
+pruning on that column and NO pruning on the others.
 
 At 100 TB this is the difference between "dimension-two queries scan
-the whole table" and "every query scans ~1/sqrt(files)": the rewrite
-is one repartitionByRange + per-partition sort (one shuffle, no
-driver data path), then pruning is free forever after — Spark's
+the whole table" and "every query scans a root of the files": the
+rewrite is one repartitionByRange + per-partition sort (one shuffle,
+no driver data path), then pruning is free forever after — Spark's
 parquet reader consults footer min/max before reading row groups.
 
 Everything stays in whole-stage codegen: the z-value is a fixed
@@ -27,40 +27,45 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def z_value(a: Column | str, b: Column | str, bits: int = 16) -> Column:
-    """Interleave the low ``bits`` bits of two non-negative integer
-    columns into a Morton code (a in even positions, b in odd).
+def z_value_n(cols: list[Column | str], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of k non-negative integer
+    columns into a Morton code (column j occupies bit positions
+    ``i*k + j``).
 
-    Inputs OUTSIDE [0, 2^bits) raise loudly instead of silently
-    aliasing distant keys onto nearby z-values (which would corrupt
-    the layout's pruning guarantee, not just an answer): callers map
-    wider domains down first — rank, bucket id, epoch-day, or a
-    truncating shift they choose consciously.
+    Inputs OUTSIDE [0, 2^bits) — including NULL — raise loudly
+    instead of silently aliasing distant keys onto nearby z-values
+    (which would corrupt the layout's pruning guarantee, not just an
+    answer): callers map wider domains down first — rank, bucket id,
+    epoch-day, or a truncating shift they choose consciously.
     """
-    if not 1 <= bits <= 31:
-        # 2*30+1 = 61 is the highest bit position used at bits=31;
-        # bits=32 would put b's top bit on the long SIGN bit (rows
-        # with large b sort FIRST, splitting the keyspace), and
-        # beyond that Java shift counts wrap mod 64 and alias
+    k = len(cols)
+    if k < 1:
+        raise ValueError("zorder: need at least one column")
+    if bits < 1 or k * bits > 62:
+        # (bits-1)*k + (k-1) = k*bits - 1 is the highest bit position
+        # used; position 63 is the long SIGN bit (rows with large
+        # last-key values would sort FIRST, splitting the keyspace),
+        # and beyond 63 Java shift counts wrap mod 64 and alias
         # distant keys — both silently destroy the layout
-        raise ValueError("zorder: bits must be in [1, 31]")
-    a = F.col(a) if isinstance(a, str) else a
-    b = F.col(b) if isinstance(b, str) else b
+        raise ValueError(
+            f"zorder: k*bits must be in [1, 62], got {k}*{bits}"
+        )
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     limit = 1 << bits
     # interleave over the RAW columns, then wrap the range check
     # around the finished expression ONCE per column — checking
     # inside the bit loop would paste the guard CASE into all
-    # 2*bits terms of the unrolled chain (the guard branch wins
+    # k*bits terms of the unrolled chain (the guard branch wins
     # before any garbage interleave of an out-of-range value could
     # be returned)
     z = F.lit(0).cast("long")
-    for shift, c in ((0, a), (1, b)):
+    for j, c in enumerate(cs):
         cl = c.cast("long")
         for i in range(bits):
             bit = F.shiftright(cl, i).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, 2 * i + shift))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
     out = z
-    for name, c in (("b", b), ("a", a)):
+    for j, c in reversed(list(enumerate(cs))):
         # NULL is outside [0, 2^bits) too: a bare (c < 0) predicate
         # is NULL for NULL input and when() would fall through to
         # the interleave, silently clustering all NULL-key rows
@@ -69,7 +74,7 @@ def z_value(a: Column | str, b: Column | str, bits: int = 16) -> Column:
             c.isNull() | (c < 0) | (c >= limit),
             F.raise_error(
                 F.concat(
-                    F.lit(f"zorder: column '{name}' out of [0, {limit}): "),
+                    F.lit(f"zorder: column {j} out of [0, {limit}): "),
                     F.coalesce(c.cast("string"), F.lit("NULL")),
                 )
             ).cast("long"),
@@ -77,27 +82,33 @@ def z_value(a: Column | str, b: Column | str, bits: int = 16) -> Column:
     return out
 
 
+def z_value(a: Column | str, b: Column | str, bits: int = 16) -> Column:
+    """Two-key Morton code (a in even positions, b in odd) — exactly
+    :func:`z_value_n` with ``[a, b]``; kept as the named common case.
+    """
+    return z_value_n([a, b], bits)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
-    col_a: str,
-    col_b: str,
+    cols: list[str],
     n_files: int,
     bits: int = 16,
 ) -> None:
     """Rewrite ``df`` as ``n_files`` parquet files range-partitioned
-    and internally sorted by the Morton code of (col_a, col_b).
+    and internally sorted by the Morton code of ``cols``.
 
     One shuffle (the range exchange samples boundaries, then each
     task sorts its slice); the z column is dropped before the write
     so the stored schema is unchanged. File counts are the caller's
     scale decision: pick ``n_files`` so each file lands near the
     cluster's target file size (e.g. 1 GiB) — pruning efficiency is
-    ~sqrt(n_files) files touched per single-dimension predicate.
+    ~n_files^((k-1)/k) files touched per single-dimension predicate.
     """
     if n_files < 1:
         raise ValueError("zorder: n_files must be >= 1")
-    z = z_value(col_a, col_b, bits).alias("__z")
+    z = z_value_n(list(cols), bits).alias("__z")
     (
         df.select("*", z)
         .repartitionByRange(n_files, "__z")

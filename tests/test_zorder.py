@@ -1,7 +1,8 @@
 """Z-order layout: Morton-code correctness against a pure-Python
-reference, and the pruning property the layout exists for — parquet
-file-level min/max stats must stay tight on BOTH key dimensions,
-where a single-column sort leaves the second dimension unprunable.
+reference (2-D and k-D), and the pruning property the layout exists
+for — parquet file-level min/max stats must stay tight on BOTH key
+dimensions, where a single-column sort leaves the second dimension
+unprunable.
 """
 
 from __future__ import annotations
@@ -13,14 +14,19 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from map_reduce_server_spark.io.zorder import write_zordered, z_value
+from map_reduce_server_spark.io.zorder import (
+    write_zordered,
+    z_value,
+    z_value_n,
+)
 
 
-def _z_ref(a: int, b: int, bits: int) -> int:
+def _z_ref(keys: tuple[int, ...], bits: int) -> int:
+    k = len(keys)
     z = 0
-    for i in range(bits):
-        z |= ((a >> i) & 1) << (2 * i)
-        z |= ((b >> i) & 1) << (2 * i + 1)
+    for j, v in enumerate(keys):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * k + j)
     return z
 
 
@@ -47,16 +53,42 @@ def test_z_value_matches_reference(spark, pairs, bits):
         .orderBy("a", "b")
         .collect()
     ]
-    want = [_z_ref(a, b, bits) for a, b in sorted(pairs)]
+    want = [_z_ref(p, bits) for p in sorted(pairs)]
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    triples=st.lists(
+        st.tuples(
+            st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_z_value_n_three_dims_matches_reference(spark, triples):
+    df = spark.createDataFrame(triples, "a long, b long, c long")
+    got = [
+        r.z
+        for r in df.select(z_value_n(["a", "b", "c"], 8).alias("z"))
+        .orderBy("a", "b", "c")
+        .collect()
+    ]
+    want = [_z_ref(t, 8) for t in sorted(triples)]
     assert got == want
 
 
 def test_z_value_out_of_range_raises(spark):
     df = spark.createDataFrame([(70000, 1)], "a long, b long")
-    with pytest.raises(Exception, match="zorder: column 'a' out of"):
+    with pytest.raises(Exception, match="zorder: column 0 out of"):
         df.select(z_value("a", "b", 16).alias("z")).collect()
     df2 = spark.createDataFrame([(1, -1)], "a long, b long")
-    with pytest.raises(Exception, match="zorder: column 'b' out of"):
+    with pytest.raises(Exception, match="zorder: column 1 out of"):
         df2.select(z_value("a", "b", 16).alias("z")).collect()
 
 
@@ -65,15 +97,19 @@ def test_z_value_null_key_raises(spark):
     not silently cluster into a NULL z (a bare `c < 0` predicate is
     NULL for NULL input and would fall through the guard)."""
     df = spark.createDataFrame([(None, 1)], "a long, b long")
-    with pytest.raises(Exception, match="zorder: column 'a' out of"):
+    with pytest.raises(Exception, match="zorder: column 0 out of"):
         df.select(z_value("a", "b", 16).alias("z")).collect()
 
 
 def test_z_value_bits_envelope():
-    with pytest.raises(ValueError, match="bits must be in"):
-        z_value("a", "b", 32)
-    with pytest.raises(ValueError, match="bits must be in"):
+    with pytest.raises(ValueError, match="k\\*bits must be in"):
+        z_value("a", "b", 32)  # 2*32 = 64 > 62: sign-bit corruption
+    with pytest.raises(ValueError, match="k\\*bits must be in"):
         z_value("a", "b", 0)
+    with pytest.raises(ValueError, match="k\\*bits must be in"):
+        z_value_n(["a", "b", "c", "d"], 16)  # 4*16 = 64 > 62
+    with pytest.raises(ValueError, match="at least one column"):
+        z_value_n([], 8)
 
 
 def _files_overlapping(path: str, col: str, value: int) -> tuple[int, int]:
@@ -109,7 +145,7 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     )
 
     zpath = str(tmp_path / "zorder")
-    write_zordered(grid, zpath, "a", "b", n_files=16, bits=6)
+    write_zordered(grid, zpath, ["a", "b"], n_files=16, bits=6)
     spath = str(tmp_path / "sorted_a")
     (
         grid.repartitionByRange(16, "a", "b")
