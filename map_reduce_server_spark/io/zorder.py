@@ -89,6 +89,38 @@ def z_value(a: Column | str, b: Column | str, bits: int = 16) -> Column:
     return z_value_n([a, b], bits)
 
 
+def uniform_bucket(
+    c: Column | str, lo: float, hi: float, bits: int = 16
+) -> Column:
+    """Map a continuous column into the [0, 2^bits) key domain
+    :func:`z_value_n` requires: linear bucketing over a caller-known
+    [lo, hi] envelope, CLAMPED at both ends so out-of-envelope
+    values degrade to edge buckets instead of failing the layout
+    write (stale min/max stats on a growing table must not abort a
+    rewrite — the clamp only loosens pruning for the clamped rows).
+    NULLs stay NULL and therefore still fail loudly inside
+    :func:`z_value_n`: a layout key must exist for every row.
+
+    This is deliberately NOT quantile bucketing: uniform buckets
+    keep the bucket function stateless and identical across rewrite
+    runs (a quantile-based key would shift every row's bucket when
+    the distribution drifts, making incremental re-layout
+    non-idempotent). Skewed columns get coarser effective pruning on
+    their dense range — pass a tighter [lo, hi] envelope for that
+    range if it matters.
+    """
+    if not hi > lo:
+        raise ValueError("zorder: bucket envelope needs hi > lo")
+    c = F.col(c) if isinstance(c, str) else c
+    n = (1 << bits) - 1
+    raw = F.floor((c - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n + 1)))
+    clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(n)).cast("long")
+    # explicit NULL passthrough: greatest/least SKIP null operands
+    # (greatest(NULL, 0) = 0), which would silently hand every
+    # NULL-key row bucket 0 instead of letting z_value_n fail loudly
+    return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(clamped)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -15,6 +15,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from map_reduce_server_spark.io.zorder import (
+    uniform_bucket,
     write_zordered,
     z_value,
     z_value_n,
@@ -110,6 +111,36 @@ def test_z_value_bits_envelope():
         z_value_n(["a", "b", "c", "d"], 16)  # 4*16 = 64 > 62
     with pytest.raises(ValueError, match="at least one column"):
         z_value_n([], 8)
+
+
+def test_uniform_bucket_envelope_and_clamp(spark):
+    rows = [(-5.0,), (0.0,), (0.49,), (0.5,), (99.99,), (100.0,), (250.0,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = [
+        r.b
+        for r in df.select(
+            uniform_bucket("v", 0.0, 100.0, 4).alias("b")
+        ).collect()
+    ]
+    # 16 buckets over [0, 100): 6.25 wide; out-of-envelope clamps to
+    # the edges; NULL stays NULL (so z_value_n still fails loudly)
+    assert got == [0, 0, 0, 0, 15, 15, 15, None]
+    with pytest.raises(ValueError, match="hi > lo"):
+        uniform_bucket("v", 1.0, 1.0, 4)
+    # end-to-end: bucketed continuous keys feed z_value_n directly
+    pairs = spark.createDataFrame(
+        [(3.7, 88.8), (50.0, 12.1)], "x double, y double"
+    )
+    out = pairs.select(
+        z_value_n(
+            [uniform_bucket("x", 0.0, 100.0, 4), uniform_bucket("y", 0.0, 100.0, 4)],
+            4,
+        ).alias("z")
+    ).collect()
+    assert [r.z for r in out] == [
+        _z_ref((int(3.7 / 6.25), int(88.8 / 6.25)), 4),
+        _z_ref((8, int(12.1 / 6.25)), 4),
+    ]
 
 
 def _files_overlapping(path: str, col: str, value: int) -> tuple[int, int]:
