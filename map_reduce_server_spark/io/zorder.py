@@ -41,14 +41,17 @@ def z_value_n(cols: list[Column | str], bits: int = 16) -> Column:
     k = len(cols)
     if k < 1:
         raise ValueError("zorder: need at least one column")
-    if bits < 1 or k * bits > 62:
+    if bits < 1 or k * bits > 63:
         # (bits-1)*k + (k-1) = k*bits - 1 is the highest bit position
-        # used; position 63 is the long SIGN bit (rows with large
-        # last-key values would sort FIRST, splitting the keyspace),
-        # and beyond 63 Java shift counts wrap mod 64 and alias
-        # distant keys — both silently destroy the layout
+        # used, so k*bits = 63 tops out at position 62 (max z =
+        # 2^63-1, still positive) and is the last safe config;
+        # k*bits = 64 puts the last key's top bit on the long SIGN
+        # bit (rows with large last-key values would sort FIRST,
+        # splitting the keyspace), and beyond that Java shift counts
+        # wrap mod 64 and alias distant keys — both silently destroy
+        # the layout
         raise ValueError(
-            f"zorder: k*bits must be in [1, 62], got {k}*{bits}"
+            f"zorder: k*bits must be in [1, 63], got {k}*{bits}"
         )
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     limit = 1 << bits
@@ -69,12 +72,24 @@ def z_value_n(cols: list[Column | str], bits: int = 16) -> Column:
         # NULL is outside [0, 2^bits) too: a bare (c < 0) predicate
         # is NULL for NULL input and when() would fall through to
         # the interleave, silently clustering all NULL-key rows
-        # instead of failing loudly as documented
+        # instead of failing loudly as documented. The c != cast
+        # term catches fractional doubles the same way: the
+        # interleave consumes cast('long'), so 15.9 passing a
+        # raw-value range check would silently alias onto 15's
+        # z-value — exactly the truncation this guard exists to
+        # forbid. (NaN is caught by c >= limit: Spark orders NaN
+        # above every value.)
         out = F.when(
-            c.isNull() | (c < 0) | (c >= limit),
+            c.isNull()
+            | (c < 0)
+            | (c >= limit)
+            | (c != c.cast("long")),
             F.raise_error(
                 F.concat(
-                    F.lit(f"zorder: column {j} out of [0, {limit}): "),
+                    F.lit(
+                        f"zorder: column {j} not an integer "
+                        f"in [0, {limit}): "
+                    ),
                     F.coalesce(c.cast("string"), F.lit("NULL")),
                 )
             ).cast("long"),
@@ -115,10 +130,14 @@ def uniform_bucket(
     n = (1 << bits) - 1
     raw = F.floor((c - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n + 1)))
     clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(n)).cast("long")
-    # explicit NULL passthrough: greatest/least SKIP null operands
-    # (greatest(NULL, 0) = 0), which would silently hand every
-    # NULL-key row bucket 0 instead of letting z_value_n fail loudly
-    return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(clamped)
+    # explicit NULL passthrough for BOTH un-keyable value classes:
+    # greatest/least SKIP null operands (greatest(NULL, 0) = 0) and
+    # floor(NaN) casts to 0L, so either would silently hand the row
+    # bucket 0 — a legitimate-looking key laundered past z_value_n's
+    # loud guard. Emitting NULL instead lets that guard fire.
+    return F.when(
+        c.isNull() | F.isnan(c.cast("double")), F.lit(None).cast("long")
+    ).otherwise(clamped)
 
 
 def write_zordered(

@@ -86,10 +86,10 @@ def test_z_value_n_three_dims_matches_reference(spark, triples):
 
 def test_z_value_out_of_range_raises(spark):
     df = spark.createDataFrame([(70000, 1)], "a long, b long")
-    with pytest.raises(Exception, match="zorder: column 0 out of"):
+    with pytest.raises(Exception, match="zorder: column 0 not an integer"):
         df.select(z_value("a", "b", 16).alias("z")).collect()
     df2 = spark.createDataFrame([(1, -1)], "a long, b long")
-    with pytest.raises(Exception, match="zorder: column 1 out of"):
+    with pytest.raises(Exception, match="zorder: column 1 not an integer"):
         df2.select(z_value("a", "b", 16).alias("z")).collect()
 
 
@@ -98,23 +98,44 @@ def test_z_value_null_key_raises(spark):
     not silently cluster into a NULL z (a bare `c < 0` predicate is
     NULL for NULL input and would fall through the guard)."""
     df = spark.createDataFrame([(None, 1)], "a long, b long")
-    with pytest.raises(Exception, match="zorder: column 0 out of"):
+    with pytest.raises(Exception, match="zorder: column 0 not an integer"):
         df.select(z_value("a", "b", 16).alias("z")).collect()
+
+
+def test_z_value_fractional_key_raises(spark):
+    """The interleave consumes cast('long'), so a fractional double
+    passing a raw-value range check would silently alias onto its
+    truncation's z-value — the guard must reject it instead."""
+    df = spark.createDataFrame([(15.9, 1.0)], "a double, b double")
+    with pytest.raises(Exception, match="zorder: column 0 not an integer"):
+        df.select(z_value("a", "b", 4).alias("z")).collect()
+    # integral-valued doubles are fine (a bucket id stored as double)
+    got = (
+        spark.createDataFrame([(15.0, 1.0)], "a double, b double")
+        .select(z_value("a", "b", 4).alias("z"))
+        .collect()
+    )
+    assert got[0].z == _z_ref((15, 1), 4)
 
 
 def test_z_value_bits_envelope():
     with pytest.raises(ValueError, match="k\\*bits must be in"):
-        z_value("a", "b", 32)  # 2*32 = 64 > 62: sign-bit corruption
+        z_value("a", "b", 32)  # 2*32 = 64: sign-bit corruption
     with pytest.raises(ValueError, match="k\\*bits must be in"):
         z_value("a", "b", 0)
     with pytest.raises(ValueError, match="k\\*bits must be in"):
-        z_value_n(["a", "b", "c", "d"], 16)  # 4*16 = 64 > 62
+        z_value_n(["a", "b", "c", "d"], 16)  # 4*16 = 64
+    # k*bits = 63 tops out at bit position 62 — the last SAFE config
+    z_value_n(["a", "b", "c"], 21)
     with pytest.raises(ValueError, match="at least one column"):
         z_value_n([], 8)
 
 
 def test_uniform_bucket_envelope_and_clamp(spark):
-    rows = [(-5.0,), (0.0,), (0.49,), (0.5,), (99.99,), (100.0,), (250.0,), (None,)]
+    rows = [
+        (-5.0,), (0.0,), (0.49,), (0.5,), (99.99,), (100.0,), (250.0,),
+        (None,), (float("nan"),),
+    ]
     df = spark.createDataFrame(rows, "v double")
     got = [
         r.b
@@ -123,8 +144,10 @@ def test_uniform_bucket_envelope_and_clamp(spark):
         ).collect()
     ]
     # 16 buckets over [0, 100): 6.25 wide; out-of-envelope clamps to
-    # the edges; NULL stays NULL (so z_value_n still fails loudly)
-    assert got == [0, 0, 0, 0, 15, 15, 15, None]
+    # the edges; NULL and NaN stay NULL (floor(NaN) casts to 0L, so
+    # without the passthrough NaN would launder into bucket 0) —
+    # z_value_n then fails loudly on them
+    assert got == [0, 0, 0, 0, 15, 15, 15, None, None]
     with pytest.raises(ValueError, match="hi > lo"):
         uniform_bucket("v", 1.0, 1.0, 4)
     # end-to-end: bucketed continuous keys feed z_value_n directly
