@@ -863,6 +863,53 @@ def test_fuzz_hash_family_twins(spark, duck, seed, keys, mod):
     assert ioracle == igot
 
 
+# --- rollup / cube fuzz ------------------------------------------------------
+# Super-aggregate grids: every subtotal level must agree, including
+# the NULL group markers rollup/cube synthesize (the data itself is
+# NULL-free, so a NULL key row IS the subtotal marker, unambiguous
+# on both engines).
+
+_RC_KEYS = ["o_orderstatus", "o_orderpriority"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    mode=st.sampled_from(["rollup", "cube"]),
+    keys=st.lists(st.sampled_from(_RC_KEYS), min_size=1, max_size=2, unique=True),
+    pred=table_pred(ORDERS_SPEC, max_leaves=3),
+)
+@example(
+    mode="cube",
+    keys=["o_orderstatus", "o_orderpriority"],
+    pred=("num", "o_totalprice", ">", 100000.0),
+)
+def test_fuzz_rollup_cube(spark, duck, mode, keys, pred):
+    from hypothesis import assume
+
+    df = load_table(spark, SF, "orders").filter(pred_col(pred))
+    # empty input is a PINNED divergence, not a fuzz target: SQL's
+    # () grouping set yields one n=0 row (DuckDB) while Spark's
+    # rollup/cube emit nothing (test_engine_portability_pins.py)
+    assume(df.limit(1).count() == 1)
+    grouped = getattr(df, mode)(*keys)
+    out = grouped.agg(
+        F.count(F.lit(1)).alias("n"),
+        exact.dsum("o_totalprice").alias("total"),
+    )
+    sql = (
+        f"SELECT {', '.join(keys)}, COUNT(*) AS n, "
+        f"{exact.sql_dsum('o_totalprice')} AS total "
+        f"FROM orders WHERE {pred_sql(pred)} "
+        f"GROUP BY {mode.upper()}({', '.join(keys)})"
+    )
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, f"{msg}\nplan: mode={mode} keys={keys} pred={pred}\nsql: {sql}"
+
+
 # --- q40 exact-aggregation fuzz ---------------------------------------------
 # qsum40/qmean40 are the tie-free exact aggregates for full-precision
 # doubles (embeddings, pagerank mass). Fuzz them over ADVERSARIAL

@@ -160,6 +160,30 @@ def test_lower_final_sigma_is_contextual_in_spark(spark, duck):
     assert _spark1(spark, "lower('Σ')") == _duck1(duck, "lower('Σ')") == "σ"
 
 
+def test_rollup_cube_empty_input_diverges(spark, duck):
+    # Found by the rollup/cube fuzz: over EMPTY input, SQL's grand
+    # total grouping set () still produces one row (n=0) — DuckDB
+    # follows that; Spark's rollup/cube emit NOTHING (though Spark's
+    # plain global aggregate does emit the n=0 row). Oracle twins
+    # for rollup/cube must guarantee non-empty input or guard the
+    # grand-total row explicitly.
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "k string, v double")
+    assert empty.rollup("k").agg(F.count(F.lit(1)).alias("n")).collect() == []
+    assert empty.cube("k").agg(F.count(F.lit(1)).alias("n")).collect() == []
+    assert [
+        r.n for r in empty.agg(F.count(F.lit(1)).alias("n")).collect()
+    ] == [0]
+    assert (
+        duck.execute(
+            "SELECT k, COUNT(*) n FROM (SELECT 'x' k WHERE false) "
+            "GROUP BY ROLLUP(k)"
+        ).fetchall()
+        == [(None, 0)]
+    )
+
+
 def test_initcap_is_spark_only(spark, duck):
     assert (
         _spark1(spark, "initcap('hello-world foo_bar')")
