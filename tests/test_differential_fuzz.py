@@ -272,6 +272,7 @@ def _run_agg_plan(spark, duck, pred, keys, aggs):
 @settings(
     max_examples=25,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(pred=PRED, keys=KEYS, aggs=AGGS)
@@ -305,6 +306,7 @@ def test_fuzz_filter_group_aggregate(spark, duck, pred, keys, aggs):
 @settings(
     max_examples=25,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(pred=PRED)
@@ -393,6 +395,7 @@ def _win_pair(fn: str, over_col: str, over_sql: str) -> tuple[Column, str]:
 @settings(
     max_examples=20,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
@@ -451,6 +454,7 @@ _JOIN_AGGS = {
 @settings(
     max_examples=20,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
@@ -631,6 +635,7 @@ def _str_out_pair(out, alias) -> tuple[Column, str]:
 @settings(
     max_examples=25,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(outs=st.lists(_STR_OUT, min_size=1, max_size=4, unique=True))
@@ -709,6 +714,7 @@ def _date_out_pair(out) -> tuple[Column, str]:
 @settings(
     max_examples=25,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(outs=st.lists(_DATE_OUT, min_size=1, max_size=4, unique=True))
@@ -759,6 +765,7 @@ _TOK_TEXT = st.text(
 @settings(
     max_examples=30,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=st.lists(_TOK_TEXT, min_size=1, max_size=20))
@@ -805,6 +812,7 @@ _HASH_KEY = st.one_of(
 @settings(
     max_examples=25,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
@@ -875,6 +883,7 @@ _RC_KEYS = ["o_orderstatus", "o_orderpriority"]
 @settings(
     max_examples=15,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
@@ -935,6 +944,7 @@ _Q40_VAL = st.one_of(
 @settings(
     max_examples=25,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
@@ -986,6 +996,7 @@ _SORT_COLS = ["o_totalprice", "o_custkey", "o_orderdate", "o_orderstatus"]
 @settings(
     max_examples=20,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
@@ -1039,6 +1050,7 @@ _SETOP = {
 @settings(
     max_examples=20,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
@@ -1104,6 +1116,7 @@ def _math_out_pair(out) -> tuple[Column, str]:
 @settings(
     max_examples=20,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(outs=st.lists(_MATH_OUT, min_size=1, max_size=4, unique=True))

@@ -72,6 +72,7 @@ def _model(batches):
 @settings(
     max_examples=6,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batches=_BATCHES)

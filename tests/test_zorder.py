@@ -34,6 +34,7 @@ def _z_ref(keys: tuple[int, ...], bits: int) -> int:
 @settings(
     max_examples=10,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
@@ -61,6 +62,7 @@ def test_z_value_matches_reference(spark, pairs, bits):
 @settings(
     max_examples=8,
     deadline=None,
+    print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
