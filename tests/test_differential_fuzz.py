@@ -14,7 +14,8 @@ integer sums (DuckDB widens SUM(BIGINT) to HUGEINT, which fetchdf
 would render as float64), and no DATE outputs — so every generated
 plan is one the engine's own queries are allowed to write. Leaves
 draw only from lineitem columns verified NULL-free at all SFs; the
-three-valued-logic plane is covered separately by the hand-written
+three-valued-logic plane has its own dedicated fuzz over a nullable
+synthetic table (test_null_logic_fuzz.py) plus the hand-written
 NULL-guard tests (the fuzz here must isolate ENGINE divergence, not
 re-test SQL NULL semantics).
 """
