@@ -920,6 +920,78 @@ def test_fuzz_rollup_cube(spark, duck, mode, keys, pred):
     assert ok, f"{msg}\nplan: mode={mode} keys={keys} pred={pred}\nsql: {sql}"
 
 
+# --- array-ops fuzz (embeddings: 64-dim float vectors) ----------------------
+# Scalar-only outputs by design: an ARRAY output column would compare
+# numpy-array-vs-list string renderings, not values. get() is 0-based
+# with NULL out-of-bounds (matching DuckDB's 1-based [i+1] on
+# overflow); the vector sum uses the q40 exact path so element order
+# cannot matter; k-th-of-sorted is order-insensitive for equal keys.
+
+_ARR_OUT = st.one_of(
+    st.just(("dim",)),
+    st.tuples(st.just("get"), st.integers(0, 70)),
+    st.tuples(st.just("kth_sorted"), st.integers(0, 63)),
+    st.just(("sum_q40",)),
+)
+
+
+def _arr_pair(out) -> tuple[Column, str]:
+    vec = F.col("embedding").cast("array<double>")
+    dvec = "embedding::DOUBLE[]"
+    if out[0] == "dim":
+        return F.size("embedding"), "CAST(len(embedding) AS INTEGER)"
+    if out[0] == "get":
+        i = out[1]
+        return (
+            F.round(F.get(vec, i), 6),
+            f"round(CAST(embedding[{i + 1}] AS DOUBLE), 6)",
+        )
+    if out[0] == "kth_sorted":
+        k = out[1]
+        return (
+            F.get(F.array_sort(F.transform(vec, lambda x: F.round(x, 6))), k),
+            f"(list_sort(list_transform({dvec}, x -> round(x, 6))))"
+            f"[{k + 1}]",
+        )
+    # exact vector sum: per-element floor(x * 2^40) as BIGINT, summed
+    # (64 elements in [-1, 1] stay far below 2^53), divided back
+    return (
+        F.aggregate(
+            F.transform(
+                vec, lambda x: F.floor(x * F.lit(2.0**40)).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(2.0**40),
+        "CAST(list_sum(list_transform("
+        f"{dvec}, x -> CAST(floor(x * 1099511627776.0) AS BIGINT)))"
+        " AS DOUBLE) / 1099511627776.0",
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(outs=st.lists(_ARR_OUT, min_size=1, max_size=4, unique=True))
+@example(outs=[("dim",), ("get", 70), ("kth_sorted", 0), ("sum_q40",)])
+def test_fuzz_array_ops(spark, duck, outs):
+    df = load_table(spark, SF, "embeddings")
+    pairs = [_arr_pair(o) for o in outs]
+    out = df.select(
+        "vec_id", *[c.alias(f"e{i}") for i, (c, _) in enumerate(pairs)]
+    )
+    select = ", ".join(
+        ["vec_id"] + [f"{s} AS e{i}" for i, (_, s) in enumerate(pairs)]
+    )
+    sql = f"SELECT {select} FROM embeddings"
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, f"{msg}\nplan: outs={outs}\nsql: {sql}"
+
+
 # --- q40 exact-aggregation fuzz ---------------------------------------------
 # qsum40/qmean40 are the tie-free exact aggregates for full-precision
 # doubles (embeddings, pagerank mass). Fuzz them over ADVERSARIAL
