@@ -32,6 +32,26 @@ RULES (each backed by a test below):
   round (a) decimals, or (b) results of computations whose value
   cannot sit at a shortest-repr half boundary (the round(ln(x), 9)
   pattern).
+- Day-of-week: NO same-named function is portable. `dayofweek` is
+  1-based Sunday on Spark, 0-based Sunday on DuckDB (off-by-one);
+  `weekday` exists on BOTH but with DIFFERENT anchors (Spark
+  0=Monday, DuckDB 0=Sunday — DuckDB's is an alias of dayofweek);
+  `dayname` renders 'Sun' vs 'Sunday'. The portable recipe is the
+  ISO number via arithmetic: Spark `weekday(d) + 1` == DuckDB
+  `isodow(d)` (1=Monday..7=Sunday).
+- Week truncation: both engines truncate to MONDAY and agree on the
+  instant, but Spark's date_trunc returns TIMESTAMP while DuckDB's
+  returns DATE even for timestamp input — cast both sides to
+  TIMESTAMP (the repo-wide no-DATE-output rule).
+- Month arithmetic: `d + INTERVAL n MONTH` clamps to month-end on
+  both and agrees on the value, but DuckDB returns TIMESTAMP where
+  Spark returns DATE — same cast rule. `add_months` /
+  `months_between` are Spark-only; `datediff(end, start)` is
+  Spark's 2-arg form vs DuckDB's 3-arg `datediff('day', start,
+  end)` (note the flipped operand order).
+- AGREEING date subset (verified, not folklore): weekofyear (ISO,
+  week 53 spill-back included), dayofyear, quarter, last_day,
+  date_add(d, n).
 """
 
 from __future__ import annotations
@@ -191,6 +211,134 @@ def test_initcap_is_spark_only(spark, duck):
     )
     with pytest.raises(Exception, match="initcap|Catalog|not.*exist"):
         _duck1(duck, "initcap('x')")
+
+
+def test_day_of_week_matrix_diverges(spark, duck):
+    """No same-named day-of-week function is portable. 2024-01-07 is
+    a Sunday, 2024-01-08 a Monday:
+
+    - dayofweek: Spark 1=Sunday..7=Saturday; DuckDB 0=Sunday..6 —
+      an off-by-one under the SAME name.
+    - weekday: the nastier trap — present on BOTH engines but with
+      different anchors: Spark 0=Monday..6=Sunday, DuckDB an alias
+      of its dayofweek (0=Sunday). A probe on a Monday (Spark 0,
+      DuckDB 1) reveals it; one on certain days can appear close.
+    - dayname: Spark abbreviates ('Sun'), DuckDB spells out
+      ('Sunday').
+
+    The PORTABLE recipe is ISO day-of-week via arithmetic:
+    Spark ``weekday(d) + 1`` == DuckDB ``isodow(d)``
+    (1=Monday..7=Sunday) — pinned across a full week below.
+    """
+    sun, mon = "DATE '2024-01-07'", "DATE '2024-01-08'"
+    # dayofweek: same name, off by one
+    assert _spark1(spark, f"dayofweek({sun})") == 1
+    assert _duck1(duck, f"dayofweek({sun})") == 0
+    assert _spark1(spark, f"dayofweek({mon})") == 2
+    assert _duck1(duck, f"dayofweek({mon})") == 1
+    # weekday: same name, DIFFERENT convention (not a shift — Sunday
+    # maps to 6 on Spark and 0 on DuckDB)
+    assert _spark1(spark, f"weekday({sun})") == 6
+    assert _duck1(duck, f"weekday({sun})") == 0
+    assert _spark1(spark, f"weekday({mon})") == 0
+    assert _duck1(duck, f"weekday({mon})") == 1
+    # dayname rendering
+    assert _spark1(spark, f"dayname({sun})") == "Sun"
+    assert _duck1(duck, f"dayname({sun})") == "Sunday"
+    # the portable ISO recipe, across a full week (Mon 8th .. Sun
+    # 14th -> 1..7)
+    for i, day in enumerate(range(8, 15)):
+        d = f"DATE '2024-01-{day:02d}'"
+        assert _spark1(spark, f"weekday({d}) + 1") == i + 1
+        assert _duck1(duck, f"isodow({d})") == i + 1
+
+
+def test_week_trunc_value_agrees_type_diverges(spark, duck):
+    # Both truncate a Wednesday-10th timestamp to Monday the 8th —
+    # but Spark keeps TIMESTAMP while DuckDB narrows to DATE even
+    # for timestamp input. Oracle twins must cast both sides to
+    # TIMESTAMP (the repo-wide no-DATE-output rule).
+    import datetime
+
+    s = _spark1(spark, "date_trunc('week', TIMESTAMP '2024-01-10 05:00:00')")
+    d = _duck1(duck, "date_trunc('week', TIMESTAMP '2024-01-10 05:00:00')")
+    assert s == datetime.datetime(2024, 1, 8, 0, 0)
+    assert d == datetime.date(2024, 1, 8) and not isinstance(
+        d, datetime.datetime
+    )
+    d_cast = _duck1(
+        duck,
+        "CAST(date_trunc('week', TIMESTAMP '2024-01-10 05:00:00')"
+        " AS TIMESTAMP)",
+    )
+    assert d_cast == s
+
+
+def test_month_arithmetic_pins(spark, duck):
+    """Month-end clamping AGREES in value (Jan 31 + 1 month ->
+    Feb 29 on both), but DuckDB's date+interval returns TIMESTAMP
+    where Spark returns DATE; and the Spark-side helpers
+    (add_months, months_between, 2-arg datediff) have no DuckDB
+    twin — the portable forms are `+ INTERVAL` with a TIMESTAMP
+    cast and DuckDB's 3-arg datediff with FLIPPED operand order."""
+    import datetime
+
+    s = _spark1(spark, "DATE '2024-01-31' + INTERVAL 1 MONTH")
+    d = _duck1(duck, "DATE '2024-01-31' + INTERVAL 1 MONTH")
+    assert s == datetime.date(2024, 2, 29)
+    assert d == datetime.datetime(2024, 2, 29, 0, 0)
+    # Spark-only helpers
+    assert _spark1(spark, "add_months(DATE '2024-01-31', 1)") == s
+    assert (
+        _spark1(
+            spark, "months_between(DATE '2024-03-31', DATE '2024-02-29')"
+        )
+        == 1.0
+    )
+    with pytest.raises(Exception, match="add_months|Catalog"):
+        _duck1(duck, "add_months(DATE '2024-01-31', 1)")
+    with pytest.raises(Exception, match="months_between|Catalog"):
+        _duck1(duck, "months_between(DATE '2024-03-31', DATE '2024-02-29')")
+    # datediff: Spark 2-arg is (END, START); DuckDB needs the 3-arg
+    # part-first form with (START, END) — operand order flips too
+    assert (
+        _spark1(spark, "datediff(DATE '2024-02-01', DATE '2024-01-01')")
+        == 31
+    )
+    with pytest.raises(Exception, match="datediff|Binder|No function"):
+        _duck1(duck, "datediff(DATE '2024-02-01', DATE '2024-01-01')")
+    assert (
+        _duck1(
+            duck,
+            "datediff('day', DATE '2024-01-01', DATE '2024-02-01')",
+        )
+        == 31
+    )
+
+
+def test_agreeing_date_subset(spark, duck):
+    # The verified-portable subset — including the ISO week-53
+    # spill-back (2021-01-01 belongs to 2020's week 53 on BOTH).
+    for expr, want in [
+        ("weekofyear(DATE '2024-01-01')", 1),
+        ("weekofyear(DATE '2021-01-01')", 53),
+        ("dayofyear(DATE '2024-03-01')", 61),  # leap-aware on both
+        ("quarter(DATE '2024-05-01')", 2),
+    ]:
+        assert _spark1(spark, expr) == want, expr
+        assert _duck1(duck, expr) == want, expr
+    import datetime
+
+    assert (
+        _spark1(spark, "last_day(DATE '2024-02-10')")
+        == _duck1(duck, "last_day(DATE '2024-02-10')")
+        == datetime.date(2024, 2, 29)
+    )
+    assert (
+        _spark1(spark, "date_add(DATE '2024-01-31', 1)")
+        == _duck1(duck, "date_add(DATE '2024-01-31', 1)")
+        == datetime.date(2024, 2, 1)
+    )
 
 
 @pytest.mark.parametrize(
