@@ -672,6 +672,14 @@ _DATE_OUT = st.one_of(
     st.tuples(st.just("trunc"), st.sampled_from(_TRUNC_UNITS)),
     st.tuples(st.just("adddays"), st.integers(1, 400)),
     st.tuples(st.just("datediff"), st.sampled_from(_DIFF_BASES)),
+    # the three portable recipes pinned in
+    # test_engine_portability_pins.py: ISO day-of-week via arithmetic
+    # (no same-named dow function is portable), last_day, and
+    # month-interval add (month-end clamping agrees; both sides cast
+    # to TIMESTAMP because the engines disagree on the return type)
+    st.tuples(st.just("isodow"), st.none()),
+    st.tuples(st.just("lastday"), st.none()),
+    st.tuples(st.just("addmonths"), st.integers(1, 25)),
 )
 
 _DUCK_PART = {
@@ -704,6 +712,24 @@ def _date_out_pair(out) -> tuple[Column, str]:
             F.col("o_orderdate") + F.expr(f"INTERVAL {n} DAYS"),
             f"CAST(o_orderdate + INTERVAL {n} DAY AS TIMESTAMP)",
         )
+    if kind == "isodow":
+        return (
+            F.weekday("o_orderdate") + F.lit(1),
+            "CAST(isodow(o_orderdate) AS INTEGER)",
+        )
+    if kind == "lastday":
+        return (
+            F.last_day("o_orderdate").cast("timestamp"),
+            "CAST(last_day(o_orderdate) AS TIMESTAMP)",
+        )
+    if kind == "addmonths":
+        n = out[1]
+        return (
+            (F.col("o_orderdate") + F.expr(f"INTERVAL {n} MONTHS")).cast(
+                "timestamp"
+            ),
+            f"CAST(o_orderdate + INTERVAL {n} MONTH AS TIMESTAMP)",
+        )
     base = out[1]
     return (
         F.datediff(F.col("o_orderdate"), F.lit(base).cast("date")),
@@ -725,6 +751,13 @@ def _date_out_pair(out) -> tuple[Column, str]:
         ("adddays", 91),
         ("datediff", "1998-06-15"),
         ("part", "weekofyear"),
+    ]
+)
+@example(
+    outs=[
+        ("isodow", None),
+        ("lastday", None),
+        ("addmonths", 13),  # crosses a year boundary; clamps at 31sts
     ]
 )
 def test_fuzz_date_exprs(spark, duck, outs):
