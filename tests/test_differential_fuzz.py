@@ -774,6 +774,119 @@ def test_fuzz_date_exprs(spark, duck, outs):
     assert ok, f"{msg}\nplan: outs={outs}\nsql: {sql}"
 
 
+# --- JSON extraction fuzz ---------------------------------------------------
+# get_json_object vs json_extract_string over generated documents,
+# confined to the portable envelope pinned in
+# test_engine_portability_pins.py: identifier keys, printable-ASCII
+# strings (json.dumps handles quoting/escaping), booleans,
+# int64-range integers, and doubles with magnitude 0 or in
+# [0.01, 1e7) so neither engine's double-to-string rendering goes
+# scientific. Documents are always well-formed (malformed input is
+# NULL-vs-ERROR across engines — pinned, out of envelope). Paths
+# cover every concrete leaf/branch plus guaranteed-missing keys.
+
+_JSON_KEYS = list("abcdefgh")
+_JSON_STR = st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=32, max_codepoint=126),
+    max_size=12,
+)
+_JSON_NUM = st.integers(-999_999_999, 999_999_999).map(
+    lambda m: 0.0 if abs(m) < 100 else m / 100.0
+)
+_JSON_SCALAR = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-(2**62), 2**62),
+    _JSON_NUM,
+    _JSON_STR,
+)
+# array elements exclude JSON null: indexing a null yields the text
+# 'null' on Spark but SQL NULL on DuckDB (pinned; ambiguous with an
+# honest "null" string, so not normalizable)
+_JSON_ELEM = st.one_of(
+    st.booleans(), st.integers(-(2**62), 2**62), _JSON_NUM, _JSON_STR
+)
+_JSON_VALUE = st.one_of(
+    _JSON_SCALAR,
+    st.lists(_JSON_ELEM, max_size=3),
+    st.dictionaries(
+        st.sampled_from(_JSON_KEYS),
+        st.one_of(_JSON_SCALAR, st.lists(_JSON_ELEM, max_size=3)),
+        max_size=3,
+    ),
+)
+_JSON_DOC = st.dictionaries(
+    st.sampled_from(_JSON_KEYS), _JSON_VALUE, max_size=4
+)
+
+
+def _json_paths(doc: dict) -> list[str]:
+    paths = ["$.zz"]  # guaranteed missing (keys are single letters)
+    for k, v in doc.items():
+        paths.append(f"$.{k}")
+        if isinstance(v, list):
+            paths.extend(f"$.{k}[{i}]" for i in range(len(v)))
+            paths.append(f"$.{k}[{len(v)}]")  # out of bounds
+        elif isinstance(v, dict):
+            for k2, v2 in v.items():
+                paths.append(f"$.{k}.{k2}")
+                if isinstance(v2, list):
+                    paths.extend(
+                        f"$.{k}.{k2}[{i}]" for i in range(len(v2))
+                    )
+    return paths
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_JSON_DOC, min_size=1, max_size=8))
+@example(
+    docs=[
+        {"a": {"b": [1.5, 'he said "hi"'], "c": True}, "d": None},
+        {"a": [], "b": {}, "c": -0.0},
+        {"a": 9_999_999.99, "b": -(2**62), "c": "\\ ' $[0]"},
+    ]
+)
+def test_fuzz_json_extraction_twins(spark, duck, docs):
+    import json as _json
+
+    rows = []
+    for i, doc in enumerate(docs):
+        text = _json.dumps(doc)
+        for p in _json_paths(doc):
+            rows.append((i, text, p))
+    df = spark.createDataFrame(rows, "i long, doc string, path string")
+    got = {
+        (r.i, r.path): r.v
+        for r in df.select(
+            "i",
+            "path",
+            # NB: F.get_json_object(col, path) takes the PATH as a
+            # python literal — routing a per-row path column needs
+            # the SQL form
+            F.expr("get_json_object(doc, path)").alias("v"),
+        ).collect()
+    }
+    oracle = {
+        (i, p): v
+        for i, p, v in duck.execute(
+            "SELECT i, path, json_extract_string(doc::JSON, path) "
+            "FROM (SELECT unnest($is) AS i, unnest($docs) AS doc, "
+            "unnest($paths) AS path)",
+            {
+                "is": [r[0] for r in rows],
+                "docs": [r[1] for r in rows],
+                "paths": [r[2] for r in rows],
+            },
+        ).fetchall()
+    }
+    assert got == oracle
+
+
 # --- tokenizer fuzz ---------------------------------------------------------
 # The shared word tokenizer (functions/tokens.py) is the single most
 # load-bearing cross-engine recipe: the whole dedup/retrieval/text

@@ -52,6 +52,15 @@ RULES (each backed by a test below):
 - AGREEING date subset (verified, not folklore): weekofyear (ISO,
   week 53 spill-back included), dayofyear, quarter, last_day,
   date_add(d, n).
+- JSON extraction (get_json_object vs json_extract_string): the
+  portable envelope is identifier keys, strings, booleans,
+  int64-range integers, and doubles whose magnitude stays in
+  [1e-3, 1e7). Outside it: Spark re-renders numbers through Java
+  Double.toString (scientific '1.0E7'/'1.0E-4' where DuckDB writes
+  '10000000.0'/'0.0001'), integers beyond int64 stay integer text
+  on Spark but become doubles on DuckDB, and a MALFORMED document
+  is NULL on Spark but an ERROR on DuckDB unless wrapped in
+  TRY_CAST(... AS JSON).
 """
 
 from __future__ import annotations
@@ -338,6 +347,87 @@ def test_agreeing_date_subset(spark, duck):
         _spark1(spark, "date_add(DATE '2024-01-31', 1)")
         == _duck1(duck, "date_add(DATE '2024-01-31', 1)")
         == datetime.date(2024, 2, 1)
+    )
+
+
+def _duck_json(duck, doc: str, path: str):
+    return duck.execute(
+        "SELECT json_extract_string(?::JSON, ?)", [doc, path]
+    ).fetchone()[0]
+
+
+def _spark_json(spark, doc: str, path: str):
+    quoted = doc.replace("\\", "\\\\").replace("'", "\\'")
+    return _spark1(spark, f"get_json_object('{quoted}', '{path}')")
+
+
+def test_json_number_rendering_diverges(spark, duck):
+    """Both engines re-render extracted JSON numbers through their
+    double-to-string routine, so the CAST(double AS STRING) rendering
+    divergence leaks into JSON extraction: Spark goes scientific at
+    magnitude >= 1e7 or < 1e-3, DuckDB writes shortest decimal.
+    In-range short decimals agree (both normalize 1.50 -> 1.5)."""
+    assert _spark_json(spark, '{"a": 10000000.0}', "$.a") == "1.0E7"
+    assert _duck_json(duck, '{"a": 10000000.0}', "$.a") == "10000000.0"
+    assert _spark_json(spark, '{"a": 0.0001}', "$.a") == "1.0E-4"
+    assert _duck_json(duck, '{"a": 0.0001}', "$.a") == "0.0001"
+    for doc, want in [
+        ('{"a": 2.0}', "2.0"),
+        ('{"a": 1.50}', "1.5"),
+        ('{"a": 123456.789}', "123456.789"),
+    ]:
+        assert _spark_json(spark, doc, "$.a") == want
+        assert _duck_json(duck, doc, "$.a") == want
+
+
+def test_json_bigint_beyond_int64_diverges(spark, duck):
+    # Spark (Jackson) keeps an arbitrary-precision integer as
+    # integer text; DuckDB parses it to a double and renders '...0'.
+    doc = '{"a": 100000000000000000000}'
+    assert _spark_json(spark, doc, "$.a") == "100000000000000000000"
+    assert _duck_json(duck, doc, "$.a") == "100000000000000000000.0"
+    # int64-range integers agree
+    doc = '{"a": 12345678901234567}'
+    assert (
+        _spark_json(spark, doc, "$.a")
+        == _duck_json(duck, doc, "$.a")
+        == "12345678901234567"
+    )
+
+
+def test_json_null_array_element_diverges(spark, duck):
+    """Found BY the JSON fuzz: extracting a JSON null through an
+    ARRAY INDEX returns the literal text 'null' on Spark but SQL
+    NULL on DuckDB — while FIELD access of the same JSON null is
+    SQL NULL on both, and re-rendering a container keeps the token
+    on both. Arrays holding nulls are out of the portable envelope
+    (and 'null' is ambiguous with the honest string "null" on the
+    Spark side, so it cannot be normalized away)."""
+    assert _spark_json(spark, '{"a": [1, null]}', "$.a[1]") == "null"
+    assert _duck_json(duck, '{"a": [1, null]}', "$.a[1]") is None
+    # field access: SQL NULL on both
+    assert _spark_json(spark, '{"a": {"b": null}}', "$.a.b") is None
+    assert _duck_json(duck, '{"a": {"b": null}}', "$.a.b") is None
+    # container re-render keeps the token on both
+    assert (
+        _spark_json(spark, '{"a": [null]}', "$.a")
+        == _duck_json(duck, '{"a": [null]}', "$.a")
+        == "[null]"
+    )
+
+
+def test_json_malformed_doc_null_vs_error(spark, duck):
+    # Spark returns NULL for an unparseable document; DuckDB's JSON
+    # cast RAISES — an oracle twin over dirty JSON must TRY_CAST.
+    assert _spark_json(spark, "not json", "$.a") is None
+    with pytest.raises(Exception, match="Malformed JSON|Conversion"):
+        _duck_json(duck, "not json", "$.a")
+    assert (
+        duck.execute(
+            "SELECT json_extract_string("
+            "TRY_CAST('not json' AS JSON), '$.a')"
+        ).fetchone()[0]
+        is None
     )
 
 
