@@ -774,6 +774,100 @@ def test_fuzz_date_exprs(spark, duck, outs):
     assert ok, f"{msg}\nplan: outs={outs}\nsql: {sql}"
 
 
+# --- timestamp expression fuzz ----------------------------------------------
+# The events table is the engine's sub-day time surface (sessionize,
+# time rollups, as-of joins, streaming watermarks) and ships as
+# TIMESTAMP(NANOS) parquet normalized by tables.load_table. Fuzz
+# timestamp expressions over it: truncation grains, part extraction,
+# epoch seconds, interval shifts, and second-diffs — NULL ts rows
+# stay in (NULL propagates identically on both engines).
+
+_TS_TRUNC_UNITS = ["year", "quarter", "month", "week", "day", "hour", "minute"]
+_TS_PARTS = ["year", "month", "hour", "minute", "second"]
+_TS_BASE = "1994-06-15 12:00:00"
+
+_TS_OUT = st.one_of(
+    st.tuples(st.just("trunc"), st.sampled_from(_TS_TRUNC_UNITS)),
+    st.tuples(st.just("part"), st.sampled_from(_TS_PARTS)),
+    st.tuples(st.just("epoch"), st.none()),
+    st.tuples(
+        st.tuples(
+            st.just("shift"), st.sampled_from(["HOUR", "MINUTE", "DAY"])
+        ),
+        st.integers(-500, 500),
+    ),
+    st.tuples(st.just("diffsec"), st.none()),
+)
+
+
+def _ts_out_pair(out) -> tuple[Column, str]:
+    kind = out[0]
+    if kind == "part":
+        fn = out[1]
+        return (
+            getattr(F, fn)("ts"),
+            f"CAST({fn}(ts) AS INTEGER)",
+        )
+    if kind == "epoch":
+        # floor() before the cast: Spark's unix_timestamp truncates
+        # fractional seconds toward -inf while a bare
+        # CAST(epoch(ts) AS BIGINT) ROUNDS on DuckDB (pinned in
+        # test_engine_portability_pins.py)
+        return (
+            F.unix_timestamp("ts"),
+            "CAST(floor(epoch(ts)) AS BIGINT)",
+        )
+    if kind == "diffsec":
+        return (
+            F.expr(f"timestampdiff(SECOND, TIMESTAMP '{_TS_BASE}', ts)"),
+            f"CAST(datediff('second', TIMESTAMP '{_TS_BASE}', ts) "
+            "AS BIGINT)",
+        )
+    if kind == "trunc":
+        unit = out[1]
+        return (
+            F.date_trunc(unit, F.col("ts")),
+            f"CAST(date_trunc('{unit}', ts) AS TIMESTAMP)",
+        )
+    (_, unit), n = out
+    # n * INTERVAL 1 UNIT on both sides: DuckDB's parser rejects a
+    # negative count inside an INTERVAL literal
+    return (
+        F.expr(f"ts + {n} * INTERVAL 1 {unit}"),
+        f"CAST(ts + {n} * INTERVAL 1 {unit} AS TIMESTAMP)",
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(outs=st.lists(_TS_OUT, min_size=1, max_size=4, unique=True))
+@example(
+    outs=[
+        ("trunc", "week"),
+        ("part", "second"),
+        ("epoch", None),
+        (("shift", "MINUTE"), -321),
+    ]
+)
+@example(outs=[("diffsec", None), ("trunc", "minute")])
+def test_fuzz_timestamp_exprs(spark, duck, outs):
+    df = load_table(spark, SF, "events")
+    pairs = [_ts_out_pair(o) for o in outs]
+    out = df.select(
+        "event_id", *[c.alias(f"t{i}") for i, (c, _) in enumerate(pairs)]
+    )
+    select = ", ".join(
+        ["event_id"] + [f"{s} AS t{i}" for i, (_, s) in enumerate(pairs)]
+    )
+    sql = f"SELECT {select} FROM events"
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, f"{msg}\nplan: outs={outs}\nsql: {sql}"
+
+
 # --- JSON extraction fuzz ---------------------------------------------------
 # get_json_object vs json_extract_string over generated documents,
 # confined to the portable envelope pinned in

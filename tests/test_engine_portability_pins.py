@@ -361,6 +361,19 @@ def _spark_json(spark, doc: str, path: str):
     return _spark1(spark, f"get_json_object('{quoted}', '{path}')")
 
 
+def test_epoch_seconds_floor_vs_round(spark, duck):
+    """Found by the timestamp fuzz: Spark's unix_timestamp TRUNCATES
+    fractional seconds (floor), while DuckDB's epoch() returns a
+    DOUBLE whose BIGINT cast ROUNDS half-up — the naive twin is off
+    by one on any ts with fraction >= .5. The portable oracle form
+    is CAST(floor(epoch(ts)) AS BIGINT); epoch of a DATE is always
+    integral, so the bare cast is safe there (relational.py:917)."""
+    ts = "TIMESTAMP '2024-01-01 00:00:58.778'"
+    assert _spark1(spark, f"unix_timestamp({ts})") == 1704067258
+    assert _duck1(duck, f"CAST(epoch({ts}) AS BIGINT)") == 1704067259
+    assert _duck1(duck, f"CAST(floor(epoch({ts})) AS BIGINT)") == 1704067258
+
+
 def test_json_number_rendering_diverges(spark, duck):
     """Both engines re-render extracted JSON numbers through their
     double-to-string routine, so the CAST(double AS STRING) rendering
