@@ -774,6 +774,92 @@ def test_fuzz_date_exprs(spark, duck, outs):
     assert ok, f"{msg}\nplan: outs={outs}\nsql: {sql}"
 
 
+# --- regexp fuzz ------------------------------------------------------------
+# Java regex (Spark) vs RE2 (DuckDB) over the REGULAR subset both
+# dialects share: literals, character classes, dot, alternation,
+# greedy/lazy quantifiers, anchors. Out of envelope (engine-specific
+# syntax, not fuzzable): pattern backreferences and lookaround
+# (RE2 lacks them), possessive quantifiers (Java only), replacement
+# group refs ($n vs \n — pinned), and the replace-all-vs-first
+# default (pinned; the fuzz always passes DuckDB's 'g' flag).
+# Probed agreements the fuzz builds on: leftmost-first alternation,
+# no-match extract -> '' on both, non-participating group -> '' on
+# both, dot excludes newline on both.
+
+_RX_LIT = st.text(alphabet="ab01 z", min_size=1, max_size=3)
+_RX_CLASS = st.sampled_from(
+    ["[ab]", "[a-d]", "[0-9]", "[^ab]", "[a-d0-3]", "[^0-9 ]"]
+)
+_RX_ATOM = st.one_of(
+    _RX_LIT, _RX_CLASS, st.just("."), st.sampled_from(["a", "b", "0", "1"])
+)
+_RX_QUANT = st.sampled_from(["?", "*", "+", "{1,2}", "{2}", "*?", "+?"])
+
+
+def _rx_quantified(atom_and_q):
+    atom, q = atom_and_q
+    # quantify a single char / class / dot; parenthesize multi-char
+    # literals so the quantifier binds the whole run
+    if len(atom) > 1 and not atom.startswith("["):
+        atom = f"({atom})"
+    return atom + q
+
+
+_RX_PIECE = st.one_of(
+    _RX_ATOM,
+    st.tuples(_RX_ATOM, _RX_QUANT).map(_rx_quantified),
+)
+_RX_CONCAT = st.lists(_RX_PIECE, min_size=1, max_size=4).map("".join)
+_RX_PATTERN = st.builds(
+    lambda alts, anchor_l, anchor_r: (
+        ("^" if anchor_l else "")
+        + ("|".join(alts) if len(alts) == 1 else "(" + "|".join(alts) + ")")
+        + ("$" if anchor_r else "")
+    ),
+    st.lists(_RX_CONCAT, min_size=1, max_size=3),
+    st.booleans(),
+    st.booleans(),
+)
+_RX_TEXT = st.text(alphabet="ab01 z.,xy", max_size=14)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_RX_TEXT, min_size=1, max_size=12),
+    pattern=_RX_PATTERN,
+)
+@example(texts=["abab", "a b1", "", "zz.,", "0110"], pattern="^(a.*?b|[^ab]+)")
+@example(texts=["aaaa", "ab ab", "xyxy"], pattern="(a+?|[a-d0-3]{1,2})$")
+def test_fuzz_regexp_twins(spark, duck, texts, pattern):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r.i: (r.m, r.x, r.rep)
+        for r in df.selectExpr(
+            "i",
+            f"text RLIKE '{pattern}' AS m",
+            f"regexp_extract(text, '{pattern}', 0) AS x",
+            f"regexp_replace(text, '{pattern}', 'Z') AS rep",
+        ).collect()
+    }
+    oracle = {
+        i: (m, x, rep)
+        for i, m, x, rep in duck.execute(
+            f"SELECT i, regexp_matches(text, '{pattern}'), "
+            f"regexp_extract(text, '{pattern}', 0), "
+            f"regexp_replace(text, '{pattern}', 'Z', 'g') "
+            "FROM (SELECT unnest($is) AS i, unnest($txts) AS text)",
+            {"is": [i for i, _ in rows], "txts": [t for _, t in rows]},
+        ).fetchall()
+    }
+    assert got == oracle, f"pattern: {pattern!r}"
+
+
 # --- timestamp expression fuzz ----------------------------------------------
 # The events table is the engine's sub-day time surface (sessionize,
 # time rollups, as-of joins, streaming watermarks) and ships as

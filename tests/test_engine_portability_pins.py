@@ -361,6 +361,31 @@ def _spark_json(spark, doc: str, path: str):
     return _spark1(spark, f"get_json_object('{quoted}', '{path}')")
 
 
+def test_regexp_replace_all_vs_first(spark, duck):
+    """Spark's regexp_replace replaces ALL occurrences; DuckDB's
+    replaces only the FIRST unless the 'g' flag is passed. The
+    portable oracle form always writes the explicit 'g'."""
+    assert _spark1(spark, "regexp_replace('aaa', 'a', 'b')") == "bbb"
+    assert _duck1(duck, "regexp_replace('aaa', 'a', 'b')") == "baa"
+    assert _duck1(duck, "regexp_replace('aaa', 'a', 'b', 'g')") == "bbb"
+
+
+def test_regexp_replacement_backref_dialects(spark, duck):
+    """Replacement-string group references use Java's '$n' on Spark
+    but RE2's '\\n' on DuckDB — and each engine treats the OTHER
+    dialect as (near-)literal text rather than erroring, so a
+    mistranslated twin silently produces garbage. Replacements in
+    oracle twins must be literal text, or translated per dialect."""
+    assert _spark1(spark, r"regexp_replace('ab', '(a)(b)', '$2$1')") == "ba"
+    assert (
+        _duck1(duck, r"regexp_replace('ab', '(a)(b)', '$2$1', 'g')")
+        == "$2$1"
+    )
+    assert _duck1(duck, "regexp_replace('ab', '(a)(b)', '\\2\\1', 'g')") == "ba"
+    # Spark reads backslash-n as the literal digit ('21'), not a ref
+    assert _spark1(spark, r"regexp_replace('ab', '(a)(b)', '\\2\\1')") == "21"
+
+
 def test_epoch_seconds_floor_vs_round(spark, duck):
     """Found by the timestamp fuzz: Spark's unix_timestamp TRUNCATES
     fractional seconds (floor), while DuckDB's epoch() returns a
