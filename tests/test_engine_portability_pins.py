@@ -361,6 +361,35 @@ def _spark_json(spark, doc: str, path: str):
     return _spark1(spark, f"get_json_object('{quoted}', '{path}')")
 
 
+def test_least_greatest_nan_agreements(spark, duck):
+    """Verified AGREEMENTS folklore says should diverge:
+    least/greatest skip NULLs on both engines (all-NULL -> NULL);
+    NaN sorts greater than every double on both (so greatest picks
+    it and least avoids it); and SQL equality NaN = NaN is TRUE on
+    both (unlike IEEE). One quirk stays: DuckDB types a BARE null
+    argument as INTEGER, so least('b','a',NULL) is a conversion
+    error there — write CAST(NULL AS VARCHAR) in mixed-type args."""
+    for e, want in [
+        ("least(1, NULL)", 1),
+        ("greatest(1, NULL)", 1),
+        ("least(CAST(NULL AS INT), CAST(NULL AS INT))", None),
+        ("least(1.0, CAST('NaN' AS DOUBLE))", 1.0),
+        ("CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE)", True),
+        ("CAST('NaN' AS DOUBLE) > 1e308", True),
+    ]:
+        assert _spark1(spark, e) == want, e
+        assert _duck1(duck, e) == want, e
+    import math
+
+    assert math.isnan(
+        _spark1(spark, "greatest(1.0, CAST('NaN' AS DOUBLE))")
+    ) and math.isnan(_duck1(duck, "greatest(1.0, CAST('NaN' AS DOUBLE))"))
+    assert _spark1(spark, "least('b', 'a', NULL)") == "a"
+    with pytest.raises(Exception, match="Conversion|convert"):
+        _duck1(duck, "least('b', 'a', NULL)")
+    assert _duck1(duck, "least('b', 'a', CAST(NULL AS VARCHAR))") == "a"
+
+
 def test_regexp_replace_all_vs_first(spark, duck):
     """Spark's regexp_replace replaces ALL occurrences; DuckDB's
     replaces only the FIRST unless the 'g' flag is passed. The
