@@ -361,6 +361,42 @@ def _spark_json(spark, doc: str, path: str):
     return _spark1(spark, f"get_json_object('{quoted}', '{path}')")
 
 
+def test_default_null_sort_order_diverges(spark, duck):
+    """The most load-bearing divergence in the repo (guarded at
+    curation.py:302,366 and advanced.py:858,1601 among others):
+    ASC ORDER BY defaults to NULLS FIRST on Spark but NULLS LAST on
+    DuckDB (and mirror-image for DESC). Any window ORDER BY or
+    LIMIT query over a nullable key must write the NULLS placement
+    explicitly on at least one side."""
+    rows = [(1, 10), (2, None), (3, 5)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    df.createOrReplaceTempView("_nullsort")
+    spark_ids = [
+        r.id
+        for r in spark.sql(
+            "SELECT id FROM _nullsort ORDER BY v ASC"
+        ).collect()
+    ]
+    assert spark_ids == [2, 3, 1]  # NULL first
+    duck_ids = [
+        i
+        for (i,) in duck.execute(
+            "SELECT id FROM (SELECT unnest([1,2,3]) AS id, "
+            "unnest([10, NULL, 5]) AS v) ORDER BY v ASC"
+        ).fetchall()
+    ]
+    assert duck_ids == [3, 1, 2]  # NULL last
+    # explicit placement restores portability
+    spark_ids = [
+        r.id
+        for r in spark.sql(
+            "SELECT id FROM _nullsort ORDER BY v ASC NULLS LAST"
+        ).collect()
+    ]
+    assert spark_ids == duck_ids
+    spark.catalog.dropTempView("_nullsort")
+
+
 def test_least_greatest_nan_agreements(spark, duck):
     """Verified AGREEMENTS folklore says should diverge:
     least/greatest skip NULLs on both engines (all-NULL -> NULL);
