@@ -361,6 +361,60 @@ def _spark_json(spark, doc: str, path: str):
     return _spark1(spark, f"get_json_object('{quoted}', '{path}')")
 
 
+def test_numeric_to_int_cast_diverges(spark, duck):
+    """Numeric-to-integer CAST is NOT portable. Spark (non-ANSI, the
+    mode every registered query pins — registry.py:54) TRUNCATES
+    toward zero; DuckDB ROUNDS — half-away-from-zero for DECIMAL
+    sources but half-EVEN for DOUBLE sources (2.5 DECIMAL -> 3,
+    2.5 DOUBLE -> 2). Portable forms: floor()/ceil()/round() the
+    value explicitly before casting, or keep integer arithmetic
+    (x div y) that never creates a fraction."""
+    for lit, spark_want, duck_want in [
+        ("1.5", 1, 2),
+        ("2.5", 2, 3),  # decimal: DuckDB half-away
+        ("-1.5", -1, -2),
+        ("1.9", 1, 2),
+    ]:
+        assert _spark1(spark, f"CAST({lit} AS INT)") == spark_want
+        assert _duck1(duck, f"CAST({lit} AS INT)") == duck_want
+    # double source: DuckDB switches to half-EVEN
+    assert _spark1(spark, "CAST(CAST(2.5 AS DOUBLE) AS INT)") == 2
+    assert _duck1(duck, "CAST(CAST(2.5 AS DOUBLE) AS INT)") == 2
+    assert _spark1(spark, "CAST(CAST(1.5 AS DOUBLE) AS INT)") == 1
+    assert _duck1(duck, "CAST(CAST(1.5 AS DOUBLE) AS INT)") == 2
+    # agreeing portable form
+    assert (
+        _spark1(spark, "CAST(floor(2.5) AS INT)")
+        == _duck1(duck, "CAST(floor(2.5) AS INT)")
+        == 2
+    )
+
+
+def test_string_and_overflow_cast_pins(spark, duck):
+    """TRY_CAST of a FRACTIONAL STRING to INT is NULL on Spark but
+    parsed-and-rounded on DuckDB; integer overflow in a narrowing
+    CAST silently WRAPS on non-ANSI Spark but raises on DuckDB
+    (TRY_CAST gives NULL). The agreeing subset: whitespace-padded
+    integer strings, '' and garbage -> NULL, out-of-range integer
+    STRINGS -> NULL on both."""
+    assert _spark1(spark, "TRY_CAST('1.5' AS INT)") is None
+    assert _duck1(duck, "TRY_CAST('1.5' AS INT)") == 2
+    assert _spark1(spark, "CAST(CAST(300 AS INT) AS TINYINT)") == 44
+    with pytest.raises(Exception, match="Conversion|out of range"):
+        _duck1(duck, "CAST(CAST(300 AS INT) AS TINYINT)")
+    assert _duck1(duck, "TRY_CAST(CAST(300 AS INT) AS TINYINT)") is None
+    for e, want in [
+        ("TRY_CAST(' 7 ' AS INT)", 7),
+        ("TRY_CAST('' AS INT)", None),
+        ("TRY_CAST('abc' AS INT)", None),
+        ("TRY_CAST('2147483648' AS INT)", None),
+        ("CAST(TRUE AS INT)", 1),
+        ("TRY_CAST('true' AS BOOLEAN)", True),
+    ]:
+        assert _spark1(spark, e) == want, e
+        assert _duck1(duck, e) == want, e
+
+
 def test_default_null_sort_order_diverges(spark, duck):
     """The most load-bearing divergence in the repo (guarded at
     curation.py:302,366 and advanced.py:858,1601 among others):
