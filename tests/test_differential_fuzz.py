@@ -1232,12 +1232,18 @@ def test_fuzz_rollup_cube(spark, duck, mode, keys, pred):
     # rollup/cube emit nothing (test_engine_portability_pins.py)
     assume(df.limit(1).count() == 1)
     grouped = getattr(df, mode)(*keys)
+    # grouping_id: probed identical across engines including bit
+    # order — and it disambiguates a NULL key value from a subtotal
+    # row, hardening the compare
     out = grouped.agg(
+        F.grouping_id(*keys).alias("gid"),
         F.count(F.lit(1)).alias("n"),
         exact.dsum("o_totalprice").alias("total"),
     )
     sql = (
-        f"SELECT {', '.join(keys)}, COUNT(*) AS n, "
+        f"SELECT {', '.join(keys)}, "
+        f"CAST(grouping_id({', '.join(keys)}) AS BIGINT) AS gid, "
+        f"COUNT(*) AS n, "
         f"{exact.sql_dsum('o_totalprice')} AS total "
         f"FROM orders WHERE {pred_sql(pred)} "
         f"GROUP BY {mode.upper()}({', '.join(keys)})"
