@@ -227,6 +227,17 @@ _AGG_SPEC = st.one_of(
     st.tuples(st.just("dsum"), st.sampled_from(MONEY_COLS)),
     st.tuples(st.just("davg"), st.sampled_from(MONEY_COLS)),
     st.tuples(st.just("nuniq"), st.sampled_from(GROUP_COLS)),
+    # exact interpolated percentile: probed bit-identical on DOUBLE
+    # inputs across non-trivial interpolation points (both engines
+    # compute the same lower+(upper-lower)*frac in float64); DuckDB
+    # needs quantile_cont and must NOT see DECIMAL inputs (decimal
+    # interpolation truncates — the money columns are parquet
+    # doubles, so the envelope holds)
+    st.tuples(
+        st.just("pctl"),
+        st.sampled_from(MONEY_COLS),
+        st.sampled_from([0.1, 0.25, 0.333, 0.5, 0.62, 0.75, 0.9]),
+    ),
 )
 
 AGGS = st.lists(_AGG_SPEC, min_size=1, max_size=4, unique=True)
@@ -252,6 +263,12 @@ def agg_pair(spec) -> tuple[Column, str]:
         return exact.davg(col), exact.sql_davg(col)
     if kind == "nuniq":
         return F.countDistinct(col), f"COUNT(DISTINCT {col})"
+    if kind == "pctl":
+        p = spec[2]
+        return (
+            F.percentile(col, F.lit(p)),
+            f"quantile_cont({col}, {p})",
+        )
     raise AssertionError(spec)
 
 
