@@ -227,17 +227,25 @@ _AGG_SPEC = st.one_of(
     st.tuples(st.just("dsum"), st.sampled_from(MONEY_COLS)),
     st.tuples(st.just("davg"), st.sampled_from(MONEY_COLS)),
     st.tuples(st.just("nuniq"), st.sampled_from(GROUP_COLS)),
-    # exact interpolated percentile: probed bit-identical on DOUBLE
-    # inputs across non-trivial interpolation points (both engines
-    # compute the same lower+(upper-lower)*frac in float64); DuckDB
-    # needs quantile_cont and must NOT see DECIMAL inputs (decimal
-    # interpolation truncates — the money columns are parquet
-    # doubles, so the envelope holds)
+    # exact interpolated percentile, CONFINED to the bit-exact
+    # envelope: the engines use DIFFERENT interpolation formulas
+    # (Spark a+(b-a)*f, DuckDB (1-f)*a+f*b — pinned in
+    # test_engine_portability_pins.py; an earlier broader leg over
+    # the money columns diverged in the last ulp exactly as the pin
+    # shows, on equal adjacent order stats at f=0.1). With an
+    # INTEGER-VALUED double column and DYADIC p both formulas are
+    # exact in float64, so every bit agrees. DuckDB additionally
+    # must not see DECIMAL inputs (decimal interpolation truncates).
     st.tuples(
         st.just("pctl"),
-        st.sampled_from(MONEY_COLS),
-        st.sampled_from([0.1, 0.25, 0.333, 0.5, 0.62, 0.75, 0.9]),
+        st.just("l_quantity"),
+        st.sampled_from([0.25, 0.5, 0.75]),
     ),
+    # ordered string aggregation: listagg WITHIN GROUP == string_agg
+    # with ORDER BY (probed: same NULL-skipping, all-NULL -> NULL).
+    # Ordering BY THE VALUE keeps duplicates interchangeable, so the
+    # concat is deterministic without a tiebreak.
+    st.tuples(st.just("lagg"), st.sampled_from(sorted(STR_COLS))),
 )
 
 AGGS = st.lists(_AGG_SPEC, min_size=1, max_size=4, unique=True)
@@ -268,6 +276,11 @@ def agg_pair(spec) -> tuple[Column, str]:
         return (
             F.percentile(col, F.lit(p)),
             f"quantile_cont({col}, {p})",
+        )
+    if kind == "lagg":
+        return (
+            F.expr(f"listagg({col}, '|') WITHIN GROUP (ORDER BY {col})"),
+            f"string_agg({col}, '|' ORDER BY {col})",
         )
     raise AssertionError(spec)
 

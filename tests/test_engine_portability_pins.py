@@ -361,6 +361,40 @@ def _spark_json(spark, doc: str, path: str):
     return _spark1(spark, f"get_json_object('{quoted}', '{path}')")
 
 
+def test_percentile_interpolation_formula_diverges(spark, duck):
+    """Found BY the aggregate fuzz: exact interpolated percentile
+    uses DIFFERENT formulas — Spark computes a + (b-a)*f, DuckDB's
+    quantile_cont computes (1-f)*a + f*b. Algebraically equal, but
+    float64 disagrees in the last ulp; the cleanest witness is two
+    EQUAL order statistics at a non-dyadic fraction, where Spark's
+    b-a term vanishes exactly while DuckDB re-rounds twice. The
+    bit-exact envelope: integer-valued doubles with dyadic p (both
+    formulas exact), which is what the fuzz leg uses."""
+    s = _spark1(
+        spark,
+        "percentile(v, 0.1) FROM "
+        "(SELECT explode(array(0.01D, 0.01D)) AS v)",
+    )
+    d = _duck1(
+        duck,
+        "quantile_cont(v::DOUBLE, 0.1) FROM (SELECT unnest([0.01, 0.01]) AS v)",
+    )
+    assert repr(float(s)) == "0.01"
+    assert repr(float(d)) == "0.010000000000000002"
+    # the agreeing envelope: integers + dyadic p
+    s = _spark1(
+        spark,
+        "percentile(v, 0.75) FROM "
+        "(SELECT explode(array(1D, 2D, 10D, 11D)) AS v)",
+    )
+    d = _duck1(
+        duck,
+        "quantile_cont(v::DOUBLE, 0.75) FROM "
+        "(SELECT unnest([1, 2, 10, 11]) AS v)",
+    )
+    assert float(s) == float(d) == 10.25
+
+
 def test_numeric_to_int_cast_diverges(spark, duck):
     """Numeric-to-integer CAST is NOT portable. Spark (non-ANSI, the
     mode every registered query pins — registry.py:54) TRUNCATES
