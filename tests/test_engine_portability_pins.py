@@ -361,6 +361,41 @@ def _spark_json(spark, doc: str, path: str):
     return _spark1(spark, f"get_json_object('{quoted}', '{path}')")
 
 
+def test_array_ops_matrix(spark, duck):
+    """Array-operation portability matrix. AGREEING subset (all
+    probed): 1-based array_position/list_position with 0 (not NULL)
+    on a missing needle, array_contains/list_contains on NULL-free
+    arrays, slice with clamping and negative starts, reverse,
+    array_min/max. Two DIVERGENCES: array_distinct preserves
+    first-seen order on Spark while DuckDB's list_distinct does not
+    (order-normalize with list_sort before comparing), and
+    array_contains over an array HOLDING a NULL uses three-valued
+    logic on Spark (missing needle -> NULL, like SQL IN) while
+    DuckDB's list_contains answers plain false."""
+    for se, de, want in [
+        ("array_position(array(10,20,30), 20)",
+         "list_position([10,20,30], 20)", 2),
+        ("array_position(array(10,20,30), 99)",
+         "list_position([10,20,30], 99)", 0),
+        ("slice(array(1,2,3,4,5), 2, 3)", "([1,2,3,4,5])[2:4]", [2, 3, 4]),
+        ("slice(array(1,2,3,4,5), 4, 10)", "([1,2,3,4,5])[4:13]", [4, 5]),
+        ("slice(array(1,2,3,4,5), -2, 2)", "([1,2,3,4,5])[-2:]", [4, 5]),
+        ("array_min(array(3,1,2))", "list_min([3,1,2])", 1),
+        ("array_max(array(3,1,2))", "list_max([3,1,2])", 3),
+    ]:
+        assert _spark1(spark, se) == want, se
+        assert _duck1(duck, de) == want, de
+    # divergence 1: distinct ordering
+    assert _spark1(spark, "array_distinct(array(1,2,2,3,1))") == [1, 2, 3]
+    assert sorted(_duck1(duck, "list_distinct([1,2,2,3,1])")) == [1, 2, 3]
+    assert _duck1(duck, "list_sort(list_distinct([1,2,2,3,1]))") == [1, 2, 3]
+    # divergence 2: three-valued contains over a NULL-holding array
+    assert _spark1(spark, "array_contains(array(1,NULL,3), 9)") is None
+    assert _duck1(duck, "list_contains([1,NULL,3], 9)") is False
+    assert _spark1(spark, "array_contains(array(1,NULL,3), 3)") is True
+    assert _duck1(duck, "list_contains([1,NULL,3], 3)") is True
+
+
 def test_percentile_interpolation_formula_diverges(spark, duck):
     """Found BY the aggregate fuzz: exact interpolated percentile
     uses DIFFERENT formulas — Spark computes a + (b-a)*f, DuckDB's
