@@ -361,6 +361,36 @@ def _spark_json(spark, doc: str, path: str):
     return _spark1(spark, f"get_json_object('{quoted}', '{path}')")
 
 
+def test_split_regex_vs_literal_delimiter(spark, duck):
+    """Spark's split() treats the delimiter as a REGEX; DuckDB's
+    string_split treats it LITERALLY (string_split_regex is the
+    regex twin). A metacharacter delimiter like '.' silently
+    explodes into empties on Spark while DuckDB splits cleanly —
+    same-shaped call, opposite semantics. Escaping the dot with
+    backslashes inside Spark SQL string literals is its own trap
+    (the literal-unescaping layer eats or doubles them depending on
+    form); the escape-FREE portable recipe is a character class:
+    '[.]' needs no backslash on either engine. Trailing empty
+    fields are kept by both."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    one = lambda c: df.select(c.alias("v")).collect()[0].v  # noqa: E731
+    assert one(F.split(F.lit("a.b.c"), ".")) == ["", "", "", "", "", ""]
+    assert _duck1(duck, "string_split('a.b.c', '.')") == ["a", "b", "c"]
+    # the escape-free portable recipe
+    assert _spark1(spark, "split('a.b.c', '[.]')") == ["a", "b", "c"]
+    assert (
+        _duck1(duck, "string_split_regex('a.b.c', '[.]')") == ["a", "b", "c"]
+    )
+    # non-metacharacter delimiters and trailing empties agree
+    assert (
+        _spark1(spark, "split('a,b,,', ',')")
+        == _duck1(duck, "string_split('a,b,,', ',')")
+        == ["a", "b", "", ""]
+    )
+
+
 def test_array_ops_matrix(spark, duck):
     """Array-operation portability matrix. AGREEING subset (all
     probed): 1-based array_position/list_position with 0 (not NULL)
