@@ -266,21 +266,22 @@ def test_week_trunc_value_agrees_type_diverges(spark, duck):
     # Both truncate a Wednesday-10th timestamp to Monday the 8th —
     # but Spark keeps TIMESTAMP while DuckDB narrows to DATE even
     # for timestamp input. Oracle twins must cast both sides to
-    # TIMESTAMP (the repo-wide no-DATE-output rule).
-    import datetime
-
-    s = _spark1(spark, "date_trunc('week', TIMESTAMP '2024-01-10 05:00:00')")
-    d = _duck1(duck, "date_trunc('week', TIMESTAMP '2024-01-10 05:00:00')")
-    assert s == datetime.datetime(2024, 1, 8, 0, 0)
-    assert d == datetime.date(2024, 1, 8) and not isinstance(
-        d, datetime.datetime
+    # TIMESTAMP (the repo-wide no-DATE-output rule). Values are
+    # rendered IN-ENGINE (date_format/strftime): collecting a raw
+    # LTZ timestamp hands Python a host-TZ rendering, which made the
+    # naive form of this pin fail under TZ=America/New_York.
+    trunc = "date_trunc('week', TIMESTAMP '2024-01-10 05:00:00')"
+    assert (
+        _spark1(spark, f"date_format({trunc}, 'yyyy-MM-dd HH:mm:ss')")
+        == "2024-01-08 00:00:00"
     )
-    d_cast = _duck1(
-        duck,
-        "CAST(date_trunc('week', TIMESTAMP '2024-01-10 05:00:00')"
-        " AS TIMESTAMP)",
+    assert (
+        _duck1(duck, f"strftime(CAST({trunc} AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')")
+        == "2024-01-08 00:00:00"
     )
-    assert d_cast == s
+    # the type split itself
+    assert _spark1(spark, f"typeof({trunc})") == "timestamp"
+    assert _duck1(duck, f"typeof({trunc})") == "DATE"
 
 
 def test_month_arithmetic_pins(spark, duck):
