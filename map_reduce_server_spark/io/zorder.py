@@ -159,12 +159,19 @@ def write_zordered(
     """
     if n_files < 1:
         raise ValueError("zorder: n_files must be >= 1")
-    z = z_value_n(list(cols), bits).alias("__z")
+    # the temp z column must not collide with an input column: a
+    # duplicate name would make repartitionByRange's reference
+    # ambiguous (analysis error) — and if it resolved, drop() would
+    # remove BOTH columns, silently changing the stored schema
+    zcol = "__z"
+    while zcol in df.columns:
+        zcol += "_"
+    z = z_value_n(list(cols), bits).alias(zcol)
     (
         df.select("*", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        .repartitionByRange(n_files, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
         .write.mode("overwrite")
         .parquet(path)
     )

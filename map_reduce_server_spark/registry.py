@@ -402,12 +402,46 @@ _DRIVER_GREEN_R10 = frozenset({
 # current code, so they rejoin the never-verified head.
 _CHANGED_R11: frozenset[str] = frozenset()
 
+# The 50 queries hash-verified green by CORRECTNESS_r11.json — the
+# freshest driver rows, ordered LAST. Re-certified the 3 r6-stale
+# rows (mr_grep/mr_wordcount/q_session_window) and 47 of the 50
+# r7-stale ones (all 50 rows green: rows/schema/hash matched at
+# sf0.01). The 3 r7-stale stragglers (q_sliding_window,
+# stream_window_counts, stream_window_counts_incremental) head the
+# round-12 window.
+_DRIVER_GREEN_R11 = frozenset({
+    "dedup_cluster", "dedup_containment", "dedup_exact",
+    "dedup_fingerprint", "dedup_jaccard_prefix", "dedup_keep_one",
+    "dedup_minhash_estimate", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "graph_pagerank", "mr_grep", "mr_wordcount", "multimodal_decode",
+    "multimodal_decode_alaw", "multimodal_decode_jpeg_color",
+    "multimodal_decode_jpeg_progressive", "multimodal_features",
+    "multimodal_meta", "q1_pricing_summary", "q1_sql_entry",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q_bucketed_join", "q_corr", "q_csv_roundtrip", "q_cube",
+    "q_distinct_agg", "q_drift_psi", "q_embedding_drift",
+    "q_group_having", "q_histogram", "q_join_anti",
+    "q_join_left_outer", "q_join_semi", "q_json_roundtrip",
+    "q_math_funcs", "q_not_in_nulls", "q_orc_roundtrip",
+    "q_pivot_events", "q_quality_gate", "q_rollup",
+    "q_scalar_subquery", "q_session_window", "q_share_of_total",
+    "q_window_funcs", "q_window_range_frame", "q_window_running",
+    "text_quality",
+})
+
+# Queries whose RESULT changed after their last green driver row
+# (round-12 rework): their stale green row no longer certifies the
+# current code, so they rejoin the never-verified head.
+_CHANGED_R12: frozenset[str] = frozenset()
+
 # Rounds FRESHEST-FIRST with their green sets — the single place a
 # new round is added. _EVER_GREEN and _stale_first both derive from
 # this list, so advancing a round means adding one entry here plus
 # the next _CHANGED constant below (the rotation lint in
 # tests/test_registry_rotation.py enforces both).
 _GREEN_BY_ROUND: list[tuple[int, frozenset]] = [
+    (11, _DRIVER_GREEN_R11),
     (10, _DRIVER_GREEN_R10),
     (9, _DRIVER_GREEN_R9),
     (8, _DRIVER_GREEN_R8),
@@ -428,6 +462,7 @@ _CHANGED_BY_ROUND: dict[int, frozenset] = {
     9: _CHANGED_R9,
     10: _CHANGED_R10,
     11: _CHANGED_R11,
+    12: _CHANGED_R12,
 }
 
 

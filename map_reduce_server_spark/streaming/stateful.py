@@ -25,12 +25,76 @@ Two state-lifetime modes, chosen per call:
 
 from __future__ import annotations
 
+import datetime as _dt
+import re
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
+
+
+def _normalize_session_tz(session_tz: str) -> _dt.tzinfo:
+    """Turn ``spark.sql.session.timeZone`` into a tzinfo pandas can
+    localize with, AT QUERY BUILD TIME.
+
+    Spark accepts any Java ``ZoneId`` string — region IDs
+    ('America/New_York'), which the Python side parses too, but ALSO
+    offset spellings ('GMT+8', 'UT+01:00', '-0830', '+8', 'Z') that
+    the Arrow serializer under ``applyInPandasWithState`` CANNOT
+    parse (probed: pyarrow accepts region IDs and strict '±HH:MM'
+    only — anything else raises ``UnknownTimeZoneError`` inside the
+    worker on EVERY micro-batch, before the state function even
+    runs). So this validates the envelope up front on the driver:
+
+    - region IDs (zoneinfo) → shipped as ZoneInfo,
+    - strict '±HH:MM' → shipped as a fixed-offset tzinfo (the exact
+      inverse of the serializer's own rendering),
+    - any OTHER Java-legal spelling → loud ValueError naming the
+      equivalent safe spelling, instead of a baffling deferred
+      per-batch crash inside Spark's serializer.
+    """
+    s = session_tz.strip()
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(s)
+    except Exception:
+        pass
+    m = re.fullmatch(r"([+-])(\d{2}):(\d{2})", s)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        h, mi = int(m.group(2)), int(m.group(3))
+        if h <= 18 and mi < 60:
+            return _dt.timezone(sign * _dt.timedelta(hours=h, minutes=mi))
+    # Java-legal offset spellings OUTSIDE the serializer envelope:
+    # translate to the canonical ±HH:MM and tell the user to respell
+    m = re.fullmatch(
+        r"(?:UTC|GMT|UT)?([+-])(\d{1,2})(?::?(\d{2}))?(?::?\d{2})?",
+        s,
+        flags=re.IGNORECASE,
+    )
+    if s.upper() in ("Z", "UT") or (
+        m and int(m.group(2)) <= 18 and int(m.group(3) or 0) < 60
+    ):
+        if m:
+            canon = f"{m.group(1)}{int(m.group(2)):02d}:{int(m.group(3) or 0):02d}"
+        else:
+            canon = "UTC"
+        raise ValueError(
+            f"running_counts_stream: session timezone {session_tz!r} "
+            "(spark.sql.session.timeZone) is legal for Spark's JVM but "
+            "crashes the Arrow serializer under applyInPandasWithState "
+            "on every micro-batch (pyarrow parses only IANA region IDs "
+            f"and strict '±HH:MM' offsets) — respell it as {canon!r}"
+        )
+    raise ValueError(
+        f"running_counts_stream: cannot interpret session timezone "
+        f"{session_tz!r} (spark.sql.session.timeZone) — use an IANA "
+        "region ID (e.g. 'America/New_York', 'UTC') or a strict "
+        "'±HH:MM' zone offset (e.g. '+08:00')"
+    )
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -146,8 +210,8 @@ def running_counts_stream(
     # tests/test_stateful_streaming.py), so callers with raw-parquet
     # NTZ timestamps must cast to TIMESTAMP upstream and the worker
     # can never legally receive an un-rendered NTZ wall time.
-    session_tz = events_stream.sparkSession.conf.get(
-        "spark.sql.session.timeZone"
+    session_tz = _normalize_session_tz(
+        events_stream.sparkSession.conf.get("spark.sql.session.timeZone")
     )
 
     def update_with_ttl(

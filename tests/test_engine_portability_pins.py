@@ -715,3 +715,128 @@ def test_round_double_boundary_pins(spark, duck, lit, nd, expect_spark, expect_d
     d = _duck1(duck, f"round(CAST({lit} AS DOUBLE), {nd})")
     assert repr(float(s)) == repr(expect_spark), (lit, nd, s)
     assert repr(float(d)) == repr(expect_duck), (lit, nd, d)
+
+
+def test_listagg_multi_distinct_crash(spark, duck):
+    """UPSTREAM SPARK 4.1.2 BUG (found by the round-11 differential
+    fuzz): native `listagg(...) WITHIN GROUP (ORDER BY ...)` combined
+    with >= 2 DISTINCT aggregates in the same aggregation crashes the
+    optimizer — RewriteDistinctAggregates casts ListAgg's SortOrder
+    child to AttributeReference and throws ClassCastException. The
+    engine therefore renders ordered string aggregation via
+    concat_ws(array_sort(collect_list())) (q_collect_sorted's
+    pattern, also the fuzz harness's `lagg` leg), which survives the
+    rewrite. This pin holds the bug in its verified direction: if a
+    future Spark release fixes (or worsens) it, this test fails and
+    the native rendering can be reconsidered."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW lagg_pin AS "
+        "SELECT * FROM VALUES ('A','O'),('N','F'),('R','O') AS t(a,b)"
+    )
+    crash_sql = (
+        "SELECT count(DISTINCT a) AS na, count(DISTINCT b) AS nb, "
+        "listagg(b, '|') WITHIN GROUP (ORDER BY b) AS lb FROM lagg_pin"
+    )
+    with pytest.raises(Exception) as ei:
+        spark.sql(crash_sql).collect()
+    msg = str(ei.value)
+    assert "ClassCastException" in msg and "SortOrder" in msg, msg
+    # ONE distinct + listagg is inside the working envelope (the
+    # rewrite rule only fires on multi-distinct plans)
+    [(na, lb)] = spark.sql(
+        "SELECT count(DISTINCT a) AS na, "
+        "listagg(b, '|') WITHIN GROUP (ORDER BY b) AS lb FROM lagg_pin"
+    ).collect()
+    assert (na, lb) == (3, "F|O|O")
+    # the portable rendering survives the multi-distinct rewrite and
+    # matches DuckDB's string_agg bit-for-bit, including the
+    # all-NULL -> NULL guard (concat_ws over empty array is '')
+    [(na, nb, lb, empty)] = spark.sql(
+        "SELECT count(DISTINCT a) AS na, count(DISTINCT b) AS nb, "
+        "CASE WHEN count(b) = 0 THEN NULL "
+        "ELSE concat_ws('|', array_sort(collect_list(b))) END AS lb, "
+        "CASE WHEN count(CASE WHEN false THEN b END) = 0 THEN NULL "
+        "ELSE 'x' END AS empty FROM lagg_pin"
+    ).collect()
+    d = duck.execute(
+        "SELECT string_agg(b, '|' ORDER BY b) AS lb, "
+        "string_agg(CASE WHEN false THEN b END, '|') AS empty "
+        "FROM (VALUES ('A','O'),('N','F'),('R','O')) t(a,b)"
+    ).fetchone()
+    assert (na, nb) == (3, 2)
+    assert lb == d[0] == "F|O|O"
+    assert empty is None and d[1] is None
+
+
+def test_duckdb_ordered_stringagg_rollup_subtotal_unordered(spark, duck):
+    """UPSTREAM DUCKDB 1.0 DIVERGENCE (found by the round-12 grid
+    fuzz's first explicit example): under a MULTI-KEY rollup/cube,
+    `string_agg(x, sep ORDER BY x)` silently DROPS its ORDER BY on
+    the subtotal rows (gid > 0) — the super-aggregate levels are
+    built by re-aggregating the leaf groups without re-sorting, so
+    the concatenation comes out in row order (deterministic on fixed
+    data: verified identical across reps and threads=1/4). Leaf rows
+    (gid = 0) and single-key rollups stay correctly sorted. Spark's
+    portable rendering (concat_ws over array_sort(collect_list))
+    sorts at every grid level. The portable oracle recipe under a
+    grid is therefore order-insensitive by construction:
+    array_to_string(list_sort(list(x)), sep). This pin holds the
+    divergence in its verified direction — if a future DuckDB sorts
+    subtotal rows too, it fails and the plain string_agg oracle can
+    be reconsidered."""
+    rows = duck.execute(
+        "SELECT grouping_id(l_returnflag, l_linestatus) AS gid, "
+        "string_agg(l_linestatus, '|' ORDER BY l_linestatus) AS s, "
+        "array_to_string(list_sort(list(l_linestatus)), '|') AS srt "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ).fetchall()
+    leaf = [s for gid, s, _ in rows if gid == 0]
+    subtotal = [s for gid, s, _ in rows if gid > 0]
+    assert leaf and subtotal
+    # leaves honor the ORDER BY ...
+    assert all(s == "|".join(sorted(s.split("|"))) for s in leaf)
+    # ... subtotals do NOT (the verified direction of the bug)
+    assert any(s != "|".join(sorted(s.split("|"))) for s in subtotal)
+    # the order-insensitive rendering is sorted at EVERY level and
+    # token-multiset-identical to the string_agg output
+    for gid, s, srt in rows:
+        assert srt == "|".join(sorted(srt.split("|")))
+        assert sorted(s.split("|")) == sorted(srt.split("|"))
+    # Spark's portable rendering agrees with the sorted form on the
+    # full grid (value check via the driver comparator is the grid
+    # fuzz's job; here: same number of rows, all sorted)
+    got = spark.sql(
+        "SELECT grouping_id(l_returnflag, l_linestatus) AS gid, "
+        "concat_ws('|', array_sort(collect_list(l_linestatus))) AS s "
+        f"FROM parquet.`{SF}/lineitem.parquet` "
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ).collect()
+    assert len(got) == len(rows)
+    assert all(r.s == "|".join(sorted(r.s.split("|"))) for r in got)
+
+
+def test_regexp_replace_nullable_pattern_diverges(spark, duck):
+    """NULLABLE regex patterns (ones that match the empty string) are
+    OUT of the portable regexp_replace envelope (found by the
+    round-12 regexp fuzz): after replacing a final non-empty match,
+    Java's appendReplacement loop ALSO substitutes the zero-length
+    match at the end position, while RE2's GlobalReplace skips an
+    empty match that immediately follows a previous match. Matching
+    (RLIKE/regexp_matches) and extraction of the FIRST match agree —
+    only global replacement diverges. Each engine's answer pinned in
+    its verified direction."""
+    assert _spark1(spark, "regexp_replace('0', '0?', 'Z')") == "ZZ"
+    assert _duck1(duck, "regexp_replace('0', '0?', 'Z', 'g')") == "Z"
+    # interior empty matches agree (both advance one char per empty
+    # match between non-matches); it is specifically the
+    # after-final-match position that splits
+    assert _spark1(spark, "regexp_replace('ab', '0?', 'Z')") == "ZaZbZ"
+    assert _duck1(duck, "regexp_replace('ab', '0?', 'Z', 'g')") == "ZaZbZ"
+    # match + first-extract stay portable on nullable patterns
+    assert _spark1(spark, "'0' RLIKE '0?'") is True
+    assert _duck1(duck, "regexp_matches('0', '0?')") is True
+    assert _spark1(spark, "regexp_extract('0', '0?', 0)") == "0"
+    assert _duck1(duck, "regexp_extract('0', '0?', 0)") == "0"
+    # NON-nullable patterns with the same shape replace identically
+    assert _spark1(spark, "regexp_replace('a0b0', '0', 'Z')") == "aZbZ"
+    assert _duck1(duck, "regexp_replace('a0b0', '0', 'Z', 'g')") == "aZbZ"

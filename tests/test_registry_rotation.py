@@ -119,14 +119,15 @@ def test_changed_name_recertified_by_later_round_counts_green(monkeypatch):
 def test_changed_name_never_recertified_stays_head(monkeypatch):
     """A changed name no later round certified must NOT count green
     (its only green rows predate the change)."""
-    # 'q1_pricing_summary' is green r3/r7 only; mark it changed in r9.
+    # 'q_sliding_window' is green r2/r7 only (not r8..r11); mark it
+    # changed in r9.
     monkeypatch.setitem(
-        registry._CHANGED_BY_ROUND, 9, frozenset({"q1_pricing_summary"})
+        registry._CHANGED_BY_ROUND, 9, frozenset({"q_sliding_window"})
     )
     eg = registry._ever_green()
-    assert "q1_pricing_summary" not in eg
+    assert "q_sliding_window" not in eg
     # _stale_first reads the module-level cache — refresh it for the
     # simulated scenario, restored by monkeypatch afterwards
     monkeypatch.setattr(registry, "_EVER_GREEN", eg)
-    order = list(registry._stale_first(dict.fromkeys(eg | {"q1_pricing_summary"})))
-    assert order[0] == "q1_pricing_summary"
+    order = list(registry._stale_first(dict.fromkeys(eg | {"q_sliding_window"})))
+    assert order[0] == "q_sliding_window"

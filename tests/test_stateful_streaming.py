@@ -349,3 +349,111 @@ def test_stateful_ttl_null_ts_only_first_batch(spark, tmp_path):
         if r.event_type == "A"
     ]
     assert a_rows == [(1, 1.0), (2, 6.0)], a_rows
+
+
+def test_normalize_session_tz_forms():
+    """Spark accepts Java ZoneId spellings that the Arrow serializer
+    under applyInPandasWithState cannot parse ('GMT+8', '-0830',
+    'Z'): the build-time normalizer must accept exactly the
+    serializer's envelope (region IDs + strict ±HH:MM), and fail
+    FAST (driver side, actionable message naming the safe
+    respelling) on everything else — not per-micro-batch inside the
+    worker."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from map_reduce_server_spark.streaming.stateful import (
+        _normalize_session_tz,
+    )
+
+    probe = dt.datetime(2024, 1, 1)
+
+    def off(tz):
+        return probe.replace(tzinfo=tz).utcoffset()
+
+    assert off(_normalize_session_tz("UTC")) == dt.timedelta(0)
+    assert off(_normalize_session_tz("GMT")) == dt.timedelta(0)
+    assert off(_normalize_session_tz("+05:30")) == dt.timedelta(
+        hours=5, minutes=30
+    )
+    assert off(_normalize_session_tz("-08:30")) == -dt.timedelta(
+        hours=8, minutes=30
+    )
+    # region IDs go through zoneinfo (DST-aware, Jan = EST = -5)
+    assert off(_normalize_session_tz("America/New_York")) == dt.timedelta(
+        hours=-5
+    )
+    # Java-legal spellings OUTSIDE the serializer envelope: loud
+    # build-time error naming the equivalent safe spelling
+    with _pytest.raises(ValueError, match=r"respell it as '\+08:00'"):
+        _normalize_session_tz("GMT+8")
+    with _pytest.raises(ValueError, match=r"respell it as '\+01:00'"):
+        _normalize_session_tz("UT+01:00")
+    with _pytest.raises(ValueError, match=r"respell it as '-08:30'"):
+        _normalize_session_tz("-0830")
+    with _pytest.raises(ValueError, match=r"respell it as 'UTC'"):
+        _normalize_session_tz("Z")
+    with _pytest.raises(ValueError, match="cannot interpret session timezone"):
+        _normalize_session_tz("Mars/Olympus_Mons")
+    with _pytest.raises(ValueError, match="cannot interpret session timezone"):
+        _normalize_session_tz("+99:00")
+
+
+def test_stateful_ttl_offset_session_tz(spark, tmp_path):
+    """End-to-end TTL query under an OFFSET-form session timezone
+    ('+08:00') — inside the serializer envelope but unparseable by
+    pandas' tz_localize as a plain string. The normalizer ships it as
+    a fixed-offset tzinfo, so the anchor localizes correctly and the
+    running counts evolve normally (east of UTC a naive-as-UTC
+    mis-read would arm timers 8 h in the future = silent state
+    growth)."""
+    import json
+    import time
+
+    src = tmp_path / "src_offtz"
+    src.mkdir()
+    schema = "event_type string, value double, ts timestamp"
+
+    def drop(name, rows):
+        (src / f"{name}.json").write_text(
+            "\n".join(
+                json.dumps({"event_type": e, "value": v, "ts": t})
+                for e, v, t in rows
+            )
+        )
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "+08:00")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .withWatermark("ts", "1 second")
+        )
+        out = running_counts_stream(stream, idle_ttl_ms=3_600_000)
+        name = f"ttl_offtz_{int(time.time() * 1000) % 100000}"
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            drop("b1", [("A", 1.0, "2024-01-01 00:00:00")])
+            q.processAllAvailable()
+            # 30 min later on another key; A stays inside its TTL
+            drop("b2", [("B", 2.0, "2024-01-01 00:30:00")])
+            q.processAllAvailable()
+            drop("b3", [("A", 5.0, "2024-01-01 00:40:00")])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        a_rows = [
+            (r.n_events, r.total_value)
+            for r in spark.table(name).collect()
+            if r.event_type == "A"
+        ]
+        assert a_rows == [(1, 1.0), (2, 6.0)], a_rows
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -201,14 +201,26 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     )
 
     zpath = str(tmp_path / "zorder")
-    write_zordered(grid, zpath, ["a", "b"], n_files=16, bits=6)
     spath = str(tmp_path / "sorted_a")
-    (
-        grid.repartitionByRange(16, "a", "b")
-        .sortWithinPartitions("a", "b")
-        .write.mode("overwrite")
-        .parquet(spath)
-    )
+    # repartitionByRange picks boundaries from a RANDOM sample
+    # (default 100 rows/partition, uncontrolled seed); raise the
+    # sample size past the 4096-row input so the boundaries are the
+    # exact quantiles every run and the file-count bounds below are
+    # deterministic, not flake-prone
+    prev = spark.conf.get("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+    spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", "4096")
+    try:
+        write_zordered(grid, zpath, ["a", "b"], n_files=16, bits=6)
+        (
+            grid.repartitionByRange(16, "a", "b")
+            .sortWithinPartitions("a", "b")
+            .write.mode("overwrite")
+            .parquet(spath)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.rangeExchange.sampleSizePerPartition", prev
+        )
 
     # same rows back (layout is a rewrite, never a filter)
     assert (
@@ -229,3 +241,20 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     assert sa <= 4, sa
     # ... and cannot prune the second column AT ALL
     assert sb == 16, sb
+
+
+def test_write_zordered_z_column_collision(spark, tmp_path):
+    """An input column named __z must not break the rewrite: the temp
+    Morton column picks a non-colliding name, so the stored schema
+    keeps the user's __z column intact."""
+    df = spark.createDataFrame(
+        [(1, 2, "keep"), (3, 0, "rows")], "a long, b long, __z string"
+    )
+    path = str(tmp_path / "collide")
+    write_zordered(df, path, ["a", "b"], n_files=1, bits=4)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"a", "b", "__z"}
+    assert sorted((r["a"], r["b"], r["__z"]) for r in back.collect()) == [
+        (1, 2, "keep"),
+        (3, 0, "rows"),
+    ]
