@@ -1892,3 +1892,93 @@ def _run_agg_window_plan(spark, duck, pred, keys, aggs, wins):
 def test_fuzz_agg_then_window(spark, duck, pred, keys, extra_aggs, wins):
     aggs = list(dict.fromkeys([("count_star",)] + extra_aggs))
     _run_agg_window_plan(spark, duck, pred, keys, aggs, wins)
+
+
+# --- as-of join fuzz --------------------------------------------------------
+# Spark has no native ASOF JOIN; the engine's scalable recipe is a
+# single per-key window pass carrying the reference timestamp
+# forward/backward (q_asof_join, operators/advanced.py — one shuffle,
+# no join). DuckDB HAS a native ASOF JOIN, so this family checks the
+# recipe against a real as-of implementation across random left
+# predicates, reference subsets, and both directions. Envelope:
+# inclusive matches only (>= / <=; strict variants would need
+# interval range frames), ts IS NOT NULL on both sides (NULL
+# ordering inside a RANGE frame vs ASOF's never-matching NULL is a
+# semantics fork, and the registered query guards the same way), and
+# the matched column is the reference TS itself (tie rows at one ts
+# are interchangeable, so the pick is deterministic).
+
+EVENTS_SPEC = {
+    "num": {"value": (0.0, 330.0)},
+    "int": {"user_id": (0, 14)},
+    "str": {
+        "event_type": ["click", "error", "purchase", "signup", "view"],
+    },
+}
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 25,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    direction=st.sampled_from(["backward", "forward"]),
+    rtype=st.sampled_from(["error", "purchase", "signup"]),
+    rthr=st.integers(0, 33000),
+    lpred=table_pred(EVENTS_SPEC, max_leaves=3),
+)
+@example(
+    direction="backward",
+    rtype="error",
+    rthr=0,
+    lpred=("str", "event_type", "<>", "error"),
+)
+@example(
+    direction="forward",
+    rtype="purchase",
+    rthr=20000,  # sparse reference set: most rows unmatched -> NULL
+    lpred=("int", "user_id", ">=", 0),
+)
+def test_fuzz_asof_join(spark, duck, direction, rtype, rthr, lpred):
+    from pyspark.sql import Window
+
+    thr = rthr / 100.0
+    ev = load_table(spark, SF, "events").filter(F.col("ts").isNotNull())
+    mark = (F.col("event_type") == rtype) & (F.col("value") >= thr)
+    base = Window.partitionBy("user_id").orderBy("ts")
+    if direction == "backward":
+        w = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        matched = F.max(F.when(mark, F.col("ts"))).over(w)
+        ineq = "e.ts >= x.ts"
+    else:
+        w = base.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        matched = F.min(F.when(mark, F.col("ts"))).over(w)
+        ineq = "e.ts <= x.ts"
+    out = (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            matched.alias("asof_ts"),
+        )
+        .filter(pred_col(lpred))
+        .select("event_id", "user_id", "ts", "asof_ts")
+    )
+    sql = (
+        "SELECT e.event_id, e.user_id, e.ts, x.ts AS asof_ts "
+        "FROM (SELECT * FROM events WHERE ts IS NOT NULL "
+        f"AND {pred_sql(lpred)}) e "
+        "ASOF LEFT JOIN (SELECT user_id, ts FROM events "
+        "WHERE ts IS NOT NULL "
+        f"AND event_type = '{rtype}' AND value >= {thr!r}) x "
+        f"ON e.user_id = x.user_id AND {ineq}"
+    )
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, (
+        f"{msg}\nplan: dir={direction} rtype={rtype} thr={thr} "
+        f"lpred={lpred}\nsql: {sql}"
+    )
