@@ -86,6 +86,47 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle for the UNREGISTERED q_asof_join_forward below.
+_ASOF_FWD_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts, x.ts AS next_purchase_ts
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                WHERE event_type = 'purchase') x
+  ON e.user_id = x.user_id AND e.ts <= x.ts
+"""
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every event, the EARLIEST (>= ts)
+    purchase timestamp of the same user — the time-to-conversion
+    primitive (q_asof_join's mirror; the round-12 as-of fuzz
+    exercises both directions against DuckDB's native ASOF JOIN).
+
+    Same single-window-pass scale shape as the backward query: MIN
+    over the (currentRow, unboundedFollowing) RANGE frame — one
+    shuffle on user_id, no join, ties at the same ts included
+    exactly as ASOF's ``e.ts <= x.ts`` includes them.
+    UNREGISTERED until round 13 (round-12 window = zero new
+    registrations); registration is the one-line ``@register`` with
+    ``_ASOF_FWD_ORACLE``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("user_id").isNotNull(), F.min(purchase_ts).over(w)
+        ).alias("next_purchase_ts"),
+    )
+
+
 @register(
     "q_grouping_sets",
     oracle=f"""
@@ -133,6 +174,63 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                                 (l_returnflag, l_linestatus), ())
         """
+    )
+
+
+# Oracle for the UNREGISTERED q_rollup_multi_distinct below. Two
+# grid-specific recipe rules apply (both pinned in
+# tests/test_engine_portability_pins.py):
+# - the ordered string agg must be order-insensitive BY CONSTRUCTION
+#   (list_sort OUTSIDE the aggregate) because DuckDB 1.0 drops
+#   string_agg's ORDER BY on multi-key-grid subtotal rows;
+# - no native Spark listagg anywhere near >= 2 distinct aggregates
+#   (Spark 4.1.2 RewriteDistinctAggregates crash).
+_ROLLUP_MD_ORACLE = """
+SELECT o_orderstatus,
+       CAST(grouping_id(o_orderstatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')
+         AS priorities
+FROM orders
+GROUP BY ROLLUP(o_orderstatus)
+"""
+
+
+def q_rollup_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup grid with MULTIPLE distinct aggregates plus an ordered
+    distinct string agg — the exact plan family where the round-12
+    differential fuzz found an upstream Spark 4.1.2 optimizer crash
+    (native ``listagg WITHIN GROUP`` + >= 2 distincts ->
+    ``RewriteDistinctAggregates`` ClassCastException): this query
+    pins the engine's PORTABLE renderings of that surface as a gate
+    query. ``collect_set`` -> ``array_sort`` -> ``concat_ws`` is the
+    crash-free ordered string agg; the grid oracle sorts OUTSIDE the
+    aggregate (see ``_ROLLUP_MD_ORACLE``).
+
+    Scale shape: Spark plans this as Expand(rollup levels = 2) then
+    Expand(distinct groups + 1 = 3) — a 6x row multiplier BEFORE
+    partial aggregation. That is the right trade here because the
+    expansion keys are tiny (3 statuses x 5 priorities x custkey)
+    and partial aggregation collapses map-side; for high-cardinality
+    grids, pre-reduce like :func:`q_grouping_sets` does — distinct
+    (keys, target) tuples first, then the grid over the deduped
+    table. UNREGISTERED until round 13: the round-12 verification
+    window is reserved for re-certifying stale rows (zero new
+    registrations), exactly like the multi-block ADPCM leg before
+    it; registration is the one-line ``@register`` with
+    ``_ROLLUP_MD_ORACLE``.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus").agg(
+        F.grouping_id("o_orderstatus").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.concat_ws(
+            "|", F.array_sort(F.collect_set("o_orderpriority"))
+        ).alias("priorities"),
     )
 
 

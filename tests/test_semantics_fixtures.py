@@ -818,3 +818,47 @@ def test_null_ts_guards_match_oracle(spark, tmp_path):
         exp = con.execute(registry.ORACLE[name]).fetchdf()
         assert sorted(got.columns) == sorted(exp.columns), name
         assert canonical_rows(got) == canonical_rows(exp), name
+
+
+def test_rollup_multi_distinct_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_rollup_multi_distinct
+    (registration deferred to round 13 — the round-12 window is
+    reserved for stale-row re-certification): the portable
+    multi-distinct + ordered-string-agg grid renderings must match
+    the DuckDB oracle exactly as the driver's compare would check."""
+    from map_reduce_server_spark.operators.advanced import (
+        _ROLLUP_MD_ORACLE,
+        q_rollup_multi_distinct,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_rollup_multi_distinct(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _ROLLUP_MD_ORACLE, sf_small)
+    assert ok, msg
+    # the grid shape itself: 3 leaf statuses + 1 grand-total row,
+    # and the grand total sees every priority
+    rows = {(r.gid, r.o_orderstatus): r for r in df.collect()}
+    assert sum(1 for gid, _ in rows if gid == 0) >= 2
+    total = next(r for (gid, _), r in rows.items() if gid == 1)
+    assert total.n_priorities == len(total.priorities.split("|"))
+
+
+def test_asof_join_forward_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED forward as-of query
+    (round-13 registration queue, same holdback as
+    q_rollup_multi_distinct): the MIN-over-following-range rendering
+    must match DuckDB's native forward ASOF JOIN."""
+    from map_reduce_server_spark.operators.advanced import (
+        _ASOF_FWD_ORACLE,
+        q_asof_join_forward,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_asof_join_forward(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _ASOF_FWD_ORACLE, sf_small)
+    assert ok, msg
+    # a purchase row is its own forward match (ties included)
+    own = df.filter(
+        (F.col("ts") == F.col("next_purchase_ts"))
+    ).count()
+    assert own > 0
