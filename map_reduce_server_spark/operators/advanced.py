@@ -1605,6 +1605,77 @@ def q_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle for the UNREGISTERED q_zorder_layout below: the layout is
+# invisible to the oracle — a Z-order rewrite must never change
+# answers, only which files a predicate touches.
+_ZORDER_LAYOUT_ORACLE = f"""
+SELECT o_orderstatus, COUNT(*) AS n,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND o_totalprice >= 100000.0 AND o_totalprice < 250000.0
+GROUP BY o_orderstatus
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout round-trip: orders rewritten range-partitioned
+    on the Morton interleave of (order day, price bucket), then read
+    back under a TWO-DIMENSION predicate — the multi-key sibling of
+    :func:`q_partitioned_layout` and the gate query for the round-11
+    layout writer (``io/zorder.py``; the file-level pruning property
+    itself is measured from parquet footers in
+    ``tests/test_zorder.py``). At 100 TB the rewrite is one
+    repartitionByRange shuffle paid once; afterwards EVERY query
+    filtering on either dimension scans ~sqrt of the files instead
+    of all of them.
+
+    Key derivation is scale-stable and stateless: days since the
+    corpus epoch (1995-01-01; < 4096 for the synthetic date range)
+    and a uniform price bucket over the [0, 600k) envelope — both
+    inside the 12-bit key domain at every SF, so rewrites are
+    idempotent as the table grows. UNREGISTERED until round 13
+    (round-12 window = zero new registrations); registration is the
+    one-line ``@register`` with ``_ZORDER_LAYOUT_ORACLE``.
+    """
+    from map_reduce_server_spark.io.zorder import (
+        uniform_bucket,
+        write_zordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("day_key"),
+        uniform_bucket("o_totalprice", 0.0, 600000.0, bits=12).alias(
+            "price_bucket"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="mrss_zorderlayout_")
+    cleanup_at_exit(tmp)
+    path = os.path.join(tmp, "data")
+    write_zordered(orders, path, ["day_key", "price_bucket"], n_files=8, bits=12)
+    return (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_totalprice") >= 100000.0)
+            & (F.col("o_totalprice") < 250000.0)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rolling 7-day active users (sliding distinct via contribution explode)
 # ---------------------------------------------------------------------------

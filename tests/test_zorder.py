@@ -258,3 +258,21 @@ def test_write_zordered_z_column_collision(spark, tmp_path):
         (1, 2, "keep"),
         (3, 0, "rows"),
     ]
+
+
+def test_zorder_layout_query_matches_oracle(spark):
+    """Gate-grade parity for the UNREGISTERED q_zorder_layout query
+    (round-13 registration queue): the Z-order rewrite must be
+    answer-invisible — the read-back two-dimension filter + aggregate
+    equals the oracle computed straight off the original table — at
+    both the driver's SF and the small fixture."""
+    from map_reduce_server_spark.operators.advanced import (
+        _ZORDER_LAYOUT_ORACLE,
+        q_zorder_layout,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        df = q_zorder_layout(spark, sf)
+        ok, msg = compare_to_oracle(df, _ZORDER_LAYOUT_ORACLE, sf)
+        assert ok, (sf, msg)
