@@ -1982,3 +1982,84 @@ def test_fuzz_asof_join(spark, duck, direction, rtype, rthr, lpred):
         f"{msg}\nplan: dir={direction} rtype={rtype} thr={thr} "
         f"lpred={lpred}\nsql: {sql}"
     )
+
+
+# --- pivot fuzz -------------------------------------------------------------
+# groupBy().pivot(col, values) vs DuckDB FILTER-ed conditional
+# aggregation. Engine recipe pinned by q_pivot_events: a COUNT pivot
+# cell with no rows is NULL on Spark but 0 under COUNT(*) FILTER, so
+# count pivots fill 0 on exactly the pivoted columns; SUM cells stay
+# NULL on both. Pivot values are always EXPLICIT (no distinct-scan
+# at plan time — the scalable form) and may include values absent
+# from the filtered input (all-NULL/0 column) or omit present ones
+# (those rows still aggregate into nothing — dropped, as pivot
+# semantics demand).
+
+_PIVOT_AGGS = ["count", "sum_int", "dsum"]
+
+
+@st.composite
+def _pivot_plan(draw):
+    pcol = draw(st.sampled_from(sorted(STR_COLS)))
+    key = draw(
+        st.sampled_from([k for k in GROUP_COLS if k != pcol])
+    )
+    vals = draw(
+        st.lists(
+            st.sampled_from(STR_COLS[pcol]),
+            min_size=1,
+            max_size=len(STR_COLS[pcol]),
+            unique=True,
+        )
+    )
+    agg = draw(st.sampled_from(_PIVOT_AGGS))
+    tcol = draw(st.sampled_from(sorted(INT_COLS))) if agg == "sum_int" else (
+        draw(st.sampled_from(MONEY_COLS)) if agg == "dsum" else None
+    )
+    return key, pcol, sorted(vals), agg, tcol
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 20,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=_pivot_plan(), pred=PRED)
+@example(
+    plan=("l_suppkey", "l_returnflag", ["A", "N", "R"], "count", None),
+    pred=("num", "l_quantity", ">=", 0.0),
+)
+@example(
+    plan=("l_linenumber", "l_linestatus", ["F", "O"], "dsum", "l_extendedprice"),
+    pred=("str", "l_returnflag", "<>", "R"),
+)
+def test_fuzz_pivot(spark, duck, plan, pred):
+    key, pcol, vals, agg, tcol = plan
+    df = load_table(spark, SF, "lineitem").filter(pred_col(pred))
+    grouped = df.groupBy(key).pivot(pcol, vals)
+    if agg == "count":
+        out = grouped.count().na.fill(0, subset=vals)
+        cell = "CAST(COUNT(*) FILTER (WHERE {c}) AS BIGINT)"
+    elif agg == "sum_int":
+        out = grouped.agg(F.sum(tcol))
+        cell = f"CAST(SUM({tcol}) FILTER (WHERE {{c}}) AS BIGINT)"
+    else:
+        out = grouped.agg(
+            F.sum(exact.checked_decimal(F.col(tcol), 2)).cast("double")
+        )
+        cell = (
+            f"CAST(SUM(CAST({tcol} AS DECIMAL(30,2))) "
+            "FILTER (WHERE {c}) AS DOUBLE)"
+        )
+    for v in vals:
+        out = out.withColumnRenamed(v, f"p_{v}")
+    cells = ", ".join(
+        cell.format(c=f"{pcol} = '{v}'") + f" AS p_{v}" for v in vals
+    )
+    sql = (
+        f"SELECT {key}, {cells} FROM lineitem "
+        f"WHERE {pred_sql(pred)} GROUP BY {key}"
+    )
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, f"{msg}\nplan: {plan} pred={pred}\nsql: {sql}"
