@@ -36,6 +36,14 @@ from tests.oracle_utils import compare_to_oracle, duck_connection
 
 SF = "/root/testdata/sf0.001"
 
+# nightly-style deep run: SPARK_GRAFT_FUZZ_EXAMPLES=250 multiplies
+# the example budget on the aggregate-shaped families (the listagg
+# crash needed a 3-agg draw; 25 examples/run finds such combinations
+# only eventually). Default stays CI-sized.
+import os as _os  # noqa: E402
+
+_DEEP_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))
+
 # value envelopes measured at sf0.001 (superset-safe at other SFs:
 # literals outside the data range just make emptier predicates)
 NUM_COLS = {
@@ -313,7 +321,7 @@ def _run_agg_plan(spark, duck, pred, keys, aggs):
 
 
 @settings(
-    max_examples=25,
+    max_examples=_DEEP_EXAMPLES or 25,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1636,14 +1644,6 @@ def test_fuzz_math_exprs(spark, duck, outs):
 # (data is NULL-free, but the compare must not depend on that).
 
 import itertools as _it
-import os as _os
-
-# nightly-style deep run: SPARK_GRAFT_FUZZ_EXAMPLES=500 multiplies
-# the example budget on the aggregate-shaped families (the listagg
-# crash needed a 3-agg draw; 25 examples/run finds such combinations
-# only eventually). Default stays CI-sized.
-_DEEP_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))
-
 
 _MD_AGG = st.one_of(
     st.tuples(
