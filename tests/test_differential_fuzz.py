@@ -371,7 +371,7 @@ def test_fuzz_filter_group_aggregate(spark, duck, pred, keys, aggs):
 
 
 @settings(
-    max_examples=25,
+    max_examples=_DEEP_EXAMPLES or 25,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -460,7 +460,7 @@ def _win_pair(fn: str, over_col: str, over_sql: str) -> tuple[Column, str]:
 
 
 @settings(
-    max_examples=20,
+    max_examples=_DEEP_EXAMPLES or 20,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -519,7 +519,7 @@ _JOIN_AGGS = {
 
 
 @settings(
-    max_examples=20,
+    max_examples=_DEEP_EXAMPLES or 20,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -700,7 +700,7 @@ def _str_out_pair(out, alias) -> tuple[Column, str]:
 
 
 @settings(
-    max_examples=25,
+    max_examples=_DEEP_EXAMPLES or 25,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -805,7 +805,7 @@ def _date_out_pair(out) -> tuple[Column, str]:
 
 
 @settings(
-    max_examples=25,
+    max_examples=_DEEP_EXAMPLES or 25,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -890,7 +890,7 @@ _RX_TEXT = st.text(alphabet="ab01 z.,xy", max_size=14)
 
 
 @settings(
-    max_examples=30,
+    max_examples=_DEEP_EXAMPLES or 30,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1017,7 +1017,7 @@ def _ts_out_pair(out) -> tuple[Column, str]:
 
 
 @settings(
-    max_examples=25,
+    max_examples=_DEEP_EXAMPLES or 25,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1110,7 +1110,7 @@ def _json_paths(doc: dict) -> list[str]:
 
 
 @settings(
-    max_examples=25,
+    max_examples=_DEEP_EXAMPLES or 25,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1182,7 +1182,7 @@ _TOK_TEXT = st.text(
 
 
 @settings(
-    max_examples=30,
+    max_examples=_DEEP_EXAMPLES or 30,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1229,7 +1229,7 @@ _HASH_KEY = st.one_of(
 
 
 @settings(
-    max_examples=25,
+    max_examples=_DEEP_EXAMPLES or 25,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1300,7 +1300,7 @@ _RC_KEYS = ["o_orderstatus", "o_orderpriority"]
 
 
 @settings(
-    max_examples=15,
+    max_examples=_DEEP_EXAMPLES or 15,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1395,7 +1395,7 @@ def _arr_pair(out) -> tuple[Column, str]:
 
 
 @settings(
-    max_examples=20,
+    max_examples=_DEEP_EXAMPLES or 20,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1439,7 +1439,7 @@ _Q40_VAL = st.one_of(
 
 
 @settings(
-    max_examples=25,
+    max_examples=_DEEP_EXAMPLES or 25,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1491,7 +1491,7 @@ _SORT_COLS = ["o_totalprice", "o_custkey", "o_orderdate", "o_orderstatus"]
 
 
 @settings(
-    max_examples=20,
+    max_examples=_DEEP_EXAMPLES or 20,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1545,7 +1545,7 @@ _SETOP = {
 
 
 @settings(
-    max_examples=20,
+    max_examples=_DEEP_EXAMPLES or 20,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1611,7 +1611,7 @@ def _math_out_pair(out) -> tuple[Column, str]:
 
 
 @settings(
-    max_examples=20,
+    max_examples=_DEEP_EXAMPLES or 20,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
