@@ -166,3 +166,58 @@ def test_fuzz_null_predicate_logic(null_table, pred):
         for r in con.execute(f"SELECT id FROM t WHERE {_sql(pred)}").fetchall()
     )
     assert got == want, f"pred={pred}\nsql={_sql(pred)}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    mode=st.sampled_from(["rollup", "cube"]),
+    keys=st.lists(
+        st.sampled_from(["i", "s"]), min_size=1, max_size=2, unique=True
+    ),
+    pred=_PRED,
+)
+# NULL-i rows only, rolled up on i: the grid contains a LEAF row with
+# key NULL (gid=0, the genuine NULL group) AND a subtotal row with
+# key NULL (gid=1) — identical key renderings distinguished ONLY by
+# grouping_id, on both engines
+@example(mode="rollup", keys=["i"], pred=("isnull", "i"))
+# mixed NULL/non-NULL keys through a full cube
+@example(mode="cube", keys=["i", "s"], pred=("or", ("isnull", "i"), ("isnull", "s")))
+def test_fuzz_null_key_grids(null_table, mode, keys, pred):
+    """Super-aggregate grids over NULLABLE keys: the main grid fuzz
+    (test_differential_fuzz.py) draws NULL-free columns, so the
+    NULL-leaf-vs-subtotal-marker plane — where a genuine NULL group
+    key renders exactly like a rollup subtotal — is covered here.
+    grouping_id must disambiguate identically on both engines, and
+    COUNT(d) must skip NULLs inside every grid level."""
+    from hypothesis import assume
+
+    df, con = null_table
+    filtered = df.filter(_col(pred))
+    # empty input under a grid containing the () set is a PINNED
+    # divergence (DuckDB emits one n=0 row, Spark emits nothing)
+    assume(filtered.limit(1).count() == 1)
+    out = getattr(filtered, mode)(*keys).agg(
+        F.grouping_id(*keys).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.count("d").alias("nd"),
+    )
+    cols = keys + ["gid", "n", "nd"]
+    got = sorted(
+        (tuple(r[c] for c in cols) for r in out.collect()),
+        key=repr,
+    )
+    sql = (
+        f"SELECT {', '.join(keys)}, "
+        f"CAST(grouping_id({', '.join(keys)}) AS BIGINT) AS gid, "
+        "COUNT(*) AS n, COUNT(d) AS nd "
+        f"FROM t WHERE {_sql(pred)} "
+        f"GROUP BY {mode.upper()}({', '.join(keys)})"
+    )
+    want = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=repr)
+    assert got == want, f"mode={mode} keys={keys} pred={pred}\nsql={sql}"
