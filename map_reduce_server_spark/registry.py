@@ -435,6 +435,15 @@ _DRIVER_GREEN_R11 = frozenset({
 # current code, so they rejoin the never-verified head.
 _CHANGED_R12: frozenset[str] = frozenset()
 
+# Round-13 registration queue — gate-ready (oracle constant +
+# driver-grade parity test already in tree), held back so the
+# round-12 window stays pure re-certification; registering each is
+# one @register decorator:
+#   multimodal_decode_adpcm_multiblock (operators/multimodal.py)
+#   q_rollup_multi_distinct            (operators/advanced.py)
+#   q_asof_join_forward                (operators/advanced.py)
+#   q_zorder_layout                    (operators/advanced.py)
+
 # Rounds FRESHEST-FIRST with their green sets — the single place a
 # new round is added. _EVER_GREEN and _stale_first both derive from
 # this list, so advancing a round means adding one entry here plus
