@@ -2063,3 +2063,58 @@ def test_fuzz_pivot(spark, duck, plan, pred):
     )
     ok, msg = compare_to_oracle(out, sql, SF, con=duck)
     assert ok, f"{msg}\nplan: {plan} pred={pred}\nsql: {sql}"
+
+
+# --- aggregate + HAVING fuzz ------------------------------------------------
+# Post-aggregation filters: Spark renders HAVING as a Filter above
+# the Aggregate referencing the aggregate's OUTPUT attributes — a
+# different resolution path from WHERE (and the one alias-rewrite
+# bugs would hit). The filter column is always the BIGINT count
+# (a0), so the comparison itself is exact on both engines.
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 20,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=PRED,
+    keys=st.lists(
+        st.sampled_from(GROUP_COLS), unique=True, min_size=1, max_size=2
+    ),
+    extra_aggs=st.lists(_MD_AGG, min_size=1, max_size=3, unique=True),
+    hop=st.sampled_from(sorted(CMP_OPS)),
+    hlit=st.integers(0, 400),
+)
+# multi-distinct aggregation UNDER the having filter (the rewrite
+# must keep the filter above the final aggregate, not a partial one)
+@example(
+    pred=("num", "l_quantity", ">=", 0.0),
+    keys=["l_returnflag", "l_linestatus"],
+    extra_aggs=[("nuniq", "l_suppkey"), ("nuniq", "l_orderkey")],
+    hop=">=",
+    hlit=1,
+)
+def test_fuzz_agg_having(spark, duck, pred, keys, extra_aggs, hop, hlit):
+    aggs = list(dict.fromkeys([("count_star",)] + extra_aggs))
+    df = load_table(spark, SF, "lineitem").filter(pred_col(pred))
+    pairs = [md_agg_pair(s) for s in aggs]
+    out = (
+        df.groupBy(*keys)
+        .agg(*[c.alias(f"a{i}") for i, (c, _) in enumerate(pairs)])
+        .filter(_PY_OPS[hop](F.col("a0"), F.lit(hlit)))
+    )
+    select = ", ".join(
+        list(keys) + [f"{s} AS a{i}" for i, (_, s) in enumerate(pairs)]
+    )
+    sql = (
+        f"SELECT {select} FROM lineitem WHERE {pred_sql(pred)} "
+        f"GROUP BY {', '.join(keys)} HAVING COUNT(*) {hop} {hlit}"
+    )
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, (
+        f"{msg}\nplan: keys={keys} aggs={aggs} having=a0 {hop} {hlit} "
+        f"pred={pred}\nsql: {sql}"
+    )
