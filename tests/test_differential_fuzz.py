@@ -2118,3 +2118,94 @@ def test_fuzz_agg_having(spark, duck, pred, keys, extra_aggs, hop, hlit):
         f"{msg}\nplan: keys={keys} aggs={aggs} having=a0 {hop} {hlit} "
         f"pred={pred}\nsql: {sql}"
     )
+
+
+# --- bucketed range-join fuzz -----------------------------------------------
+# The engine's non-equi time-range recipe (q_range_join,
+# operators/subqueries.py): bucket ts into W-second cells, explode
+# the reference side into cell±1, EQUI-join on (user, cell), exact
+# range filter last — the per-key cartesian never materializes
+# because |ts diff| <= W bounds |cell diff| <= 1. This family fuzzes
+# the recipe itself (random window widths, reference subsets, probe
+# predicates) against DuckDB's plain non-equi join, which at this SF
+# is an affordable brute-force oracle.
+
+
+def _bucketed_range_count(ev, refpred, probepred, w: int):
+    bucket = (F.unix_timestamp("ts") / w).cast("bigint")
+    # both sides derive from ONE scan of ev (a self-join): alias the
+    # datasets and qualify every join reference, or Spark's
+    # ambiguous-self-join check rejects the plan
+    probe = (
+        ev.filter(pred_col(probepred))
+        .select("event_id", "user_id", "ts", bucket.alias("cell"))
+        .alias("p")
+    )
+    ref = (
+        ev.filter(pred_col(refpred))
+        .select(
+            F.col("event_id").alias("ref_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            bucket.alias("r_cell"),
+        )
+        # explode_outer: a NULL-ts reference keeps its row (oracle's
+        # LEFT JOIN yields n_nearby = 0); a NULL-ts probe row gets a
+        # NULL cell and can never equi-match, exactly as its NULL ts
+        # comparison never matches in the oracle
+        .withColumn(
+            "probe_cell",
+            F.explode_outer(F.expr("sequence(r_cell - 1, r_cell + 1)")),
+        )
+        .alias("r")
+    )
+    joined = ref.join(
+        probe,
+        (F.col("p.user_id") == F.col("r.r_user"))
+        & (F.col("p.cell") == F.col("r.probe_cell"))
+        & (F.col("p.event_id") != F.col("r.ref_id"))
+        & (F.col("p.ts") >= F.col("r.r_ts") - F.expr(f"INTERVAL {w} SECONDS"))
+        & (F.col("p.ts") <= F.col("r.r_ts") + F.expr(f"INTERVAL {w} SECONDS")),
+        "left",
+    )
+    return joined.groupBy("ref_id").agg(
+        F.count(F.col("p.event_id")).alias("n_nearby")
+    )
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 20,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    w=st.sampled_from([60, 300, 900, 3600]),
+    refpred=table_pred(EVENTS_SPEC, max_leaves=3),
+    probepred=table_pred(EVENTS_SPEC, max_leaves=3),
+)
+@example(
+    w=300,
+    refpred=("str", "event_type", "=", "error"),
+    probepred=("num", "value", ">=", 0.0),
+)
+# boundary ties: W exactly at a common inter-event gap
+@example(
+    w=60,
+    refpred=("int", "user_id", ">=", 0),
+    probepred=("int", "user_id", ">=", 0),
+)
+def test_fuzz_bucketed_range_join(spark, duck, w, refpred, probepred):
+    ev = load_table(spark, SF, "events")
+    out = _bucketed_range_count(ev, refpred, probepred, w)
+    sql = (
+        "SELECT e.event_id AS ref_id, COUNT(v.event_id) AS n_nearby "
+        f"FROM (SELECT * FROM events WHERE {pred_sql(refpred)}) e "
+        f"LEFT JOIN (SELECT * FROM events WHERE {pred_sql(probepred)}) v "
+        "ON v.user_id = e.user_id AND v.event_id <> e.event_id "
+        f"AND v.ts >= e.ts - INTERVAL {w} SECOND "
+        f"AND v.ts <= e.ts + INTERVAL {w} SECOND "
+        "GROUP BY e.event_id"
+    )
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, f"{msg}\nplan: w={w} ref={refpred} probe={probepred}\nsql: {sql}"
