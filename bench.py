@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -95,6 +96,7 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     cold: dict[str, float] = {}
+    rep_runs: dict[str, list[float]] = {}
     for name in names:
         runs = []
         for _ in range(reps):
@@ -102,17 +104,28 @@ def main() -> None:
             materialize(registry.QUERIES[name](spark, sf_dir))
             runs.append(round(time.time() - t0, 3))
         cold[name] = runs[0]
-        timings[name] = sorted(runs)[len(runs) // 2]
+        rep_runs[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
     total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(
             {
-                "metric": "headline_suite_wall_seconds",
+                # Renamed from 'headline_suite_wall_seconds' (rounds
+                # <= 12): the value is a SUM OF PER-QUERY MEDIANS over
+                # warm reps, not any single run's wall time. bench_schema
+                # lets tooling refuse to mix the two semantics.
+                "metric": "headline_suite_median_seconds",
+                "bench_schema": 2,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "cold_queries": cold,
+                # Per-rep arrays, in run order: cold ~= warm ~= median
+                # but all shifted vs last round => environment; rep3 >
+                # rep1 systematically => in-JVM accumulation (GC /
+                # shuffle-file pressure). Localizes drift in one round.
+                "rep_queries": rep_runs,
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -86,7 +86,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle for the UNREGISTERED q_asof_join_forward below.
+# Oracle for q_asof_join_forward below (registered round 13).
 _ASOF_FWD_ORACLE = """
 SELECT e.event_id, e.user_id, e.ts, x.ts AS next_purchase_ts
 FROM events e
@@ -96,6 +96,7 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events
 """
 
 
+@register("q_asof_join_forward", oracle=_ASOF_FWD_ORACLE)
 def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join: for every event, the EARLIEST (>= ts)
     purchase timestamp of the same user — the time-to-conversion
@@ -105,10 +106,8 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same single-window-pass scale shape as the backward query: MIN
     over the (currentRow, unboundedFollowing) RANGE frame — one
     shuffle on user_id, no join, ties at the same ts included
-    exactly as ASOF's ``e.ts <= x.ts`` includes them.
-    UNREGISTERED until round 13 (round-12 window = zero new
-    registrations); registration is the one-line ``@register`` with
-    ``_ASOF_FWD_ORACLE``.
+    exactly as ASOF's ``e.ts <= x.ts`` includes them. Staged in
+    round 12, registered round 13.
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
@@ -177,7 +176,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle for the UNREGISTERED q_rollup_multi_distinct below. Two
+# Oracle for q_rollup_multi_distinct below (registered round 13). Two
 # grid-specific recipe rules apply (both pinned in
 # tests/test_engine_portability_pins.py):
 # - the ordered string agg must be order-insensitive BY CONSTRUCTION
@@ -198,6 +197,7 @@ GROUP BY ROLLUP(o_orderstatus)
 """
 
 
+@register("q_rollup_multi_distinct", oracle=_ROLLUP_MD_ORACLE)
 def q_rollup_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup grid with MULTIPLE distinct aggregates plus an ordered
     distinct string agg — the exact plan family where the round-12
@@ -216,11 +216,7 @@ def q_rollup_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     and partial aggregation collapses map-side; for high-cardinality
     grids, pre-reduce like :func:`q_grouping_sets` does — distinct
     (keys, target) tuples first, then the grid over the deduped
-    table. UNREGISTERED until round 13: the round-12 verification
-    window is reserved for re-certifying stale rows (zero new
-    registrations), exactly like the multi-block ADPCM leg before
-    it; registration is the one-line ``@register`` with
-    ``_ROLLUP_MD_ORACLE``.
+    table. Staged in round 12, registered round 13.
     """
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus").agg(
@@ -1605,7 +1601,7 @@ def q_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle for the UNREGISTERED q_zorder_layout below: the layout is
+# Oracle for q_zorder_layout below (registered round 13): the layout is
 # invisible to the oracle — a Z-order rewrite must never change
 # answers, only which files a predicate touches.
 _ZORDER_LAYOUT_ORACLE = f"""
@@ -1619,6 +1615,7 @@ GROUP BY o_orderstatus
 """
 
 
+@register("q_zorder_layout", oracle=_ZORDER_LAYOUT_ORACLE)
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout round-trip: orders rewritten range-partitioned
     on the Morton interleave of (order day, price bucket), then read
@@ -1635,9 +1632,15 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus epoch (1995-01-01; < 4096 for the synthetic date range)
     and a uniform price bucket over the [0, 600k) envelope — both
     inside the 12-bit key domain at every SF, so rewrites are
-    idempotent as the table grows. UNREGISTERED until round 13
-    (round-12 window = zero new registrations); registration is the
-    one-line ``@register`` with ``_ZORDER_LAYOUT_ORACLE``.
+    idempotent as the table grows. CORPUS DATE CEILING: the 12-bit
+    day key covers 1995-01-01 .. 2006-03-18 (epoch + 4095 days); the
+    synthetic orders corpus tops out at 2001-08 (verified at every
+    SF: max(o_orderdate) = 2001-08-01, 2404 days past epoch), and
+    ``z_value_n`` raises loudly — never wraps — on an out-of-range
+    key, so a data refresh past the ceiling fails the rewrite
+    visibly rather than silently mis-clustering. Widen ``bits``
+    alongside any such refresh. Staged in round 12, registered
+    round 13.
     """
     from map_reduce_server_spark.io.zorder import (
         uniform_bucket,

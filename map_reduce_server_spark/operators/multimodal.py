@@ -1669,12 +1669,9 @@ def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------
-# Multi-block ADPCM — prepared for a FUTURE round's registration.
-# Unregistered on purpose: the round-10/11 rotation plan reserves the
-# driver window for re-certifying stale rows until round 13; flipping
-# this on is one @register decorator (oracle below is gate-ready and
-# the local parity test tests/test_multimodal.py already runs it
-# against DuckDB).
+# Multi-block ADPCM — staged rounds 10-12, registered round 13 (the
+# local parity test tests/test_multimodal.py runs the oracle below
+# against DuckDB at gate grade).
 
 _ADPCM_MB_NIB = 32  # nibbles per block (one md5 per block)
 _ADPCM_MB_SAMPLES = 2 * (_ADPCM_MB_NIB + 1)  # two blocks
@@ -1772,6 +1769,7 @@ _ADPCM_MB_ORACLE = f"""
     """
 
 
+@register("multimodal_decode_adpcm_multiblock", oracle=_ADPCM_MB_ORACLE)
 def multimodal_decode_adpcm_multiblock(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

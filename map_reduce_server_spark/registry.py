@@ -435,14 +435,48 @@ _DRIVER_GREEN_R11 = frozenset({
 # current code, so they rejoin the never-verified head.
 _CHANGED_R12: frozenset[str] = frozenset()
 
-# Round-13 registration queue — gate-ready (oracle constant +
-# driver-grade parity test already in tree), held back so the
-# round-12 window stays pure re-certification; registering each is
-# one @register decorator:
-#   multimodal_decode_adpcm_multiblock (operators/multimodal.py)
-#   q_rollup_multi_distinct            (operators/advanced.py)
-#   q_asof_join_forward                (operators/advanced.py)
-#   q_zorder_layout                    (operators/advanced.py)
+# The 50 queries hash-verified green by CORRECTNESS_r12.json — the
+# freshest driver rows, ordered LAST. Re-certified the 3 r7-stale
+# stragglers (q_sliding_window, stream_window_counts,
+# stream_window_counts_incremental) plus 47 of the 50 r8-stale rows
+# (all 50 green: rows/schema/hash matched at sf0.01, zero errs). The
+# 3 r8-stale stragglers (q18_large_orders, q19_disjunctive_revenue,
+# stream_dedup_events) follow the round-13 registrations at the
+# stale-first head.
+_DRIVER_GREEN_R12 = frozenset({
+    "ann_topk_ivf", "ann_topk_lsh_multiprobe", "ann_topk_quantized",
+    "dedup_embedding_cosine", "dedup_minhash_keep_one",
+    "dedup_semantic_cluster", "kmeans_embeddings",
+    "q10_returned_items", "q12_priority_lines",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q17_small_qty_revenue", "q4_order_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q_array_set_ops", "q_cdc_apply", "q_copurchase_triangles",
+    "q_data_expectations", "q_debounce_events", "q_domain_mixture",
+    "q_event_transitions", "q_funnel", "q_gap_islands",
+    "q_locf_gapfill", "q_mixture_temperature", "q_pack_sequences",
+    "q_partitioned_layout", "q_point_in_time_join",
+    "q_retention_cohorts", "q_rolling_active_users",
+    "q_scd2_customer_orders", "q_session_concurrency",
+    "q_sliding_window", "q_stratified_sample", "q_time_rollup",
+    "q_topk_global", "q_topk_per_group", "q_training_shards",
+    "q_window_distribution", "q_window_values",
+    "stream_window_counts", "stream_window_counts_incremental",
+    "text_decontaminate", "text_novelty", "text_oov_rate",
+    "text_pii_scrub", "text_repetition", "text_unigram_logprob",
+})
+
+# Queries whose RESULT changed after their last green driver row
+# (round-13 rework): their stale green row no longer certifies the
+# current code, so they rejoin the never-verified head.
+_CHANGED_R13: frozenset[str] = frozenset()
+
+# Round-13 registered the former registration queue
+# (multimodal_decode_adpcm_multiblock, q_rollup_multi_distinct,
+# q_asof_join_forward, q_zorder_layout) -- the queue is empty until
+# round 13 stages the round-14 batch. Future new queries: stage
+# UNREGISTERED with an oracle constant + compare_to_oracle parity
+# test; registration is one decorator.
 
 # Rounds FRESHEST-FIRST with their green sets — the single place a
 # new round is added. _EVER_GREEN and _stale_first both derive from
@@ -450,6 +484,7 @@ _CHANGED_R12: frozenset[str] = frozenset()
 # the next _CHANGED constant below (the rotation lint in
 # tests/test_registry_rotation.py enforces both).
 _GREEN_BY_ROUND: list[tuple[int, frozenset]] = [
+    (12, _DRIVER_GREEN_R12),
     (11, _DRIVER_GREEN_R11),
     (10, _DRIVER_GREEN_R10),
     (9, _DRIVER_GREEN_R9),
@@ -472,6 +507,7 @@ _CHANGED_BY_ROUND: dict[int, frozenset] = {
     10: _CHANGED_R10,
     11: _CHANGED_R11,
     12: _CHANGED_R12,
+    13: _CHANGED_R13,
 }
 
 

@@ -66,7 +66,12 @@ def _normalize_session_tz(session_tz: str) -> _dt.tzinfo:
     if m:
         sign = 1 if m.group(1) == "+" else -1
         h, mi = int(m.group(2)), int(m.group(3))
-        if h <= 18 and mi < 60:
+        # Java's ZoneOffset envelope is exactly ±18:00 — reject
+        # '+18:30' here too, so the guard matches the documented
+        # envelope instead of being one notch wider (Spark rejects
+        # such values upstream anyway; this keeps the normalizer
+        # honest standalone).
+        if mi < 60 and (h < 18 or (h == 18 and mi == 0)):
             return _dt.timezone(sign * _dt.timedelta(hours=h, minutes=mi))
     # Java-legal offset spellings OUTSIDE the serializer envelope:
     # translate to the canonical ±HH:MM and tell the user to respell
@@ -76,7 +81,12 @@ def _normalize_session_tz(session_tz: str) -> _dt.tzinfo:
         flags=re.IGNORECASE,
     )
     if s.upper() in ("Z", "UT") or (
-        m and int(m.group(2)) <= 18 and int(m.group(3) or 0) < 60
+        m
+        and int(m.group(3) or 0) < 60
+        and (
+            int(m.group(2)) < 18
+            or (int(m.group(2)) == 18 and int(m.group(3) or 0) == 0)
+        )
     ):
         if m:
             canon = f"{m.group(1)}{int(m.group(2)):02d}:{int(m.group(3) or 0):02d}"

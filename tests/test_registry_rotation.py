@@ -119,15 +119,15 @@ def test_changed_name_recertified_by_later_round_counts_green(monkeypatch):
 def test_changed_name_never_recertified_stays_head(monkeypatch):
     """A changed name no later round certified must NOT count green
     (its only green rows predate the change)."""
-    # 'q_sliding_window' is green r2/r7 only (not r8..r11); mark it
+    # 'q18_large_orders' is green r4/r8 only (not r9..r12); mark it
     # changed in r9.
     monkeypatch.setitem(
-        registry._CHANGED_BY_ROUND, 9, frozenset({"q_sliding_window"})
+        registry._CHANGED_BY_ROUND, 9, frozenset({"q18_large_orders"})
     )
     eg = registry._ever_green()
-    assert "q_sliding_window" not in eg
+    assert "q18_large_orders" not in eg
     # _stale_first reads the module-level cache — refresh it for the
     # simulated scenario, restored by monkeypatch afterwards
     monkeypatch.setattr(registry, "_EVER_GREEN", eg)
-    order = list(registry._stale_first(dict.fromkeys(eg | {"q_sliding_window"})))
-    assert order[0] == "q_sliding_window"
+    order = list(registry._stale_first(dict.fromkeys(eg | {"q18_large_orders"})))
+    assert order[0] == "q18_large_orders"
