@@ -2209,3 +2209,251 @@ def test_fuzz_bucketed_range_join(spark, duck, w, refpred, probepred):
     )
     ok, msg = compare_to_oracle(out, sql, SF, con=duck)
     assert ok, f"{msg}\nplan: w={w} ref={refpred} probe={probepred}\nsql: {sql}"
+
+
+# --- outer-join null-plane fuzz ----------------------------------------------
+# The biggest family the grammar had not touched (round-12 verdict):
+# LEFT / FULL OUTER joins feeding grouped aggregates and windows over
+# the NULL-EXTENDED rows. The null-extension plane is where engines
+# historically diverge the way the grids did — NULL group keys, NULL
+# inputs to distinct aggregates, string aggs over all-NULL groups,
+# running frames that start before the first non-NULL value. Both
+# join inputs are filtered, so BOTH null planes are populated: the
+# customer-side filter orphans left rows (NULL customer columns) and
+# under FULL the orders-side filter orphans right rows (NULL order
+# columns). Aggregate renderings reuse the portable recipes exactly
+# as the engine's own queries must write them (dsum, bigint-cast
+# distinct counts, the guarded empty→NULL ordered string agg).
+
+_OJ_AGGS = {
+    # label: (engine column thunk, oracle SQL)
+    "n": (lambda: F.count(F.lit(1)), "COUNT(*)"),
+    # null-extended counts: COUNT(col) skips the extension NULLs
+    "n_orders": (lambda: F.count("o_orderkey"), "COUNT(o_orderkey)"),
+    "n_cust": (lambda: F.count("c_custkey"), "COUNT(c_custkey)"),
+    # exact sums over null-extended doubles (all-NULL group → NULL)
+    "dsum_price": (
+        lambda: exact.dsum("o_totalprice"),
+        exact.sql_dsum("o_totalprice"),
+    ),
+    "dsum_bal": (
+        lambda: exact.dsum("c_acctbal"),
+        exact.sql_dsum("c_acctbal"),
+    ),
+    # distinct aggregates over nullable inputs (NULLs ignored both
+    # sides); two of them plus the string agg reconstructs the
+    # RewriteDistinctAggregates crash shape on the outer-join plane
+    "nuniq_prio": (
+        lambda: F.countDistinct("o_orderpriority"),
+        "COUNT(DISTINCT o_orderpriority)",
+    ),
+    "nuniq_seg": (
+        lambda: F.countDistinct("c_mktsegment"),
+        "COUNT(DISTINCT c_mktsegment)",
+    ),
+    # ordered string agg over a null-extended column: collect_list /
+    # string_agg both skip NULLs; the guard maps the all-NULL (or
+    # empty) group to NULL on the engine side like string_agg does
+    "lagg_seg": (
+        lambda: F.when(
+            F.count("c_mktsegment") == 0, F.lit(None)
+        ).otherwise(
+            F.concat_ws("|", F.array_sort(F.collect_list("c_mktsegment")))
+        ),
+        "string_agg(c_mktsegment, '|' ORDER BY c_mktsegment)",
+    ),
+}
+
+_OJ_KEYS = [(), ("o_orderstatus",), ("c_mktsegment",),
+            ("o_orderstatus", "c_mktsegment")]
+
+
+def _outer_joined(spark, how, opred, cpred):
+    o = load_table(spark, SF, "orders").filter(pred_col(opred))
+    c = load_table(spark, SF, "customer").filter(pred_col(cpred))
+    return o.join(c, o["o_custkey"] == c["c_custkey"], how)
+
+
+def _outer_join_sql(how, opred, cpred) -> str:
+    return (
+        f"(SELECT * FROM orders WHERE {pred_sql(opred)}) o "
+        f"{'FULL' if how == 'full' else 'LEFT'} JOIN "
+        f"(SELECT * FROM customer WHERE {pred_sql(cpred)}) c "
+        "ON o.o_custkey = c.c_custkey"
+    )
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 25,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(["left", "full"]),
+    opred=table_pred(ORDERS_SPEC, max_leaves=3),
+    cpred=table_pred(CUSTOMER_SPEC, max_leaves=3),
+    keys=st.sampled_from(_OJ_KEYS),
+    aggs=st.lists(
+        st.sampled_from(sorted(_OJ_AGGS)), min_size=1, max_size=4, unique=True
+    ),
+)
+# both null planes populated, NULL group keys on both axes, and the
+# crash-shaped 2-distinct + string-agg combination in one draw
+@example(
+    how="full",
+    opred=("str", "o_orderstatus", "=", "O"),
+    cpred=("str", "c_mktsegment", "=", "BUILDING"),
+    keys=("o_orderstatus", "c_mktsegment"),
+    aggs=["nuniq_prio", "nuniq_seg", "lagg_seg", "n"],
+)
+# all-NULL aggregate inputs: every surviving right row is orphaned
+@example(
+    how="full",
+    opred=("int", "o_custkey", "<", 0),
+    cpred=("num", "c_acctbal", ">", 0.0),
+    keys=("c_mktsegment",),
+    aggs=["n_orders", "dsum_price", "lagg_seg"],
+)
+@example(
+    how="left",
+    opred=("num", "o_totalprice", ">", 1000.0),
+    cpred=("int", "c_nationkey", "<", 10),
+    keys=(),
+    aggs=["n", "n_cust", "dsum_bal", "nuniq_seg"],
+)
+def test_fuzz_outer_join_null_agg(spark, duck, how, opred, cpred, keys, aggs):
+    """LEFT / FULL OUTER joins feeding grouped aggregates where the
+    group keys and the aggregate inputs can both be join-extension
+    NULLs; groups, distinct sets, and string aggs must treat those
+    NULLs identically across engines."""
+    joined = _outer_joined(spark, how, opred, cpred)
+    cols = [_OJ_AGGS[a][0]().alias(a) for a in aggs]
+    out = joined.groupBy(*keys).agg(*cols) if keys else joined.agg(*cols)
+
+    select = ", ".join(
+        list(keys) + [f"{_OJ_AGGS[a][1]} AS {a}" for a in aggs]
+    )
+    sql = f"SELECT {select} FROM {_outer_join_sql(how, opred, cpred)}"
+    if keys:
+        sql += f" GROUP BY {', '.join(keys)}"
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, (
+        f"{msg}\nplan: how={how} keys={keys} aggs={aggs} "
+        f"opred={opred} cpred={cpred}\nsql: {sql}"
+    )
+
+
+# Windows over the null-extended rows. The ORDER BY is pinned to a
+# synthesized key that is UNIQUE and NON-NULL on every row of either
+# plane (orders keys >= 0; orphaned customers map to -c_custkey - 1 <
+# 0), so the only NULL semantics under test are the ones we want:
+# NULL partition keys forming one partition and NULL aggregate inputs
+# inside running frames — not the engines' differing default NULL
+# sort order (Spark NULLS FIRST asc vs DuckDB NULLS LAST), which is a
+# pinned portability physics, not a plan bug.
+
+_OJW_FUNCS = {
+    "rn": (
+        lambda b, f: F.row_number().over(b),
+        "ROW_NUMBER() OVER ({plain})",
+    ),
+    "part_n": (
+        lambda b, f: F.count(F.lit(1)).over(f),
+        "COUNT(*) OVER ({framed})",
+    ),
+    "part_matched": (
+        lambda b, f: F.count("c_custkey").over(f),
+        "COUNT(c_custkey) OVER ({framed})",
+    ),
+    "run_dsum_price": (
+        lambda b, f: F.sum(
+            exact.checked_decimal(F.col("o_totalprice"), 2)
+        ).over(f).cast("double"),
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER ({framed}) "
+        "AS DOUBLE)",
+    ),
+    "lag_bal": (
+        lambda b, f: F.coalesce(F.lag("c_acctbal", 1).over(b), F.lit(-1.0)),
+        "COALESCE(LAG(c_acctbal, 1) OVER ({plain}), -1.0)",
+    ),
+}
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 20,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(["left", "full"]),
+    opred=table_pred(ORDERS_SPEC, max_leaves=3),
+    cpred=table_pred(CUSTOMER_SPEC, max_leaves=3),
+    part=st.sampled_from(["", "o_orderstatus", "c_mktsegment"]),
+    funcs=st.lists(
+        st.sampled_from(sorted(_OJW_FUNCS)), min_size=1, max_size=4,
+        unique=True,
+    ),
+)
+# NULL partition key on the right axis, running sum over a column
+# that is NULL for the whole orphaned-customer partition
+@example(
+    how="full",
+    opred=("str", "o_orderstatus", "=", "F"),
+    cpred=("int", "c_nationkey", ">=", 0),
+    part="c_mktsegment",
+    funcs=["rn", "run_dsum_price", "part_matched", "lag_bal"],
+)
+def test_fuzz_outer_join_null_window(
+    spark, duck, how, opred, cpred, part, funcs
+):
+    """Window functions over LEFT / FULL OUTER join output: NULL
+    partition keys group into one partition, offset/running frames
+    cross NULL-extended values, and the frame math must match
+    row-for-row under a pinned unique total order."""
+    from pyspark.sql import Window
+
+    joined = _outer_joined(spark, how, opred, cpred).select(
+        F.coalesce(
+            F.col("o_orderkey"), -F.col("c_custkey") - F.lit(1)
+        ).alias("uid"),
+        "o_orderstatus",
+        "c_mktsegment",
+        "o_totalprice",
+        "c_acctbal",
+        "c_custkey",
+    )
+    base = (
+        Window.partitionBy(part) if part else Window.partitionBy(F.lit(1))
+    ).orderBy("uid")
+    framed = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    psql = f"PARTITION BY {part} " if part else ""
+    plain = f"{psql}ORDER BY uid"
+    framed_sql = (
+        f"{plain} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    cols = [
+        _OJW_FUNCS[fn][0](base, framed).alias(fn) for fn in funcs
+    ]
+    out = joined.select("uid", *cols)
+
+    select = ", ".join(
+        ["uid"]
+        + [
+            _OJW_FUNCS[fn][1].format(plain=plain, framed=framed_sql)
+            + f" AS {fn}"
+            for fn in funcs
+        ]
+    )
+    sql = (
+        f"SELECT {select} FROM ("
+        "SELECT COALESCE(o.o_orderkey, -c.c_custkey - 1) AS uid, "
+        "o_orderstatus, c_mktsegment, o_totalprice, c_acctbal, c_custkey "
+        f"FROM {_outer_join_sql(how, opred, cpred)})"
+    )
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, (
+        f"{msg}\nplan: how={how} part={part} funcs={funcs} "
+        f"opred={opred} cpred={cpred}\nsql: {sql}"
+    )
