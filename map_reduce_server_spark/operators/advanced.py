@@ -2312,3 +2312,110 @@ def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+# Oracle for the UNREGISTERED q_bloom_prefilter_join below (round-14
+# registration queue): the bloom filter is INVISIBLE to the result —
+# a probabilistic prefilter may only discard rows the exact join
+# would discard anyway, so the oracle is the plain semi-join.
+_BLOOM_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', scale=6)} AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 150000.0)
+GROUP BY l_returnflag
+"""
+
+_BLOOM_BITS = 1 << 17  # 131072 bits = 2048 bigint words
+_BLOOM_TAGS = ("bloom1:", "bloom2:")  # k = 2 independent hashes
+
+
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-prefiltered semi-join, hand-built from DataFrame
+    ops (Spark's own row-level runtime filter is an optimizer
+    internal; ``bloom_filter_agg`` has no public SQL/PySpark surface
+    — probed on 4.1.2: UNRESOLVED_ROUTINE): the selective orders
+    subset is folded into a tiny bit-set the FACT scan probes BEFORE
+    shuffling, so the join moves only candidate rows.
+
+    Construction: each build key sets k=2 bit positions
+    (md5-derived, independent by salt tag); positions group to
+    64-bit words via ``bit_or`` — the whole filter is a <=2048-row
+    (word_idx, bits) table that BROADCASTS everywhere. The probe side
+    computes the same two positions per row, inner-joins the bitmap
+    on word index (a missing word is a definite miss), and keeps rows
+    with both bits set. False positives are then removed by the exact
+    semi-join, so the result equals the plain join BY CONSTRUCTION —
+    the bloom only cuts shuffle volume. At 100 TB this is the
+    difference between shuffling the full fact table and shuffling
+    ~|matching rows| (+ the fp tail, ~(kn/m)^2 with n build keys and
+    m bits; size m to the build cardinality). Staged UNREGISTERED
+    for round 14; registration is the one-line ``@register`` with
+    ``_BLOOM_ORACLE``.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") >= 150000.0)
+        )
+        .select("o_orderkey")
+    )
+
+    def bitpos(col: F.Column, tag: str) -> F.Column:
+        return md5_long(F.concat(F.lit(tag), col.cast("string"))) % F.lit(
+            _BLOOM_BITS
+        )
+
+    positions = orders.select(
+        F.explode(
+            F.array(
+                *[bitpos(F.col("o_orderkey"), t) for t in _BLOOM_TAGS]
+            )
+        ).alias("pos")
+    )
+    words = positions.groupBy(
+        F.floor(F.col("pos") / 64).cast("bigint").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                (F.col("pos") % 64).cast("int"),
+            )
+        ).alias("bits")
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    for i, tag in enumerate(_BLOOM_TAGS):
+        pos = bitpos(F.col("l_orderkey"), tag)
+        w = words.select(
+            F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        li = (
+            li.withColumn(f"_w{i}", F.floor(pos / 64).cast("bigint"))
+            .withColumn(
+                f"_m{i}",
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("bigint"),
+                    (pos % 64).cast("int"),
+                ),
+            )
+            .join(F.broadcast(w), f"_w{i}")
+            .filter(F.col(f"_b{i}").bitwiseAND(F.col(f"_m{i}")) != 0)
+        )
+
+    exact = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_semi")
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            scale=6,
+        ).alias("revenue"),
+    )

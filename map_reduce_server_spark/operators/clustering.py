@@ -690,3 +690,85 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest hops over the co-purchase graph (round-14 queue)
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 4
+
+# Oracle for the UNREGISTERED graph_bfs_hops below: DuckDB's native
+# recursive CTE (UNION, not UNION ALL — the recursion dedupes
+# (node, hops) states so bounded-depth path explosion cannot occur),
+# minimized per node. Spark has no recursive CTE; the engine side is
+# the iterative frontier expansion instead — the THIRD iterative-
+# algorithm pattern after connected components and pagerank, and the
+# first with an exact recursive-SQL oracle.
+_BFS_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= {_TRI_MINSUP}),
+ed AS (SELECT u AS src, v AS dst FROM e
+       UNION ALL SELECT v AS src, u AS dst FROM e),
+seed AS (SELECT MIN(src) AS s FROM ed),
+walk(node, hops) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT ed.dst, w.hops + 1 FROM walk w JOIN ed ON ed.src = w.node
+  WHERE w.hops < {_BFS_MAX_HOPS}
+)
+SELECT node AS part_id, CAST(MIN(hops) AS INTEGER) AS hops
+FROM walk GROUP BY node
+"""
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS: minimum hop count from the smallest part in
+    the thresholded co-purchase graph to every part reachable within
+    ``_BFS_MAX_HOPS`` hops — the bounded-depth transitive-closure /
+    shortest-path primitive (recommendation radius, blast-radius
+    analysis) that SQL engines express as a recursive CTE and Spark
+    cannot: the engine side is the iterative frontier expansion every
+    distributed BFS uses (Pregel's canonical example).
+
+    Scale shape: the visited set only ever GROWS and each iteration
+    joins the (small) frontier against the edge list — one
+    broadcast-able join + anti-join per hop, never a path
+    enumeration, so work per hop is O(frontier-degree sum) and state
+    is O(visited), immune to the path-count explosion a naive
+    closure would hit. Edges are stage-cut once (every iteration
+    reuses the materialized list; without the cut each hop would
+    re-expand the corpus-wide pair self-join), and each hop's
+    frontier/visited are cut so plan depth stays O(1) — the exact
+    lineage discipline of :func:`pagerank` and connected components.
+    The seed is a broadcast 1-row aggregate, never a driver
+    collect. Staged UNREGISTERED for round 14; registration is the
+    one-line ``@register`` with ``_BFS_ORACLE``.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    ed = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .transform(stage_cut)
+    )
+    seed = ed.agg(F.min("src").alias("node"))
+    dist = stage_cut(seed.withColumn("hops", F.lit(0)))
+    frontier = dist.select("node")
+    for k in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            F.broadcast(frontier)
+            .join(ed, frontier["node"] == ed["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(k))
+        )
+        nxt = stage_cut(nxt)
+        dist = stage_cut(dist.unionAll(nxt))
+        frontier = nxt.select("node")
+    return dist.select(
+        F.col("node").alias("part_id"), F.col("hops").cast("int").alias("hops")
+    )

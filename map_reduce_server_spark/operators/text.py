@@ -1272,3 +1272,100 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= _BPE_TOPK)
     )
+
+
+# --- collocation mining (pointwise mutual information) -----------------------
+
+_COLLOC_MIN_COUNT = 5
+
+# Oracle for the UNREGISTERED text_collocations below (round-14
+# registration queue). All marginals derive from the ONE bigram
+# count table, so the oracle replays the same single-heavy-shuffle
+# factorization the engine plans.
+_COLLOC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+         i -> ts[i] || ' ' || ts[i+1])) AS bigram
+  FROM toks WHERE len(ts) >= 2),
+cab AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bg GROUP BY bigram),
+sp AS (SELECT bigram, n, string_split(bigram, ' ')[1] AS tok1,
+              string_split(bigram, ' ')[2] AS tok2 FROM cab),
+ca AS (SELECT tok1, CAST(SUM(n) AS BIGINT) AS c1 FROM sp GROUP BY tok1),
+cb AS (SELECT tok2, CAST(SUM(n) AS BIGINT) AS c2 FROM sp GROUP BY tok2),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cab)
+SELECT sp.bigram, sp.n,
+       round(ln((CAST(sp.n AS DOUBLE) * CAST(total AS DOUBLE))
+                / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 9) AS pmi
+FROM sp JOIN ca USING (tok1) JOIN cb USING (tok2) CROSS JOIN tot
+WHERE sp.n >= {_COLLOC_MIN_COUNT}
+"""
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: corpus bigrams scored by pointwise mutual
+    information, ``PMI = ln(p(a,b) / (p(a·) p(·b)))`` with a minimum
+    count threshold — the word2vec-style phrase-detection pass a
+    training-data pipeline runs to fold multi-word expressions into
+    single tokens before tokenizer/vocab construction.
+
+    Scale shape: exactly ONE heavy shuffle — the bigram stream groups
+    to its distinct-bigram count table — and every marginal (first-
+    token counts, second-token counts, grand total) derives from that
+    tiny aggregated table, not from a second corpus pass; tokens
+    contain no spaces by construction, so the bigram string splits
+    back losslessly instead of carrying the token pair through the
+    big shuffle. The count table is stage-cut: four consumers would
+    otherwise re-expand the corpus-wide groupBy subtree per branch.
+    PMI is computed with the identical double expression on both
+    engines and rounded to 9 (libm ln 1-ulp portability contract).
+    Staged UNREGISTERED for round 14; registration is the one-line
+    ``@register`` with ``_COLLOC_ORACLE``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ts = docs.select(
+        tokens_col(F.col("text"), keep_empty=False).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    bg = ts.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat(
+                    F.element_at("ts", i),
+                    F.lit(" "),
+                    F.element_at("ts", i + F.lit(1)),
+                ),
+            )
+        ).alias("bigram")
+    )
+    cab = bg.groupBy("bigram").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).transform(stage_cut)
+    sp = cab.select(
+        "bigram",
+        "n",
+        F.split_part("bigram", F.lit(" "), F.lit(1)).alias("tok1"),
+        F.split_part("bigram", F.lit(" "), F.lit(2)).alias("tok2"),
+    )
+    ca = sp.groupBy("tok1").agg(F.sum("n").alias("c1"))
+    cb = sp.groupBy("tok2").agg(F.sum("n").alias("c2"))
+    tot = cab.agg(F.sum("n").alias("total"))
+    return (
+        sp.filter(F.col("n") >= _COLLOC_MIN_COUNT)
+        .join(ca, "tok1")
+        .join(cb, "tok2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n").cast("double") * F.col("total").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )

@@ -473,10 +473,15 @@ _CHANGED_R13: frozenset[str] = frozenset()
 
 # Round-13 registered the former registration queue
 # (multimodal_decode_adpcm_multiblock, q_rollup_multi_distinct,
-# q_asof_join_forward, q_zorder_layout) -- the queue is empty until
-# round 13 stages the round-14 batch. Future new queries: stage
-# UNREGISTERED with an oracle constant + compare_to_oracle parity
-# test; registration is one decorator.
+# q_asof_join_forward, q_zorder_layout).
+# Round-14 registration queue — gate-ready (oracle constant +
+# driver-grade parity test in tree), held back per the rotation
+# plan; registering each is one @register decorator:
+#   graph_bfs_hops          (operators/clustering.py, _BFS_ORACLE)
+#   q_bloom_prefilter_join  (operators/advanced.py, _BLOOM_ORACLE)
+#   text_collocations       (operators/text.py, _COLLOC_ORACLE)
+#   stream_sessionize       (streaming/events.py,
+#                            _STREAM_SESSIONIZE_ORACLE)
 
 # Rounds FRESHEST-FIRST with their green sets — the single place a
 # new round is added. _EVER_GREEN and _stale_first both derive from

@@ -389,3 +389,192 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.withColumn("rnk", F.row_number().over(rank_w)).filter(
         F.col("rnk") <= 3
     )
+
+
+# --- streaming sessionization (round-14 registration queue) ------------------
+
+# Oracle for the UNREGISTERED stream_sessionize below: the identical
+# first-principles lag/cumsum sessionization that certifies the
+# batch q_session_window (operators/udf.py) — a streaming replay of
+# the bounded input must land on exactly the batch answer.
+_STREAM_SESSIONIZE_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS s_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS s_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+"""
+
+
+# One sentinel row with this ts is staged as the FINAL replay file:
+# it advances the global watermark past every real session's end so
+# append mode can finalize them on the bounded input (a real
+# deployment's stream simply keeps flowing; a bounded replay needs
+# the explicit nudge). Sessions at or past this instant are the
+# sentinel's own and are filtered from the result.
+_SESSIONIZE_FLUSH_TS = "2035-01-01 00:00:00"
+
+
+def _events_stream_timeordered(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> tuple[DataFrame, str]:
+    """Streaming DataFrame over the bounded events table staged as
+    ``n_files`` TIME-RANGE files replayed one per micro-batch, plus a
+    final one-row watermark-flush sentinel file — the multi-batch
+    sibling of :func:`_events_stream` for operators whose cross-batch
+    state transitions (session growth, append-mode finalization,
+    watermark eviction) a single-batch replay would never exercise.
+
+    Time-ordered arrival is the contract a watermarked source
+    provides at scale (Kafka with bounded disorder): each batch's
+    events are later than every prior batch's, so (a) nothing is ever
+    late-dropped, and (b) a session evicted by the watermark can
+    never receive a mergeable event afterwards — eviction is safe by
+    construction, not by luck. ``repartitionByRange`` makes file k
+    the k-th time range (NULL ts sorts into file 0 and is dropped by
+    SessionWindowing whenever it arrives), file names follow
+    partition order, and explicit mtimes pin the file-source replay
+    order deterministically; the sentinel gets the LAST mtime.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pin_utc_session(spark)
+    from map_reduce_server_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="mrss_stream_sess_")
+    cleanup_at_exit(stage)
+    data_dir = os.path.join(stage, "in")
+    (
+        ev.repartitionByRange(n_files, "ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(data_dir)
+    )
+    # the flush sentinel: one far-future row, schema-identical (built
+    # FROM the normalized frame so ts carries the same type), written
+    # as its own file so it forms the final micro-batch
+    sent_dir = os.path.join(stage, "sentinel")
+    (
+        ev.limit(1)
+        .select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                if f.name != "ts"
+                else F.lit(_SESSIONIZE_FLUSH_TS)
+                .cast("timestamp")
+                .alias("ts")
+                for f in ev.schema.fields
+            ]
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(sent_dir)
+    )
+    parts = sorted(
+        f
+        for f in os.listdir(data_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = 1_600_000_000
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(data_dir, f), (base + 10 * i, base + 10 * i))
+    sent = next(
+        f
+        for f in os.listdir(sent_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    final_path = os.path.join(data_dir, "part-zz-sentinel.parquet")
+    shutil.copyfile(os.path.join(sent_dir, sent), final_path)
+    t = base + 10 * (len(parts) + 1)
+    os.utime(final_path, (t, t))
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(data_dir)
+    )
+    return normalize_events_ts(stream), stage
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming sessionization: native ``session_window``
+    (30-minute gap) maintained as keyed streaming state across a
+    multi-batch time-ordered replay — the streaming face of
+    ``q_session_window`` and the stateful sibling of
+    ``stream_window_counts_incremental`` (whose tumbling windows
+    never change identity; sessions GROW and MERGE, which is why
+    Spark restricts streaming session aggregation to APPEND mode —
+    there is no key-stable row to update).
+
+    Append mode emits each session EXACTLY ONCE, when the watermark
+    passes its end and no mergeable event can still arrive — the
+    streaming-native finalization a training-ingest pipeline wants
+    (downstream consumers never see a session twice). On the bounded
+    replay the last sessions would otherwise wait forever for a
+    watermark that no longer moves, so the staging appends a one-row
+    far-future sentinel file as the final micro-batch; its own
+    session is sliced off by the ``s_start`` ceiling filter. State is
+    bounded by the watermark, sink I/O is O(finalized sessions per
+    batch), and nothing ever collects to the driver.
+    Staged UNREGISTERED for round 14; registration is the one-line
+    ``@register`` with ``_STREAM_SESSIONIZE_ORACLE``.
+    """
+    stream, stage = _events_stream_timeordered(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+    out = tempfile.mkdtemp(prefix="mrss_stream_sessionize_")
+    cleanup_at_exit(out)
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"b{batch_id}"))
+        )
+
+    query = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(_write_batch)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        shutil.rmtree(stage, ignore_errors=True)
+
+    deltas = _read_deltas(spark, out, agg.schema)
+    return deltas.filter(
+        F.col("s_start") < F.lit(_SESSIONIZE_FLUSH_TS).cast("timestamp")
+    ).select("user_id", "s_start", "s_end", "n_events", "total_value")

