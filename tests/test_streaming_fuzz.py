@@ -122,3 +122,164 @@ def test_fuzz_windowed_stream_matches_watermark_model(spark, tmp_path, batches):
         q.stop()
 
     assert got == _model(batches), f"batches={batches}"
+
+
+# --- session-window model fuzz (append mode) ---------------------------------
+# Same harness, different physics: session windows MERGE (the one
+# streaming aggregation whose keys change identity), Spark restricts
+# them to APPEND mode, and a session emits exactly once when the
+# watermark passes its end. The model replays that lifecycle in
+# plain Python: per-user open-session intervals, merge on overlap,
+# drop a row iff its own initial window is already finalized
+# (ts + gap <= wm at batch start), finalize (emit + remove) every
+# session whose end <= wm after the batch's watermark update.
+# GAP is 570 s (not a multiple of the 60 s event grid) so session
+# ends sit at :43 while the watermark stays on the :13 grid — the
+# <=-vs-< eviction/late ties are structurally unreachable, exactly
+# like the tumbling fuzz's :13 anchoring. A late-but-not-dropped row
+# CAN legitimately open a session overlapping an already-emitted one
+# (state is gone); both the engine and the model produce the
+# overlap, which is why emissions are compared as a multiset.
+
+_GAP_S = 570
+
+
+def _session_model(batches):
+    wm = 0
+    open_sessions: dict = {}  # user -> list of [min_ts, max_ts, n, cents]
+    emitted: list = []
+    for batch in batches:
+        for user, minute, cents in batch:
+            ts = _BASE_EPOCH + minute * 60
+            if wm and ts + _GAP_S <= wm:
+                continue  # late: its own initial window is finalized
+            cur = [ts, ts, 1, cents]
+            merged = []
+            for s in open_sessions.get(user, []):
+                # intervals [min_ts, max_ts + GAP) — touching at the
+                # exclusive end merges (pinned by q_session_window)
+                if cur[0] <= s[1] + _GAP_S and s[0] <= cur[1] + _GAP_S:
+                    cur = [
+                        min(cur[0], s[0]),
+                        max(cur[1], s[1]),
+                        cur[2] + s[2],
+                        cur[3] + s[3],
+                    ]
+                else:
+                    merged.append(s)
+            merged.append(cur)
+            open_sessions[user] = merged
+        batch_max = max(_BASE_EPOCH + m * 60 for _, m, _ in batch)
+        wm = max(wm, batch_max - _DELAY_S)
+        for user, sess in list(open_sessions.items()):
+            keep = []
+            for s in sess:
+                if s[1] + _GAP_S <= wm:
+                    emitted.append(
+                        (
+                            user,
+                            dt.datetime.fromtimestamp(
+                                s[0], dt.timezone.utc
+                            ).replace(tzinfo=None),
+                            dt.datetime.fromtimestamp(
+                                s[1] + _GAP_S, dt.timezone.utc
+                            ).replace(tzinfo=None),
+                            s[2],
+                            round(s[3] / 100.0, 2),
+                        )
+                    )
+                else:
+                    keep.append(s)
+            open_sessions[user] = keep
+    return sorted(emitted)
+
+
+_SESSION_EVENT = st.tuples(
+    st.sampled_from(["u1", "u2"]),
+    st.integers(0, 90),
+    st.integers(0, 500),
+)
+_SESSION_BATCHES = st.lists(
+    st.lists(_SESSION_EVENT, min_size=1, max_size=6), min_size=1, max_size=4
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_SESSION_BATCHES)
+# growth across batches, then a distant event finalizes the session
+@example(batches=[[("u1", 0, 100)], [("u1", 8, 50)], [("u1", 60, 25)]])
+# two users, one quiet: only the active user's sessions finalize
+@example(batches=[[("u1", 0, 10), ("u2", 1, 20)], [("u1", 80, 30)]])
+# late-but-not-dropped row re-opens ground an emitted session covered
+@example(
+    batches=[[("u1", 0, 10)], [("u1", 40, 20)], [("u1", 31, 30)]]
+)
+def test_fuzz_session_stream_matches_watermark_model(spark, tmp_path, batches):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / f"sess_{uuid.uuid4().hex[:8]}"
+    src.mkdir()
+    stream = spark.readStream.schema(
+        "user_id string, value double, ts timestamp"
+    ).json(str(src))
+    agg = (
+        stream.withWatermark("ts", f"{_DELAY_S} seconds")
+        .groupBy(F.session_window("ts", f"{_GAP_S} seconds"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+    got: list = []
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got.append(
+                (
+                    r.user_id,
+                    r.s_start,
+                    r.s_end,
+                    r.n_events,
+                    round(r.total_value, 2),
+                )
+            )
+
+    q = agg.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        for i, batch in enumerate(batches):
+            (src / f"b{i:03d}.json").write_text(
+                "\n".join(
+                    json.dumps(
+                        {
+                            "user_id": u,
+                            "value": c / 100.0,
+                            "ts": (
+                                _BASE + dt.timedelta(minutes=m)
+                            ).strftime("%Y-%m-%d %H:%M:%S"),
+                        }
+                    )
+                    for u, m, c in batch
+                )
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sorted(got) == _session_model(batches), f"batches={batches}"
