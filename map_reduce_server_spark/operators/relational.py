@@ -1214,3 +1214,56 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+# Oracle for the UNREGISTERED q_window_time_range below (round-14
+# registration queue): calendar-INTERVAL range frame, value-based so
+# equal timestamps land in each other's frames regardless of order —
+# deterministic without a unique tie-break, unlike ROWS frames.
+_TIME_RANGE_ORACLE = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_trailing_30m,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE)
+         AS v_trailing_30m
+FROM events WHERE ts IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+"""
+
+_TIME_RANGE_OVER = (
+    "OVER (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)"
+)
+
+
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-INTERVAL range frame: per event, the count and exact
+    value sum of the same user's events in the trailing 30 minutes —
+    the per-row sliding time window (rate limiting, burst detection,
+    trailing spend) that numeric RANGE (:func:`q_window_range_frame`)
+    cannot express over a calendar axis. PySpark's
+    ``Window.rangeBetween`` takes longs only, so the frame is the SQL
+    expression surface (``F.expr`` with an inline OVER) — the one
+    place Spark exposes calendar-interval frames; the frame is
+    value-based, so tied timestamps see each other symmetrically and
+    no unique ORDER BY tie-break is needed (the determinism rule that
+    DOES bind every ROWS frame in this repo).
+
+    Scale shape: one shuffle on user_id, single window pass, codegen
+    throughout; the 30-minute bound keeps each frame's scan local to
+    the sorted run. Staged UNREGISTERED for round 14; registration is
+    the one-line ``@register`` with ``_TIME_RANGE_ORACLE``.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(f"count(*) {_TIME_RANGE_OVER}").alias("n_trailing_30m"),
+        F.expr(
+            "CAST(sum(CAST(value AS DECIMAL(30,2))) "
+            f"{_TIME_RANGE_OVER} AS DOUBLE)"
+        ).alias("v_trailing_30m"),
+    )

@@ -480,6 +480,8 @@ _CHANGED_R13: frozenset[str] = frozenset()
 #   graph_bfs_hops          (operators/clustering.py, _BFS_ORACLE)
 #   q_bloom_prefilter_join  (operators/advanced.py, _BLOOM_ORACLE)
 #   text_collocations       (operators/text.py, _COLLOC_ORACLE)
+#   q_window_time_range     (operators/relational.py,
+#                            _TIME_RANGE_ORACLE)
 #   stream_sessionize       (streaming/events.py,
 #                            _STREAM_SESSIONIZE_ORACLE)
 

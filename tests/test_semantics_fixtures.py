@@ -927,3 +927,20 @@ def test_graph_bfs_hops_matches_oracle(spark, sf_small):
     assert min(rows.values()) == 0 and max(rows.values()) <= _BFS_MAX_HOPS
     # the seed is the smallest edge endpoint and only it has hops 0
     assert sum(1 for h in rows.values() if h == 0) == 1
+
+
+def test_window_time_range_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_window_time_range
+    (round-14 registration queue): the calendar-INTERVAL range frame
+    must agree with DuckDB's, including tied-timestamp symmetry."""
+    from map_reduce_server_spark.operators.relational import (
+        _TIME_RANGE_ORACLE,
+        q_window_time_range,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_window_time_range(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _TIME_RANGE_ORACLE, sf_small)
+    assert ok, msg
+    # a row's own event is always inside its trailing frame
+    assert df.filter(F.col("n_trailing_30m") < 1).count() == 0
