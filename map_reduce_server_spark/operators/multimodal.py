@@ -60,6 +60,7 @@ from map_reduce_server_spark.functions import (
     gif,
     jpeg,
     png,
+    tiff,
     wavcodec,
 )
 from map_reduce_server_spark.registry import register
@@ -1789,3 +1790,86 @@ def multimodal_decode_adpcm_multiblock(
         F.round("mean_abs", 6).alias("mean_abs"),
         "max_abs",
     )
+
+
+# ---------------------------------------------------------------
+# TIFF — the tag-directory container family (round-14 queue).
+
+_TIFF_W, _TIFF_H = 8, 6  # 48 gray bytes = all three md5 digests
+
+
+def with_tiff_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL 8x6 grayscale multi-strip TIFF per document
+    (pure-stdlib encoder; pixels = the full 48 bytes of the three
+    chained md5 digests). Byte order alternates by doc parity —
+    even docs little-endian (II), odd docs big-endian (MM) — so the
+    decode stage exercises BOTH real TIFF byte orders while the
+    oracle stays endianness-invariant (pixel bytes are identical)."""
+    flat = docs.select(
+        "doc_id",
+        F.concat(
+            F.md5(F.col("text")),
+            F.md5(F.concat(F.lit("x"), F.col("text"))),
+            F.md5(F.concat(F.lit("y"), F.col("text"))),
+        ).alias("pix_hex"),
+        (F.col("doc_id") % 2 == 1).alias("be"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = [
+                None
+                if h is None
+                else tiff.encode_gray8(
+                    _TIFF_W, _TIFF_H, bytes.fromhex(h), big_endian=bool(be)
+                )
+                for h, be in zip(pdf["pix_hex"], pdf["be"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def tiff_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real TIFF payloads: byte-order dispatch,
+    sorted-tag IFD walk, offset indirection, multi-strip assembly,
+    then per-image pixel statistics."""
+    return _px_stats_stage(df, tiff.decode_gray8)
+
+
+# Oracle for the UNREGISTERED multimodal_decode_tiff below (round-14
+# registration queue): identical pixel statistics recomputed from
+# the md5 hex — 48 bytes, so the divisor joins the tie-free-by-
+# enumeration set in test_mean_px_round_tie_free_domains.
+_TIFF_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, list_transform(range(1, 49),
+           i -> CAST(('0x' || substr({_SQL_PIX_HEX}, i*2-1, 2))
+                AS BIGINT)) AS bs
+  FROM documents WHERE text IS NOT NULL),
+st AS (
+  SELECT doc_id, CAST({_TIFF_W} AS INTEGER) AS width,
+         CAST({_TIFF_H} AS INTEGER) AS height,
+         round(CAST(list_sum(bs) AS DOUBLE) / 48, 6) AS mean_px,
+         CAST(list_max(bs) AS INTEGER) AS max_px
+  FROM px)
+SELECT d.doc_id, st.width, st.height, st.mean_px, st.max_px
+FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+"""
+
+
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for the TAG-DIRECTORY container family:
+    encode each document's md5-derived pixels as an actual
+    multi-strip TIFF (byte-order header, sorted IFD, inline vs
+    out-of-line values, StripOffsets/StripByteCounts indirection —
+    half the corpus II, half MM) and decode it back with the
+    pure-stdlib parser. PNG covers linear chunk framing + DEFLATE,
+    GIF covers LZW sub-blocks, JPEG covers entropy coding; TIFF adds
+    random-access offset indirection, the container shape most
+    scientific/scan corpora arrive in. Same zero-shuffle Arrow-
+    batched mapInPandas scale shape as every image leg. Staged
+    UNREGISTERED for round 14; registration is the one-line
+    ``@register`` with ``_TIFF_ORACLE``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _px_stats_select(tiff_stats(with_tiff_payload(docs)))

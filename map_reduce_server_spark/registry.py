@@ -482,6 +482,7 @@ _CHANGED_R13: frozenset[str] = frozenset()
 #   text_collocations       (operators/text.py, _COLLOC_ORACLE)
 #   q_window_time_range     (operators/relational.py,
 #                            _TIME_RANGE_ORACLE)
+#   multimodal_decode_tiff  (operators/multimodal.py, _TIFF_ORACLE)
 #   stream_sessionize       (streaming/events.py,
 #                            _STREAM_SESSIONIZE_ORACLE)
 

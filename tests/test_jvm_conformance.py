@@ -220,3 +220,40 @@ def test_our_gif_decoder_reads_jdk_encoded_gif(spark, w, h):
     baos = jvm.java.io.ByteArrayOutputStream()
     assert jvm.javax.imageio.ImageIO.write(img, "gif", baos)
     assert gif.decode_gray8(bytes(baos.toByteArray())) == (w, h, data)
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_tiff_decodes_in_imageio(spark, big_endian):
+    """The JDK's TIFF decoder must reproduce our multi-strip gray8
+    pixels exactly in BOTH byte orders — framing, IFD layout, and
+    offset indirection validated against a foreign implementation."""
+    from map_reduce_server_spark.functions import tiff
+
+    pix = bytes((i * 37 + (13 if big_endian else 0)) % 256 for i in range(48))
+    f = tiff.encode_gray8(8, 6, pix, big_endian=big_endian)
+    assert _imageio_raw(spark, f) == (8, 6, pix)
+
+
+def test_our_tiff_decoder_reads_jdk_encoded_tiff(spark):
+    """Reverse direction: a FOREIGN encoder's TIFF (the JDK writer
+    picks its own IFD layout, strip shape, and extra tags like
+    ResolutionUnit) must decode exactly in our parser — proving the
+    decoder handles standard files generally, not just our own
+    encoder's output."""
+    from map_reduce_server_spark.functions import tiff
+
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    img = BI(8, 6, BI.TYPE_BYTE_GRAY)
+    pix = bytes((i * 29 + 7) % 256 for i in range(48))
+    # write the raster directly — setRGB would push the values
+    # through the sRGB->gray color conversion and change them
+    raster = img.getRaster()
+    k = 0
+    for y in range(6):
+        for x in range(8):
+            raster.setSample(x, y, 0, pix[k])
+            k += 1
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "tiff", baos)
+    assert tiff.decode_gray8(bytes(baos.toByteArray())) == (8, 6, pix)

@@ -1098,13 +1098,14 @@ def test_mean_px_round_tie_free_domains(spark):
     DuckDB-binary-value divergence class can be EXCLUDED by
     exhaustive enumeration — every k/d for k in [0, 255*d] must round
     identically on both engines. Covers all three non-dyadic
-    divisors: 12 (gray jpeg legs), 24 (video), 36 (png)."""
+    divisors: 12 (gray jpeg legs), 24 (video), 36 (png),
+    48 (tiff)."""
     import duckdb
 
     from pyspark.sql import functions as F
 
     con = duckdb.connect()
-    for d in (12, 24, 36):
+    for d in (12, 24, 36, 48):
         n = 255 * d
         srows = {
             r["k"]: r["r"]
@@ -1217,3 +1218,56 @@ def test_adpcm_multiblock_query_matches_oracle(spark, sf_small):
     df = multimodal_decode_adpcm_multiblock(spark, sf_small)
     ok, msg = compare_to_oracle(df, _ADPCM_MB_ORACLE, sf_small)
     assert ok, msg
+
+
+def test_tiff_decode_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED multimodal_decode_tiff
+    (round-14 registration queue): both byte orders decode to the
+    identical md5-derived pixel statistics."""
+    from map_reduce_server_spark.operators.multimodal import (
+        _TIFF_ORACLE,
+        multimodal_decode_tiff,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = multimodal_decode_tiff(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _TIFF_ORACLE, sf_small)
+    assert ok, msg
+
+
+def test_tiff_codec_roundtrip_both_orders():
+    """Unit round-trip: multi-strip gray8 survives encode/decode in
+    both byte orders, WhiteIsZero inverts, and the strict envelope
+    rejects non-baseline files loudly."""
+    import hashlib
+    import struct
+
+    import pytest as _pytest
+
+    from map_reduce_server_spark.functions import tiff
+
+    pix = b"".join(
+        hashlib.md5(t).digest() for t in (b"a", b"b", b"c")
+    )
+    for be in (False, True):
+        f = tiff.encode_gray8(8, 6, pix, big_endian=be)
+        assert tiff.decode_gray8(f) == (8, 6, pix)
+    # WhiteIsZero (photometric 0) inverts on decode: patch the tag
+    # value in the little-endian file (entry 5 of the sorted IFD)
+    f = tiff.encode_gray8(8, 6, pix, big_endian=False)
+    (ifd,) = struct.unpack_from("<I", f, 4)
+    entry_off = ifd + 2 + 12 * 4  # 5th entry = PhotometricInterpretation
+    tag, typ, cnt = struct.unpack_from("<HHI", f, entry_off)
+    assert tag == 262
+    patched = bytearray(f)
+    struct.pack_into("<H", patched, entry_off + 8, 0)
+    w, h, px = tiff.decode_gray8(bytes(patched))
+    assert px == bytes(255 - b for b in pix)
+    with _pytest.raises(ValueError):
+        tiff.decode_gray8(b"XX" + f[2:])
+    # non-baseline compression must refuse, not mis-decode
+    comp_off = ifd + 2 + 12 * 3 + 8  # 4th entry value = Compression
+    patched = bytearray(f)
+    struct.pack_into("<H", patched, comp_off, 5)  # LZW
+    with _pytest.raises(NotImplementedError):
+        tiff.decode_gray8(bytes(patched))
