@@ -2333,6 +2333,68 @@ _BLOOM_BITS = 1 << 17  # 131072 bits = 2048 bigint words
 _BLOOM_TAGS = ("bloom1:", "bloom2:")  # k = 2 independent hashes
 
 
+def _bloom_bitpos(col: F.Column, tag: str, bits: int) -> F.Column:
+    """Bit position of ``col`` under the salt-tagged md5 hash."""
+    return md5_long(F.concat(F.lit(tag), col.cast("string"))) % F.lit(bits)
+
+
+def bloom_words(build: DataFrame, key: str, bits: int = _BLOOM_BITS) -> DataFrame:
+    """Fold a build-side key column into the broadcastable bloom
+    bitmap: a (word_idx, bits) table of at most ``bits/64`` rows,
+    each word the ``bit_or`` of every key's k hash positions landing
+    in it."""
+    positions = build.select(
+        F.explode(
+            F.array(*[_bloom_bitpos(F.col(key), t, bits) for t in _BLOOM_TAGS])
+        ).alias("pos")
+    )
+    return positions.groupBy(
+        F.floor(F.col("pos") / 64).cast("bigint").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                (F.col("pos") % 64).cast("int"),
+            )
+        ).alias("bits")
+    )
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    words: DataFrame,
+    key: str,
+    bits: int = _BLOOM_BITS,
+) -> DataFrame:
+    """Keep only probe rows whose key MIGHT be in the bloom set: for
+    each of the k hashes, broadcast-join the word and test the bit (a
+    missing word is a definite miss). Never drops a true match; false
+    positives pass through for the exact join to remove. Returns the
+    probe columns unchanged."""
+    out = probe
+    cols = probe.columns
+    for i, tag in enumerate(_BLOOM_TAGS):
+        pos = _bloom_bitpos(F.col(key), tag, bits)
+        w = words.select(
+            F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        out = (
+            out.withColumn(f"_w{i}", F.floor(pos / 64).cast("bigint"))
+            .withColumn(
+                f"_m{i}",
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("bigint"),
+                    (pos % 64).cast("int"),
+                ),
+            )
+            .join(F.broadcast(w), f"_w{i}")
+            .filter(F.col(f"_b{i}").bitwiseAND(F.col(f"_m{i}")) != 0)
+        )
+    return out.select(*cols)
+
+
 def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime bloom-prefiltered semi-join, hand-built from DataFrame
     ops (Spark's own row-level runtime filter is an optimizer
@@ -2365,52 +2427,14 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
 
-    def bitpos(col: F.Column, tag: str) -> F.Column:
-        return md5_long(F.concat(F.lit(tag), col.cast("string"))) % F.lit(
-            _BLOOM_BITS
-        )
-
-    positions = orders.select(
-        F.explode(
-            F.array(
-                *[bitpos(F.col("o_orderkey"), t) for t in _BLOOM_TAGS]
-            )
-        ).alias("pos")
+    words = bloom_words(orders, "o_orderkey")
+    li = bloom_prefilter(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+        ),
+        words,
+        "l_orderkey",
     )
-    words = positions.groupBy(
-        F.floor(F.col("pos") / 64).cast("bigint").alias("word_idx")
-    ).agg(
-        F.bit_or(
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("bigint"),
-                (F.col("pos") % 64).cast("int"),
-            )
-        ).alias("bits")
-    )
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
-    )
-    for i, tag in enumerate(_BLOOM_TAGS):
-        pos = bitpos(F.col("l_orderkey"), tag)
-        w = words.select(
-            F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
-        )
-        li = (
-            li.withColumn(f"_w{i}", F.floor(pos / 64).cast("bigint"))
-            .withColumn(
-                f"_m{i}",
-                F.call_function(
-                    "shiftleft",
-                    F.lit(1).cast("bigint"),
-                    (pos % 64).cast("int"),
-                ),
-            )
-            .join(F.broadcast(w), f"_w{i}")
-            .filter(F.col(f"_b{i}").bitwiseAND(F.col(f"_m{i}")) != 0)
-        )
-
     exact = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_semi")
     return exact.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_lines"),

@@ -2457,3 +2457,57 @@ def test_fuzz_outer_join_null_window(
         f"{msg}\nplan: how={how} part={part} funcs={funcs} "
         f"opred={opred} cpred={cpred}\nsql: {sql}"
     )
+
+
+# --- bloom prefilter invisibility fuzz ---------------------------------------
+# Engine-internal property (no DuckDB needed): the hand-built bloom
+# prefilter (operators/advanced.py) may only PASS THROUGH rows — for
+# any build-side key set, prefilter + exact semi-join must equal the
+# plain semi-join row-for-row. Randomizing the build predicate sweeps
+# the bitmap occupancy from empty (everything is a definite miss)
+# through selective (the intended regime) to saturated (every probe
+# row passes and the exact join does all the work); a tiny `bits`
+# value is drawn too, so false positives actually occur and their
+# removal is exercised rather than assumed.
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 15,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    opred=table_pred(ORDERS_SPEC, max_leaves=3),
+    bits=st.sampled_from([256, 4096, 1 << 17]),
+)
+# empty build set: bitmap has no words, every probe row is a definite
+# miss at the FIRST hash's inner join
+@example(opred=("int", "o_custkey", "<", 0), bits=1 << 17)
+# tiny filter, large build set: heavy false-positive traffic
+@example(opred=("num", "o_totalprice", ">", 0.0), bits=256)
+def test_fuzz_bloom_prefilter_invisible(spark, opred, bits):
+    from map_reduce_server_spark.operators.advanced import (
+        bloom_prefilter,
+        bloom_words,
+    )
+
+    orders = (
+        load_table(spark, SF, "orders")
+        .filter(pred_col(opred))
+        .select("o_orderkey")
+    )
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    words = bloom_words(orders, "o_orderkey", bits)
+    pre = bloom_prefilter(li, words, "l_orderkey", bits)
+    bloomed = pre.join(
+        orders, pre["l_orderkey"] == orders["o_orderkey"], "left_semi"
+    )
+    plain = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "left_semi"
+    )
+    got = sorted(map(tuple, bloomed.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want, f"opred={opred} bits={bits}"
