@@ -749,15 +749,29 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-line ``@register`` with ``_BFS_ORACLE``.
     """
     e = _copurchase_edges(spark, sf_dir)
+    return bfs_hops(e, _BFS_MAX_HOPS).select(
+        F.col("node").alias("part_id"), "hops"
+    )
+
+
+def bfs_hops(edges: DataFrame, max_hops: int) -> DataFrame:
+    """Single-source BFS over an UNDIRECTED (u, v) edge list: minimum
+    hop count from min(u) to every node within ``max_hops`` — the
+    reusable iterative core of :func:`graph_bfs_hops` (see there for
+    the scale analysis; the fuzz in test_differential_fuzz.py sweeps
+    this against per-draw recursive-CTE oracles). Returns
+    (node, hops int)."""
     ed = (
-        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
         .transform(stage_cut)
     )
     seed = ed.agg(F.min("src").alias("node"))
     dist = stage_cut(seed.withColumn("hops", F.lit(0)))
     frontier = dist.select("node")
-    for k in range(1, _BFS_MAX_HOPS + 1):
+    for k in range(1, max_hops + 1):
         nxt = (
             F.broadcast(frontier)
             .join(ed, frontier["node"] == ed["src"])
@@ -769,6 +783,4 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = stage_cut(nxt)
         dist = stage_cut(dist.unionAll(nxt))
         frontier = nxt.select("node")
-    return dist.select(
-        F.col("node").alias("part_id"), F.col("hops").cast("int").alias("hops")
-    )
+    return dist.select("node", F.col("hops").cast("int").alias("hops"))

@@ -2511,3 +2511,57 @@ def test_fuzz_bloom_prefilter_invisible(spark, opred, bits):
     got = sorted(map(tuple, bloomed.collect()))
     want = sorted(map(tuple, plain.collect()))
     assert got == want, f"opred={opred} bits={bits}"
+
+
+# --- BFS vs recursive-CTE fuzz ------------------------------------------------
+# The iterative frontier expansion (operators/clustering.py bfs_hops)
+# against DuckDB's native WITH RECURSIVE, sweeping the support
+# threshold (graph density: minsup 4 thins the co-purchase graph to
+# near-empty at this SF — including the EMPTY-graph case, where both
+# sides agree on the degenerate (NULL, 0) seed row) and the hop bound
+# (recursion depth). The staged graph_bfs_hops pins one configuration;
+# this family certifies the core across the parameter plane.
+
+
+def _bfs_oracle_sql(minsup: int, hops: int) -> str:
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= {minsup}),
+    ed AS (SELECT u AS src, v AS dst FROM e
+           UNION ALL SELECT v AS src, u AS dst FROM e),
+    seed AS (SELECT MIN(src) AS s FROM ed),
+    walk(node, hops) AS (
+      SELECT s, 0 FROM seed
+      UNION
+      SELECT ed.dst, w.hops + 1 FROM walk w JOIN ed ON ed.src = w.node
+      WHERE w.hops < {hops}
+    )
+    SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
+    FROM walk GROUP BY node
+    """
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 10,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    minsup=st.integers(2, 4),
+    hops=st.integers(1, 5),
+)
+@example(minsup=2, hops=4)  # the staged query's exact configuration
+@example(minsup=4, hops=3)  # near-empty graph
+def test_fuzz_bfs_vs_recursive_cte(spark, duck, minsup, hops):
+    from map_reduce_server_spark.operators.clustering import (
+        _copurchase_edges,
+        bfs_hops,
+    )
+
+    out = bfs_hops(_copurchase_edges(spark, SF, minsup=minsup), hops)
+    ok, msg = compare_to_oracle(out, _bfs_oracle_sql(minsup, hops), SF, con=duck)
+    assert ok, f"{msg}\nplan: minsup={minsup} hops={hops}"
