@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from map_reduce_server_spark.functions import (
     adpcm,
     avi,
+    bmp,
     flac,
     g711,
     gif,
@@ -1873,3 +1874,82 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``@register`` with ``_TIFF_ORACLE``."""
     docs = load_table(spark, sf_dir, "documents")
     return _px_stats_select(tiff_stats(with_tiff_payload(docs)))
+
+
+# ---------------------------------------------------------------
+# BMP — bottom-up rows, stride padding, palette (round-14 queue).
+
+_BMP_W, _BMP_H = 6, 8  # 48 gray bytes; stride 8 pads 2 per row
+
+
+def with_bmp_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL 6x8 palettized BMP per document (pure-stdlib
+    encoder; pixels = the full 48 bytes of the three chained md5
+    digests). Width 6 forces non-trivial 4-byte stride padding and
+    the bottom-up row order means a naive top-down read would
+    scramble every image — the stats happen to be order-invariant,
+    so the JVM conformance tests (pixel-exact) carry that property,
+    while the oracle here pins the palette/stride walk."""
+    flat = docs.select(
+        "doc_id",
+        F.concat(
+            F.md5(F.col("text")),
+            F.md5(F.concat(F.lit("x"), F.col("text"))),
+            F.md5(F.concat(F.lit("y"), F.col("text"))),
+        ).alias("pix_hex"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["pix_hex"].map(
+                _nn(
+                    lambda h: bmp.encode_gray8(
+                        _BMP_W, _BMP_H, bytes.fromhex(h)
+                    )
+                )
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def bmp_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real BMP payloads: signature + header walk,
+    palette mapping, stride-padded bottom-up row assembly, then
+    per-image pixel statistics."""
+    return _px_stats_stage(df, bmp.decode_gray8)
+
+
+# Oracle for the UNREGISTERED multimodal_decode_bmp below (round-14
+# registration queue): identical pixel statistics recomputed from
+# the md5 hex (same 48-byte pixel source as TIFF, so divisor 48 is
+# already in the tie-free-by-enumeration proof).
+_BMP_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, list_transform(range(1, 49),
+           i -> CAST(('0x' || substr({_SQL_PIX_HEX}, i*2-1, 2))
+                AS BIGINT)) AS bs
+  FROM documents WHERE text IS NOT NULL),
+st AS (
+  SELECT doc_id, CAST({_BMP_W} AS INTEGER) AS width,
+         CAST({_BMP_H} AS INTEGER) AS height,
+         round(CAST(list_sum(bs) AS DOUBLE) / 48, 6) AS mean_px,
+         CAST(list_max(bs) AS INTEGER) AS max_px
+  FROM px)
+SELECT d.doc_id, st.width, st.height, st.mean_px, st.max_px
+FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+"""
+
+
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for the Windows DIB layout family:
+    encode each document's md5-derived pixels as an actual
+    palettized BMP and decode it back with the pure-stdlib parser —
+    BOTTOM-UP row storage, 4-byte stride padding (width 6 pads 2
+    bytes per row), and 256-entry identity-gray palette indirection,
+    the three layout properties PNG/GIF/JPEG/TIFF never exercise.
+    Same zero-shuffle Arrow-batched mapInPandas scale shape as every
+    image leg. Staged UNREGISTERED for round 14; registration is the
+    one-line ``@register`` with ``_BMP_ORACLE``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _px_stats_select(bmp_stats(with_bmp_payload(docs)))

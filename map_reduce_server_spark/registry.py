@@ -483,6 +483,7 @@ _CHANGED_R13: frozenset[str] = frozenset()
 #   q_window_time_range     (operators/relational.py,
 #                            _TIME_RANGE_ORACLE)
 #   multimodal_decode_tiff  (operators/multimodal.py, _TIFF_ORACLE)
+#   multimodal_decode_bmp   (operators/multimodal.py, _BMP_ORACLE)
 #   stream_sessionize       (streaming/events.py,
 #                            _STREAM_SESSIONIZE_ORACLE)
 

@@ -257,3 +257,35 @@ def test_our_tiff_decoder_reads_jdk_encoded_tiff(spark):
     baos = jvm.java.io.ByteArrayOutputStream()
     assert jvm.javax.imageio.ImageIO.write(img, "tiff", baos)
     assert tiff.decode_gray8(bytes(baos.toByteArray())) == (8, 6, pix)
+
+
+def test_bmp_decodes_in_imageio(spark):
+    """The JDK's BMP decoder must reproduce our stride-padded
+    bottom-up palettized pixels exactly — a foreign reader catches a
+    scrambled row order or palette walk that order-invariant stats
+    would mask."""
+    from map_reduce_server_spark.functions import bmp
+
+    pix = bytes((i * 31 + 5) % 256 for i in range(48))
+    f = bmp.encode_gray8(6, 8, pix)
+    assert _imageio_raw(spark, f) == (6, 8, pix)
+
+
+def test_our_bmp_decoder_reads_jdk_encoded_bmp(spark):
+    """Reverse direction: the JDK BMP writer's own layout (its header
+    sizes, palette, row padding) must decode exactly in our parser."""
+    from map_reduce_server_spark.functions import bmp
+
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    img = BI(6, 8, BI.TYPE_BYTE_GRAY)
+    pix = bytes((i * 41 + 3) % 256 for i in range(48))
+    raster = img.getRaster()
+    k = 0
+    for y in range(8):
+        for x in range(6):
+            raster.setSample(x, y, 0, pix[k])
+            k += 1
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "bmp", baos)
+    assert bmp.decode_gray8(bytes(baos.toByteArray())) == (6, 8, pix)

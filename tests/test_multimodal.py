@@ -1271,3 +1271,55 @@ def test_tiff_codec_roundtrip_both_orders():
     struct.pack_into("<H", patched, comp_off, 5)  # LZW
     with _pytest.raises(NotImplementedError):
         tiff.decode_gray8(bytes(patched))
+
+
+def test_bmp_decode_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED multimodal_decode_bmp
+    (round-14 registration queue): palette mapping + stride-padded
+    bottom-up assembly decode to the md5-derived pixel statistics."""
+    from map_reduce_server_spark.operators.multimodal import (
+        _BMP_ORACLE,
+        multimodal_decode_bmp,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = multimodal_decode_bmp(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _BMP_ORACLE, sf_small)
+    assert ok, msg
+
+
+def test_bmp_codec_roundtrip_and_strictness():
+    """Unit round-trip: stride-padded bottom-up gray8 survives
+    encode/decode, a hand-flipped top-down (negative height) variant
+    decodes identically, and the strict envelope refuses color
+    palettes and compressed files loudly."""
+    import hashlib
+    import struct
+
+    import pytest as _pytest
+
+    from map_reduce_server_spark.functions import bmp
+
+    pix = b"".join(hashlib.md5(t).digest() for t in (b"a", b"b", b"c"))
+    f = bmp.encode_gray8(6, 8, pix)
+    assert bmp.decode_gray8(f) == (6, 8, pix)
+    # top-down: negate height and reverse the stored row order
+    td = bytearray(f)
+    struct.pack_into("<i", td, 22, -8)
+    stride, off = 8, 14 + 40 + 1024
+    rows = [
+        bytes(td[off + i * stride : off + (i + 1) * stride])
+        for i in range(8)
+    ]
+    td[off : off + stride * 8] = b"".join(reversed(rows))
+    assert bmp.decode_gray8(bytes(td)) == (6, 8, pix)
+    # non-gray palette entry must refuse, not silently flatten
+    colored = bytearray(f)
+    colored[14 + 40 + 4 * 7] = 99  # blue of entry 7 != its green/red
+    with _pytest.raises(NotImplementedError):
+        bmp.decode_gray8(bytes(colored))
+    # compressed (BI_RLE8) must refuse
+    rle = bytearray(f)
+    struct.pack_into("<I", rle, 30, 1)
+    with _pytest.raises(NotImplementedError):
+        bmp.decode_gray8(bytes(rle))
