@@ -2565,3 +2565,94 @@ def test_fuzz_bfs_vs_recursive_cte(spark, duck, minsup, hops):
     out = bfs_hops(_copurchase_edges(spark, SF, minsup=minsup), hops)
     ok, msg = compare_to_oracle(out, _bfs_oracle_sql(minsup, hops), SF, con=duck)
     assert ok, f"{msg}\nplan: minsup={minsup} hops={hops}"
+
+
+# --- correlated subquery fuzz -------------------------------------------------
+# Catalyst rewrites every form below (DecorrelateInnerQuery /
+# RewritePredicateSubquery) into joins; DuckDB runs its own
+# flatten-subquery planner. Same AST rendered to BOTH dialects —
+# pred_sql output is plain portable SQL for the non-ts leaves — so a
+# divergence is a decorrelation bug, not a dialect artifact. Scalar
+# forms pin the empty-inner-set corner (COUNT -> 0, SUM -> NULL);
+# [NOT] IN stays in the null-free l_orderkey envelope on purpose —
+# the three-valued NOT IN trap is pinned elsewhere (q_not_in_nulls,
+# test_null_logic_fuzz) and would test SQL semantics, not engines.
+
+_LI_PRED = table_pred(
+    {"num": NUM_COLS, "int": INT_COLS, "str": STR_COLS}, max_leaves=3
+)
+
+_CORR_FORMS = (
+    "scalar_count",
+    "scalar_sum_int",
+    "exists",
+    "not_exists",
+    "in",
+    "not_in",
+)
+
+
+def _corr_sql(form: str, opred, ipred) -> str:
+    corr = f"({pred_sql(ipred)}) AND l.l_orderkey = o.o_orderkey"
+    if form == "scalar_count":
+        return (
+            "SELECT o.o_orderkey, CAST((SELECT COUNT(*) FROM lineitem l "
+            f"WHERE {corr}) AS BIGINT) AS v "
+            f"FROM orders o WHERE {pred_sql(opred)}"
+        )
+    if form == "scalar_sum_int":
+        return (
+            "SELECT o.o_orderkey, CAST((SELECT SUM(l.l_suppkey) "
+            f"FROM lineitem l WHERE {corr}) AS BIGINT) AS v "
+            f"FROM orders o WHERE {pred_sql(opred)}"
+        )
+    if form in ("exists", "not_exists"):
+        neg = "NOT " if form == "not_exists" else ""
+        return (
+            "SELECT o.o_orderkey FROM orders o "
+            f"WHERE ({pred_sql(opred)}) AND {neg}EXISTS "
+            f"(SELECT 1 FROM lineitem l WHERE {corr})"
+        )
+    neg = "NOT " if form == "not_in" else ""
+    return (
+        "SELECT o.o_orderkey FROM orders o "
+        f"WHERE ({pred_sql(opred)}) AND o.o_orderkey {neg}IN "
+        f"(SELECT l_orderkey FROM lineitem WHERE {pred_sql(ipred)})"
+    )
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 20,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    form=st.sampled_from(_CORR_FORMS),
+    opred=table_pred(ORDERS_SPEC, max_leaves=3),
+    ipred=_LI_PRED,
+)
+# empty inner set on every outer row: SUM -> NULL, not 0
+@example(
+    form="scalar_sum_int",
+    opred=("int", "o_custkey", ">=", 0),
+    ipred=("num", "l_quantity", "<", 0.0),
+)
+# NOT EXISTS where the inner predicate never fires
+@example(
+    form="not_exists",
+    opred=("str", "o_orderstatus", "=", "O"),
+    ipred=("int", "l_suppkey", "<", 0),
+)
+@example(
+    form="in",
+    opred=("num", "o_totalprice", ">", 100000.0),
+    ipred=("str", "l_returnflag", "=", "R"),
+)
+def test_fuzz_correlated_subqueries(spark, duck, form, opred, ipred):
+    from map_reduce_server_spark.tables import register_views
+
+    register_views(spark, SF)
+    sql = _corr_sql(form, opred, ipred)
+    ok, msg = compare_to_oracle(spark.sql(sql), sql, SF, con=duck)
+    assert ok, f"{msg}\nplan: form={form} opred={opred} ipred={ipred}\nsql: {sql}"
