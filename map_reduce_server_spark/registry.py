@@ -471,6 +471,43 @@ _DRIVER_GREEN_R12 = frozenset({
 # current code, so they rejoin the never-verified head.
 _CHANGED_R13: frozenset[str] = frozenset()
 
+# The 50 queries hash-verified green by CORRECTNESS_r13.json — the
+# freshest driver rows, ordered LAST. Re-certified the 4 round-13
+# registrations (q_asof_join_forward, q_rollup_multi_distinct,
+# q_zorder_layout, multimodal_decode_adpcm_multiblock), the 3
+# r8-stale heads (q18_large_orders, q19_disjunctive_revenue,
+# stream_dedup_events) and 43 r9-stale rows (all 50 green:
+# rows/schema/hash matched at sf0.01, zero errs). 7 r9-stale rows
+# remain and head the round-14 stale queue.
+_DRIVER_GREEN_R13 = frozenset({
+    "ann_topk_matryoshka", "embedding_quantize_int8",
+    "graph_degree_stats", "multimodal_decode_adpcm_multiblock",
+    "multimodal_decode_flac", "multimodal_decode_gif",
+    "multimodal_decode_png", "multimodal_decode_wav",
+    "multimodal_resize_png", "q18_large_orders",
+    "q19_disjunctive_revenue", "q_ab_test_welch", "q_ann_recall",
+    "q_anomaly_mad", "q_asof_join_forward",
+    "q_attribution_last_touch", "q_benford_check", "q_bootstrap_ci",
+    "q_corr_matrix", "q_coverage_report", "q_crosstab_chisq",
+    "q_dp_count_release", "q_equidepth_histogram_exact",
+    "q_feature_hashing", "q_forecast_seasonal_naive",
+    "q_fuzzy_name_match", "q_gini_concentration",
+    "q_hybrid_retrieval_rrf", "q_interval_overlap_join",
+    "q_knn_classifier", "q_label_balance", "q_market_basket",
+    "q_profile_columns", "q_rfm_segments",
+    "q_rollup_multi_distinct", "q_skyline_parts", "q_snapshot_diff",
+    "q_time_weighted_avg", "q_ts_similarity_search",
+    "q_user_ltv_decay", "q_weighted_sample", "q_zorder_layout",
+    "stream_dedup_events", "text_bigram_logprob", "text_bm25",
+    "text_dup_spans", "text_entropy", "text_keywords",
+    "text_readability", "text_zipf_fit",
+})
+
+# Queries whose RESULT changed after their last green driver row
+# (round-14 rework): their stale green row no longer certifies the
+# current code, so they rejoin the never-verified head.
+_CHANGED_R14: frozenset[str] = frozenset()
+
 # Round-13 registered the former registration queue
 # (multimodal_decode_adpcm_multiblock, q_rollup_multi_distinct,
 # q_asof_join_forward, q_zorder_layout).
@@ -493,6 +530,7 @@ _CHANGED_R13: frozenset[str] = frozenset()
 # the next _CHANGED constant below (the rotation lint in
 # tests/test_registry_rotation.py enforces both).
 _GREEN_BY_ROUND: list[tuple[int, frozenset]] = [
+    (13, _DRIVER_GREEN_R13),
     (12, _DRIVER_GREEN_R12),
     (11, _DRIVER_GREEN_R11),
     (10, _DRIVER_GREEN_R10),
@@ -517,6 +555,7 @@ _CHANGED_BY_ROUND: dict[int, frozenset] = {
     11: _CHANGED_R11,
     12: _CHANGED_R12,
     13: _CHANGED_R13,
+    14: _CHANGED_R14,
 }
 
 

@@ -119,15 +119,17 @@ def test_changed_name_recertified_by_later_round_counts_green(monkeypatch):
 def test_changed_name_never_recertified_stays_head(monkeypatch):
     """A changed name no later round certified must NOT count green
     (its only green rows predate the change)."""
-    # 'q18_large_orders' is green r4/r8 only (not r9..r12); mark it
-    # changed in r9.
+    # 'dedup_cluster' is green through r11 only (not r12/r13); mark
+    # it changed in r12. (Fixture rotates when the driver re-certifies
+    # it: r13 swapped q_sliding_window → q18_large_orders, r14 swapped
+    # q18_large_orders → dedup_cluster after r13 re-certified it.)
     monkeypatch.setitem(
-        registry._CHANGED_BY_ROUND, 9, frozenset({"q18_large_orders"})
+        registry._CHANGED_BY_ROUND, 12, frozenset({"dedup_cluster"})
     )
     eg = registry._ever_green()
-    assert "q18_large_orders" not in eg
+    assert "dedup_cluster" not in eg
     # _stale_first reads the module-level cache — refresh it for the
     # simulated scenario, restored by monkeypatch afterwards
     monkeypatch.setattr(registry, "_EVER_GREEN", eg)
-    order = list(registry._stale_first(dict.fromkeys(eg | {"q18_large_orders"})))
-    assert order[0] == "q18_large_orders"
+    order = list(registry._stale_first(dict.fromkeys(eg | {"dedup_cluster"})))
+    assert order[0] == "dedup_cluster"
