@@ -108,30 +108,67 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
     total = round(sum(timings.values()), 3)
 
-    print(
-        json.dumps(
-            {
-                # Renamed from 'headline_suite_wall_seconds' (rounds
-                # <= 12): the value is a SUM OF PER-QUERY MEDIANS over
-                # warm reps, not any single run's wall time. bench_schema
-                # lets tooling refuse to mix the two semantics.
-                "metric": "headline_suite_median_seconds",
-                "bench_schema": 2,
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                # Per-rep arrays, in run order: cold ~= warm ~= median
-                # but all shifted vs last round => environment; rep3 >
-                # rep1 systematically => in-JVM accumulation (GC /
-                # shuffle-file pressure). Localizes drift in one round.
-                "rep_queries": rep_runs,
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    for line in emit_lines(timings, cold, rep_runs, reps, total, sf):
+        print(line)
     spark.stop()
+
+
+def emit_lines(
+    timings: dict[str, float],
+    cold: dict[str, float],
+    rep_runs: dict[str, list[float]],
+    reps: int,
+    total: float,
+    sf: str,
+) -> list[str]:
+    """Two JSON lines: a detailed record first, a COMPACT line LAST.
+
+    The driver captures only the final ~2,000 characters of stdout
+    and parses the last line. Round 13's single detailed line grew
+    past that window as ``rep_queries`` was added, truncating the
+    line's head (including ``metric``/``value``) and leaving
+    BENCH_r13 with ``parsed: null``. The compact last line carries
+    the headline contract fields only and is size-guarded so it can
+    never outgrow any plausible tail window; the per-rep arrays and
+    cold readings stay available on the detailed first line.
+    """
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detailed = json.dumps(
+        {
+            "record": "bench_detail",
+            "metric": "headline_suite_median_seconds",
+            "bench_schema": 2,
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "cold_queries": cold,
+            # Per-rep arrays, in run order: cold ~= warm ~= median
+            # but all shifted vs last round => environment; rep3 >
+            # rep1 systematically => in-JVM accumulation (GC /
+            # shuffle-file pressure). Localizes drift in one round.
+            "rep_queries": rep_runs,
+            "reps": reps,
+            "sf": sf_val,
+        }
+    )
+    compact_fields = {
+        # Renamed from 'headline_suite_wall_seconds' (rounds <= 12):
+        # the value is a SUM OF PER-QUERY MEDIANS over warm reps, not
+        # any single run's wall time. bench_schema lets tooling refuse
+        # to mix the two semantics.
+        "metric": "headline_suite_median_seconds",
+        "bench_schema": 2,
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "sf": sf_val,
+    }
+    compact = json.dumps(compact_fields)
+    if len(compact) > 1900:  # headroom under the 2,000-char tail
+        compact_fields.pop("queries")
+        compact = json.dumps(compact_fields)
+    return [detailed, compact]
 
 
 if __name__ == "__main__":
