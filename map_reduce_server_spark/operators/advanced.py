@@ -2395,6 +2395,7 @@ def bloom_prefilter(
     return out.select(*cols)
 
 
+@register("q_bloom_prefilter_join", oracle=_BLOOM_ORACLE)
 def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime bloom-prefiltered semi-join, hand-built from DataFrame
     ops (Spark's own row-level runtime filter is an optimizer
@@ -2414,9 +2415,7 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bloom only cuts shuffle volume. At 100 TB this is the
     difference between shuffling the full fact table and shuffling
     ~|matching rows| (+ the fp tail, ~(kn/m)^2 with n build keys and
-    m bits; size m to the build cardinality). Staged UNREGISTERED
-    for round 14; registration is the one-line ``@register`` with
-    ``_BLOOM_ORACLE``.
+    m bits; size m to the build cardinality).
     """
     orders = (
         load_table(spark, sf_dir, "orders")

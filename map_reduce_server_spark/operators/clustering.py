@@ -725,6 +725,7 @@ FROM walk GROUP BY node
 """
 
 
+@register("graph_bfs_hops", oracle=_BFS_ORACLE)
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source BFS: minimum hop count from the smallest part in
     the thresholded co-purchase graph to every part reachable within
@@ -745,13 +746,21 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier/visited are cut so plan depth stays O(1) — the exact
     lineage discipline of :func:`pagerank` and connected components.
     The seed is a broadcast 1-row aggregate, never a driver
-    collect. Staged UNREGISTERED for round 14; registration is the
-    one-line ``@register`` with ``_BFS_ORACLE``.
+    collect.
     """
     e = _copurchase_edges(spark, sf_dir)
     return bfs_hops(e, _BFS_MAX_HOPS).select(
         F.col("node").alias("part_id"), "hops"
     )
+
+
+# Frontier rows above which bfs_hops stops FORCING a broadcast of the
+# frontier⋈edges join and lets AQE pick the strategy from runtime
+# sizes. On a small-world graph the frontier approaches |V| within a
+# few hops — an unconditional broadcast hint there ships an O(|V|)
+# table to every executor and OOMs at 100× scale. 500k ids ≈ a few MB
+# broadcast, comfortably under any executor's memory.
+_BFS_BROADCAST_MAX_FRONTIER = 500_000
 
 
 def bfs_hops(edges: DataFrame, max_hops: int) -> DataFrame:
@@ -760,7 +769,18 @@ def bfs_hops(edges: DataFrame, max_hops: int) -> DataFrame:
     reusable iterative core of :func:`graph_bfs_hops` (see there for
     the scale analysis; the fuzz in test_differential_fuzz.py sweeps
     this against per-draw recursive-CTE oracles). Returns
-    (node, hops int)."""
+    (node, hops int).
+
+    Broadcast discipline: the frontier⋈edges join is broadcast ONLY
+    while the frontier is small (``_BFS_BROADCAST_MAX_FRONTIER``).
+    On hub-and-spoke / small-world graphs the frontier can approach
+    |V| within 2-3 hops, and a forced broadcast of an O(|V|) frontier
+    kills executors at scale — past the gate the hint is dropped and
+    AQE chooses from the frontier's actual runtime size. The count
+    used for the gate is free of recompute: every frontier is a
+    stage-cut (materialized) intermediate, so ``count()`` scans
+    already-stored blocks. An empty frontier short-circuits the
+    remaining hops (the reachable set is closed)."""
     ed = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(
@@ -772,9 +792,15 @@ def bfs_hops(edges: DataFrame, max_hops: int) -> DataFrame:
     dist = stage_cut(seed.withColumn("hops", F.lit(0)))
     frontier = dist.select("node")
     for k in range(1, max_hops + 1):
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        if n_frontier <= _BFS_BROADCAST_MAX_FRONTIER:
+            fr = F.broadcast(frontier)
+        else:
+            fr = frontier
         nxt = (
-            F.broadcast(frontier)
-            .join(ed, frontier["node"] == ed["src"])
+            fr.join(ed, fr["node"] == ed["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(dist, "node", "left_anti")

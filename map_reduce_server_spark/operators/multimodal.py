@@ -1859,6 +1859,7 @@ FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
 """
 
 
+@register("multimodal_decode_tiff", oracle=_TIFF_ORACLE)
 def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip for the TAG-DIRECTORY container family:
     encode each document's md5-derived pixels as an actual
@@ -1869,9 +1870,7 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     GIF covers LZW sub-blocks, JPEG covers entropy coding; TIFF adds
     random-access offset indirection, the container shape most
     scientific/scan corpora arrive in. Same zero-shuffle Arrow-
-    batched mapInPandas scale shape as every image leg. Staged
-    UNREGISTERED for round 14; registration is the one-line
-    ``@register`` with ``_TIFF_ORACLE``."""
+    batched mapInPandas scale shape as every image leg."""
     docs = load_table(spark, sf_dir, "documents")
     return _px_stats_select(tiff_stats(with_tiff_payload(docs)))
 
@@ -1941,6 +1940,7 @@ FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
 """
 
 
+@register("multimodal_decode_bmp", oracle=_BMP_ORACLE)
 def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip for the Windows DIB layout family:
     encode each document's md5-derived pixels as an actual
@@ -1949,7 +1949,6 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes per row), and 256-entry identity-gray palette indirection,
     the three layout properties PNG/GIF/JPEG/TIFF never exercise.
     Same zero-shuffle Arrow-batched mapInPandas scale shape as every
-    image leg. Staged UNREGISTERED for round 14; registration is the
-    one-line ``@register`` with ``_BMP_ORACLE``."""
+    image leg."""
     docs = load_table(spark, sf_dir, "documents")
     return _px_stats_select(bmp_stats(with_bmp_payload(docs)))

@@ -1236,6 +1236,7 @@ _TIME_RANGE_OVER = (
 )
 
 
+@register("q_window_time_range", oracle=_TIME_RANGE_ORACLE)
 def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-INTERVAL range frame: per event, the count and exact
     value sum of the same user's events in the trailing 30 minutes —
@@ -1251,8 +1252,7 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle on user_id, single window pass, codegen
     throughout; the 30-minute bound keeps each frame's scan local to
-    the sorted run. Staged UNREGISTERED for round 14; registration is
-    the one-line ``@register`` with ``_TIME_RANGE_ORACLE``.
+    the sorted run.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()

@@ -1304,6 +1304,7 @@ WHERE sp.n >= {_COLLOC_MIN_COUNT}
 """
 
 
+@register("text_collocations", oracle=_COLLOC_ORACLE)
 def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: corpus bigrams scored by pointwise mutual
     information, ``PMI = ln(p(a,b) / (p(a·) p(·b)))`` with a minimum
@@ -1321,8 +1322,6 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise re-expand the corpus-wide groupBy subtree per branch.
     PMI is computed with the identical double expression on both
     engines and rounded to 9 (libm ln 1-ulp portability contract).
-    Staged UNREGISTERED for round 14; registration is the one-line
-    ``@register`` with ``_COLLOC_ORACLE``.
     """
     docs = load_table(spark, sf_dir, "documents")
     ts = docs.select(

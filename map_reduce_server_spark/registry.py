@@ -508,21 +508,12 @@ _DRIVER_GREEN_R13 = frozenset({
 # current code, so they rejoin the never-verified head.
 _CHANGED_R14: frozenset[str] = frozenset()
 
-# Round-13 registered the former registration queue
-# (multimodal_decode_adpcm_multiblock, q_rollup_multi_distinct,
-# q_asof_join_forward, q_zorder_layout).
-# Round-14 registration queue — gate-ready (oracle constant +
-# driver-grade parity test in tree), held back per the rotation
-# plan; registering each is one @register decorator:
-#   graph_bfs_hops          (operators/clustering.py, _BFS_ORACLE)
-#   q_bloom_prefilter_join  (operators/advanced.py, _BLOOM_ORACLE)
-#   text_collocations       (operators/text.py, _COLLOC_ORACLE)
-#   q_window_time_range     (operators/relational.py,
-#                            _TIME_RANGE_ORACLE)
-#   multimodal_decode_tiff  (operators/multimodal.py, _TIFF_ORACLE)
-#   multimodal_decode_bmp   (operators/multimodal.py, _BMP_ORACLE)
-#   stream_sessionize       (streaming/events.py,
-#                            _STREAM_SESSIONIZE_ORACLE)
+# Round-14 registered the former registration queue (graph_bfs_hops,
+# q_bloom_prefilter_join, text_collocations, q_window_time_range,
+# multimodal_decode_tiff, multimodal_decode_bmp, stream_sessionize)
+# → 214 registered. The round-15 registration queue is staged below
+# as it is built (oracle constant + driver-grade parity test in tree
+# BEFORE the one-line @register lands next round).
 
 # Rounds FRESHEST-FIRST with their green sets — the single place a
 # new round is added. _EVER_GREEN and _stale_first both derive from

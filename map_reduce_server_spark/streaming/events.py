@@ -511,6 +511,7 @@ def _events_stream_timeordered(
     return normalize_events_ts(stream), stage
 
 
+@register("stream_sessionize", oracle=_STREAM_SESSIONIZE_ORACLE)
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming sessionization: native ``session_window``
     (30-minute gap) maintained as keyed streaming state across a
@@ -531,8 +532,6 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session is sliced off by the ``s_start`` ceiling filter. State is
     bounded by the watermark, sink I/O is O(finalized sessions per
     batch), and nothing ever collects to the driver.
-    Staged UNREGISTERED for round 14; registration is the one-line
-    ``@register`` with ``_STREAM_SESSIONIZE_ORACLE``.
     """
     stream, stage = _events_stream_timeordered(spark, sf_dir)
     agg = (

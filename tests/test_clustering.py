@@ -141,3 +141,34 @@ def test_cc_matches_union_find_on_random_graphs(spark):
             ).collect()
         }
         assert got == set(expected.items()), (trial, edges)
+
+
+def test_bfs_hops_non_broadcast_path_identical(spark, monkeypatch):
+    """The frontier-broadcast size gate (review r13: an unconditional
+    broadcast of an O(|V|) frontier OOMs on small-world graphs) must
+    not change results: force the non-broadcast path by setting the
+    gate to 0 and compare against the broadcast path on a graph whose
+    frontier actually fans out."""
+    from map_reduce_server_spark.operators import clustering
+    from map_reduce_server_spark.operators.clustering import bfs_hops
+
+    # hub-and-spoke plus a chain: frontier goes 1 → 5 → chain tail
+    edges = [(1, h) for h in (2, 3, 4, 5, 6)] + [(6, 7), (7, 8), (8, 9)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    expected = {(r.node, r.hops) for r in bfs_hops(df, 4).collect()}
+    assert (1, 0) in expected and (9, 4) in expected  # 1-6-7-8-9 = 4 hops
+    monkeypatch.setattr(clustering, "_BFS_BROADCAST_MAX_FRONTIER", 0)
+    got = {(r.node, r.hops) for r in bfs_hops(df, 4).collect()}
+    assert got == expected
+
+
+def test_bfs_hops_empty_frontier_short_circuits(spark):
+    """Once the component is exhausted the loop must stop expanding:
+    a 3-node path fully visited by hop 2 returns the same rows for
+    max_hops=2 and max_hops=50 (no empty-join iterations)."""
+    from map_reduce_server_spark.operators.clustering import bfs_hops
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])
+    small = {(r.node, r.hops) for r in bfs_hops(df, 2).collect()}
+    big = {(r.node, r.hops) for r in bfs_hops(df, 50).collect()}
+    assert small == big == {(1, 0), (2, 1), (3, 2)}
