@@ -58,15 +58,24 @@ def encode_gray8(
     n = len(strips)
 
     # layout: header(8) | strip data | offsets array | counts array | IFD
+    # For a SINGLE strip the count-1 LONG value fits the entry's
+    # 4-byte field and TIFF requires it INLINE — a conforming decoder
+    # (including decode_gray8 below) reads the value field directly,
+    # so emitting an out-of-line one-element array would make it
+    # treat the array's file offset as the strip offset itself.
     pos = 8
     strip_offsets = []
     for s in strips:
         strip_offsets.append(pos)
         pos += len(s)
-    off_offsets = pos
-    pos += 4 * n
-    off_counts = pos
-    pos += 4 * n
+    if n == 1:
+        off_offsets = strip_offsets[0]
+        off_counts = len(strips[0])
+    else:
+        off_offsets = pos
+        pos += 4 * n
+        off_counts = pos
+        pos += 4 * n
     ifd_offset = pos
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
@@ -94,8 +103,9 @@ def encode_gray8(
     # construction above
     out = [struct.pack(e + "2sHI", order, _MAGIC, ifd_offset)]
     out.extend(strips)
-    out.append(struct.pack(e + f"{n}I", *strip_offsets))
-    out.append(struct.pack(e + f"{n}I", *(len(s) for s in strips)))
+    if n > 1:
+        out.append(struct.pack(e + f"{n}I", *strip_offsets))
+        out.append(struct.pack(e + f"{n}I", *(len(s) for s in strips)))
     out.append(struct.pack(e + "H", len(entries)))
     out.extend(entries)
     out.append(struct.pack(e + "I", 0))  # no next IFD

@@ -1252,6 +1252,13 @@ def test_tiff_codec_roundtrip_both_orders():
     for be in (False, True):
         f = tiff.encode_gray8(8, 6, pix, big_endian=be)
         assert tiff.decode_gray8(f) == (8, 6, pix)
+    # SINGLE strip (height <= rows_per_strip): the count-1 LONG
+    # StripOffsets/StripByteCounts must be stored INLINE in the entry
+    # value field (review r13: the out-of-line form made conforming
+    # decoders read the array's offset as the strip offset)
+    for be in (False, True):
+        f = tiff.encode_gray8(4, 2, pix[:8], big_endian=be)
+        assert tiff.decode_gray8(f) == (4, 2, pix[:8])
     # WhiteIsZero (photometric 0) inverts on decode: patch the tag
     # value in the little-endian file (entry 5 of the sorted IFD)
     f = tiff.encode_gray8(8, 6, pix, big_endian=False)
