@@ -1581,6 +1581,115 @@ def test_fuzz_set_ops(spark, duck, op, preda, predb):
     assert ok, f"{msg}\nplan: op={op} preda={preda} predb={predb}\nsql: {sql}"
 
 
+# --- set-ops x duplicates x NULL-keys fuzz -----------------------------------
+# The table-backed family above never sees a NULL key or a controlled
+# duplicate multiplicity. This plane drives the classic cross-engine
+# divergence points of bag-vs-set semantics head-on: set operations
+# treat NULLs as EQUAL (unlike = / IN three-valued logic), empty
+# string is distinct from NULL, EXCEPT ALL subtracts per-row counts
+# while INTERSECT ALL takes the minimum, and chained operators
+# associate only through explicit nesting (mirrored as parenthesized
+# SQL). Rows are tiny-domain inline literals, so every draw carries
+# heavy duplication and NULL keys by construction; empty inputs
+# exercise the zero-multiplicity edge.
+
+_SETROW = st.tuples(
+    st.sampled_from([None, 0, 1, 2]),
+    st.sampled_from([None, "", "a", "b"]),
+)
+_SETROWS = st.lists(_SETROW, min_size=0, max_size=8)
+
+
+def _inline_rel(spark, rows):
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("s", StringType())]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _inline_sql(rows) -> str:
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS INTEGER) AS k, CAST(NULL AS VARCHAR) AS s "
+            "WHERE FALSE"
+        )
+    vals = ", ".join(
+        "({}, {})".format(
+            "NULL" if k is None else k,
+            "NULL" if s is None else f"'{s}'",
+        )
+        for k, s in rows
+    )
+    return (
+        "SELECT CAST(k AS INTEGER) AS k, CAST(s AS VARCHAR) AS s "
+        f"FROM (VALUES {vals}) t(k, s)"
+    )
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 25,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows_a=_SETROWS,
+    rows_b=_SETROWS,
+    rows_c=_SETROWS,
+    op1=st.sampled_from(sorted(_SETOP)),
+    op2=st.sampled_from(sorted(_SETOP)),
+)
+# NULL keys dedupe under UNION/INTERSECT (set-op NULL-equality)
+@example(
+    rows_a=[(None, None), (None, None), (1, "")],
+    rows_b=[(None, None), (1, None)],
+    rows_c=[(None, None)],
+    op1="union",
+    op2="intersect",
+)
+# multiplicity arithmetic: EXCEPT ALL subtracts counts, the chained
+# INTERSECT ALL takes the min of what survives
+@example(
+    rows_a=[(1, "a"), (1, "a"), (1, "a"), (None, "")],
+    rows_b=[(1, "a")],
+    rows_c=[(1, "a"), (1, "a"), (None, "")],
+    op1="except_all",
+    op2="intersect_all",
+)
+# empty sides: zero-multiplicity edges of every operator
+@example(
+    rows_a=[],
+    rows_b=[(None, ""), (0, None)],
+    rows_c=[],
+    op1="except",
+    op2="union_all",
+)
+def test_fuzz_set_ops_null_duplicates(
+    spark, duck, rows_a, rows_b, rows_c, op1, op2
+):
+    a = _inline_rel(spark, rows_a)
+    b = _inline_rel(spark, rows_b)
+    c = _inline_rel(spark, rows_c)
+    out = _SETOP[op2][0](_SETOP[op1][0](a, b), c)
+    sql = (
+        f"(({_inline_sql(rows_a)}) {_SETOP[op1][1]} "
+        f"({_inline_sql(rows_b)})) {_SETOP[op2][1]} "
+        f"({_inline_sql(rows_c)})"
+    )
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, (
+        f"{msg}\nplan: op1={op1} op2={op2} a={rows_a} b={rows_b} "
+        f"c={rows_c}\nsql: {sql}"
+    )
+
+
 _MATH_OUT = st.one_of(
     st.tuples(st.just("mul"), st.integers(1, 500)),
     st.tuples(st.just("abs_dist"), st.integers(85000, 95000)),
