@@ -2442,3 +2442,64 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             scale=6,
         ).alias("revenue"),
     )
+
+
+# Oracle for the UNREGISTERED q_bitmap_distinct below (round-15
+# registration queue): the bitmap formulation is EXACT, so the twin
+# is a plain COUNT(DISTINCT).
+_BITMAP_DISTINCT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def bitmap_distinct(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
+    """EXACT distinct-count of a dense non-negative integer id per
+    group via bitmap OR-aggregation — the Druid/ClickHouse bitmap
+    pattern as a two-level DataFrame aggregation. Returns
+    (group_col, n_distinct long).
+
+    Level 1 groups by (group, id div 64) and ORs single-bit words
+    (``bit_or`` is associative + commutative, so Catalyst plans a
+    partial+final hash aggregate — the map side collapses each
+    partition's ids into local words BEFORE the shuffle); level 2
+    sums ``bit_count`` per group. The shuffle therefore moves
+    O(groups x occupied words), independent of row count and of
+    per-id duplication — where COUNT(DISTINCT id) moves one row per
+    distinct (group, id) pair. Words are mergeable state: shards
+    aggregated separately OR together losslessly (incremental
+    rollups, cross-datacenter merge). NULL ids are excluded, like
+    COUNT(DISTINCT). At 1e9 ids a fully-occupied group carries 16M
+    words; the (group, word_idx) key distributes them evenly."""
+    bit = F.expr(f"shiftleft(1L, CAST({id_col} % 64 AS INT))")
+    words = (
+        df.filter(F.col(id_col).isNotNull())
+        .groupBy(
+            F.col(group_col),
+            (F.col(id_col) / 64).cast("long").alias("word_idx"),
+        )
+        .agg(F.bit_or(bit).alias("bits"))
+    )
+    return words.groupBy(group_col).agg(
+        F.sum(F.bit_count("bits")).alias("n_distinct")
+    )
+
+
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type, twice: the bitmap
+    OR-aggregation (:func:`bitmap_distinct`) for the distinct count
+    and a plain COUNT(*) for volume — proving the bitmap formulation
+    lands bit-exactly on COUNT(DISTINCT) while shuffling O(occupied
+    words) instead of O(distinct pairs).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    dist = bitmap_distinct(ev, "event_type", "user_id").withColumnRenamed(
+        "n_distinct", "n_users"
+    )
+    return dist.join(counts, "event_type").select(
+        "event_type", "n_users", "n_events"
+    )

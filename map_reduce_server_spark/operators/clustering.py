@@ -810,3 +810,50 @@ def bfs_hops(edges: DataFrame, max_hops: int) -> DataFrame:
         dist = stage_cut(dist.unionAll(nxt))
         frontier = nxt.select("node")
     return dist.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+# Oracle for the UNREGISTERED graph_connected_components below
+# (round-15 registration queue): each node's component label is the
+# MINIMUM id over its reachability closure, computed by a recursive
+# CTE (UNION dedupes states, so the closure is O(V x component) rows
+# at oracle SF, never a path enumeration).
+_CC_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= {_TRI_MINSUP}),
+ed AS (SELECT u AS src, v AS dst FROM e
+       UNION ALL SELECT v AS src, u AS dst FROM e),
+reach(node, r) AS (
+  SELECT src, src FROM ed
+  UNION
+  SELECT w.node, ed.dst FROM reach w JOIN ed ON ed.src = w.r
+)
+SELECT node AS part_id, MIN(r) AS component
+FROM reach GROUP BY node
+"""
+
+
+def graph_connected_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected components of the thresholded co-purchase graph:
+    every part labeled with the smallest part id it is connected to
+    — the graph-clustering primitive behind :func:`dedup_cluster`
+    (where it groups near-duplicate documents), registered here on
+    its own with an exact recursive-CTE oracle so the
+    pointer-jumping core is driver-certified directly, not only
+    through the LSH pipeline that feeds it.
+
+    Scale shape is :func:`connected_components`'s: neighbor-min
+    propagation fused with pointer jumping halves label distances
+    per round (O(log diameter) iterations), each iteration is one
+    equi-join + min-aggregate on stage-cut O(V) state, and
+    non-convergence raises rather than returning wrong labels.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    labels = connected_components(
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return labels.select(F.col("node").alias("part_id"), "component")

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_server_spark.functions import (
     adpcm,
+    aiff,
     avi,
     bmp,
     flac,
@@ -61,6 +62,7 @@ from map_reduce_server_spark.functions import (
     gif,
     jpeg,
     png,
+    tga,
     tiff,
     wavcodec,
 )
@@ -1952,3 +1954,201 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     image leg."""
     docs = load_table(spark, sf_dir, "documents")
     return _px_stats_select(bmp_stats(with_bmp_payload(docs)))
+
+
+# ---------------------------------------------------------------
+# TGA — run-length packets, origin bit, v2 footer (round-15 queue).
+
+_TGA_W, _TGA_H = 8, 6  # 48 gray bytes, same tie-free divisor domain
+
+
+def with_tga_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL 8x6 grayscale RLE TGA per document (pure-stdlib
+    encoder; pixels = the full 48 bytes of the three chained md5
+    digests). Row origin alternates by doc parity — even docs
+    bottom-up (the TGA default), odd docs top-down (descriptor bit
+    0x20) — so the decode stage exercises BOTH origins while the
+    oracle stays origin-invariant (pixel multiset is identical)."""
+    flat = docs.select(
+        "doc_id",
+        F.concat(
+            F.md5(F.col("text")),
+            F.md5(F.concat(F.lit("x"), F.col("text"))),
+            F.md5(F.concat(F.lit("y"), F.col("text"))),
+        ).alias("pix_hex"),
+        (F.col("doc_id") % 2 == 1).alias("td"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = [
+                None
+                if h is None
+                else tga.encode_gray8(
+                    _TGA_W, _TGA_H, bytes.fromhex(h), top_down=bool(td)
+                )
+                for h, td in zip(pdf["pix_hex"], pdf["td"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def tga_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real TGA payloads: header walk, RLE
+    run/literal packet expansion with the no-line-crossing rule,
+    origin-bit row assembly, then per-image pixel statistics."""
+    return _px_stats_stage(df, tga.decode_gray8)
+
+
+# Oracle for the UNREGISTERED multimodal_decode_tga below (round-15
+# registration queue): identical pixel statistics recomputed from
+# the md5 hex (48-byte pixel source, divisor already in the
+# tie-free-by-enumeration proof of _px_stats_select).
+_TGA_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, list_transform(range(1, 49),
+           i -> CAST(('0x' || substr({_SQL_PIX_HEX}, i*2-1, 2))
+                AS BIGINT)) AS bs
+  FROM documents WHERE text IS NOT NULL),
+st AS (
+  SELECT doc_id, CAST({_TGA_W} AS INTEGER) AS width,
+         CAST({_TGA_H} AS INTEGER) AS height,
+         round(CAST(list_sum(bs) AS DOUBLE) / 48, 6) AS mean_px,
+         CAST(list_max(bs) AS INTEGER) AS max_px
+  FROM px)
+SELECT d.doc_id, st.width, st.height, st.mean_px, st.max_px
+FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+"""
+
+
+def multimodal_decode_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for the RUN-LENGTH compression family:
+    encode each document's md5-derived pixels as an actual RLE TGA
+    (run/literal packets, per-scan-line framing, origin-bit row
+    order alternating by doc parity, trailing v2 footer) and decode
+    it back with the pure-stdlib parser. PNG covers DEFLATE, GIF
+    covers LZW, JPEG covers entropy coding — TGA adds byte-oriented
+    RLE, the simplest compression scheme still shipped in
+    scan/game-asset corpora, plus a trailing footer that breaks any
+    pixels-run-to-EOF assumption. Same zero-shuffle Arrow-batched
+    mapInPandas scale shape as every image leg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _px_stats_select(tga_stats(with_tga_payload(docs)))
+
+
+# ---------------------------------------------------------------
+# AIFF — big-endian IFF container, 80-bit extended sample rate
+# (round-15 queue).
+
+_AIFF_N = 32  # samples per clip (dyadic -> exact mean_abs)
+# 44100 is deliberately NOT a power of two: packing it into the
+# 80-bit extended field exercises real mantissa alignment (bit
+# pattern 0x400E_AC44000000000000), where 8000 = 2^6 * 125 would
+# still pass with an off-by-one exponent on round numbers.
+_AIFF_RATE = 44100
+_SQL_AIFF_HEX = (
+    "md5('af1' || text) || md5('af2' || text) || "
+    "md5('af3' || text) || md5('af4' || text)"
+)
+# sample i (1-based): little-endian signed int16 from hex byte pair
+# — the SAMPLE VALUES are derived LE from the hex exactly like the
+# WAV/FLAC legs (one shared recipe), while the FILE stores them
+# big-endian; the decode stage owns that byte swap.
+_SQL_AIFF_SAMPLES = f"""
+  list_transform(range(1, {_AIFF_N} + 1), i ->
+    CAST(('0x' || substr({_SQL_AIFF_HEX}, i*4-3, 2)) AS BIGINT)
+    + 256 * CAST(('0x' || substr({_SQL_AIFF_HEX}, i*4-1, 2)) AS BIGINT)
+    - CASE WHEN CAST(('0x' || substr({_SQL_AIFF_HEX}, i*4-1, 2)) AS BIGINT)
+                >= 128 THEN 65536 ELSE 0 END)
+"""
+
+
+def with_aiff_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL mono 16-bit AIFF per document (pure-stdlib
+    encoder: big-endian FORM/AIFF chunk framing, 80-bit extended
+    sample rate, big-endian PCM body)."""
+    hex_col = F.concat(
+        F.md5(F.concat(F.lit("af1"), F.col("text"))),
+        F.md5(F.concat(F.lit("af2"), F.col("text"))),
+        F.md5(F.concat(F.lit("af3"), F.col("text"))),
+        F.md5(F.concat(F.lit("af4"), F.col("text"))),
+    )
+    flat = docs.select("doc_id", hex_col.alias("sample_hex"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        for pdf in batches:
+            payload = pdf["sample_hex"].map(
+                _nn(
+                    lambda h: aiff.encode_pcm16(
+                        list(
+                            _struct.unpack(
+                                f"<{_AIFF_N}h", bytes.fromhex(h)
+                            )
+                        ),
+                        _AIFF_RATE,
+                    )
+                )
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payload}
+            )
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def aiff_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real AIFF payloads: IFF chunk walk (unknown
+    chunks skipped by size, odd-length pad bytes honored), 80-bit
+    extended rate decode, big-endian PCM unpack — then the shared
+    per-clip sample statistics (any ``bytes -> (rate, samples)``
+    decoder fits the stage)."""
+    return _g711_stats(df, aiff.decode_pcm16)
+
+
+# Oracle for the UNREGISTERED multimodal_decode_aiff below (round-15
+# registration queue): identical int16 samples recomputed from the
+# md5 hex; divisor 32 is dyadic, so mean_abs is exact on both
+# engines before the shared 6-digit round.
+_AIFF_ORACLE = f"""
+WITH sm AS (
+  SELECT doc_id, {_SQL_AIFF_SAMPLES} AS s FROM documents
+  WHERE text IS NOT NULL),
+st AS (
+  SELECT doc_id, CAST({_AIFF_RATE} AS INTEGER) AS framerate,
+         CAST({_AIFF_N} AS INTEGER) AS n_samples,
+         round(CAST(list_sum(list_transform(s, x -> abs(x))) AS DOUBLE)
+               / {_AIFF_N}, 6) AS mean_abs,
+         CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER)
+           AS max_abs
+  FROM sm)
+SELECT d.doc_id, st.framerate, st.n_samples, st.mean_abs, st.max_abs
+FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+"""
+
+
+def multimodal_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for the BIG-ENDIAN IFF container family:
+    encode each document's md5-derived int16 samples as an actual
+    FORM/AIFF file and decode it back with the pure-stdlib parser.
+    WAV covers RIFF (little-endian); AIFF is its EA-IFF 85 ancestor
+    with the opposite byte order throughout AND the 80-bit IEEE
+    extended sample-rate field — the one place a pipeline still
+    parses x87 extended precision, done here as exact integer
+    arithmetic (a double round-trip would pass every power-of-two
+    rate and silently corrupt others). The oracle recomputes the
+    identical samples straight from the md5 hex, so a bug in chunk
+    walking, pad-byte accounting, the extended-float decode, or the
+    big-endian PCM swap breaks the hash match. Same zero-shuffle
+    Arrow-batched mapInPandas scale shape as every audio leg."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = aiff_stats(with_aiff_payload(docs))
+    return stats.select(
+        "doc_id",
+        "framerate",
+        "n_samples",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "max_abs",
+    )

@@ -190,3 +190,46 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("error_id").agg(
         F.count("event_id").alias("n_nearby")
     )
+
+
+# Oracle for the UNREGISTERED q_lateral_topk below (round-15
+# registration queue). DuckDB requires an explicit ON TRUE for JOIN
+# LATERAL; the inner ORDER BY ends in the unique c_custkey so the
+# top-3 cut is engine-independent.
+_LATERAL_ORACLE = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n JOIN LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t ON TRUE
+"""
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery in FROM — per outer row, a
+    dependent ORDER BY ... LIMIT relation (here: each nation's top-3
+    customers by balance, unique-key tie-break) — the SQL-standard
+    form of per-group top-k that q_topk_per_group expresses as a
+    window rank. Both front doors must exist: BI tools and migrated
+    warehouse SQL write LATERAL, and Catalyst's DecorrelateInnerQuery
+    must plan it without a per-outer-row re-execution.
+
+    Scale shape: Catalyst decorrelates the lateral into a single
+    partition-wide join + per-key limit (no iteration over outer
+    rows); the dimension side (nation, 25 rows) broadcasts, so the
+    only shuffle is the customer side's per-nation ordering — the
+    same physical shape as the window-rank formulation, reached from
+    the opposite (SQL-first) surface.
+    """
+    from map_reduce_server_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+        """
+    )

@@ -1368,3 +1368,67 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# Oracle for the UNREGISTERED text_inverted_index below (round-15
+# registration queue). Postings sort NUMERICALLY before the string
+# join on both sides — a lexicographic sort would order doc 10
+# before doc 9 on whichever engine stringified first.
+_INVERTED_INDEX_ORACLE = f"""
+WITH pairs AS (
+  SELECT doc_id, unnest({_SQL_NE_TOKENS}) AS token FROM documents),
+perdoc AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM pairs GROUP BY 1, 2)
+SELECT token,
+       COUNT(*) AS df,
+       CAST(SUM(tf) AS BIGINT) AS tf_total,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
+FROM perdoc GROUP BY token HAVING COUNT(*) >= 2
+"""
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token -> (document frequency,
+    corpus term frequency, sorted posting list) with hapax pruning
+    (df >= 2) — the index-build pass behind every sparse-retrieval
+    system (text_bm25 consumes exactly these statistics; this
+    operator MATERIALIZES the index as data, the batch equivalent of
+    Lucene segment writing).
+
+    Scale shape: tokenize -> explode -> ONE shuffle to per-(token,
+    doc) term frequencies -> one shuffle to token postings; both are
+    partial+final hash aggregates, and the posting list is built
+    from the already-deduplicated per-doc rows, never from raw token
+    occurrences. Posting lists are the operator's honest scale
+    boundary: a stopword's list is O(corpus docs) in one row (the
+    reason real indexes shard postings by doc range); the df floor
+    and the fact that postings carry doc IDS, not text, keep row
+    payloads bounded at the gate SFs. Sort is numeric BEFORE the
+    string render (lexicographic '10'<'9' would diverge between
+    engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    perdoc = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens_col(F.col("text"), keep_empty=False)).alias(
+                "token"
+            ),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        perdoc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 2)
+    )

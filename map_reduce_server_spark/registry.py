@@ -511,9 +511,21 @@ _CHANGED_R14: frozenset[str] = frozenset()
 # Round-14 registered the former registration queue (graph_bfs_hops,
 # q_bloom_prefilter_join, text_collocations, q_window_time_range,
 # multimodal_decode_tiff, multimodal_decode_bmp, stream_sessionize)
-# → 214 registered. The round-15 registration queue is staged below
-# as it is built (oracle constant + driver-grade parity test in tree
-# BEFORE the one-line @register lands next round).
+# → 214 registered.
+# Round-15 registration queue — gate-ready (oracle constant +
+# driver-grade parity test in tree, sim-registration gate green);
+# registering each is one @register decorator:
+#   q_lateral_topk            (operators/subqueries.py,
+#                              _LATERAL_ORACLE)
+#   q_bitmap_distinct         (operators/advanced.py,
+#                              _BITMAP_DISTINCT_ORACLE)
+#   text_inverted_index       (operators/text.py,
+#                              _INVERTED_INDEX_ORACLE)
+#   graph_connected_components (operators/clustering.py, _CC_ORACLE)
+#   multimodal_decode_tga     (operators/multimodal.py, _TGA_ORACLE)
+#   multimodal_decode_aiff    (operators/multimodal.py, _AIFF_ORACLE)
+#   stream_stateful_counts    (streaming/events.py,
+#                              _STREAM_STATEFUL_ORACLE)
 
 # Rounds FRESHEST-FIRST with their green sets — the single place a
 # new round is added. _EVER_GREEN and _stale_first both derive from

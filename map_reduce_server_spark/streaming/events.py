@@ -431,7 +431,10 @@ _SESSIONIZE_FLUSH_TS = "2035-01-01 00:00:00"
 
 
 def _events_stream_timeordered(
-    spark: SparkSession, sf_dir: str, n_files: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    sentinel: bool = True,
 ) -> tuple[DataFrame, str]:
     """Streaming DataFrame over the bounded events table staged as
     ``n_files`` TIME-RANGE files replayed one per micro-batch, plus a
@@ -450,6 +453,11 @@ def _events_stream_timeordered(
     SessionWindowing whenever it arrives), file names follow
     partition order, and explicit mtimes pin the file-source replay
     order deterministically; the sentinel gets the LAST mtime.
+
+    ``sentinel=False`` skips the flush row: NoTimeout stateful
+    operators carry no watermark, so nothing needs flushing and the
+    all-NULL sentinel row would instead surface as a spurious NULL
+    group key in the operator's own output.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     pin_utc_session(spark)
@@ -464,26 +472,6 @@ def _events_stream_timeordered(
         .write.mode("overwrite")
         .parquet(data_dir)
     )
-    # the flush sentinel: one far-future row, schema-identical (built
-    # FROM the normalized frame so ts carries the same type), written
-    # as its own file so it forms the final micro-batch
-    sent_dir = os.path.join(stage, "sentinel")
-    (
-        ev.limit(1)
-        .select(
-            *[
-                F.lit(None).cast(f.dataType).alias(f.name)
-                if f.name != "ts"
-                else F.lit(_SESSIONIZE_FLUSH_TS)
-                .cast("timestamp")
-                .alias("ts")
-                for f in ev.schema.fields
-            ]
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(sent_dir)
-    )
     parts = sorted(
         f
         for f in os.listdir(data_dir)
@@ -492,15 +480,37 @@ def _events_stream_timeordered(
     base = 1_600_000_000
     for i, f in enumerate(parts):
         os.utime(os.path.join(data_dir, f), (base + 10 * i, base + 10 * i))
-    sent = next(
-        f
-        for f in os.listdir(sent_dir)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    final_path = os.path.join(data_dir, "part-zz-sentinel.parquet")
-    shutil.copyfile(os.path.join(sent_dir, sent), final_path)
-    t = base + 10 * (len(parts) + 1)
-    os.utime(final_path, (t, t))
+    if sentinel:
+        # the flush sentinel: one far-future row, schema-identical
+        # (built FROM the normalized frame so ts carries the same
+        # type), written as its own file so it forms the final
+        # micro-batch
+        sent_dir = os.path.join(stage, "sentinel")
+        (
+            ev.limit(1)
+            .select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    if f.name != "ts"
+                    else F.lit(_SESSIONIZE_FLUSH_TS)
+                    .cast("timestamp")
+                    .alias("ts")
+                    for f in ev.schema.fields
+                ]
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(sent_dir)
+        )
+        sent = next(
+            f
+            for f in os.listdir(sent_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        final_path = os.path.join(data_dir, "part-zz-sentinel.parquet")
+        shutil.copyfile(os.path.join(sent_dir, sent), final_path)
+        t = base + 10 * (len(parts) + 1)
+        os.utime(final_path, (t, t))
     schema = spark.read.parquet(data_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -577,3 +587,49 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deltas.filter(
         F.col("s_start") < F.lit(_SESSIONIZE_FLUSH_TS).cast("timestamp")
     ).select("user_id", "s_start", "s_end", "n_events", "total_value")
+
+
+# Oracle for the UNREGISTERED stream_stateful_counts below (round-15
+# registration queue): the cents-exact running totals converge to a
+# plain batch aggregate (same decimal(30,2) per-value rounding as
+# dsum, so the SQL twin is the standard exact-sum rendering).
+_STREAM_STATEFUL_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator through the driver gate:
+    per-event-type running (count, exact-cents total) maintained by
+    ``applyInPandasWithState`` (streaming/stateful.py) across a
+    multi-batch time-ordered replay — the one streaming family
+    (arbitrary user state, beyond what window/session aggregation
+    can express) no registered query exercised yet.
+
+    The state is a (count, integer-cents) pair: each value rounds to
+    cents independently (HALF_UP on the shortest decimal repr,
+    exactly Spark's double->decimal(30,2) cast), so the fold is
+    associative and the final snapshot is independent of batch
+    boundaries — the streaming analog of the engine's exact-decimal
+    aggregation rule, which is precisely what makes a batch SQL twin
+    possible for a stateful operator. Replay is 4 time-range files,
+    one per micro-batch with NO flush sentinel (NoTimeout state
+    never needs a watermark), through the idempotent per-batch delta
+    sink; the result is the latest snapshot per key. At scale: state
+    is one integer pair per key, each batch emits only updated keys,
+    and nothing collects to the driver."""
+    from map_reduce_server_spark.streaming.stateful import (
+        running_counts_stream,
+    )
+
+    stream, stage = _events_stream_timeordered(
+        spark, sf_dir, sentinel=False
+    )
+    agg = running_counts_stream(stream)
+    return _run_update_to_deltas(
+        spark, agg, ["event_type"], stage, "mrss_stream_state_"
+    )

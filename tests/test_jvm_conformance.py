@@ -289,3 +289,44 @@ def test_our_bmp_decoder_reads_jdk_encoded_bmp(spark):
     baos = jvm.java.io.ByteArrayOutputStream()
     assert jvm.javax.imageio.ImageIO.write(img, "bmp", baos)
     assert bmp.decode_gray8(bytes(baos.toByteArray())) == (6, 8, pix)
+
+
+def test_aiff_decodes_in_javasound(spark):
+    """Our AIFF encoder's output must parse in javax.sound as
+    big-endian signed PCM at the exact (extended-float-carried)
+    sample rate — a third-party check on the IFF chunk framing and
+    the 80-bit rate field. (TGA has no JDK decoder; its conformance
+    story is the round-trip + strictness unit tests.)"""
+    from map_reduce_server_spark.functions import aiff
+
+    samples = [100, -200, 3000, -32768, 32767, 0, 7] * 5
+    f = aiff.encode_pcm16(samples, 44100)
+    fmt, data = _jsound(spark, f)
+    assert str(fmt.getEncoding()) == "PCM_SIGNED"
+    assert int(fmt.getSampleRate()) == 44100
+    assert fmt.getSampleSizeInBits() == 16
+    assert fmt.isBigEndian()
+    assert list(struct.unpack(f">{len(samples)}h", data)) == samples
+
+
+def test_our_aiff_decoder_reads_jdk_encoded_aiff(spark):
+    """Reverse direction: the JDK's AIFF writer output must decode
+    exactly in functions/aiff.py (including whatever chunk order and
+    padding the JDK emits)."""
+    from map_reduce_server_spark.functions import aiff
+
+    jvm = spark._jvm
+    samples = [100, -200, 3000, -32768, 32767, 0, 1]
+    raw = struct.pack(">7h", *samples)
+    fmt = jvm.javax.sound.sampled.AudioFormat(22050.0, 16, 1, True, True)
+    ais = jvm.javax.sound.sampled.AudioInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(raw)), fmt, 7
+    )
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.sound.sampled.AudioSystem.write(
+        ais, jvm.javax.sound.sampled.AudioFileFormat.Type.AIFF, baos
+    )
+    assert aiff.decode_pcm16(bytes(baos.toByteArray())) == (
+        22050,
+        samples,
+    )

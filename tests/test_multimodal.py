@@ -1330,3 +1330,119 @@ def test_bmp_codec_roundtrip_and_strictness():
     struct.pack_into("<I", rle, 30, 1)
     with _pytest.raises(NotImplementedError):
         bmp.decode_gray8(bytes(rle))
+
+
+def test_tga_codec_roundtrip_and_strictness():
+    """Unit round-trip: RLE grayscale survives encode/decode in both
+    row origins, runs actually compress, the v2 footer is ignored,
+    uncompressed type 3 decodes, and the strict envelope refuses
+    color-mapped/true-color files."""
+    import hashlib
+    import struct
+
+    import pytest as _pytest
+
+    from map_reduce_server_spark.functions import tga
+
+    pix = b"".join(hashlib.md5(t).digest() for t in (b"a", b"b", b"c"))
+    for td in (False, True):
+        f = tga.encode_gray8(8, 6, pix, top_down=td)
+        assert tga.decode_gray8(f) == (8, 6, pix)
+        assert f.endswith(b"TRUEVISION-XFILE.\x00")
+    # a run-heavy raster must compress below raw size
+    runs = bytes([7] * 100 + [9] * 60 + list(range(96)))
+    f = tga.encode_gray8(16, 16, runs)
+    assert len(f) < 18 + 256 + 26
+    assert tga.decode_gray8(f) == (16, 16, runs)
+    # a >128-px run must split into legal packets
+    wide = bytes([5] * 200 + [1, 2] * 28)
+    f = tga.encode_gray8(16, 16, wide)
+    assert tga.decode_gray8(f) == (16, 16, wide)
+    # uncompressed type 3, top-down
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 3, 0, 0, 0, 0, 0, 4, 2, 8, 0x20
+    )
+    assert tga.decode_gray8(hdr + bytes(range(8))) == (4, 2, bytes(range(8)))
+    # strictness: color-mapped and RLE-crossing-scanline refuse
+    with _pytest.raises(NotImplementedError):
+        tga.decode_gray8(
+            struct.pack(
+                "<BBBHHBHHHHBB", 0, 1, 1, 0, 0, 0, 0, 0, 4, 2, 8, 0
+            )
+            + b"x" * 8
+        )
+    # RLE packet crossing a scan line: one 8-px run over two 4-px rows
+    bad = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 11, 0, 0, 0, 0, 0, 4, 2, 8, 0x20
+    ) + bytes([0x87, 0xFF])
+    with _pytest.raises(ValueError):
+        tga.decode_gray8(bad)
+
+
+def test_tga_decode_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED multimodal_decode_tga
+    (round-15 registration queue): RLE packet expansion + origin-bit
+    assembly decode to the md5-derived pixel statistics."""
+    from map_reduce_server_spark.operators.multimodal import (
+        _TGA_ORACLE,
+        multimodal_decode_tga,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = multimodal_decode_tga(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _TGA_ORACLE, sf_small)
+    assert ok, msg
+    assert df.count() == 500
+
+
+def test_aiff_codec_roundtrip_and_strictness():
+    """Unit round-trip: mono PCM16 survives encode/decode, the
+    80-bit extended rate is exact for awkward rates, unknown chunks
+    skip by size with pad bytes honored, AIFC refuses."""
+    import struct
+
+    import pytest as _pytest
+
+    from map_reduce_server_spark.functions import aiff
+
+    for rate in (8000, 11025, 22050, 44100, 48000, 96000, 192000, 1):
+        assert aiff._unpack_extended(aiff._pack_extended(rate)) == rate
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321] * 5
+    f = aiff.encode_pcm16(samples, 44100)
+    assert aiff.decode_pcm16(f) == (44100, samples)
+    # splice an ODD-length unknown chunk before COMM: the walker must
+    # skip it plus its pad byte
+    body = f[12:]
+    extra = b"NAME" + struct.pack(">L", 5) + b"hello" + b"\x00"
+    spliced = (
+        b"FORM"
+        + struct.pack(">L", 4 + len(extra) + len(body))
+        + b"AIFF"
+        + extra
+        + body
+    )
+    assert aiff.decode_pcm16(spliced) == (44100, samples)
+    with _pytest.raises(NotImplementedError):
+        aiff.decode_pcm16(b"FORM" + struct.pack(">L", 4) + b"AIFC")
+    with _pytest.raises(ValueError):
+        aiff.decode_pcm16(b"RIFF" + struct.pack(">L", 4) + b"AIFF")
+    # non-integer extended rate refuses (mantissa low bit set below
+    # the integer boundary)
+    with _pytest.raises(ValueError):
+        aiff._unpack_extended(struct.pack(">HQ", 16383, (1 << 63) | 1))
+
+
+def test_aiff_decode_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED multimodal_decode_aiff
+    (round-15 registration queue): IFF walk + extended-rate decode +
+    big-endian PCM land exactly on the md5-derived samples."""
+    from map_reduce_server_spark.operators.multimodal import (
+        _AIFF_ORACLE,
+        multimodal_decode_aiff,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = multimodal_decode_aiff(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _AIFF_ORACLE, sf_small)
+    assert ok, msg
+    assert df.count() == 500

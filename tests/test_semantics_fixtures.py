@@ -944,3 +944,107 @@ def test_window_time_range_matches_oracle(spark, sf_small):
     assert ok, msg
     # a row's own event is always inside its trailing frame
     assert df.filter(F.col("n_trailing_30m") < 1).count() == 0
+
+
+def test_lateral_topk_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_lateral_topk
+    (round-15 registration queue): Catalyst's decorrelated LATERAL
+    ORDER BY/LIMIT must agree with DuckDB's lateral execution,
+    unique-key tie-break included."""
+    from map_reduce_server_spark.operators.subqueries import (
+        _LATERAL_ORACLE,
+        q_lateral_topk,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_lateral_topk(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _LATERAL_ORACLE, sf_small)
+    assert ok, msg
+    # every nation contributes at most 3 rows
+    import pyspark.sql.functions as F
+
+    over = (
+        df.groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 3)
+        .count()
+    )
+    assert over == 0
+
+
+def test_bitmap_distinct_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_bitmap_distinct
+    (round-15 registration queue): the bitmap OR-aggregation is
+    EXACT, so it must land bit-identically on COUNT(DISTINCT)."""
+    from map_reduce_server_spark.operators.advanced import (
+        _BITMAP_DISTINCT_ORACLE,
+        q_bitmap_distinct,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_bitmap_distinct(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _BITMAP_DISTINCT_ORACLE, sf_small)
+    assert ok, msg
+    assert df.count() >= 1
+
+
+def test_bitmap_distinct_helper_edge_cases(spark):
+    """bitmap_distinct unit edges: NULL ids excluded like
+    COUNT(DISTINCT), duplicates collapse, ids straddling word
+    boundaries (63/64) count once each."""
+    from map_reduce_server_spark.operators.advanced import bitmap_distinct
+
+    rows = [
+        ("a", 0), ("a", 0), ("a", 63), ("a", 64), ("a", None),
+        ("b", None), ("b", 128),
+    ]
+    df = spark.createDataFrame(rows, "g string, id bigint")
+    got = {
+        (r.g, r.n_distinct)
+        for r in bitmap_distinct(df, "g", "id").collect()
+    }
+    assert got == {("a", 3), ("b", 1)}
+
+
+def test_graph_connected_components_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED
+    graph_connected_components (round-15 registration queue): the
+    pointer-jumping labels must equal the recursive-CTE closure's
+    min-label components."""
+    from map_reduce_server_spark.operators.clustering import (
+        _CC_ORACLE,
+        graph_connected_components,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = graph_connected_components(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _CC_ORACLE, sf_small)
+    assert ok, msg
+    rows = {r.part_id: r.component for r in df.collect()}
+    assert rows
+    # labels are component minima: every label labels itself
+    assert all(rows[c] == c for c in set(rows.values()))
+
+
+def test_inverted_index_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED text_inverted_index
+    (round-15 registration queue): df/tf marginals and the
+    numerically-sorted posting strings must match DuckDB's."""
+    from map_reduce_server_spark.operators.text import (
+        _INVERTED_INDEX_ORACLE,
+        text_inverted_index,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = text_inverted_index(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _INVERTED_INDEX_ORACLE, sf_small)
+    assert ok, msg
+    rows = df.collect()
+    assert rows
+    for r in rows[:50]:
+        ids = r.postings.split(",")
+        assert len(ids) == r.df >= 2
+        assert r.tf_total >= r.df
+        # numeric, strictly increasing posting order
+        nums = [int(x) for x in ids]
+        assert nums == sorted(nums) and len(set(nums)) == len(nums)

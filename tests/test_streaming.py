@@ -48,3 +48,20 @@ def test_stream_sessionize_matches_oracle(spark, sf_small):
     assert n > 0
     assert df.select("user_id", "s_start").distinct().count() == n
     assert df.filter(F.col("s_start") >= "2035-01-01").count() == 0
+
+
+def test_stream_stateful_counts_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED stream_stateful_counts
+    (round-15 registration queue): applyInPandasWithState running
+    (count, exact-cents total) across the sentinel-free multi-batch
+    replay must converge to the batch aggregate."""
+    from map_reduce_server_spark.streaming.events import (
+        _STREAM_STATEFUL_ORACLE,
+        stream_stateful_counts,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = stream_stateful_counts(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _STREAM_STATEFUL_ORACLE, sf_small)
+    assert ok, msg
+    assert df.count() >= 1
