@@ -1581,6 +1581,73 @@ def test_fuzz_set_ops(spark, duck, op, preda, predb):
     assert ok, f"{msg}\nplan: op={op} preda={preda} predb={predb}\nsql: {sql}"
 
 
+# --- correlated LATERAL top-k fuzz -------------------------------------------
+# Catalyst rewrites a correlated LATERAL ORDER BY/LIMIT through
+# DecorrelateInnerQuery into WindowGroupLimit + join; DuckDB executes
+# the lateral directly. One SQL string drives both engines (modulo
+# DuckDB's mandatory ON TRUE) across join type (INNER drops
+# childless outers, LEFT null-extends them), sort direction, k, and
+# independent outer/inner predicates — the decorrelation plane the
+# staged q_lateral_topk pins at one configuration. The inner ORDER BY
+# always ends in the unique o_orderkey, so the k-cut is
+# engine-independent.
+
+
+def _lateral_sql(how, cpred, opred, desc, k, on_true):
+    d = "DESC" if desc else "ASC"
+    on = " ON TRUE" if on_true else ""
+    return (
+        "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice "
+        f"FROM customer c {how} JOIN LATERAL ("
+        "SELECT o_orderkey, o_totalprice FROM orders o "
+        f"WHERE o.o_custkey = c.c_custkey AND {pred_sql(opred)} "
+        f"ORDER BY o_totalprice {d}, o_orderkey LIMIT {k}) t{on} "
+        f"WHERE {pred_sql(cpred)}"
+    )
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 20,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(["", "LEFT"]),
+    cpred=table_pred(CUSTOMER_SPEC, max_leaves=3),
+    opred=table_pred(ORDERS_SPEC, max_leaves=3),
+    desc=st.booleans(),
+    k=st.integers(1, 5),
+)
+# LEFT + selective inner: null-extension of childless customers
+@example(
+    how="LEFT",
+    cpred=("num", "c_acctbal", "<", 0.0),
+    opred=("num", "o_totalprice", ">", 400000.0),
+    desc=True,
+    k=2,
+)
+# INNER + k=1: the argmax-per-group degenerate case
+@example(
+    how="",
+    cpred=("int", "c_custkey", ">=", 0),
+    opred=("str", "o_orderstatus", "<>", "P"),
+    desc=False,
+    k=1,
+)
+def test_fuzz_lateral_topk(spark, duck, how, cpred, opred, desc, k):
+    from map_reduce_server_spark.tables import register_views
+
+    register_views(spark, SF)
+    out = spark.sql(_lateral_sql(how, cpred, opred, desc, k, False))
+    sql = _lateral_sql(how, cpred, opred, desc, k, True)
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, (
+        f"{msg}\nplan: how={how or 'INNER'} cpred={cpred} opred={opred} "
+        f"desc={desc} k={k}\nsql: {sql}"
+    )
+
+
 # --- set-ops x duplicates x NULL-keys fuzz -----------------------------------
 # The table-backed family above never sees a NULL key or a controlled
 # duplicate multiplicity. This plane drives the classic cross-engine
