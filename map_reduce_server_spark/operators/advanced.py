@@ -2471,20 +2471,24 @@ def bitmap_distinct(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
     per-id duplication — where COUNT(DISTINCT id) moves one row per
     distinct (group, id) pair. Words are mergeable state: shards
     aggregated separately OR together losslessly (incremental
-    rollups, cross-datacenter merge). NULL ids are excluded, like
-    COUNT(DISTINCT). At 1e9 ids a fully-occupied group carries 16M
-    words; the (group, word_idx) key distributes them evenly."""
-    bit = F.expr(f"shiftleft(1L, CAST({id_col} % 64 AS INT))")
-    words = (
-        df.filter(F.col(id_col).isNotNull())
-        .groupBy(
-            F.col(group_col),
-            (F.col(id_col) / 64).cast("long").alias("word_idx"),
-        )
-        .agg(F.bit_or(bit).alias("bits"))
+    rollups, cross-datacenter merge). NULL ids contribute no bits —
+    like COUNT(DISTINCT) — but the GROUP itself survives: a group
+    whose ids are all NULL reports 0, exactly as COUNT(DISTINCT)
+    does (a pre-filter would delete the group instead). At 1e9 ids a
+    fully-occupied group carries 16M words; the (group, word_idx)
+    key distributes them evenly."""
+    bit = F.when(
+        F.col(id_col).isNotNull(),
+        F.expr(f"shiftleft(1L, CAST({id_col} % 64 AS INT))"),
     )
+    words = df.groupBy(
+        F.col(group_col),
+        (F.col(id_col) / 64).cast("long").alias("word_idx"),
+    ).agg(F.bit_or(bit).alias("bits"))
     return words.groupBy(group_col).agg(
-        F.sum(F.bit_count("bits")).alias("n_distinct")
+        F.sum(F.coalesce(F.bit_count("bits"), F.lit(0))).alias(
+            "n_distinct"
+        )
     )
 
 

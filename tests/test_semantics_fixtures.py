@@ -991,19 +991,22 @@ def test_bitmap_distinct_matches_oracle(spark, sf_small):
 def test_bitmap_distinct_helper_edge_cases(spark):
     """bitmap_distinct unit edges: NULL ids excluded like
     COUNT(DISTINCT), duplicates collapse, ids straddling word
-    boundaries (63/64) count once each."""
+    boundaries (63/64) count once each, and a group whose ids are
+    ALL NULL survives at 0 (COUNT(DISTINCT) keeps the group; a
+    pre-filter would delete it)."""
     from map_reduce_server_spark.operators.advanced import bitmap_distinct
 
     rows = [
         ("a", 0), ("a", 0), ("a", 63), ("a", 64), ("a", None),
         ("b", None), ("b", 128),
+        ("c", None), ("c", None),
     ]
     df = spark.createDataFrame(rows, "g string, id bigint")
     got = {
         (r.g, r.n_distinct)
         for r in bitmap_distinct(df, "g", "id").collect()
     }
-    assert got == {("a", 3), ("b", 1)}
+    assert got == {("a", 3), ("b", 1), ("c", 0)}
 
 
 def test_graph_connected_components_matches_oracle(spark, sf_small):
