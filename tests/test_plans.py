@@ -460,3 +460,41 @@ def test_knn_classifier_no_python_eval(spark, sf_small):
     df = registry.QUERIES["q_knn_classifier"](spark, sf_small)
     plan = explain_str(df)
     assert "BatchEvalPython" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_small):
+    """The staged q_lateral_topk must decorrelate: WindowGroupLimit
+    (per-key limit pushed below the exchange) + broadcast of the
+    25-row nation dimension, never a nested-loop / cartesian
+    re-execution per outer row."""
+    from map_reduce_server_spark.operators.subqueries import q_lateral_topk
+
+    plan = explain_str(q_lateral_topk(spark, sf_small))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bitmap_distinct_partial_aggregates(spark, sf_small):
+    """The staged q_bitmap_distinct's level-1 bit_or must plan as a
+    partial+final hash aggregate — the map side collapses each
+    partition's ids into local words BEFORE the shuffle, which is
+    the whole point of the bitmap formulation — with no Expand node
+    (the COUNT(DISTINCT) rewrite it replaces)."""
+    from map_reduce_server_spark.operators.advanced import q_bitmap_distinct
+
+    plan = explain_str(q_bitmap_distinct(spark, sf_small))
+    assert "partial_bit_or" in plan or "partial_" in plan
+    assert "Expand" not in plan
+
+
+def test_inverted_index_no_raw_token_shuffle(spark, sf_small):
+    """The staged text_inverted_index must aggregate partially before
+    each exchange (raw exploded token occurrences never shuffle) and
+    stay out of Python row UDFs."""
+    from map_reduce_server_spark.operators.text import text_inverted_index
+
+    plan = explain_str(text_inverted_index(spark, sf_small))
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
