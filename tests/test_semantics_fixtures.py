@@ -1051,3 +1051,55 @@ def test_inverted_index_matches_oracle(spark, sf_small):
         # numeric, strictly increasing posting order
         nums = [int(x) for x in ids]
         assert nums == sorted(nums) and len(set(nums)) == len(nums)
+
+
+def test_bitmap_distinct_words_merge_losslessly(spark, sf_small):
+    """The SCALING.md mergeability claim, executed: aggregating two
+    disjoint shards separately and OR-merging their word tables must
+    equal aggregating the union directly — the property that lets
+    bitmap state roll up incrementally / across datacenters."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_server_spark.operators.advanced import bitmap_distinct
+    from map_reduce_server_spark.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").select(
+        "event_type", "user_id"
+    )
+    whole = {
+        (r.event_type, r.n_distinct)
+        for r in bitmap_distinct(ev, "event_type", "user_id").collect()
+    }
+
+    def words(df):
+        bit = F.when(
+            F.col("user_id").isNotNull(),
+            F.expr("shiftleft(1L, CAST(user_id % 64 AS INT))"),
+        )
+        return df.groupBy(
+            "event_type",
+            (F.col("user_id") / 64).cast("long").alias("word_idx"),
+        ).agg(F.bit_or(bit).alias("bits"))
+
+    # two disjoint shards by event id parity
+    ev2 = load_table(spark, sf_small, "events")
+    sh0 = ev2.filter(F.col("event_id") % 2 == 0).select(
+        "event_type", "user_id"
+    )
+    sh1 = ev2.filter(F.col("event_id") % 2 == 1).select(
+        "event_type", "user_id"
+    )
+    merged = (
+        words(sh0)
+        .unionAll(words(sh1))
+        .groupBy("event_type", "word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.coalesce(F.bit_count("bits"), F.lit(0))).alias(
+                "n_distinct"
+            )
+        )
+    )
+    got = {(r.event_type, r.n_distinct) for r in merged.collect()}
+    assert got == whole
