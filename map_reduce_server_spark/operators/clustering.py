@@ -857,3 +857,85 @@ def graph_connected_components(
         e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
     return labels.select(F.col("node").alias("part_id"), "component")
+
+
+_JACC_MIN_COMMON = 1  # emit pairs sharing at least one neighbor
+
+# Oracle for the UNREGISTERED graph_jaccard_neighbors below
+# (round-16 registration queue): same wedge enumeration + degree
+# marginals in SQL; round(…, 9) under the repo's libm/division
+# portability contract.
+_JACC_NEIGHBORS_ORACLE = f"""
+WITH e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= {_TRI_MINSUP}),
+ed AS (SELECT u AS src, v AS dst FROM e
+       UNION ALL SELECT v AS src, u AS dst FROM e),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM ed GROUP BY src),
+common AS (
+  SELECT e1.src AS a, e2.src AS b, COUNT(*) AS n_common
+  FROM ed e1 JOIN ed e2 ON e1.dst = e2.dst AND e1.src < e2.src
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_JACC_MIN_COMMON})
+SELECT c.a AS part_a, c.b AS part_b,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       round(CAST(c.n_common AS DOUBLE)
+             / (da.d + db.d - c.n_common), 9) AS jaccard
+FROM common c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
+"""
+
+
+def graph_jaccard_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neighborhood-similarity link prediction: for every part pair
+    sharing at least one co-purchase neighbor, the Jaccard overlap
+    of their neighbor sets ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` — the
+    classic common-neighbors recommender signal ("parts bought
+    alongside the same parts"), computed purely relationally.
+
+    Scale shape is the triangle count's: common neighbors enumerate
+    as WEDGES through an equi-join of the adjacency list with itself
+    on the shared endpoint (e1.dst = e2.dst, src < src — never an
+    all-pairs product), so work is O(Σ deg²) over the
+    support-thresholded graph, and the union size derives from the
+    two degree marginals (deg(a) + deg(b) − common) — no second pass
+    over edges. Adjacency is stage-cut once and reused by both the
+    wedge join and the degree aggregate."""
+    e = _copurchase_edges(spark, sf_dir)
+    ed = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(
+            e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .transform(stage_cut)
+    )
+    deg = ed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e1 = ed.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+    e2 = ed.select(F.col("src").alias("b"), F.col("dst").alias("w"))
+    common = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= _JACC_MIN_COMMON)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        common.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                9,
+            ).alias("jaccard"),
+        )
+    )

@@ -526,6 +526,10 @@ _CHANGED_R14: frozenset[str] = frozenset()
 #   multimodal_decode_aiff    (operators/multimodal.py, _AIFF_ORACLE)
 #   stream_stateful_counts    (streaming/events.py,
 #                              _STREAM_STATEFUL_ORACLE)
+# Round-16 queue head, staged early (same gate status):
+#   text_chunk_windows        (operators/text.py, _CHUNK_ORACLE)
+#   graph_jaccard_neighbors   (operators/clustering.py,
+#                              _JACC_NEIGHBORS_ORACLE)
 
 # Rounds FRESHEST-FIRST with their green sets — the single place a
 # new round is added. _EVER_GREEN and _stale_first both derive from

@@ -1103,3 +1103,58 @@ def test_bitmap_distinct_words_merge_losslessly(spark, sf_small):
     )
     got = {(r.event_type, r.n_distinct) for r in merged.collect()}
     assert got == whole
+
+
+def test_chunk_windows_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED text_chunk_windows
+    (round-16 registration queue): overlapping token windows with
+    identical boundary arithmetic on both engines."""
+    from map_reduce_server_spark.operators.text import (
+        _CHUNK_ORACLE,
+        _CHUNK_S,
+        _CHUNK_W,
+        text_chunk_windows,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = text_chunk_windows(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _CHUNK_ORACLE, sf_small)
+    assert ok, msg
+    rows = df.collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, ch in by_doc.items():
+        ch.sort(key=lambda r: r.chunk_idx)
+        # contiguous indices from 0; only the tail chunk may be short
+        assert [r.chunk_idx for r in ch] == list(range(len(ch))), doc
+        assert all(r.n_tokens == _CHUNK_W for r in ch[:-1]), doc
+        assert 1 <= ch[-1].n_tokens <= _CHUNK_W, doc
+        # stride coverage: every token index falls in some window
+        last = ch[-1]
+        total = last.chunk_idx * _CHUNK_S + last.n_tokens
+        assert all(
+            len(r.chunk_text.split(" ")) == r.n_tokens for r in ch
+        ), doc
+        assert total >= len(ch[0].chunk_text.split(" ")), doc
+
+
+def test_graph_jaccard_neighbors_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED graph_jaccard_neighbors
+    (round-16 registration queue): wedge-enumerated common-neighbor
+    Jaccard with degree-derived union sizes."""
+    from map_reduce_server_spark.operators.clustering import (
+        _JACC_NEIGHBORS_ORACLE,
+        graph_jaccard_neighbors,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = graph_jaccard_neighbors(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _JACC_NEIGHBORS_ORACLE, sf_small)
+    assert ok, msg
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert 0.0 < r.jaccard <= 1.0
