@@ -1581,6 +1581,80 @@ def test_fuzz_set_ops(spark, duck, op, preda, predb):
     assert ok, f"{msg}\nplan: op={op} preda={preda} predb={predb}\nsql: {sql}"
 
 
+# --- calendar-INTERVAL RANGE window-frame fuzz --------------------------------
+# q_window_time_range pins ONE configuration of the time-valued RANGE
+# frame (30 min trailing per user); this sweeps frame length, unit,
+# direction (trailing / centered / leading), and aggregate. The whole
+# query is ONE SQL string rendered to both engines — PySpark's
+# Window.rangeBetween takes longs only, so SQL is the single surface
+# Spark exposes calendar frames through. NULL ts rows are filtered
+# (the engines' default NULL sort order differs inside RANGE
+# ordering) and frames are value-based, so tied timestamps see each
+# other symmetrically — no unique tie-break needed.
+
+_TR_FRAME = st.sampled_from(
+    [
+        ("trailing", "INTERVAL {n} {u} PRECEDING AND CURRENT ROW"),
+        (
+            "centered",
+            "INTERVAL {n} {u} PRECEDING AND INTERVAL {n} {u} FOLLOWING",
+        ),
+        ("leading", "CURRENT ROW AND INTERVAL {n} {u} FOLLOWING"),
+    ]
+)
+_TR_AGG = st.sampled_from(
+    [
+        ("n_frame", "COUNT(*)"),
+        ("sum_id", "CAST(SUM(event_id) {over} AS BIGINT)"),
+        ("min_id", "MIN(event_id)"),
+        ("max_id", "MAX(event_id)"),
+    ]
+)
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 20,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    frame=_TR_FRAME,
+    agg=_TR_AGG,
+    n=st.integers(1, 120),
+    unit=st.sampled_from(["MINUTE", "HOUR"]),
+)
+@example(
+    frame=(
+        "centered",
+        "INTERVAL {n} {u} PRECEDING AND INTERVAL {n} {u} FOLLOWING",
+    ),
+    agg=("sum_id", "CAST(SUM(event_id) {over} AS BIGINT)"),
+    n=30,
+    unit="MINUTE",
+)
+def test_fuzz_time_range_frames(spark, duck, frame, agg, n, unit):
+    from map_reduce_server_spark.tables import register_views
+
+    register_views(spark, SF)
+    bounds = frame[1].format(n=n, u=unit)
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        f"RANGE BETWEEN {bounds})"
+    )
+    name, expr = agg
+    rendered = expr.format(over=over) if "{over}" in expr else (
+        f"{expr} {over}"
+    )
+    sql = (
+        f"SELECT event_id, {rendered} AS {name} "
+        "FROM events WHERE ts IS NOT NULL"
+    )
+    out = spark.sql(sql)
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, f"{msg}\nplan: frame={frame[0]} agg={name} n={n} {unit}\nsql: {sql}"
+
+
 # --- bitmap-distinct fuzz -----------------------------------------------------
 # The bitmap OR-aggregation (operators/advanced.py bitmap_distinct)
 # claims bit-exact COUNT(DISTINCT) semantics including NULL ids and
