@@ -60,6 +60,7 @@ from map_reduce_server_spark.functions import (
     flac,
     g711,
     gif,
+    ico,
     jpeg,
     png,
     tga,
@@ -2151,4 +2152,121 @@ def multimodal_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.round("mean_abs", 6).alias("mean_abs"),
         "max_abs",
+    )
+
+
+# ---------------------------------------------------------------
+# ICO — multi-image directory container (round-16 queue).
+
+_ICO_W, _ICO_H = 8, 6  # entry 0: 48 gray bytes (tie-free divisor)
+_ICO_N_IMAGES = 2  # entry 1: a 4x4 thumbnail from one more digest
+
+
+def with_ico_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL two-entry ICO per document: entry 0 is the
+    shared 8x6 md5-derived raster (same pixel source as the
+    TIFF/BMP/TGA legs), entry 1 a 4x4 thumbnail from a fourth
+    digest — a genuine multi-image directory, so the decode stage
+    must walk ICONDIRENTRY offsets rather than assume one payload
+    per file."""
+    flat = docs.select(
+        "doc_id",
+        F.concat(
+            F.md5(F.col("text")),
+            F.md5(F.concat(F.lit("x"), F.col("text"))),
+            F.md5(F.concat(F.lit("y"), F.col("text"))),
+        ).alias("pix_hex"),
+        F.md5(F.concat(F.lit("i1"), F.col("text"))).alias("thumb_hex"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = [
+                None
+                if h is None
+                else ico.encode_gray8(
+                    [
+                        (_ICO_W, _ICO_H, bytes.fromhex(h)),
+                        (4, 4, bytes.fromhex(t)),
+                    ]
+                )
+                for h, t in zip(pdf["pix_hex"], pdf["thumb_hex"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def ico_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real ICO payloads: directory walk, doubled-
+    height DIB parse, palette map, AND-mask accounting — stats over
+    ENTRY 0 plus the directory count (the multi-image property)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dec = pdf["payload"].map(_nn(lambda b: ico.decode_gray8(bytes(b))))
+            first = dec.map(_nn(lambda imgs: imgs[0]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_images": dec.map(_nn(len)),
+                    "width": first.map(_nn(lambda t: t[0])),
+                    "height": first.map(_nn(lambda t: t[1])),
+                    "mean_px": first.map(
+                        _nn(lambda t: sum(t[2]) / len(t[2]))
+                    ),
+                    "max_px": first.map(_nn(lambda t: max(t[2]))),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id bigint, n_images int, width int, height int, "
+        "mean_px double, max_px int",
+    )
+
+
+# Oracle for the UNREGISTERED multimodal_decode_ico below (round-16
+# registration queue): entry-0 pixel statistics recomputed from the
+# md5 hex (48-byte source, divisor already tie-free by enumeration)
+# plus the constant directory count.
+_ICO_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, list_transform(range(1, 49),
+           i -> CAST(('0x' || substr({_SQL_PIX_HEX}, i*2-1, 2))
+                AS BIGINT)) AS bs
+  FROM documents WHERE text IS NOT NULL),
+st AS (
+  SELECT doc_id, CAST({_ICO_N_IMAGES} AS INTEGER) AS n_images,
+         CAST({_ICO_W} AS INTEGER) AS width,
+         CAST({_ICO_H} AS INTEGER) AS height,
+         round(CAST(list_sum(bs) AS DOUBLE) / 48, 6) AS mean_px,
+         CAST(list_max(bs) AS INTEGER) AS max_px
+  FROM px)
+SELECT d.doc_id, st.n_images, st.width, st.height, st.mean_px,
+       st.max_px
+FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+"""
+
+
+def multimodal_decode_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for the MULTI-IMAGE DIRECTORY container
+    family: encode each document's md5-derived rasters as an actual
+    two-entry Windows ICO and decode every entry back with the
+    pure-stdlib parser. PNG/GIF/TIFF/BMP/TGA are one image per file;
+    ICO is a directory of independently-offset image resources whose
+    DIB entries carry the height-DOUBLED XOR+AND mask layout and no
+    file header — the offsets-and-masks walk a naive BMP reader
+    cannot do (and PNG-compressed entries are refused, not
+    mis-parsed). Same zero-shuffle Arrow-batched mapInPandas scale
+    shape as every image leg."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = ico_stats(with_ico_payload(docs))
+    return stats.select(
+        "doc_id",
+        "n_images",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        "max_px",
     )

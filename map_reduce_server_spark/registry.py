@@ -530,6 +530,7 @@ _CHANGED_R14: frozenset[str] = frozenset()
 #   text_chunk_windows        (operators/text.py, _CHUNK_ORACLE)
 #   graph_jaccard_neighbors   (operators/clustering.py,
 #                              _JACC_NEIGHBORS_ORACLE)
+#   multimodal_decode_ico     (operators/multimodal.py, _ICO_ORACLE)
 
 # Rounds FRESHEST-FIRST with their green sets — the single place a
 # new round is added. _EVER_GREEN and _stale_first both derive from

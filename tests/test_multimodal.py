@@ -1446,3 +1446,59 @@ def test_aiff_decode_matches_oracle(spark, sf_small):
     ok, msg = compare_to_oracle(df, _AIFF_ORACLE, sf_small)
     assert ok, msg
     assert df.count() == 500
+
+
+def test_ico_codec_roundtrip_and_strictness():
+    """Unit round-trip: a two-entry grayscale ICO survives
+    encode/decode in directory order; PNG-compressed entries,
+    cursor-type directories, and dimension mismatches refuse."""
+    import hashlib
+    import struct
+
+    import pytest as _pytest
+
+    from map_reduce_server_spark.functions import ico
+
+    pix = b"".join(hashlib.md5(t).digest() for t in (b"a", b"b", b"c"))
+    small = hashlib.md5(b"z").digest()
+    f = ico.encode_gray8([(8, 6, pix), (4, 4, small)])
+    assert ico.decode_gray8(f) == [(8, 6, pix), (4, 4, small)]
+    # single-entry file too
+    f1 = ico.encode_gray8([(4, 4, small)])
+    assert ico.decode_gray8(f1) == [(4, 4, small)]
+    # PNG-compressed entry refuses
+    png_body = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    hdr = struct.pack("<HHH", 0, 1, 1) + struct.pack(
+        "<BBBBHHII", 4, 4, 0, 0, 1, 8, len(png_body), 6 + 16
+    )
+    with _pytest.raises(NotImplementedError):
+        ico.decode_gray8(hdr + png_body)
+    # cursor directories (type 2) refuse
+    with _pytest.raises(ValueError):
+        ico.decode_gray8(struct.pack("<HHH", 0, 2, 1) + b"\x00" * 16)
+    # directory/DIB dimension mismatch refuses: patch entry width
+    patched = bytearray(f1)
+    patched[6] = 5  # ICONDIRENTRY width byte
+    with _pytest.raises(ValueError):
+        ico.decode_gray8(bytes(patched))
+    # odd (non-doubled) DIB height refuses
+    patched = bytearray(f1)
+    struct.pack_into("<i", patched, 6 + 16 + 8, 7)  # biHeight
+    with _pytest.raises(ValueError):
+        ico.decode_gray8(bytes(patched))
+
+
+def test_ico_decode_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED multimodal_decode_ico
+    (round-16 registration queue): directory walk + doubled-height
+    DIB decode to the md5-derived entry-0 pixel statistics."""
+    from map_reduce_server_spark.operators.multimodal import (
+        _ICO_ORACLE,
+        multimodal_decode_ico,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = multimodal_decode_ico(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _ICO_ORACLE, sf_small)
+    assert ok, msg
+    assert df.count() == 500
