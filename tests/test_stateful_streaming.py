@@ -457,3 +457,67 @@ def test_stateful_ttl_offset_session_tz(spark, tmp_path):
         assert a_rows == [(1, 1.0), (2, 6.0)], a_rows
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stateful_counts_batch_split_invariant(spark, tmp_path):
+    """The associativity claim behind stream_stateful_counts'
+    batch-SQL oracle, executed: the same rows replayed as ONE
+    micro-batch and as THREE micro-batches (maxFilesPerTrigger=1)
+    must produce identical final snapshots — per-value cents
+    quantization makes the fold independent of batch boundaries,
+    including the 0.145-style values whose *100 double sits a ulp
+    below the half boundary."""
+    import json
+    import time
+
+    rows = [
+        ("a", 1.005, "2024-01-01T00:00:00"),
+        ("a", 0.145, "2024-01-01T00:01:00"),
+        ("b", -2.675, "2024-01-01T00:02:00"),
+        ("a", 3.0, "2024-01-01T00:03:00"),
+        ("b", 0.0, "2024-01-01T00:04:00"),
+        ("b", None, "2024-01-01T00:05:00"),
+    ]
+    schema = "event_type string, value double, ts timestamp"
+
+    def run(split: list[list], tag: str) -> dict:
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        for i, chunk in enumerate(split):
+            p = src / f"f{i}.json"
+            p.write_text(
+                "\n".join(
+                    json.dumps({"event_type": e, "value": v, "ts": t})
+                    for e, v, t in chunk
+                )
+            )
+            os.utime(p, (1_600_000_000 + 10 * i,) * 2)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        out = running_counts_stream(stream)
+        name = f"split_{tag}_{int(time.time() * 1000) % 100000}"
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            r.event_type: (r.n_events, r.total_value)
+            for r in spark.table(name).collect()
+        }
+
+    whole = run([rows], "one")
+    split = run([rows[:2], rows[2:4], rows[4:]], "three")
+    assert whole == split
+    # shortest-repr HALF_UP: 1.005 -> 1.01, 0.145 -> 0.15 (its double
+    # sits a ulp BELOW .0145e1, but the repr is what quantizes),
+    # -2.675 -> -2.68 (ties away from zero for negatives too)
+    assert whole["a"] == (3, 4.16) and whole["b"] == (3, -2.68)
