@@ -2507,3 +2507,68 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.join(counts, "event_type").select(
         "event_type", "n_users", "n_events"
     )
+
+
+# Oracle for the UNREGISTERED q_hll_sketch_rollup below (round-16
+# registration queue): sketch bytes are engine-specific, so the
+# verifiable claims are the exact reference counts plus the literal
+# bound booleans (the q_approx_sketches pattern).
+_HLL_ROLLUP_ORACLE = """
+SELECT CAST(n.n_regionkey AS INTEGER) AS region_key,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS est_within_3rsd
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+"""
+
+# DataSketches HLL with lgConfigK=14: rsd = 1.04 / sqrt(2^14)
+_HLL_LGK = 14
+_HLL_RSD = 1.04 / (2 ** (_HLL_LGK / 2))
+
+
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the pattern behind every layered
+    OLAP cube at 100 TB: per-nation DataSketches HLL sketches of the
+    customer set (``hll_sketch_agg``), UNIONED up to region level
+    (``hll_union_agg``) without touching raw rows again, then
+    estimated. This is what ``approx_count_distinct`` cannot do (its
+    sketch is an opaque internal; q_approx_sketches covers it) —
+    materialized per-shard sketches re-aggregate losslessly across
+    days/shards/datacenters, so the daily rollup never rescans
+    history.
+
+    Sketch bytes are engine-specific, so the driver-verifiable
+    claims are the exact reference counts plus the 3-sigma error
+    bound of the estimate (rsd = 1.04/sqrt(2^14) ~= 0.81%), emitted
+    as a boolean the oracle asserts literally TRUE — unverified !=
+    unverifiable. The dimension join broadcasts (nation is 25
+    rows)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(_HLL_LGK)).alias("sk"),
+        F.count_distinct("c_custkey").alias("exact_n"),
+    )
+    # customers belong to exactly one nation, so region-exact is the
+    # sum of nation-exacts — no second scan of the fact table
+    per_region = (
+        per_nation.join(
+            F.broadcast(nat),
+            per_nation["c_nationkey"] == nat["n_nationkey"],
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+            F.sum("exact_n").alias("exact_customers"),
+        )
+    )
+    return per_region.select(
+        F.col("n_regionkey").cast("int").alias("region_key"),
+        F.col("exact_customers"),
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            <= 3 * _HLL_RSD * F.col("exact_customers")
+        ).alias("est_within_3rsd"),
+    )

@@ -531,6 +531,8 @@ _CHANGED_R14: frozenset[str] = frozenset()
 #   graph_jaccard_neighbors   (operators/clustering.py,
 #                              _JACC_NEIGHBORS_ORACLE)
 #   multimodal_decode_ico     (operators/multimodal.py, _ICO_ORACLE)
+#   q_hll_sketch_rollup       (operators/advanced.py,
+#                              _HLL_ROLLUP_ORACLE)
 
 # Rounds FRESHEST-FIRST with their green sets — the single place a
 # new round is added. _EVER_GREEN and _stale_first both derive from

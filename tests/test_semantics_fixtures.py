@@ -1158,3 +1158,61 @@ def test_graph_jaccard_neighbors_matches_oracle(spark, sf_small):
     for r in rows:
         assert r.part_a < r.part_b
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_hll_sketch_rollup_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_hll_sketch_rollup
+    (round-16 registration queue): per-nation DataSketches HLL
+    sketches unioned to region level must estimate within 3 sigma of
+    the exact counts (the boolean the oracle asserts literally)."""
+    from map_reduce_server_spark.operators.advanced import (
+        _HLL_ROLLUP_ORACLE,
+        q_hll_sketch_rollup,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_hll_sketch_rollup(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _HLL_ROLLUP_ORACLE, sf_small)
+    assert ok, msg
+    rows = df.collect()
+    assert len(rows) == 5  # one row per region
+    assert all(r.est_within_3rsd for r in rows)
+
+
+def test_hll_sketch_union_equals_direct_sketch(spark, sf_small):
+    """Mergeability of the sketch itself: unioning per-nation
+    sketches must estimate the same value as one direct region-level
+    sketch over raw rows — the property that lets per-shard sketches
+    replace rescans."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_server_spark.tables import load_table
+
+    cust = load_table(spark, sf_small, "customer")
+    nat = load_table(spark, sf_small, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    joined = cust.join(
+        F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+    )
+    direct = {
+        r.n_regionkey: r.est
+        for r in joined.groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("c_custkey", F.lit(14))
+            ).alias("est")
+        )
+        .collect()
+    }
+    merged = {
+        r.n_regionkey: r.est
+        for r in joined.groupBy("c_nationkey", "n_regionkey")
+        .agg(F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk"))
+        .groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+        .collect()
+    }
+    assert direct == merged
