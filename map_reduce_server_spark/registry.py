@@ -526,13 +526,19 @@ _CHANGED_R14: frozenset[str] = frozenset()
 #   multimodal_decode_aiff    (operators/multimodal.py, _AIFF_ORACLE)
 #   stream_stateful_counts    (streaming/events.py,
 #                              _STREAM_STATEFUL_ORACLE)
-# Round-16 queue head, staged early (same gate status):
+# Round-16 registration queue, staged early (same gate status):
 #   text_chunk_windows        (operators/text.py, _CHUNK_ORACLE)
 #   graph_jaccard_neighbors   (operators/clustering.py,
 #                              _JACC_NEIGHBORS_ORACLE)
 #   multimodal_decode_ico     (operators/multimodal.py, _ICO_ORACLE)
 #   q_hll_sketch_rollup       (operators/advanced.py,
 #                              _HLL_ROLLUP_ORACLE)
+#   q_winsorize_extremes      (operators/curation.py,
+#                              _WINSORIZE_ORACLE)
+#   ann_range_search          (operators/similarity.py,
+#                              _RANGE_SEARCH_ORACLE)
+#   stream_cdc_latest         (streaming/events.py,
+#                              _STREAM_CDC_ORACLE)
 
 # Rounds FRESHEST-FIRST with their green sets — the single place a
 # new round is added. _EVER_GREEN and _stale_first both derive from

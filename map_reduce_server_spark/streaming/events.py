@@ -633,3 +633,95 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_update_to_deltas(
         spark, agg, ["event_type"], stage, "mrss_stream_state_"
     )
+
+
+# Oracle for the UNREGISTERED stream_cdc_latest below (round-16
+# registration queue): identical to q_cdc_apply's batch replay — the
+# streaming state converges to the same latest-op-wins snapshot.
+_STREAM_CDC_ORACLE = """
+WITH changelog AS (
+  SELECT o_custkey AS key, o_orderdate AS ts, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS payload
+  FROM orders),
+latest AS (
+  SELECT key, op, payload, n_ops FROM (
+    SELECT key, op, payload,
+           ROW_NUMBER() OVER (PARTITION BY key
+                              ORDER BY ts DESC, seq DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY key) AS n_ops
+    FROM changelog) t
+  WHERE rn = 1)
+SELECT c.c_custkey, l.payload AS last_price,
+       CAST(l.n_ops AS BIGINT) AS n_ops
+FROM customer c JOIN latest l ON c.c_custkey = l.key
+WHERE l.op <> 'D'
+"""
+
+
+def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC apply: the orders changelog replayed as
+    commit-ordered micro-batches with per-key latest-op-wins state —
+    the streaming face of ``q_cdc_apply`` (lakehouse continuous
+    MERGE ingestion), and the first streaming operator over a table
+    other than events.
+
+    State per key is one ``MAX(struct(ts, seq, payload))`` — struct
+    comparison is lexicographic, so the winner is exactly the batch
+    ``ORDER BY ts DESC, seq DESC`` row and arrives associatively
+    (any batch slicing converges to the same struct). Deletes are
+    resolved AT READ (the latest op's key mod) rather than by
+    removing state: a later re-insert for the key must revive it,
+    which dropped state could not. Replay staging mirrors the CDC
+    contract — a changelog arrives in commit order, so files are
+    date-range partitions with pinned mtimes, one per micro-batch.
+    At scale: state is one struct per live key, each batch emits
+    only updated keys through the idempotent delta sink, and the
+    customer join happens once on the final compact snapshot."""
+    from map_reduce_server_spark.tables import load_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pin_utc_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    stage = tempfile.mkdtemp(prefix="mrss_stream_cdc_")
+    cleanup_at_exit(stage)
+    data_dir = os.path.join(stage, "in")
+    (
+        orders.repartitionByRange(4, "o_orderdate", "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(data_dir)
+    )
+    parts = sorted(
+        f
+        for f in os.listdir(data_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = 1_600_000_000
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(data_dir, f), (base + 10 * i,) * 2)
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(data_dir)
+    )
+    agg = stream.groupBy("o_custkey").agg(
+        F.max(
+            F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+        ).alias("latest"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    snap = _run_update_to_deltas(
+        spark, agg, ["o_custkey"], stage, "mrss_stream_cdc_out_"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        snap.filter(F.col("latest.o_orderkey") % 19 != 0)
+        .join(cust, snap["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            F.col("latest.o_totalprice").alias("last_price"),
+            "n_ops",
+        )
+    )

@@ -1216,3 +1216,45 @@ def test_hll_sketch_union_equals_direct_sketch(spark, sf_small):
         .collect()
     }
     assert direct == merged
+
+
+def test_winsorize_extremes_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_winsorize_extremes
+    (round-16 registration queue): rank-based [p1, p99] cutoffs and
+    the exact clipped sum."""
+    from map_reduce_server_spark.operators.curation import (
+        _WINSORIZE_ORACLE,
+        q_winsorize_extremes,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_winsorize_extremes(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _WINSORIZE_ORACLE, sf_small)
+    assert ok, msg
+    r = df.collect()[0]
+    assert r.cut_low < r.cut_high
+    # ~1% clipped each side, and the winsorized sum is bounded by
+    # the cutoffs times the row count
+    assert 0 < r.n_clipped_low <= r.n_rows * 0.011
+    assert 0 < r.n_clipped_high <= r.n_rows * 0.011
+    assert r.cut_low * r.n_rows <= r.winsorized_sum <= r.cut_high * r.n_rows
+
+
+def test_ann_range_search_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED ann_range_search
+    (round-16 registration queue): the threshold filter must compare
+    the raw double and agree exactly with DuckDB's."""
+    from map_reduce_server_spark.operators.similarity import (
+        _RANGE_SEARCH_ORACLE,
+        _RANGE_THETA,
+        ann_range_search,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = ann_range_search(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _RANGE_SEARCH_ORACLE, sf_small)
+    assert ok, msg
+    rows = df.collect()
+    assert rows
+    assert all(r.cos_sim >= _RANGE_THETA - 1e-6 for r in rows)
+    assert all(r.query_id != r.neighbor_id for r in rows)

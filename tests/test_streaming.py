@@ -65,3 +65,20 @@ def test_stream_stateful_counts_matches_oracle(spark, sf_small):
     ok, msg = compare_to_oracle(df, _STREAM_STATEFUL_ORACLE, sf_small)
     assert ok, msg
     assert df.count() >= 1
+
+
+def test_stream_cdc_latest_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED stream_cdc_latest
+    (round-16 registration queue): per-key MAX(struct) streaming
+    state over the commit-ordered replay must converge to the batch
+    latest-op-wins snapshot, deletes resolved at read."""
+    from map_reduce_server_spark.streaming.events import (
+        _STREAM_CDC_ORACLE,
+        stream_cdc_latest,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = stream_cdc_latest(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _STREAM_CDC_ORACLE, sf_small)
+    assert ok, msg
+    assert df.count() >= 1
