@@ -498,3 +498,27 @@ def test_inverted_index_no_raw_token_shuffle(spark, sf_small):
     plan = explain_str(text_inverted_index(spark, sf_small))
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_jaccard_neighbors_wedge_is_equi_join(spark, sf_small):
+    """The staged graph_jaccard_neighbors must enumerate wedges via
+    an equi-join on the shared endpoint — never a cartesian / nested
+    loop over node pairs."""
+    from map_reduce_server_spark.operators.clustering import (
+        graph_jaccard_neighbors,
+    )
+
+    plan = explain_str(graph_jaccard_neighbors(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_windows_has_no_exchange(spark, sf_small):
+    """The staged text_chunk_windows is per-document: its plan must
+    contain no shuffle exchange at all (the chunk-index explode is
+    narrow) and no Python row evaluation."""
+    from map_reduce_server_spark.operators.text import text_chunk_windows
+
+    plan = explain_str(text_chunk_windows(spark, sf_small))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
