@@ -116,6 +116,8 @@ def decode_gray8(data: bytes) -> list[tuple[int, int, bytes]]:
     images = []
     for i in range(count):
         entry_off = _DIR_HDR + _DIR_ENTRY * i
+        if entry_off + _DIR_ENTRY > len(data):
+            raise ValueError(f"truncated directory entry {i}")
         w8, h8, _cc, _rsv, _planes, _bits, size, offset = struct.unpack_from(
             "<BBBBHHII", data, entry_off
         )

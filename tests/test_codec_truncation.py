@@ -58,3 +58,35 @@ def test_avi_truncation():
         jpeg.encode_gray8(32, 24, _flat_gray(32, 24)) for _ in range(4)
     ]
     _sweep(avi.encode_avi_mjpeg(32, 24, 4, frames), avi.decode_avi_mjpeg)
+
+
+def test_tga_truncation():
+    from map_reduce_server_spark.functions import tga
+
+    pix = bytes((x * 7 + 3) % 256 for x in range(48))
+    for td in (False, True):
+        f = tga.encode_gray8(8, 6, pix, top_down=td)
+        # the v2 footer is OPTIONAL trailing metadata: prefixes that
+        # still contain the whole raster legally decode, so sweep
+        # only up to the end of the pixel stream
+        _sweep(f[: len(f) - 26], tga.decode_gray8)
+        assert tga.decode_gray8(f) == (8, 6, pix)
+
+
+def test_aiff_truncation():
+    from map_reduce_server_spark.functions import aiff
+
+    samples = [(x * 997 - 16000) % 65536 - 32768 for x in range(32)]
+    f = aiff.encode_pcm16(samples, 44100)
+    _sweep(f, aiff.decode_pcm16)
+    assert aiff.decode_pcm16(f) == (44100, samples)
+
+
+def test_ico_truncation():
+    from map_reduce_server_spark.functions import ico
+
+    pix = bytes((x * 11 + 5) % 256 for x in range(48))
+    small = bytes(range(16))
+    f = ico.encode_gray8([(8, 6, pix), (4, 4, small)])
+    _sweep(f, ico.decode_gray8)
+    assert ico.decode_gray8(f) == [(8, 6, pix), (4, 4, small)]

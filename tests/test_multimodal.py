@@ -1502,3 +1502,31 @@ def test_ico_decode_matches_oracle(spark, sf_small):
     ok, msg = compare_to_oracle(df, _ICO_ORACLE, sf_small)
     assert ok, msg
     assert df.count() == 500
+
+
+def test_tga_rle_roundtrip_hypothesis():
+    """Property: any byte raster round-trips through the RLE encoder
+    in both origins — exercises packet edges (128-runs, runs
+    straddling the max packet, alternating literals) the fixed
+    goldens miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_server_spark.functions import tga
+
+    run = st.tuples(st.integers(0, 255), st.integers(1, 140))
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        runs=st.lists(run, min_size=1, max_size=6),
+        width=st.integers(1, 40),
+        top_down=st.booleans(),
+    )
+    def check(runs, width, top_down):
+        raw = b"".join(bytes([v]) * n for v, n in runs)
+        height = max(1, len(raw) // width)
+        raw = raw[: width * height]
+        f = tga.encode_gray8(width, height, raw, top_down=top_down)
+        assert tga.decode_gray8(f) == (width, height, raw)
+
+    check()
