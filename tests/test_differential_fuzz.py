@@ -1581,6 +1581,79 @@ def test_fuzz_set_ops(spark, duck, op, preda, predb):
     assert ok, f"{msg}\nplan: op={op} preda={preda} predb={predb}\nsql: {sql}"
 
 
+# --- FILTER-clause aggregate fuzz ---------------------------------------------
+# ``agg(x) FILTER (WHERE pred)`` per aggregate — a different rewrite
+# plane from WHERE-then-agg: each aggregate sees its own row subset,
+# and combined with DISTINCT it feeds RewriteDistinctAggregates (the
+# optimizer rule that already produced one upstream crash). One SQL
+# string drives both engines; filtered-empty subsets exercise the
+# NULL-aggregate rendering per group rather than per query.
+
+_FAGG = st.sampled_from(
+    [
+        ("n", "COUNT(*)"),
+        ("nd_part", "COUNT(DISTINCT l_partkey)"),
+        ("min_price", "MIN(l_extendedprice)"),
+        ("max_qty", "MAX(l_quantity)"),
+        ("sum_key", "CAST(SUM(l_orderkey) {over} AS BIGINT)"),
+    ]
+)
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 20,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=KEYS,
+    aggs=st.lists(
+        st.tuples(_FAGG, PRED), min_size=1, max_size=3, unique_by=str
+    ),
+)
+# DISTINCT + FILTER x 2, grouped: the RewriteDistinctAggregates plane
+@example(
+    keys=["l_returnflag"],
+    aggs=[
+        (
+            ("nd_part", "COUNT(DISTINCT l_partkey)"),
+            ("num", "l_discount", ">", 0.05),
+        ),
+        (("n", "COUNT(*)"), ("num", "l_quantity", ">", 25.0)),
+    ],
+)
+# a filter no row satisfies: NULL/0 aggregate cells per group
+@example(
+    keys=["l_linestatus"],
+    aggs=[
+        (
+            ("min_price", "MIN(l_extendedprice)"),
+            ("num", "l_quantity", "<", -1.0),
+        )
+    ],
+)
+def test_fuzz_filtered_aggregates(spark, duck, keys, aggs):
+    from map_reduce_server_spark.tables import register_views
+
+    register_views(spark, SF)
+    cols = []
+    for i, ((name, expr), fpred) in enumerate(aggs):
+        filt = f"FILTER (WHERE {pred_sql(fpred)})"
+        if "{over}" in expr:
+            rendered = expr.format(over=filt)
+        else:
+            rendered = f"{expr} {filt}"
+        cols.append(f"{rendered} AS {name}_{i}")
+    sel = ", ".join(list(keys) + cols)
+    sql = f"SELECT {sel} FROM lineitem"
+    if keys:
+        sql += f" GROUP BY {', '.join(keys)}"
+    out = spark.sql(sql)
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, f"{msg}\nplan: keys={keys} aggs={aggs}\nsql: {sql}"
+
+
 # --- calendar-INTERVAL RANGE window-frame fuzz --------------------------------
 # q_window_time_range pins ONE configuration of the time-valued RANGE
 # frame (30 min trailing per user); this sweeps frame length, unit,
