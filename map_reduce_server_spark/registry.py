@@ -508,6 +508,40 @@ _DRIVER_GREEN_R13 = frozenset({
 # current code, so they rejoin the never-verified head.
 _CHANGED_R14: frozenset[str] = frozenset()
 
+# The 50 queries hash-verified green by CORRECTNESS_r14.json — the
+# freshest driver rows, ordered LAST. Certified the 7 round-14
+# registrations (graph_bfs_hops, q_bloom_prefilter_join,
+# text_collocations, q_window_time_range, multimodal_decode_tiff,
+# multimodal_decode_bmp, stream_sessionize), the 7 r9-stale heads
+# and 36 r10-stale rows (all 50 green: rows/schema/hash matched at
+# sf0.01, zero errs). 14 r10-stale rows remain and head the
+# round-15 stale queue.
+_DRIVER_GREEN_R14 = frozenset({
+    "ann_topk_bruteforce", "ann_topk_lsh", "graph_bfs_hops",
+    "multimodal_decode_adpcm", "multimodal_decode_bmp",
+    "multimodal_decode_jpeg", "multimodal_decode_mulaw",
+    "multimodal_decode_tiff", "multimodal_decode_video",
+    "q11_important_stock", "q15_top_supplier", "q16_parts_supplier",
+    "q20_part_promotion", "q22_dormant_customers",
+    "q9_product_profit", "q_approx_sketches", "q_array_funcs",
+    "q_asof_join", "q_bitwise_agg", "q_bloom_prefilter_join",
+    "q_collect_sorted", "q_conditional_agg", "q_correlated_exists",
+    "q_date_funcs", "q_date_spine", "q_equidepth_histogram",
+    "q_grouping_sets", "q_json_funcs", "q_like_regexp",
+    "q_map_funcs", "q_minmax_by", "q_null_funcs", "q_percentiles",
+    "q_posexplode", "q_range_join", "q_sessionize", "q_set_ops",
+    "q_set_ops_all", "q_stats_moments", "q_string_funcs",
+    "q_string_funcs2", "q_try_funcs", "q_union_by_name",
+    "q_unpivot", "q_upsert", "q_window_time_range",
+    "stream_sessionize", "text_bpe_train", "text_collocations",
+    "wordcount",
+})
+
+# Queries whose RESULT changed after their last green driver row
+# (round-15 rework): their stale green row no longer certifies the
+# current code, so they rejoin the never-verified head.
+_CHANGED_R15: frozenset[str] = frozenset()
+
 # Round-14 registered the former registration queue (graph_bfs_hops,
 # q_bloom_prefilter_join, text_collocations, q_window_time_range,
 # multimodal_decode_tiff, multimodal_decode_bmp, stream_sessionize)
@@ -546,6 +580,7 @@ _CHANGED_R14: frozenset[str] = frozenset()
 # the next _CHANGED constant below (the rotation lint in
 # tests/test_registry_rotation.py enforces both).
 _GREEN_BY_ROUND: list[tuple[int, frozenset]] = [
+    (14, _DRIVER_GREEN_R14),
     (13, _DRIVER_GREEN_R13),
     (12, _DRIVER_GREEN_R12),
     (11, _DRIVER_GREEN_R11),
@@ -572,6 +607,7 @@ _CHANGED_BY_ROUND: dict[int, frozenset] = {
     12: _CHANGED_R12,
     13: _CHANGED_R13,
     14: _CHANGED_R14,
+    15: _CHANGED_R15,
 }
 
 
