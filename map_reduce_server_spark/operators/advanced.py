@@ -2444,9 +2444,8 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle for the UNREGISTERED q_bitmap_distinct below (round-15
-# registration queue): the bitmap formulation is EXACT, so the twin
-# is a plain COUNT(DISTINCT).
+# Oracle for q_bitmap_distinct: the bitmap formulation is EXACT, so
+# the twin is a plain COUNT(DISTINCT).
 _BITMAP_DISTINCT_ORACLE = """
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -2492,6 +2491,7 @@ def bitmap_distinct(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
     )
 
 
+@register("q_bitmap_distinct", oracle=_BITMAP_DISTINCT_ORACLE)
 def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users per event type, twice: the bitmap
     OR-aggregation (:func:`bitmap_distinct`) for the distinct count

@@ -698,7 +698,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BFS_MAX_HOPS = 4
 
-# Oracle for the UNREGISTERED graph_bfs_hops below: DuckDB's native
+# Oracle for graph_bfs_hops below: DuckDB's native
 # recursive CTE (UNION, not UNION ALL — the recursion dedupes
 # (node, hops) states so bounded-depth path explosion cannot occur),
 # minimized per node. Spark has no recursive CTE; the engine side is
@@ -812,11 +812,10 @@ def bfs_hops(edges: DataFrame, max_hops: int) -> DataFrame:
     return dist.select("node", F.col("hops").cast("int").alias("hops"))
 
 
-# Oracle for the UNREGISTERED graph_connected_components below
-# (round-15 registration queue): each node's component label is the
-# MINIMUM id over its reachability closure, computed by a recursive
-# CTE (UNION dedupes states, so the closure is O(V x component) rows
-# at oracle SF, never a path enumeration).
+# Oracle for graph_connected_components: each node's component label
+# is the MINIMUM id over its reachability closure, computed by a
+# recursive CTE (UNION dedupes states, so the closure is
+# O(V x component) rows at oracle SF, never a path enumeration).
 _CC_ORACLE = f"""
 WITH RECURSIVE e AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -835,6 +834,7 @@ FROM reach GROUP BY node
 """
 
 
+@register("graph_connected_components", oracle=_CC_ORACLE)
 def graph_connected_components(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

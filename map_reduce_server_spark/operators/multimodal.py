@@ -1958,7 +1958,7 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------
-# TGA — run-length packets, origin bit, v2 footer (round-15 queue).
+# TGA — run-length packets, origin bit, v2 footer.
 
 _TGA_W, _TGA_H = 8, 6  # 48 gray bytes, same tie-free divisor domain
 
@@ -2002,10 +2002,9 @@ def tga_stats(df: DataFrame) -> DataFrame:
     return _px_stats_stage(df, tga.decode_gray8)
 
 
-# Oracle for the UNREGISTERED multimodal_decode_tga below (round-15
-# registration queue): identical pixel statistics recomputed from
-# the md5 hex (48-byte pixel source, divisor already in the
-# tie-free-by-enumeration proof of _px_stats_select).
+# Oracle for multimodal_decode_tga: identical pixel statistics
+# recomputed from the md5 hex (48-byte pixel source, divisor already
+# in the tie-free-by-enumeration proof of _px_stats_select).
 _TGA_ORACLE = f"""
 WITH px AS (
   SELECT doc_id, list_transform(range(1, 49),
@@ -2023,6 +2022,7 @@ FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
 """
 
 
+@register("multimodal_decode_tga", oracle=_TGA_ORACLE)
 def multimodal_decode_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip for the RUN-LENGTH compression family:
     encode each document's md5-derived pixels as an actual RLE TGA
@@ -2039,8 +2039,7 @@ def multimodal_decode_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------
-# AIFF — big-endian IFF container, 80-bit extended sample rate
-# (round-15 queue).
+# AIFF — big-endian IFF container, 80-bit extended sample rate.
 
 _AIFF_N = 32  # samples per clip (dyadic -> exact mean_abs)
 # 44100 is deliberately NOT a power of two: packing it into the
@@ -2109,10 +2108,9 @@ def aiff_stats(df: DataFrame) -> DataFrame:
     return _g711_stats(df, aiff.decode_pcm16)
 
 
-# Oracle for the UNREGISTERED multimodal_decode_aiff below (round-15
-# registration queue): identical int16 samples recomputed from the
-# md5 hex; divisor 32 is dyadic, so mean_abs is exact on both
-# engines before the shared 6-digit round.
+# Oracle for multimodal_decode_aiff: identical int16 samples
+# recomputed from the md5 hex; divisor 32 is dyadic, so mean_abs is
+# exact on both engines before the shared 6-digit round.
 _AIFF_ORACLE = f"""
 WITH sm AS (
   SELECT doc_id, {_SQL_AIFF_SAMPLES} AS s FROM documents
@@ -2130,6 +2128,7 @@ FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
 """
 
 
+@register("multimodal_decode_aiff", oracle=_AIFF_ORACLE)
 def multimodal_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip for the BIG-ENDIAN IFF container family:
     encode each document's md5-derived int16 samples as an actual

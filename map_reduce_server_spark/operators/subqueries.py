@@ -192,10 +192,9 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle for the UNREGISTERED q_lateral_topk below (round-15
-# registration queue). DuckDB requires an explicit ON TRUE for JOIN
-# LATERAL; the inner ORDER BY ends in the unique c_custkey so the
-# top-3 cut is engine-independent.
+# Oracle for q_lateral_topk. DuckDB requires an explicit ON TRUE for
+# JOIN LATERAL; the inner ORDER BY ends in the unique c_custkey so
+# the top-3 cut is engine-independent.
 _LATERAL_ORACLE = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n JOIN LATERAL (
@@ -205,6 +204,7 @@ FROM nation n JOIN LATERAL (
 """
 
 
+@register("q_lateral_topk", oracle=_LATERAL_ORACLE)
 def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery in FROM — per outer row, a
     dependent ORDER BY ... LIMIT relation (here: each nation's top-3

@@ -1370,10 +1370,9 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle for the UNREGISTERED text_inverted_index below (round-15
-# registration queue). Postings sort NUMERICALLY before the string
-# join on both sides — a lexicographic sort would order doc 10
-# before doc 9 on whichever engine stringified first.
+# Oracle for text_inverted_index. Postings sort NUMERICALLY before
+# the string join on both sides — a lexicographic sort would order
+# doc 10 before doc 9 on whichever engine stringified first.
 _INVERTED_INDEX_ORACLE = f"""
 WITH pairs AS (
   SELECT doc_id, unnest({_SQL_NE_TOKENS}) AS token FROM documents),
@@ -1387,6 +1386,7 @@ FROM perdoc GROUP BY token HAVING COUNT(*) >= 2
 """
 
 
+@register("text_inverted_index", oracle=_INVERTED_INDEX_ORACLE)
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: token -> (document frequency,
     corpus term frequency, sorted posting list) with hapax pruning

@@ -542,25 +542,13 @@ _DRIVER_GREEN_R14 = frozenset({
 # current code, so they rejoin the never-verified head.
 _CHANGED_R15: frozenset[str] = frozenset()
 
-# Round-14 registered the former registration queue (graph_bfs_hops,
-# q_bloom_prefilter_join, text_collocations, q_window_time_range,
-# multimodal_decode_tiff, multimodal_decode_bmp, stream_sessionize)
-# → 214 registered.
-# Round-15 registration queue — gate-ready (oracle constant +
+# Round-15 registered the former registration queue (q_lateral_topk,
+# q_bitmap_distinct, text_inverted_index,
+# graph_connected_components, multimodal_decode_tga,
+# multimodal_decode_aiff, stream_stateful_counts) → 221 registered.
+# Round-16 registration queue — gate-ready (oracle constant +
 # driver-grade parity test in tree, sim-registration gate green);
 # registering each is one @register decorator:
-#   q_lateral_topk            (operators/subqueries.py,
-#                              _LATERAL_ORACLE)
-#   q_bitmap_distinct         (operators/advanced.py,
-#                              _BITMAP_DISTINCT_ORACLE)
-#   text_inverted_index       (operators/text.py,
-#                              _INVERTED_INDEX_ORACLE)
-#   graph_connected_components (operators/clustering.py, _CC_ORACLE)
-#   multimodal_decode_tga     (operators/multimodal.py, _TGA_ORACLE)
-#   multimodal_decode_aiff    (operators/multimodal.py, _AIFF_ORACLE)
-#   stream_stateful_counts    (streaming/events.py,
-#                              _STREAM_STATEFUL_ORACLE)
-# Round-16 registration queue, staged early (same gate status):
 #   text_chunk_windows        (operators/text.py, _CHUNK_ORACLE)
 #   graph_jaccard_neighbors   (operators/clustering.py,
 #                              _JACC_NEIGHBORS_ORACLE)

@@ -391,9 +391,9 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- streaming sessionization (round-14 registration queue) ------------------
+# --- streaming sessionization ------------------------------------------------
 
-# Oracle for the UNREGISTERED stream_sessionize below: the identical
+# Oracle for stream_sessionize below: the identical
 # first-principles lag/cumsum sessionization that certifies the
 # batch q_session_window (operators/udf.py) — a streaming replay of
 # the bounded input must land on exactly the batch answer.
@@ -589,10 +589,10 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "s_start", "s_end", "n_events", "total_value")
 
 
-# Oracle for the UNREGISTERED stream_stateful_counts below (round-15
-# registration queue): the cents-exact running totals converge to a
-# plain batch aggregate (same decimal(30,2) per-value rounding as
-# dsum, so the SQL twin is the standard exact-sum rendering).
+# Oracle for stream_stateful_counts: the cents-exact running totals
+# converge to a plain batch aggregate (same decimal(30,2) per-value
+# rounding as dsum, so the SQL twin is the standard exact-sum
+# rendering).
 _STREAM_STATEFUL_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
@@ -602,6 +602,7 @@ GROUP BY event_type
 """
 
 
+@register("stream_stateful_counts", oracle=_STREAM_STATEFUL_ORACLE)
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming operator through the driver gate:
     per-event-type running (count, exact-cents total) maintained by

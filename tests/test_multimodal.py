@@ -1204,8 +1204,8 @@ def test_adpcm_multiblock_spark_path(spark, sf_small):
 
 
 def test_adpcm_multiblock_query_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED multi-block ADPCM query
-    (registration is deferred until the rotation tail is fresh): the
+    """Gate-grade parity for the registered multi-block ADPCM query
+    (now registered): the
     Spark result must match the per-(doc, block) recursive-CTE oracle
     exactly as the driver's compare would check it."""
     from tests.oracle_utils import compare_to_oracle
@@ -1221,8 +1221,8 @@ def test_adpcm_multiblock_query_matches_oracle(spark, sf_small):
 
 
 def test_tiff_decode_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED multimodal_decode_tiff
-    (round-14 registration queue): both byte orders decode to the
+    """Gate-grade parity for the registered multimodal_decode_tiff
+    (now registered): both byte orders decode to the
     identical md5-derived pixel statistics."""
     from map_reduce_server_spark.operators.multimodal import (
         _TIFF_ORACLE,
@@ -1281,8 +1281,8 @@ def test_tiff_codec_roundtrip_both_orders():
 
 
 def test_bmp_decode_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED multimodal_decode_bmp
-    (round-14 registration queue): palette mapping + stride-padded
+    """Gate-grade parity for the registered multimodal_decode_bmp
+    (now registered): palette mapping + stride-padded
     bottom-up assembly decode to the md5-derived pixel statistics."""
     from map_reduce_server_spark.operators.multimodal import (
         _BMP_ORACLE,
@@ -1380,8 +1380,8 @@ def test_tga_codec_roundtrip_and_strictness():
 
 
 def test_tga_decode_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED multimodal_decode_tga
-    (round-15 registration queue): RLE packet expansion + origin-bit
+    """Gate-grade parity for the registered multimodal_decode_tga
+    (now registered): RLE packet expansion + origin-bit
     assembly decode to the md5-derived pixel statistics."""
     from map_reduce_server_spark.operators.multimodal import (
         _TGA_ORACLE,
@@ -1433,8 +1433,8 @@ def test_aiff_codec_roundtrip_and_strictness():
 
 
 def test_aiff_decode_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED multimodal_decode_aiff
-    (round-15 registration queue): IFF walk + extended-rate decode +
+    """Gate-grade parity for the registered multimodal_decode_aiff
+    (now registered): IFF walk + extended-rate decode +
     big-endian PCM land exactly on the md5-derived samples."""
     from map_reduce_server_spark.operators.multimodal import (
         _AIFF_ORACLE,

@@ -821,7 +821,7 @@ def test_null_ts_guards_match_oracle(spark, tmp_path):
 
 
 def test_rollup_multi_distinct_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED q_rollup_multi_distinct
+    """Gate-grade parity for the registered q_rollup_multi_distinct
     (registration deferred to round 13 — the round-12 window is
     reserved for stale-row re-certification): the portable
     multi-distinct + ordered-string-agg grid renderings must match
@@ -844,7 +844,7 @@ def test_rollup_multi_distinct_matches_oracle(spark, sf_small):
 
 
 def test_asof_join_forward_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED forward as-of query
+    """Gate-grade parity for the registered forward as-of query
     (round-13 registration queue, same holdback as
     q_rollup_multi_distinct): the MIN-over-following-range rendering
     must match DuckDB's native forward ASOF JOIN."""
@@ -865,8 +865,8 @@ def test_asof_join_forward_matches_oracle(spark, sf_small):
 
 
 def test_collocations_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED text_collocations
-    (round-14 registration queue): the single-heavy-shuffle PMI
+    """Gate-grade parity for the registered text_collocations
+    (now registered): the single-heavy-shuffle PMI
     factorization must match the oracle replay exactly, including
     the ln-rounding portability contract."""
     import math
@@ -891,8 +891,8 @@ def test_collocations_matches_oracle(spark, sf_small):
 
 
 def test_bloom_prefilter_join_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED q_bloom_prefilter_join
-    (round-14 registration queue): the bloom prefilter must be
+    """Gate-grade parity for the registered q_bloom_prefilter_join
+    (now registered): the bloom prefilter must be
     result-invisible — bit-set probing plus the exact semi-join
     equals the plain semi-join oracle."""
     from map_reduce_server_spark.operators.advanced import (
@@ -908,8 +908,8 @@ def test_bloom_prefilter_join_matches_oracle(spark, sf_small):
 
 
 def test_graph_bfs_hops_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED graph_bfs_hops
-    (round-14 registration queue): the iterative frontier expansion
+    """Gate-grade parity for the registered graph_bfs_hops
+    (now registered): the iterative frontier expansion
     must land exactly on the recursive-CTE oracle's minimum hop
     counts."""
     from map_reduce_server_spark.operators.clustering import (
@@ -930,8 +930,8 @@ def test_graph_bfs_hops_matches_oracle(spark, sf_small):
 
 
 def test_window_time_range_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED q_window_time_range
-    (round-14 registration queue): the calendar-INTERVAL range frame
+    """Gate-grade parity for the registered q_window_time_range
+    (now registered): the calendar-INTERVAL range frame
     must agree with DuckDB's, including tied-timestamp symmetry."""
     from map_reduce_server_spark.operators.relational import (
         _TIME_RANGE_ORACLE,
@@ -947,8 +947,8 @@ def test_window_time_range_matches_oracle(spark, sf_small):
 
 
 def test_lateral_topk_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED q_lateral_topk
-    (round-15 registration queue): Catalyst's decorrelated LATERAL
+    """Gate-grade parity for the registered q_lateral_topk
+    (now registered): Catalyst's decorrelated LATERAL
     ORDER BY/LIMIT must agree with DuckDB's lateral execution,
     unique-key tie-break included."""
     from map_reduce_server_spark.operators.subqueries import (
@@ -973,8 +973,8 @@ def test_lateral_topk_matches_oracle(spark, sf_small):
 
 
 def test_bitmap_distinct_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED q_bitmap_distinct
-    (round-15 registration queue): the bitmap OR-aggregation is
+    """Gate-grade parity for the registered q_bitmap_distinct
+    (now registered): the bitmap OR-aggregation is
     EXACT, so it must land bit-identically on COUNT(DISTINCT)."""
     from map_reduce_server_spark.operators.advanced import (
         _BITMAP_DISTINCT_ORACLE,
@@ -1010,8 +1010,8 @@ def test_bitmap_distinct_helper_edge_cases(spark):
 
 
 def test_graph_connected_components_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED
-    graph_connected_components (round-15 registration queue): the
+    """Gate-grade parity for the registered
+    graph_connected_components: the
     pointer-jumping labels must equal the recursive-CTE closure's
     min-label components."""
     from map_reduce_server_spark.operators.clustering import (
@@ -1030,8 +1030,8 @@ def test_graph_connected_components_matches_oracle(spark, sf_small):
 
 
 def test_inverted_index_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED text_inverted_index
-    (round-15 registration queue): df/tf marginals and the
+    """Gate-grade parity for the registered text_inverted_index
+    (now registered): df/tf marginals and the
     numerically-sorted posting strings must match DuckDB's."""
     from map_reduce_server_spark.operators.text import (
         _INVERTED_INDEX_ORACLE,

@@ -26,8 +26,8 @@ def test_stream_equals_batch(spark, sf_small):
 
 
 def test_stream_sessionize_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED stream_sessionize
-    (round-14 registration queue): append-mode session_window state
+    """Gate-grade parity for the registered stream_sessionize
+    (now registered): append-mode session_window state
     across the multi-batch time-ordered replay, flushed by the
     sentinel, must land exactly on the batch gaps-and-islands
     sessionization."""
@@ -51,8 +51,8 @@ def test_stream_sessionize_matches_oracle(spark, sf_small):
 
 
 def test_stream_stateful_counts_matches_oracle(spark, sf_small):
-    """Gate-grade parity for the UNREGISTERED stream_stateful_counts
-    (round-15 registration queue): applyInPandasWithState running
+    """Gate-grade parity for the registered stream_stateful_counts
+    (now registered): applyInPandasWithState running
     (count, exact-cents total) across the sentinel-free multi-batch
     replay must converge to the batch aggregate."""
     from map_reduce_server_spark.streaming.events import (

@@ -261,8 +261,8 @@ def test_write_zordered_z_column_collision(spark, tmp_path):
 
 
 def test_zorder_layout_query_matches_oracle(spark):
-    """Gate-grade parity for the UNREGISTERED q_zorder_layout query
-    (round-13 registration queue): the Z-order rewrite must be
+    """Gate-grade parity for the registered q_zorder_layout query
+    (now registered): the Z-order rewrite must be
     answer-invisible — the read-back two-dimension filter + aggregate
     equals the oracle computed straight off the original table — at
     both the driver's SF and the small fixture."""
