@@ -3032,3 +3032,163 @@ def test_fuzz_correlated_subqueries(spark, duck, form, opred, ipred):
     sql = _corr_sql(form, opred, ipred)
     ok, msg = compare_to_oracle(spark.sql(sql), sql, SF, con=duck)
     assert ok, f"{msg}\nplan: form={form} opred={opred} ipred={ipred}\nsql: {sql}"
+
+
+# --- nested correlation fuzz (depth >= 2) -------------------------------------
+# The two untested planes after the LATERAL top-k and FILTER-clause
+# families: (a) a correlated LATERAL whose inner relation ITSELF
+# carries a correlated subquery one level deeper (customer -> lateral
+# orders -> scalar/EXISTS over lineitem correlated to the MIDDLE
+# scope), optionally ordering the k-cut by that depth-2 value; and
+# (b) aggregate FILTER clauses whose predicate is a correlated
+# EXISTS over another table. Both are classic decorrelation
+# divergence points: Catalyst must stack DecorrelateInnerQuery
+# rewrites (a) or pull the EXISTS through the aggregate (b), while
+# DuckDB executes the nesting directly. One SQL string drives both
+# engines (modulo DuckDB's mandatory ON TRUE for LATERAL). The inner
+# ORDER BY always ends in the unique o_orderkey, and the depth-2
+# value is COUNT (never NULL) or EXISTS cast to INTEGER, so ordering
+# and output are engine-independent by construction.
+
+
+def _nested_lateral_sql(how, cpred, opred, lpred, inner, by_m, desc, k, on_true):
+    if inner == "count":
+        m = (
+            "(SELECT COUNT(*) FROM lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey AND {pred_sql(lpred)})"
+        )
+    else:
+        m = (
+            "CAST(EXISTS (SELECT 1 FROM lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey AND {pred_sql(lpred)}) "
+            "AS INTEGER)"
+        )
+    d = "DESC" if desc else "ASC"
+    order = f"m {d}" if by_m else f"o_totalprice {d}"
+    on = " ON TRUE" if on_true else ""
+    return (
+        "SELECT c.c_custkey, t.o_orderkey, t.m "
+        f"FROM customer c {how} JOIN LATERAL ("
+        f"SELECT o_orderkey, o_totalprice, {m} AS m "
+        "FROM orders o "
+        f"WHERE o.o_custkey = c.c_custkey AND {pred_sql(opred)} "
+        f"ORDER BY {order}, o_orderkey LIMIT {k}) t{on} "
+        f"WHERE {pred_sql(cpred)}"
+    )
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 20,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(["", "LEFT"]),
+    cpred=table_pred(CUSTOMER_SPEC, max_leaves=2),
+    opred=table_pred(ORDERS_SPEC, max_leaves=2),
+    lpred=_LI_PRED,
+    inner=st.sampled_from(["count", "exists"]),
+    by_m=st.booleans(),
+    desc=st.booleans(),
+    k=st.integers(1, 4),
+)
+# order the k-cut by the DEPTH-2 count itself (heavy ties -> the
+# unique-key tie-break is load-bearing), LEFT null-extension active
+@example(
+    how="LEFT",
+    cpred=("num", "c_acctbal", "<", 0.0),
+    opred=("num", "o_totalprice", ">", 300000.0),
+    lpred=("num", "l_quantity", ">", 20.0),
+    inner="count",
+    by_m=True,
+    desc=True,
+    k=2,
+)
+# EXISTS-as-value with an inner predicate that never fires: m = 0
+# everywhere, the k-cut degenerates to pure tie-break order
+@example(
+    how="",
+    cpred=("int", "c_custkey", ">=", 0),
+    opred=("str", "o_orderstatus", "<>", "P"),
+    lpred=("int", "l_suppkey", "<", 0),
+    inner="exists",
+    by_m=True,
+    desc=False,
+    k=3,
+)
+def test_fuzz_lateral_nested_scalar(
+    spark, duck, how, cpred, opred, lpred, inner, by_m, desc, k
+):
+    from map_reduce_server_spark.tables import register_views
+
+    register_views(spark, SF)
+    out = spark.sql(
+        _nested_lateral_sql(how, cpred, opred, lpred, inner, by_m, desc, k, False)
+    )
+    sql = _nested_lateral_sql(how, cpred, opred, lpred, inner, by_m, desc, k, True)
+    ok, msg = compare_to_oracle(out, sql, SF, con=duck)
+    assert ok, (
+        f"{msg}\nplan: how={how or 'INNER'} cpred={cpred} opred={opred} "
+        f"lpred={lpred} inner={inner} by_m={by_m} desc={desc} k={k}\nsql: {sql}"
+    )
+
+
+def _exists_filter_sql(key, cpred, opred, neg, with_sum) -> str:
+    ex = (
+        f"{'NOT ' if neg else ''}EXISTS (SELECT 1 FROM orders o "
+        f"WHERE o.o_custkey = c.c_custkey AND {pred_sql(opred)})"
+    )
+    sum_part = (
+        ", CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(30,2))) "
+        f"FILTER (WHERE {ex}), 0) AS DOUBLE) AS bal_with"
+        if with_sum
+        else ""
+    )
+    return (
+        f"SELECT {key}, COUNT(*) AS n_all, "
+        f"COUNT(*) FILTER (WHERE {ex}) AS n_with{sum_part} "
+        f"FROM customer c WHERE {pred_sql(cpred)} GROUP BY {key}"
+    )
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 20,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    key=st.sampled_from(["c_mktsegment", "c_nationkey"]),
+    cpred=table_pred(CUSTOMER_SPEC, max_leaves=3),
+    opred=table_pred(ORDERS_SPEC, max_leaves=3),
+    neg=st.booleans(),
+    with_sum=st.booleans(),
+)
+# EXISTS never fires: every FILTER count is 0 and the guarded sum's
+# COALESCE keeps the column off the all-NULL comparator hazard
+@example(
+    key="c_mktsegment",
+    cpred=("int", "c_custkey", ">=", 0),
+    opred=("num", "o_totalprice", "<", 0.0),
+    neg=False,
+    with_sum=True,
+)
+# NOT EXISTS over a predicate that always fires: the complement case
+@example(
+    key="c_nationkey",
+    cpred=("num", "c_acctbal", ">", -1000.0),
+    opred=("int", "o_custkey", ">=", 0),
+    neg=True,
+    with_sum=True,
+)
+def test_fuzz_exists_filter_agg(spark, duck, key, cpred, opred, neg, with_sum):
+    from map_reduce_server_spark.tables import register_views
+
+    register_views(spark, SF)
+    sql = _exists_filter_sql(key, cpred, opred, neg, with_sum)
+    ok, msg = compare_to_oracle(spark.sql(sql), sql, SF, con=duck)
+    assert ok, (
+        f"{msg}\nplan: key={key} cpred={cpred} opred={opred} neg={neg} "
+        f"with_sum={with_sum}\nsql: {sql}"
+    )
