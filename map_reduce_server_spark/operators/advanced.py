@@ -2572,3 +2572,105 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 3 * _HLL_RSD * F.col("exact_customers")
         ).alias("est_within_3rsd"),
     )
+
+
+# Oracle for the UNREGISTERED q_merge_intervals below (round-17
+# registration queue). The sweep is the standard
+# running-max-of-prior-ends island cut; the window ORDER BY ends in
+# the unique event_id, so prefix state is engine-independent even
+# under duplicate timestamps, and every duration is integer
+# microseconds (exact on both engines).
+_MERGE_IV_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id, ts AS s,
+         ts + INTERVAL 5 MINUTE AS e
+  FROM events WHERE ts IS NOT NULL),
+m AS (
+  SELECT user_id, event_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max
+  FROM iv),
+fl AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN prev_max IS NULL OR s > prev_max
+              THEN 1 ELSE 0 END AS new_i
+  FROM m),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(new_i) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl),
+runs AS (
+  SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end
+  FROM isl GROUP BY user_id, island)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM((epoch_us(i_end) - epoch_us(i_start)) // 1000000)
+            AS BIGINT) AS covered_sec,
+       CAST(MAX((epoch_us(i_end) - epoch_us(i_start)) // 1000000)
+            AS BIGINT) AS max_interval_sec
+FROM runs GROUP BY user_id
+"""
+
+
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing: each event opens a 5-minute activity
+    interval; overlapping or touching intervals per user merge into
+    maximal covered spans (the union-of-intervals primitive behind
+    uptime/coverage accounting, ad-frequency capping, and
+    speech-segment merging). Reports per user the merged-span count,
+    total covered seconds, and the longest span.
+
+    Scale shape: ONE shuffle — both windows and the final rollup key
+    on ``user_id``, so Catalyst reuses a single hash partitioning for
+    the whole plan (sort within partitions, no second exchange). The
+    sweep is O(events per user) sequential state per partition — the
+    same running-max discipline as q_session_concurrency — and the
+    island cut compares each start only against the max PRIOR end,
+    which handles contained intervals (an interval fully inside its
+    predecessor must not reopen a span; a naive lag(e) comparison
+    would). Durations are integer microsecond arithmetic end to end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr("ts + INTERVAL 5 MINUTES").alias("e"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = (
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # NULL prev_max (first row) must open an island: the <= against
+    # NULL is NULL, so when() falls through to otherwise(1) — the
+    # null-safe rendering of the oracle's IS NULL OR > branch
+    fl = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") <= F.max("e").over(prev_max), 0
+        )
+        .otherwise(1)
+        .alias("new_i"),
+    )
+    isl = fl.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_i")
+        .over(order.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    dur = F.expr("(unix_micros(i_end) - unix_micros(i_start)) div 1000000")
+    return runs.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(dur).alias("covered_sec"),
+        F.max(dur).alias("max_interval_sec"),
+    )

@@ -928,3 +928,62 @@ def q_winsorize_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hi").alias("cut_high"),
         dsum(val, scale=2).alias("winsorized_sum"),
     )
+
+
+# --- uniform reservoir sampling ---------------------------------------------
+
+_RSV_K = 8
+
+
+# Oracle for the UNREGISTERED q_reservoir_sample below (round-17
+# registration queue). u is the house deterministic md5-uniform
+# (one of 10^6 fixed rationals — bit-identical across engines), so
+# the bottom-k cut needs no rounding guard; ties are impossible
+# within a source unless two docs share a hash value, which the
+# unique doc_id tie-break absorbs.
+_RESERVOIR_ORACLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id,
+         {sql_uniform01("rsv", "CAST(doc_id AS VARCHAR)")} AS u
+  FROM documents),
+r AS (
+  SELECT source, doc_id, u,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY u, doc_id) AS rnk
+  FROM keyed)
+SELECT source, doc_id, u, CAST(rnk AS INTEGER) AS rnk
+FROM r WHERE rnk <= {_RSV_K}
+"""
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform reservoir sample of ``_RSV_K`` docs per source: rank
+    by a deterministic md5-uniform key and keep the k smallest — the
+    distributed equivalence that makes reservoir sampling mergeable:
+    a bottom-k-by-uniform-hash set over any partition union equals
+    the union's bottom-k (merge two reservoirs by re-taking the k
+    smallest keys), so every executor keeps a local reservoir and
+    the combine is associative. The same bottom-k sketch doubles as
+    a mergeable DISTINCT estimator (k-th smallest u ≈ k/|D|).
+    Against :func:`q_weighted_sample` this is the UNWEIGHTED
+    variant: A-ES keys degenerate to plain uniforms when every
+    weight is 1, and the deterministic hash replaces the stream
+    position — reproducible on any partitioning or arrival order.
+
+    Scale shape: one narrow scan computes keys, one shuffle on
+    ``source`` ranks them, and WindowGroupLimit prunes every
+    partition to k before the exchange — identical physics to the
+    map-side reservoir merge it simulates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        uniform01("rsv", F.col("doc_id")).alias("u"),
+    )
+    w = Window.partitionBy("source").orderBy("u", "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RSV_K)
+        .select("source", "doc_id", "u", "rnk")
+    )

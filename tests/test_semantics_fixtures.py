@@ -1258,3 +1258,189 @@ def test_ann_range_search_matches_oracle(spark, sf_small):
     assert rows
     assert all(r.cos_sim >= _RANGE_THETA - 1e-6 for r in rows)
     assert all(r.query_id != r.neighbor_id for r in rows)
+
+
+def test_weighted_median_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_weighted_median
+    (round-17 registration queue): the filtered-MIN selection must
+    land on DuckDB's first-crossing value exactly."""
+    from map_reduce_server_spark.operators.stats import (
+        _WMEDIAN_ORACLE,
+        q_weighted_median,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_weighted_median(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _WMEDIAN_ORACLE, sf_small)
+    assert ok, msg
+    rows = {r.l_returnflag: r for r in df.collect()}
+    assert set(rows) == {"A", "N", "R"}
+    # the median is a data value inside the group's range, and at
+    # least half the group's weight sits at or below it
+    for r in rows.values():
+        assert r.weighted_median is not None and r.total_weight > 0
+
+
+def test_weighted_median_is_weight_midpoint(spark, sf_small):
+    """First-principles check: cumulative weight at the reported
+    median crosses half the total, and strictly-below stays under
+    half (the defining property of the lower weighted median)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_server_spark.operators.stats import q_weighted_median
+    from map_reduce_server_spark.tables import load_table
+
+    med = {
+        r.l_returnflag: r.weighted_median
+        for r in q_weighted_median(spark, sf_small).collect()
+    }
+    li = load_table(spark, sf_small, "lineitem")
+    for flag, m in med.items():
+        g = li.filter(F.col("l_returnflag") == flag)
+        tot = g.agg(F.sum("l_quantity")).first()[0]
+        at_or_below = (
+            g.filter(F.col("l_extendedprice") <= m)
+            .agg(F.sum("l_quantity"))
+            .first()[0]
+        )
+        below = (
+            g.filter(F.col("l_extendedprice") < m)
+            .agg(F.sum("l_quantity"))
+            .first()[0]
+        ) or 0.0
+        assert at_or_below * 2 >= tot
+        assert below * 2 < tot
+
+
+def test_merge_intervals_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_merge_intervals
+    (round-17 registration queue): the running-max island cut must
+    agree with DuckDB under duplicate timestamps and contained
+    intervals."""
+    from map_reduce_server_spark.operators.advanced import (
+        _MERGE_IV_ORACLE,
+        q_merge_intervals,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_merge_intervals(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _MERGE_IV_ORACLE, sf_small)
+    assert ok, msg
+    rows = df.collect()
+    assert rows
+    # every merged span is at least one interval long (300 s) and
+    # coverage is bounded by span count x longest span
+    for r in rows:
+        assert r.max_interval_sec >= 300
+        assert r.covered_sec >= r.n_intervals * 300
+        assert r.covered_sec <= r.n_intervals * r.max_interval_sec
+
+
+def test_merge_intervals_contained_interval_fixture(spark):
+    """A span fully inside its predecessor must NOT reopen an island
+    (the lag(e)-vs-running-max trap), and touching endpoints merge."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # island 1: long interval, then one CONTAINED inside it,
+        # then one TOUCHING its end exactly (s == prev_max merges)
+        ("u1", 1, base),
+        ("u1", 2, base + dt.timedelta(seconds=30)),
+        ("u1", 3, base + dt.timedelta(minutes=5, seconds=30)),
+        # island 2: strictly past the merged end
+        ("u1", 4, base + dt.timedelta(minutes=20)),
+        # other user: independent single island
+        ("u2", 5, base),
+    ]
+    spark_df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp"
+    )
+    iv = spark_df.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr("ts + INTERVAL 5 MINUTES").alias("e"),
+    )
+    # replay the operator's sweep on the fixture (same expressions
+    # as q_merge_intervals' island cut)
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = order.rowsBetween(Window.unboundedPreceding, -1)
+    fl = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(F.col("s") <= F.max("e").over(prev_max), 0)
+        .otherwise(1)
+        .alias("new_i"),
+    )
+    isl = fl.select(
+        "user_id",
+        F.sum("new_i")
+        .over(order.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    per_user = {
+        r.user_id: r.n
+        for r in isl.groupBy("user_id")
+        .agg(F.countDistinct("island").alias("n"))
+        .collect()
+    }
+    assert per_user == {"u1": 2, "u2": 1}
+
+
+def test_reservoir_sample_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_reservoir_sample
+    (round-17 registration queue): bottom-k md5-uniform keys per
+    source, bit-identical ranks on both engines."""
+    from map_reduce_server_spark.operators.curation import (
+        _RSV_K,
+        _RESERVOIR_ORACLE,
+        q_reservoir_sample,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_reservoir_sample(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _RESERVOIR_ORACLE, sf_small)
+    assert ok, msg
+    rows = df.collect()
+    assert rows
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    for src, rs in per_src.items():
+        assert len(rs) <= _RSV_K
+        assert len({r.doc_id for r in rs}) == len(rs)
+
+
+def test_reservoir_sample_is_mergeable(spark, sf_small):
+    """The mergeability claim in the docstring, executed: the
+    bottom-k of a partition union equals re-taking the bottom-k of
+    the per-partition bottom-k sets."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_server_spark.functions.hashing import uniform01
+    from map_reduce_server_spark.operators.curation import _RSV_K
+    from map_reduce_server_spark.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    keyed = docs.select(
+        "source", "doc_id", uniform01("rsv", F.col("doc_id")).alias("u")
+    )
+    direct = {
+        (r.source, r.doc_id)
+        for r in keyed.sort("u", "doc_id").limit(_RSV_K).collect()
+    }
+    # split by doc parity, reservoir each half, merge, re-take k
+    half_a = keyed.filter(F.col("doc_id") % 2 == 0).sort("u", "doc_id").limit(_RSV_K)
+    half_b = keyed.filter(F.col("doc_id") % 2 == 1).sort("u", "doc_id").limit(_RSV_K)
+    merged = {
+        (r.source, r.doc_id)
+        for r in half_a.unionAll(half_b).sort("u", "doc_id").limit(_RSV_K).collect()
+    }
+    assert direct == merged
