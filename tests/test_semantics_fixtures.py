@@ -1444,3 +1444,19 @@ def test_reservoir_sample_is_mergeable(spark, sf_small):
         for r in half_a.unionAll(half_b).sort("u", "doc_id").limit(_RSV_K).collect()
     }
     assert direct == merged
+
+
+def test_skew_join_hint_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_skew_join_hint
+    (round-17 registration queue): the staged skewed fact joined
+    under the MERGE hint must equal the plain-join aggregate —
+    skew handling is result-invisible by construction."""
+    from map_reduce_server_spark.operators.udf import (
+        _SKEW_ORACLE,
+        q_skew_join_hint,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_skew_join_hint(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _SKEW_ORACLE, sf_small)
+    assert ok, msg
