@@ -939,3 +939,146 @@ def graph_jaccard_neighbors(
             ).alias("jaccard"),
         )
     )
+
+
+# Oracle for the UNREGISTERED graph_shortest_paths below (round-17
+# registration queue). Phase 1 is the exact hops recursion of
+# graph_bfs_hops; phase 2 derives each node's UNIQUE min-parent (the
+# smallest BFS predecessor one hop closer to the seed) and walks the
+# parent chain per node — a LINEAR recursion of total size
+# O(V x diameter), never a path enumeration (enumerating all
+# shortest paths is exponential on dense graphs; the min-parent tree
+# makes the reported path deterministic and both engines derive it
+# from the same hops table).
+_SP_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= {_TRI_MINSUP}),
+ed AS (SELECT u AS src, v AS dst FROM e
+       UNION ALL SELECT v AS src, u AS dst FROM e),
+seed AS (SELECT MIN(src) AS s FROM ed),
+walk(node, hops) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT ed.dst, w.hops + 1 FROM walk w JOIN ed ON ed.src = w.node
+  WHERE w.hops < {_BFS_MAX_HOPS}
+),
+dist AS (SELECT node, MIN(hops) AS hops FROM walk GROUP BY node),
+par AS (
+  SELECT d.node, MIN(p.node) AS parent
+  FROM dist d
+  JOIN ed ON ed.dst = d.node
+  JOIN dist p ON p.node = ed.src AND p.hops = d.hops - 1
+  GROUP BY d.node),
+chain(node, cur, path) AS (
+  SELECT node, node, CAST(node AS VARCHAR) FROM dist
+  UNION ALL
+  SELECT c.node, par.parent,
+         CAST(par.parent AS VARCHAR) || ',' || c.path
+  FROM chain c JOIN par ON par.node = c.cur
+)
+SELECT c.node AS part_id,
+       CAST(d.hops AS INTEGER) AS hops,
+       c.path AS path
+FROM chain c
+JOIN dist d ON d.node = c.node
+JOIN seed ON c.cur = seed.s
+"""
+
+
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths WITH path reconstruction: every
+    part reachable within ``_BFS_MAX_HOPS`` of the seed, labeled with
+    its hop count and the actual seed→node path — the provenance
+    question ("HOW is this node connected?") that hop counts alone
+    (graph_bfs_hops) cannot answer: recommendation explanations,
+    fraud-ring tracing, dependency chains.
+
+    Determinism without enumeration: all shortest paths to a node
+    can be exponentially many on dense graphs, so the reported path
+    is defined by the MIN-PARENT TREE — each node's predecessor is
+    the smallest neighbor one hop closer to the seed. That makes the
+    path unique, derivable from the hops table alone, and identical
+    on any engine (the oracle replays the same tree from its own
+    recursive hops CTE).
+
+    Scale shape: phase 1 is the bounded BFS (frontier⋈edges +
+    anti-join visited, size-gated broadcast — see
+    :func:`bfs_hops`); phase 2 adds ONE edges⋈dist⋈dist join to
+    derive parents (shuffles O(E) once), then ``_BFS_MAX_HOPS``
+    iterations of a walk⋈parents equi-join, each moving O(V) rows —
+    total O(V x diameter), the linear-chain cost every distributed
+    lineage/provenance reconstruction pays. The parent table is a
+    slim (node, parent) pair; no step carries paths through a
+    shuffle wider than the string being built.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    return shortest_paths(e, _BFS_MAX_HOPS).select(
+        F.col("node").alias("part_id"), "hops", "path"
+    )
+
+
+def shortest_paths(edges: DataFrame, max_hops: int) -> DataFrame:
+    """Reusable core of :func:`graph_shortest_paths`: min-parent-tree
+    shortest paths from min(u) over an UNDIRECTED (u, v) edge list.
+    Returns (node, hops int, path string — comma-joined ids from the
+    seed to the node). See there for the scale analysis."""
+    e = edges
+    ed = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(
+            e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .transform(stage_cut)
+    )
+    dist = stage_cut(
+        bfs_hops(e, max_hops).select(
+            "node", F.col("hops").cast("int").alias("hops")
+        )
+    )
+    d_dst = dist.select(
+        F.col("node").alias("c_node"), F.col("hops").alias("c_hops")
+    )
+    d_src = dist.select(
+        F.col("node").alias("p_node"), F.col("hops").alias("p_hops")
+    )
+    par = stage_cut(
+        d_dst.join(ed, ed["dst"] == d_dst["c_node"])
+        .join(
+            d_src,
+            (d_src["p_node"] == ed["src"])
+            & (d_src["p_hops"] == d_dst["c_hops"] - 1),
+        )
+        .groupBy(F.col("c_node").alias("node"))
+        .agg(F.min("p_node").alias("parent"))
+    )
+    walk = dist.select(
+        "node",
+        F.col("node").alias("cur"),
+        F.col("node").cast("string").alias("path"),
+    )
+    for _ in range(max_hops):
+        p = par.select(
+            F.col("node").alias("w_cur"), F.col("parent").alias("w_par")
+        )
+        walk = walk.join(p, walk["cur"] == p["w_cur"], "left").select(
+            "node",
+            F.coalesce(F.col("w_par"), F.col("cur")).alias("cur"),
+            F.when(
+                F.col("w_par").isNotNull(),
+                F.concat_ws(
+                    ",", F.col("w_par").cast("string"), F.col("path")
+                ),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+        )
+    seed = ed.agg(F.min("src").alias("s"))
+    return (
+        walk.join(F.broadcast(seed), walk["cur"] == F.col("s"))
+        .join(dist.select(F.col("node").alias("d_node"), "hops"),
+              F.col("node") == F.col("d_node"))
+        .select("node", "hops", "path")
+    )

@@ -1460,3 +1460,76 @@ def test_skew_join_hint_matches_oracle(spark, sf_small):
     df = q_skew_join_hint(spark, sf_small)
     ok, msg = compare_to_oracle(df, _SKEW_ORACLE, sf_small)
     assert ok, msg
+
+
+def test_shortest_paths_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED graph_shortest_paths
+    (round-17 registration queue): the min-parent-tree paths must
+    equal the oracle's replay of the same tree from its recursive
+    hops CTE."""
+    from map_reduce_server_spark.operators.clustering import (
+        _SP_ORACLE,
+        graph_shortest_paths,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = graph_shortest_paths(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _SP_ORACLE, sf_small)
+    assert ok, msg
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        ids = r.path.split(",")
+        # path length = hops + 1, ends at the node, starts at seed
+        assert len(ids) == r.hops + 1
+        assert ids[-1] == str(r.part_id)
+
+
+def test_shortest_paths_min_parent_replay(spark):
+    """Random small graph: paths must equal a Python BFS + min-parent
+    replay — hop-minimal AND choosing the smallest predecessor at
+    every step, not just any shortest path."""
+    import random
+
+    from map_reduce_server_spark.operators.clustering import shortest_paths
+
+    rng = random.Random(23)
+    n = 14
+    und = {
+        tuple(sorted((rng.randrange(n), rng.randrange(n))))
+        for _ in range(22)
+    }
+    und = sorted((a, b) for a, b in und if a != b)
+    seed = min(min(e) for e in und)
+    # Python replay
+    adj: dict[int, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    hops = {seed: 0}
+    frontier = [seed]
+    max_hops = 4
+    for h in range(1, max_hops + 1):
+        nxt = sorted(
+            {v for u in frontier for v in adj[u] if v not in hops}
+        )
+        for v in nxt:
+            hops[v] = h
+        frontier = nxt
+    parent = {
+        v: min(p for p in adj[v] if hops.get(p, 99) == h - 1)
+        for v, h in hops.items()
+        if h > 0
+    }
+    def path(v):
+        chain = [v]
+        while chain[0] != seed:
+            chain.insert(0, parent[chain[0]])
+        return ",".join(str(x) for x in chain)
+    expected = {(v, h, path(v)) for v, h in hops.items()}
+    edges = spark.createDataFrame(und, ["u", "v"])
+    got = {
+        (r.node, r.hops, r.path)
+        for r in shortest_paths(edges, max_hops).collect()
+    }
+    assert got == expected
