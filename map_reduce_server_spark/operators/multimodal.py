@@ -62,6 +62,7 @@ from map_reduce_server_spark.functions import (
     gif,
     ico,
     jpeg,
+    pcx,
     png,
     tga,
     tiff,
@@ -2269,3 +2270,87 @@ def multimodal_decode_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_px", 6).alias("mean_px"),
         "max_px",
     )
+
+
+# ---------------------------------------------------------------
+# PCX — two-bit-tagged RLE, even line padding, trailing VGA palette.
+
+_PCX_W, _PCX_H = 8, 6  # 48 gray bytes, same tie-free divisor domain
+_PCX_BPL = 10  # > width and even: every line carries 2 pad bytes
+
+
+def with_pcx_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL 8x6 grayscale RLE PCX per document (pure-stdlib
+    encoder; pixels = the full 48 bytes of the three chained md5
+    digests). ``bytes_per_line`` = 10 pads every scan line by two
+    zero bytes, so the decode stage must walk the padded line grid
+    and truncate — the PCX-specific failure mode no other codec leg
+    exercises."""
+    flat = docs.select(
+        "doc_id",
+        F.concat(
+            F.md5(F.col("text")),
+            F.md5(F.concat(F.lit("x"), F.col("text"))),
+            F.md5(F.concat(F.lit("y"), F.col("text"))),
+        ).alias("pix_hex"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["pix_hex"].map(
+                _nn(
+                    lambda h: pcx.encode_gray8(
+                        _PCX_W,
+                        _PCX_H,
+                        bytes.fromhex(h),
+                        bytes_per_line=_PCX_BPL,
+                    )
+                )
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def pcx_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real PCX payloads: header walk, two-bit-tag
+    RLE expansion over the padded line grid, pad truncation, palette
+    verification, then per-image pixel statistics."""
+    return _px_stats_stage(df, pcx.decode_gray8)
+
+
+# Oracle for the UNREGISTERED multimodal_decode_pcx below (round-17
+# registration queue): identical pixel statistics recomputed from
+# the md5 hex (48-byte pixel source, divisor already in the
+# tie-free-by-enumeration proof of _px_stats_select; the pad bytes
+# are decode-invisible by the truncation contract).
+_PCX_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, list_transform(range(1, 49),
+           i -> CAST(('0x' || substr({_SQL_PIX_HEX}, i*2-1, 2))
+                AS BIGINT)) AS bs
+  FROM documents WHERE text IS NOT NULL),
+st AS (
+  SELECT doc_id, CAST({_PCX_W} AS INTEGER) AS width,
+         CAST({_PCX_H} AS INTEGER) AS height,
+         round(CAST(list_sum(bs) AS DOUBLE) / 48, 6) AS mean_px,
+         CAST(list_max(bs) AS INTEGER) AS max_px
+  FROM px)
+SELECT d.doc_id, st.width, st.height, st.mean_px, st.max_px
+FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+"""
+
+
+def multimodal_decode_pcx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for the TWO-BIT-TAGGED RLE family:
+    encode each document's md5-derived pixels as an actual ZSoft PCX
+    (run headers >= 0xC0 with 6-bit counts, bright literals escaped
+    as runs of one, even-padded scan lines decoded-then-truncated,
+    trailing identity-gray VGA palette) and decode it back with the
+    pure-stdlib parser. TGA covers one-bit-tagged byte RLE; PCX adds
+    the tag-collision escape (a bare literal >= 0xC0 would parse as
+    a run header — the classic silent-corruption bug in hand-rolled
+    writers) and the padded-line-grid walk. Same zero-shuffle
+    Arrow-batched mapInPandas scale shape as every image leg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _px_stats_select(pcx_stats(with_pcx_payload(docs)))

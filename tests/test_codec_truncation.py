@@ -90,3 +90,13 @@ def test_ico_truncation():
     f = ico.encode_gray8([(8, 6, pix), (4, 4, small)])
     _sweep(f, ico.decode_gray8)
     assert ico.decode_gray8(f) == [(8, 6, pix), (4, 4, small)]
+
+
+def test_pcx_truncation():
+    from map_reduce_server_spark.functions import pcx
+
+    pix = bytes((7 * i) % 256 for i in range(48))
+    for bpl in (8, 10):
+        f = pcx.encode_gray8(8, 6, pix, bytes_per_line=bpl)
+        _sweep(f, pcx.decode_gray8)
+        assert pcx.decode_gray8(f) == (8, 6, pix)

@@ -1530,3 +1530,107 @@ def test_tga_rle_roundtrip_hypothesis():
         assert tga.decode_gray8(f) == (width, height, raw)
 
     check()
+
+
+def test_pcx_codec_roundtrip_and_strictness():
+    """Unit round-trip: two-bit-tagged RLE grayscale survives
+    encode/decode, bright literals (>= 0xC0) are escaped as runs of
+    one, padded lines truncate back to width, the trailing VGA
+    identity palette is verified, and the strict envelope refuses
+    multi-plane/non-RLE files."""
+    import hashlib
+    import struct
+
+    import pytest as _pytest
+
+    from map_reduce_server_spark.functions import pcx
+
+    pix = b"".join(hashlib.md5(t).digest() for t in (b"a", b"b", b"c"))
+    for bpl in (8, 10, 12):
+        f = pcx.encode_gray8(8, 6, pix, bytes_per_line=bpl)
+        assert pcx.decode_gray8(f) == (8, 6, pix)
+    # the tag-collision domain: every literal >= 0xC0 must survive
+    bright = bytes(range(0xC0, 0x100)) + bytes(range(0xB0, 0xC0))
+    f = pcx.encode_gray8(8, 10, bright)
+    assert pcx.decode_gray8(f) == (8, 10, bright)
+    # runs longer than the 6-bit count must split into legal packets
+    wide = bytes([5] * 100 + [1] * 28)
+    f = pcx.encode_gray8(8, 16, wide)
+    assert pcx.decode_gray8(f) == (8, 16, wide)
+    # hand-packed wire golden: 2x1 raster [0xAA, 0xAA] at bpl=2 is
+    # exactly one run packet (0xC2, 0xAA) + palette
+    hdr = struct.pack(
+        "<BBBBHHHHHH48sBBHHHH54s",
+        0x0A, 5, 1, 8, 0, 0, 1, 0, 72, 72, b"\x00" * 48,
+        0, 1, 2, 1, 0, 0, b"\x00" * 54,
+    )
+    pal = bytes([0x0C]) + bytes(
+        v for g in range(256) for v in (g, g, g)
+    )
+    golden = hdr + bytes([0xC2, 0xAA]) + pal
+    assert pcx.encode_gray8(2, 1, b"\xaa\xaa", bytes_per_line=2) == golden
+    assert pcx.decode_gray8(golden) == (2, 1, b"\xaa\xaa")
+    # strictness: multi-plane and non-RLE refuse
+    bad_planes = bytearray(golden); bad_planes[65] = 3
+    with _pytest.raises(NotImplementedError):
+        pcx.decode_gray8(bytes(bad_planes))
+    bad_enc = bytearray(golden); bad_enc[2] = 0
+    with _pytest.raises(NotImplementedError):
+        pcx.decode_gray8(bytes(bad_enc))
+    # a run crossing the scan-line grid refuses: 2x2 at bpl=2 with
+    # one 4-byte run
+    hdr2 = struct.pack(
+        "<BBBBHHHHHH48sBBHHHH54s",
+        0x0A, 5, 1, 8, 0, 0, 1, 1, 72, 72, b"\x00" * 48,
+        0, 1, 2, 1, 0, 0, b"\x00" * 54,
+    )
+    with _pytest.raises(ValueError):
+        pcx.decode_gray8(hdr2 + bytes([0xC4, 0xFF]) + pal)
+    # a non-identity palette refuses
+    bad_pal = bytearray(golden); bad_pal[-1] ^= 1
+    with _pytest.raises(NotImplementedError):
+        pcx.decode_gray8(bytes(bad_pal))
+
+
+def test_pcx_rle_roundtrip_hypothesis():
+    """Property: any byte raster round-trips through the two-bit-tag
+    RLE encoder at any legal padding — exercises 63-count packet
+    edges, bright-literal escapes, and pad interaction the fixed
+    goldens miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_server_spark.functions import pcx
+
+    run = st.tuples(st.integers(0, 255), st.integers(1, 70))
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        runs=st.lists(run, min_size=1, max_size=6),
+        width=st.integers(1, 40),
+        pad=st.integers(0, 2),
+    )
+    def check(runs, width, pad):
+        raw = b"".join(bytes([v]) * n for v, n in runs)
+        height = max(1, len(raw) // width)
+        raw = raw[: width * height].ljust(width * height, b"\x00")
+        bpl = width + (width & 1) + 2 * pad
+        f = pcx.encode_gray8(width, height, raw, bytes_per_line=bpl)
+        assert pcx.decode_gray8(f) == (width, height, raw)
+
+    check()
+
+
+def test_pcx_decode_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED multimodal_decode_pcx
+    (round-17 registration queue): padded-line RLE decode lands on
+    the identical md5-derived pixel statistics."""
+    from map_reduce_server_spark.operators.multimodal import (
+        _PCX_ORACLE,
+        multimodal_decode_pcx,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = multimodal_decode_pcx(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _PCX_ORACLE, sf_small)
+    assert ok, msg
