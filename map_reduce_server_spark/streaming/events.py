@@ -435,6 +435,8 @@ def _events_stream_timeordered(
     sf_dir: str,
     n_files: int = 4,
     sentinel: bool = True,
+    n_sentinels: int = 1,
+    sentinel_types: tuple[str, ...] | None = None,
 ) -> tuple[DataFrame, str]:
     """Streaming DataFrame over the bounded events table staged as
     ``n_files`` TIME-RANGE files replayed one per micro-batch, plus a
@@ -481,36 +483,62 @@ def _events_stream_timeordered(
     for i, f in enumerate(parts):
         os.utime(os.path.join(data_dir, f), (base + 10 * i, base + 10 * i))
     if sentinel:
-        # the flush sentinel: one far-future row, schema-identical
+        # the flush sentinel(s): far-future rows, schema-identical
         # (built FROM the normalized frame so ts carries the same
-        # type), written as its own file so it forms the final
-        # micro-batch
-        sent_dir = os.path.join(stage, "sentinel")
-        (
-            ev.limit(1)
-            .select(
-                *[
-                    F.lit(None).cast(f.dataType).alias(f.name)
-                    if f.name != "ts"
-                    else F.lit(_SESSIONIZE_FLUSH_TS)
-                    .cast("timestamp")
-                    .alias("ts")
-                    for f in ev.schema.fields
-                ]
+        # type), each written as its own file so each forms its own
+        # final micro-batch. Operators whose emission happens one
+        # batch AFTER the watermark advances (stream-stream OUTER
+        # joins: the null-extension of expired state is produced by
+        # the batch that RUNS under the advanced watermark, which the
+        # single batch that carried the advancing row never is) pass
+        # ``n_sentinels=2`` — the first sentinel advances the
+        # watermark, the second triggers the batch that drains the
+        # expired state.
+        # ``sentinel_types``: operators that split the stream into
+        # event_type-filtered branches (stream-stream joins) need one
+        # sentinel row PER branch type — the filters are PUSHED TO
+        # THE SCAN, and a parquet row group whose event_type min/max
+        # is all-NULL is pruned wholesale, so an untyped sentinel
+        # never reaches either branch's watermark node and the global
+        # (min-of-branches) watermark sticks forever (measured: the
+        # sentinel batches report numInputRows = 0).
+        for si in range(n_sentinels):
+            sent_dir = os.path.join(stage, f"sentinel{si}")
+            one = ev.limit(1)
+            sent_rows = None
+            for stype in sentinel_types or (None,):
+                row = one.select(
+                    *[
+                        (
+                            F.lit(_SESSIONIZE_FLUSH_TS).cast("timestamp")
+                            + F.expr(f"INTERVAL {si} SECONDS")
+                        ).alias("ts")
+                        if f.name == "ts"
+                        else F.lit(stype)
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        if f.name == "event_type"
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in ev.schema.fields
+                    ]
+                )
+                sent_rows = row if sent_rows is None else sent_rows.unionAll(row)
+            (
+                sent_rows.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(sent_dir)
             )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(sent_dir)
-        )
-        sent = next(
-            f
-            for f in os.listdir(sent_dir)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        final_path = os.path.join(data_dir, "part-zz-sentinel.parquet")
-        shutil.copyfile(os.path.join(sent_dir, sent), final_path)
-        t = base + 10 * (len(parts) + 1)
-        os.utime(final_path, (t, t))
+            sent = next(
+                f
+                for f in os.listdir(sent_dir)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            final_path = os.path.join(
+                data_dir, f"part-zz{si}-sentinel.parquet"
+            )
+            shutil.copyfile(os.path.join(sent_dir, sent), final_path)
+            t = base + 10 * (len(parts) + 1 + si)
+            os.utime(final_path, (t, t))
     schema = spark.read.parquet(data_dir).schema
     stream = (
         spark.readStream.schema(schema)
