@@ -561,6 +561,19 @@ _CHANGED_R15: frozenset[str] = frozenset()
 #                              _RANGE_SEARCH_ORACLE)
 #   stream_cdc_latest         (streaming/events.py,
 #                              _STREAM_CDC_ORACLE)
+# Round-17 registration queue, staged early (same gate status —
+# oracle + driver-grade parity test + sim-registration green at
+# sf0.001/0.01/0.1 and TZ-shifted):
+#   q_weighted_median         (operators/stats.py, _WMEDIAN_ORACLE)
+#   q_merge_intervals         (operators/advanced.py,
+#                              _MERGE_IV_ORACLE)
+#   q_reservoir_sample        (operators/curation.py,
+#                              _RESERVOIR_ORACLE)
+#   q_skew_join_hint          (operators/udf.py, _SKEW_ORACLE)
+#   graph_shortest_paths      (operators/clustering.py, _SP_ORACLE)
+#   multimodal_decode_pcx     (operators/multimodal.py, _PCX_ORACLE)
+#   stream_stream_left_outer  (streaming/joins.py,
+#                              _STREAM_LEFT_OUTER_ORACLE)
 
 # Rounds FRESHEST-FIRST with their green sets — the single place a
 # new round is added. _EVER_GREEN and _stale_first both derive from
