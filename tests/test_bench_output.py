@@ -64,3 +64,35 @@ def test_detailed_line_precedes_and_keeps_rep_arrays():
     assert detail["rep_queries"] == rep_runs
     assert detail["cold_queries"] == cold
     assert detail["sf"] == 0.01
+
+
+def test_guard_trip_writes_sidecar_and_references_it(tmp_path):
+    """When the compact line outgrows the guard, per-query medians
+    must land in the sidecar file and the compact line must say so
+    (queries_sidecar + n_queries) — never silently vanish."""
+    timings, cold, rep_runs = _fake_suite(200)
+    sidecar = tmp_path / "BENCH_DETAIL.json"
+    lines = bench.emit_lines(
+        timings, cold, rep_runs, 3, 2469.0, "0.1", sidecar_path=str(sidecar)
+    )
+    rec = json.loads(_tail_last_line(lines))
+    assert "queries" not in rec
+    assert rec["n_queries"] == 200
+    assert rec["queries_sidecar"] == "BENCH_DETAIL.json"
+    side = json.loads(sidecar.read_text())
+    assert side["record"] == "bench_detail"
+    assert set(side["queries"]) == set(timings)
+    assert side["rep_queries"] == rep_runs
+
+
+def test_no_sidecar_below_guard(tmp_path):
+    """At the current suite size the compact line keeps its queries
+    and no sidecar is written."""
+    timings, cold, rep_runs = _fake_suite(22)
+    sidecar = tmp_path / "BENCH_DETAIL.json"
+    lines = bench.emit_lines(
+        timings, cold, rep_runs, 3, 271.59, "0.1", sidecar_path=str(sidecar)
+    )
+    rec = json.loads(_tail_last_line(lines))
+    assert set(rec["queries"]) == set(timings)
+    assert not sidecar.exists()
