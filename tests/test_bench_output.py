@@ -44,11 +44,16 @@ def test_last_line_parses_after_tail_truncation():
     assert set(rec["queries"]) == set(timings)
 
 
-def test_compact_line_bounded_even_for_huge_suite():
+def test_compact_line_bounded_even_for_huge_suite(tmp_path):
     # 200 queries would blow the window with the per-query dict; the
     # size guard must drop "queries" but keep the headline parseable.
+    # sidecar_path is pinned to tmp so the contract test never writes
+    # into the repo root.
     timings, cold, rep_runs = _fake_suite(200)
-    lines = bench.emit_lines(timings, cold, rep_runs, 3, 2469.0, "0.1")
+    lines = bench.emit_lines(
+        timings, cold, rep_runs, 3, 2469.0, "0.1",
+        sidecar_path=str(tmp_path / "BENCH_DETAIL.json"),
+    )
     assert len(lines[-1]) <= 1900
     rec = json.loads(_tail_last_line(lines))
     assert rec["metric"] == "headline_suite_median_seconds"
