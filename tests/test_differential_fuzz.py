@@ -3192,3 +3192,93 @@ def test_fuzz_exists_filter_agg(spark, duck, key, cpred, opred, neg, with_sum):
         f"{msg}\nplan: key={key} cpred={cpred} opred={opred} neg={neg} "
         f"with_sum={with_sum}\nsql: {sql}"
     )
+
+
+# --- window-then-correlated fuzz ---------------------------------------------
+# The remaining nesting plane of round 15's depth-2 work: a
+# correlated scalar/EXISTS whose correlation condition references a
+# WINDOW value computed over the outer query (per-partition MAX/MIN
+# of orders, unique-keyed rank) — Catalyst must decorrelate UNDER
+# the Window operator, DuckDB flattens the subquery against its own
+# window plan. The windowed value is always a data value (MAX/MIN)
+# or a dense integer (row_number with unique ORDER BY), so the
+# comparison is bit-exact on both engines.
+
+
+def _win_corr_sql(wfn, factor, cmp, inner, opred, lpred) -> str:
+    if wfn == "rn":
+        wexpr = (
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderkey)"
+        )
+        ipred = f"l.l_linenumber {cmp} w.wval"
+    else:
+        wexpr = (
+            f"{wfn}(o_totalprice) OVER (PARTITION BY o_custkey)"
+        )
+        ipred = f"l.l_extendedprice {cmp} w.wval * {factor}"
+    if inner == "count":
+        sub = (
+            "(SELECT COUNT(*) FROM lineitem l "
+            f"WHERE l.l_orderkey = w.o_orderkey AND {ipred} "
+            f"AND {pred_sql(lpred)})"
+        )
+    else:
+        sub = (
+            "CAST(EXISTS (SELECT 1 FROM lineitem l "
+            f"WHERE l.l_orderkey = w.o_orderkey AND {ipred} "
+            f"AND {pred_sql(lpred)}) AS INTEGER)"
+        )
+    return (
+        "WITH w AS (SELECT o_orderkey, o_custkey, "
+        f"{wexpr} AS wval FROM orders WHERE {pred_sql(opred)}) "
+        f"SELECT w.o_orderkey, w.wval, {sub} AS m FROM w"
+    )
+
+
+@settings(
+    max_examples=_DEEP_EXAMPLES or 20,
+    deadline=None,
+    print_blob=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    wfn=st.sampled_from(["max", "min", "rn"]),
+    factor=st.sampled_from(["0.001", "0.01", "0.1"]),
+    cmp=st.sampled_from(["<", "<=", ">", ">="]),
+    inner=st.sampled_from(["count", "exists"]),
+    opred=table_pred(ORDERS_SPEC, max_leaves=2),
+    lpred=_LI_PRED,
+)
+# rank-correlated inner bound: the windowed integer gates which
+# line numbers count — decorrelation under row_number
+@example(
+    wfn="rn",
+    factor="0.1",
+    cmp="<=",
+    inner="count",
+    opred=("int", "o_custkey", ">=", 0),
+    lpred=("num", "l_quantity", ">", 0.0),
+)
+# per-partition MAX scaled down to an always-true bound: every line
+# qualifies, the subquery degenerates to the plain per-order count
+@example(
+    wfn="max",
+    factor="0.001",
+    cmp=">",
+    inner="exists",
+    opred=("str", "o_orderstatus", "<>", "P"),
+    lpred=("int", "l_suppkey", ">=", 0),
+)
+def test_fuzz_window_then_correlated(
+    spark, duck, wfn, factor, cmp, inner, opred, lpred
+):
+    from map_reduce_server_spark.tables import register_views
+
+    register_views(spark, SF)
+    sql = _win_corr_sql(wfn, factor, cmp, inner, opred, lpred)
+    ok, msg = compare_to_oracle(spark.sql(sql), sql, SF, con=duck)
+    assert ok, (
+        f"{msg}\nplan: wfn={wfn} factor={factor} cmp={cmp} inner={inner} "
+        f"opred={opred} lpred={lpred}\nsql: {sql}"
+    )
