@@ -1525,7 +1525,7 @@ def test_tga_rle_roundtrip_hypothesis():
     def check(runs, width, top_down):
         raw = b"".join(bytes([v]) * n for v, n in runs)
         height = max(1, len(raw) // width)
-        raw = raw[: width * height]
+        raw = raw[: width * height].ljust(width * height, b"\x00")
         f = tga.encode_gray8(width, height, raw, top_down=top_down)
         assert tga.decode_gray8(f) == (width, height, raw)
 
