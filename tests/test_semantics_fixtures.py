@@ -1533,3 +1533,169 @@ def test_shortest_paths_min_parent_replay(spark):
         for r in shortest_paths(edges, max_hops).collect()
     }
     assert got == expected
+
+
+def test_cumulative_distinct_users_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED
+    q_cumulative_distinct_users (round-18 registration queue): the
+    first-occurrence prefix sum must equal the expanding-frame
+    distinct count the oracle derives the same way."""
+    from map_reduce_server_spark.operators.advanced import (
+        _CUMDIST_ORACLE,
+        q_cumulative_distinct_users,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_cumulative_distinct_users(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _CUMDIST_ORACLE, sf_small)
+    assert ok, msg
+    rows = sorted(df.collect(), key=lambda r: r.day_num)
+    # the defining identities: cumulative is non-decreasing, equals
+    # the running sum of arrivals, and ends at the total user count
+    running = 0
+    for r in rows:
+        running += r.n_new
+        assert r.cum_users == running
+        assert r.n_new <= r.n_active
+    from pyspark.sql import functions as F
+
+    from map_reduce_server_spark.tables import load_table
+
+    total = (
+        load_table(spark, sf_small, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].cum_users == total
+
+
+def test_incremental_mv_merge_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_incremental_mv_merge
+    (round-18 registration queue): merged base+delta partials must
+    equal the full recompute — the defining property of incremental
+    view maintenance."""
+    from map_reduce_server_spark.operators.advanced import (
+        _MV_MERGE_ORACLE,
+        q_incremental_mv_merge,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_incremental_mv_merge(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _MV_MERGE_ORACLE, sf_small)
+    assert ok, msg
+
+
+def test_sequence_mining_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_sequence_mining
+    (round-18 registration queue): triple support from the path-regex
+    probe must match DuckDB's identical lattice."""
+    from map_reduce_server_spark.operators.advanced import (
+        _SEQ_MINING_ORACLE,
+        q_sequence_mining,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_sequence_mining(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _SEQ_MINING_ORACLE, sf_small)
+    assert ok, msg
+    rows = {(r.t1, r.t2, r.t3): r.n_users for r in df.collect()}
+    assert rows
+    # support monotonicity (Apriori property, order-3 -> order-2
+    # prefix): a triple's support cannot exceed its prefix pair's.
+    # Derive pair support directly from the same path table logic.
+    from pyspark.sql import functions as F
+
+    from map_reduce_server_spark.operators.advanced import _SEQ_TYPES
+    from map_reduce_server_spark.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    mapping = F.create_map(
+        *[F.lit(x) for pair in _SEQ_TYPES for x in pair]
+    )
+    paths = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin([t for t, _ in _SEQ_TYPES])
+        )
+        .select(
+            "user_id", "ts", "event_id",
+            mapping[F.col("event_type")].alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "c"))
+                ).getField("c"),
+            ).alias("path")
+        )
+    )
+    import re
+
+    path_list = [r.path for r in paths.collect()]
+    for (t1, t2, t3), n in rows.items():
+        pair = sum(
+            1 for p in path_list if re.search(f"{t1}.*{t2}", p)
+        )
+        assert n <= pair, (t1, t2, t3)
+
+
+def test_sequence_mining_subsequence_fixture(spark):
+    """Hand-built check: interleaving noise must not break
+    containment, and REVERSED order must not count (the regex is a
+    subsequence test, not a bag test)."""
+    import datetime as dt
+    import tempfile
+
+    from map_reduce_server_spark.operators.advanced import (
+        q_sequence_mining,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: s ... e ... c ... p  (s->c->p holds with noise)
+        (1, base, 1, "signup"),
+        (2, base + dt.timedelta(minutes=1), 1, "error"),
+        (3, base + dt.timedelta(minutes=2), 1, "click"),
+        (4, base + dt.timedelta(minutes=3), 1, "purchase"),
+        # user 2: p ... c ... s (REVERSE order only)
+        (5, base, 2, "purchase"),
+        (6, base + dt.timedelta(minutes=1), 2, "click"),
+        (7, base + dt.timedelta(minutes=2), 2, "signup"),
+    ]
+    d = tempfile.mkdtemp()
+    _write_events(spark, d, rows)
+    got = {
+        (r.t1, r.t2, r.t3): r.n_users
+        for r in q_sequence_mining(spark, d).collect()
+    }
+    assert got.get(("s", "c", "p")) == 1  # user 1 only
+    assert ("p", "c", "s") in got  # user 2's reverse chain
+    assert got[("p", "c", "s")] == 1
+    assert got.get(("s", "e", "c")) == 1  # noise chain is itself a seq
+
+
+def test_rolling_zscore_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED q_rolling_zscore
+    (round-18 registration queue): decimal-exact rolling sufficient
+    statistics must land on identical z-scores."""
+    from map_reduce_server_spark.operators.advanced import (
+        _ROLLING_Z_ORACLE,
+        _RZ_W,
+        q_rolling_zscore,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_rolling_zscore(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _ROLLING_Z_ORACLE, sf_small)
+    assert ok, msg
+    rows = df.collect()
+    assert rows
+    # a population-σ z-score of the window's own member is bounded
+    # by sqrt(n-1) (single-outlier extremal configuration)
+    bound = (_RZ_W - 1) ** 0.5 + 1e-9
+    assert all(abs(r.z) <= bound for r in rows)
