@@ -63,6 +63,7 @@ from map_reduce_server_spark.functions import (
     ico,
     jpeg,
     pcx,
+    pgm,
     png,
     tga,
     tiff,
@@ -2354,3 +2355,87 @@ def multimodal_decode_pcx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas scale shape as every image leg."""
     docs = load_table(spark, sf_dir, "documents")
     return _px_stats_select(pcx_stats(with_pcx_payload(docs)))
+
+
+# ---------------------------------------------------------------
+# PGM — ASCII token header with comments, P5 binary / P2 ASCII.
+
+_PGM_W, _PGM_H = 8, 6  # 48 gray bytes, same tie-free divisor domain
+
+
+def with_pgm_payload(docs: DataFrame) -> DataFrame:
+    """Encode a REAL 8x6 grayscale PGM per document (pure-stdlib
+    encoder; pixels = the full 48 bytes of the three chained md5
+    digests). Format alternates by doc parity — even docs binary P5,
+    odd docs ASCII P2 — so the decode stage exercises BOTH rasters
+    while the oracle stays format-invariant (pixel bytes are
+    identical)."""
+    flat = docs.select(
+        "doc_id",
+        F.concat(
+            F.md5(F.col("text")),
+            F.md5(F.concat(F.lit("x"), F.col("text"))),
+            F.md5(F.concat(F.lit("y"), F.col("text"))),
+        ).alias("pix_hex"),
+        (F.col("doc_id") % 2 == 1).alias("am"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = [
+                None
+                if h is None
+                else pgm.encode_gray8(
+                    _PGM_W, _PGM_H, bytes.fromhex(h), ascii_mode=bool(am)
+                )
+                for h, am in zip(pdf["pix_hex"], pdf["am"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+    return flat.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def pgm_stats(df: DataFrame) -> DataFrame:
+    """Decode stage over real PGM payloads: comment-skipping token
+    header walk, single-separator binary raster or terminator-checked
+    ASCII raster, then per-image pixel statistics."""
+    return _px_stats_stage(df, pgm.decode_gray8)
+
+
+# Oracle for the UNREGISTERED multimodal_decode_pgm below (round-18
+# registration queue): identical pixel statistics recomputed from
+# the md5 hex (48-byte pixel source, divisor already in the
+# tie-free-by-enumeration proof of _px_stats_select; P5 vs P2 is
+# decode-invisible by construction).
+_PGM_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, list_transform(range(1, 49),
+           i -> CAST(('0x' || substr({_SQL_PIX_HEX}, i*2-1, 2))
+                AS BIGINT)) AS bs
+  FROM documents WHERE text IS NOT NULL),
+st AS (
+  SELECT doc_id, CAST({_PGM_W} AS INTEGER) AS width,
+         CAST({_PGM_H} AS INTEGER) AS height,
+         round(CAST(list_sum(bs) AS DOUBLE) / 48, 6) AS mean_px,
+         CAST(list_max(bs) AS INTEGER) AS max_px
+  FROM px)
+SELECT d.doc_id, st.width, st.height, st.mean_px, st.max_px
+FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+"""
+
+
+def multimodal_decode_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for the ASCII-HEADER container family:
+    encode each document's md5-derived pixels as an actual netpbm
+    PGM (comment-bearing token header; binary P5 for even docs,
+    ASCII-decimal P2 for odd) and decode with the pure-stdlib
+    parser. Every other image leg is fixed-offset binary — PGM adds
+    tokenized headers with interleaved comments, the
+    exactly-one-whitespace rule before a binary raster (a
+    whitespace-eating parser corrupts rasters starting 0x09/0x0A/
+    0x20 — exercised by construction in the md5 pixel stream), and
+    the ASCII raster's truncation ambiguity closed by the
+    terminator rule. Same zero-shuffle Arrow-batched mapInPandas
+    scale shape as every image leg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _px_stats_select(pgm_stats(with_pgm_payload(docs)))

@@ -100,3 +100,13 @@ def test_pcx_truncation():
         f = pcx.encode_gray8(8, 6, pix, bytes_per_line=bpl)
         _sweep(f, pcx.decode_gray8)
         assert pcx.decode_gray8(f) == (8, 6, pix)
+
+
+def test_pgm_truncation():
+    from map_reduce_server_spark.functions import pgm
+
+    pix = bytes((3 * i) % 256 for i in range(48))
+    for am in (False, True):
+        f = pgm.encode_gray8(8, 6, pix, ascii_mode=am)
+        _sweep(f, pgm.decode_gray8)
+        assert pgm.decode_gray8(f) == (8, 6, pix)

@@ -1634,3 +1634,89 @@ def test_pcx_decode_matches_oracle(spark, sf_small):
     df = multimodal_decode_pcx(spark, sf_small)
     ok, msg = compare_to_oracle(df, _PCX_ORACLE, sf_small)
     assert ok, msg
+
+
+def test_pgm_codec_roundtrip_and_strictness():
+    """Unit round-trip: both P5 and P2 survive encode/decode, header
+    comments are honored, exactly one whitespace byte separates
+    maxval from a binary raster (rasters STARTING with
+    whitespace-valued pixels survive), the ASCII raster requires its
+    terminator, and the strict envelope refuses non-255 maxval only
+    for structurally complete files."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from map_reduce_server_spark.functions import pgm
+
+    pix = b"".join(hashlib.md5(t).digest() for t in (b"a", b"b", b"c"))
+    for am in (False, True):
+        f = pgm.encode_gray8(8, 6, pix, ascii_mode=am)
+        assert pgm.decode_gray8(f) == (8, 6, pix)
+        assert b"#" in f  # our own files carry a comment line
+    # raster whose first pixels are whitespace byte values: a
+    # whitespace-eating separator parser would shear the raster
+    tricky = bytes([0x0A, 0x20, 0x09, 0x0D] + [7] * 44)
+    f = pgm.encode_gray8(8, 6, tricky)
+    assert pgm.decode_gray8(f)[2] == tricky
+    # hand-packed wire golden with comments in awkward places
+    golden = b"P5\n# c1\n4 # c2\n2\n255\n" + bytes(range(8))
+    assert pgm.decode_gray8(golden) == (4, 2, bytes(range(8)))
+    # P2 golden with multi-space separators
+    g2 = b"P2\n2 2\n255\n0  255\n12 34\n"
+    assert pgm.decode_gray8(g2) == (2, 2, bytes([0, 255, 12, 34]))
+    # truncating the final ASCII sample's digits must NOT decode
+    f2 = pgm.encode_gray8(2, 1, b"\x05\xff", ascii_mode=True)
+    assert f2.endswith(b"5 255\n")
+    with _pytest.raises(ValueError):
+        pgm.decode_gray8(f2[:-1])  # drop the terminator
+    with _pytest.raises(ValueError):
+        pgm.decode_gray8(f2[:-2])  # "255" -> "25", unterminated
+    # complete non-255 maxval: legal but unsupported
+    with _pytest.raises(NotImplementedError):
+        pgm.decode_gray8(b"P5\n2 1\n100\n\x01\x02")
+    # trailing junk refuses
+    with _pytest.raises(ValueError):
+        pgm.decode_gray8(b"P5\n2 1\n255\n\x01\x02junk")
+    # P2 sample above maxval... above one byte refuses
+    with _pytest.raises(ValueError):
+        pgm.decode_gray8(b"P2\n2 1\n255\n1 300\n")
+
+
+def test_pgm_roundtrip_hypothesis():
+    """Property: any raster round-trips through both P5 and P2 —
+    exercises whitespace-valued pixels, multi-digit ASCII samples,
+    and dimension edges the fixed goldens miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_server_spark.functions import pgm
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        width=st.integers(1, 24),
+        height=st.integers(1, 12),
+        data=st.binary(min_size=0, max_size=288),
+        am=st.booleans(),
+    )
+    def check(width, height, data, am):
+        raw = data[: width * height].ljust(width * height, b"\x00")
+        f = pgm.encode_gray8(width, height, raw, ascii_mode=am)
+        assert pgm.decode_gray8(f) == (width, height, raw)
+
+    check()
+
+
+def test_pgm_decode_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED multimodal_decode_pgm
+    (round-18 registration queue): P5/P2 alternating decode lands on
+    the identical md5-derived pixel statistics."""
+    from map_reduce_server_spark.operators.multimodal import (
+        _PGM_ORACLE,
+        multimodal_decode_pgm,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = multimodal_decode_pgm(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _PGM_ORACLE, sf_small)
+    assert ok, msg
