@@ -183,3 +183,32 @@ def test_stream_stream_left_outer_evicts_state(spark, sf_small):
         for so in p["stateOperators"]
     )
     assert mid_removed > 0, "no eviction before the flush sentinels"
+
+
+def test_stream_stream_full_outer_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED stream_stream_full_outer
+    (round-18 registration queue): symmetric watermark eviction must
+    null-extend BOTH unmatched populations to exactly the batch full
+    join."""
+    from map_reduce_server_spark.streaming.joins import (
+        _STREAM_FULL_OUTER_ORACLE,
+        stream_stream_full_outer,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = stream_stream_full_outer(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _STREAM_FULL_OUTER_ORACLE, sf_small)
+    assert ok, msg
+    rows = df.collect()
+    # all three populations exist: conversions, abandoned clicks,
+    # orphan purchases
+    assert any(r.click_id is not None and r.purchase_id is not None for r in rows)
+    assert any(r.purchase_id is None for r in rows)
+    assert any(r.click_id is None for r in rows)
+    # no row is null on both sides, and delays only on matches
+    assert all(r.click_id is not None or r.purchase_id is not None for r in rows)
+    assert all(
+        (r.delay_sec is not None)
+        == (r.click_id is not None and r.purchase_id is not None)
+        for r in rows
+    )
