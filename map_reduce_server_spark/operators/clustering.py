@@ -1082,3 +1082,116 @@ def shortest_paths(edges: DataFrame, max_hops: int) -> DataFrame:
               F.col("node") == F.col("d_node"))
         .select("node", "hops", "path")
     )
+
+
+_KCORE_K = 2
+_KCORE_UNROLL = 8  # oracle peel depth; Spark raises past it
+
+
+def _k_core_oracle_sql(k: int, depth: int) -> str:
+    """Unrolled-peeling oracle for graph_k_core — the same
+    fixed-unroll technique as pagerank's recurrence oracle: peeling
+    is MONOTONE (once converged, further peels are no-ops), so an
+    unroll of depth >= the actual iteration count IS the fixpoint,
+    and the Spark side raises loudly if convergence would need more
+    than ``depth`` rounds (measured: <= 5 at every shipped SF for
+    k = 2). Recursive CTEs cannot express peeling at all — the
+    recursive term would need a per-round aggregate."""
+    # AS MATERIALIZED on every level: each ed{{i}} is referenced
+    # TWICE by level i+1, so plain (inlined) CTEs would re-expand the
+    # whole chain 2^depth times — measured as an fd explosion on the
+    # base parquet scan before it was a perf problem.
+    parts = [
+        "ed0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM e "
+        "UNION ALL SELECT v, u FROM e)"
+    ]
+    prev = "ed0"
+    for i in range(1, depth + 1):
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT src FROM {prev} "
+            f"GROUP BY src HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"ed{i} AS MATERIALIZED (SELECT p.src, p.dst FROM {prev} p "
+            f"JOIN n{i} a ON p.src = a.src "
+            f"JOIN n{i} b ON p.dst = b.src)"
+        )
+        prev = f"ed{i}"
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= {_TRI_MINSUP}),
+{', '.join(parts)}
+SELECT src AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY src
+"""
+
+
+_KCORE_ORACLE = _k_core_oracle_sql(_KCORE_K, _KCORE_UNROLL)
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int) -> DataFrame:
+    """Iterative k-core peeling over an UNDIRECTED (u, v) edge list:
+    repeatedly remove nodes of degree < k until none remain; returns
+    the surviving (node, core_degree). Raises if the fixpoint needs
+    more than ``max_iter`` peels — silent truncation would return a
+    superset of the core."""
+    ed = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .transform(stage_cut)
+    )
+    for _ in range(max_iter):
+        deg = ed.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src")
+        n_before = ed.select("src").distinct().count()
+        n_keep = keep.count()
+        if n_keep == n_before:
+            return ed.groupBy(F.col("src").alias("node")).agg(
+                F.count("*").alias("core_degree")
+            )
+        keep_dst = keep.select(F.col("src").alias("dst"))
+        ed = stage_cut(
+            ed.join(keep, "src", "left_semi").join(
+                keep_dst, "dst", "left_semi"
+            )
+        )
+        if n_keep == 0:
+            return ed.groupBy(F.col("src").alias("node")).agg(
+                F.count("*").alias("core_degree")
+            )
+    raise RuntimeError(
+        f"k_core did not converge in {max_iter} peels; raise max_iter "
+        "(and the oracle unroll) together"
+    )
+
+
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (fixed k = 2) of the thresholded
+    co-purchase graph: the maximal subgraph where every surviving
+    part still has >= k co-purchase partners — the standard
+    dense-region extractor (community cores, spam/fraud rings,
+    robust-seed selection for embeddings) and the FOURTH iterative
+    graph algorithm here after components, pagerank and BFS, with a
+    different convergence structure: the iterate is a shrinking
+    SUBGRAPH, not a label assignment.
+
+    Scale shape: each peel is one map-combined degree aggregate +
+    two semi-joins against the (shrinking) survivor set — O(E)
+    shuffle per round, with every intermediate stage-cut so plan
+    depth stays O(1). Peel count is small on heavy-tailed graphs
+    (measured <= 5 at every shipped SF); non-convergence within the
+    bound RAISES rather than returning a superset, and the oracle
+    unrolls the same peel exactly (monotonicity makes depth-8 the
+    fixpoint). Output is each core member with its degree INSIDE
+    the core, so downstream consumers can rank members without
+    re-deriving the subgraph.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    return k_core(e, _KCORE_K, _KCORE_UNROLL).select(
+        F.col("node").alias("part_id"), "core_degree"
+    )

@@ -1699,3 +1699,60 @@ def test_rolling_zscore_matches_oracle(spark, sf_small):
     # by sqrt(n-1) (single-outlier extremal configuration)
     bound = (_RZ_W - 1) ** 0.5 + 1e-9
     assert all(abs(r.z) <= bound for r in rows)
+
+
+def test_k_core_matches_oracle(spark, sf_small):
+    """Gate-grade parity for the UNREGISTERED graph_k_core (round-18
+    registration queue): iterative peeling must land on the unrolled
+    oracle's fixpoint (monotonicity makes any unroll >= the peel
+    count exact)."""
+    from map_reduce_server_spark.operators.clustering import (
+        _KCORE_K,
+        _KCORE_ORACLE,
+        graph_k_core,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = graph_k_core(spark, sf_small)
+    ok, msg = compare_to_oracle(df, _KCORE_ORACLE, sf_small)
+    assert ok, msg
+    # the defining invariant: every survivor keeps >= k neighbors
+    # INSIDE the core
+    assert all(r.core_degree >= _KCORE_K for r in df.collect())
+
+
+def test_k_core_matches_python_replay(spark):
+    """Random graphs: the distributed peel must equal a plain Python
+    peeling replay — survivors AND their in-core degrees."""
+    import random
+
+    from map_reduce_server_spark.operators.clustering import k_core
+
+    rng = random.Random(31)
+    for trial in range(3):
+        n = 16
+        und = {
+            tuple(sorted((rng.randrange(n), rng.randrange(n))))
+            for _ in range(24 + 6 * trial)
+        }
+        und = sorted((a, b) for a, b in und if a != b)
+        k = 2 + trial % 2
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        while True:
+            drop = [v for v, s in adj.items() if len(s) < k]
+            if not drop:
+                break
+            for v in drop:
+                for m in adj[v]:
+                    adj[m].discard(v)
+                del adj[v]
+        expected = {(v, len(s)) for v, s in adj.items()}
+        edges = spark.createDataFrame(und, ["u", "v"])
+        got = {
+            (r.node, r.core_degree)
+            for r in k_core(edges, k, 20).collect()
+        }
+        assert got == expected, (trial, k)
