@@ -574,6 +574,20 @@ _CHANGED_R15: frozenset[str] = frozenset()
 #   multimodal_decode_pcx     (operators/multimodal.py, _PCX_ORACLE)
 #   stream_stream_left_outer  (streaming/joins.py,
 #                              _STREAM_LEFT_OUTER_ORACLE)
+# Round-18 registration queue, staged early (same gate status):
+#   q_cumulative_distinct_users (operators/advanced.py,
+#                              _CUMDIST_ORACLE)
+#   q_incremental_mv_merge    (operators/advanced.py,
+#                              _MV_MERGE_ORACLE)
+#   q_sequence_mining         (operators/advanced.py,
+#                              _SEQ_MINING_ORACLE)
+#   q_rolling_zscore          (operators/advanced.py,
+#                              _ROLLING_Z_ORACLE)
+#   multimodal_decode_pgm     (operators/multimodal.py, _PGM_ORACLE)
+#   stream_stream_full_outer  (streaming/joins.py,
+#                              _STREAM_FULL_OUTER_ORACLE)
+#   graph_k_core              (operators/clustering.py,
+#                              _KCORE_ORACLE)
 
 # Rounds FRESHEST-FIRST with their green sets — the single place a
 # new round is added. _EVER_GREEN and _stale_first both derive from
