@@ -298,6 +298,11 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # row_number over the character-pair vocabulary, bounded by
     # |alphabet|^2 regardless of corpus size
     "text_bpe_train",
+    # running sum over the per-day rollup — days-cardinality input
+    # regardless of corpus size (documented in the docstring); entry
+    # added at staging time so the round-18 registration cannot trip
+    # the lint by surprise
+    "q_cumulative_distinct_users",
 }
 
 
