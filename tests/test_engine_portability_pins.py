@@ -840,3 +840,66 @@ def test_regexp_replace_nullable_pattern_diverges(spark, duck):
     # NON-nullable patterns with the same shape replace identically
     assert _spark1(spark, "regexp_replace('a0b0', '0', 'Z')") == "aZbZ"
     assert _duck1(duck, "regexp_replace('a0b0', '0', 'Z', 'g')") == "aZbZ"
+
+
+def test_float_special_grouping_and_ordering_agree(spark, duck):
+    """Float specials in GROUP BY / ORDER BY are PORTABLE: both
+    engines group NaN with NaN (including the negative-payload NaN)
+    and -0.0 with +0.0, and both sort ascending as
+    -inf < finite < +inf < NaN. Pinned because each is a documented
+    per-engine special case (Spark normalizes -0.0 and canonicalizes
+    NaN in grouping keys; DuckDB totally orders doubles) that happens
+    to land on the same answer — a future engine upgrade breaking
+    either side should fail HERE, not in a registered query."""
+    dvals = ("(CAST('NaN' AS DOUBLE)), (CAST('-NaN' AS DOUBLE)), "
+             "(CAST('Infinity' AS DOUBLE)), (CAST('-Infinity' AS DOUBLE)), "
+             "(CAST('-0.0' AS DOUBLE)), (CAST('0.0' AS DOUBLE)), (1.5)")
+    svals = ("(CAST('NaN' AS DOUBLE)), (CAST('-NaN' AS DOUBLE)), "
+             "(CAST('Infinity' AS DOUBLE)), (CAST('-Infinity' AS DOUBLE)), "
+             "(-0.0D), (0.0D), (1.5D)")
+    q = "SELECT COUNT(*) AS n FROM (VALUES {v}) t(x) GROUP BY x ORDER BY n"
+    duck_counts = [r[0] for r in duck.execute(q.format(v=dvals)).fetchall()]
+    spark_counts = [
+        r[0] for r in spark.sql(q.format(v=svals)).collect()
+    ]
+    # five groups: NaN-pair, zero-pair, and the three singletons
+    assert duck_counts == spark_counts == [1, 1, 1, 2, 2]
+    oq = ("SELECT CASE WHEN isnan(x) THEN 'nan' ELSE CAST(x AS VARCHAR) "
+          "END AS s FROM (VALUES {v}) t(x) ORDER BY x")
+    duck_order = [r[0] for r in duck.execute(oq.format(v=dvals)).fetchall()]
+    # NaN sorts GREATEST ascending on both engines (past +inf)
+    assert duck_order[-2:] == ["nan", "nan"]
+    assert duck_order[0] == "-inf"
+    spark_order = [
+        r[0]
+        for r in spark.sql(
+            "SELECT CASE WHEN isnan(x) THEN 'nan' ELSE CAST(x AS STRING) "
+            f"END AS s FROM (VALUES {svals}) t(x) ORDER BY x"
+        ).collect()
+    ]
+    assert spark_order[-2:] == ["nan", "nan"]
+    assert spark_order[0] == "-Infinity"
+
+
+def test_negative_zero_literal_diverges(spark, duck):
+    """The literal ``-0.0`` is NOT portable as an output value: in
+    DuckDB it parses as DECIMAL (which has no signed zero) and casts
+    to +0.0, while Spark's -0.0D is IEEE negative zero — so an
+    expression that can produce -0.0 renders differently through the
+    comparator ('-0.0' vs '0.0'). DuckDB DOES preserve a true double
+    -0.0 when built via CAST from VARCHAR. The house rule (already
+    applied in q_weighted_sample): add ``+ 0.0`` to any output that
+    can round to zero from below — IEEE addition normalizes -0.0 to
+    +0.0 identically on both engines."""
+    import math
+
+    assert math.copysign(1.0, _duck1(duck, "-0.0")) == 1.0  # decimal
+    assert (
+        math.copysign(1.0, _duck1(duck, "CAST('-0.0' AS DOUBLE)")) == -1.0
+    )
+    assert math.copysign(1.0, _spark1(spark, "-0.0D")) == -1.0
+    # the normalizer lands both engines on +0.0
+    assert math.copysign(
+        1.0, _duck1(duck, "CAST('-0.0' AS DOUBLE) + 0.0")
+    ) == 1.0
+    assert math.copysign(1.0, _spark1(spark, "-0.0D + 0.0D")) == 1.0
