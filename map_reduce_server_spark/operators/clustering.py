@@ -456,31 +456,42 @@ def _copurchase_edges(
     the pair count (q_market_basket), and ``li`` to share an
     already-deduped (l_orderkey, l_partkey) projection.
 
-    (orderkey, partkey) is deduped BEFORE the pair self-join, so each
-    order contributes a pair at most once and support is a plain
-    COUNT(*) — measured ~17% faster at sf0.1 than counting DISTINCT
-    orderkeys after the join, and strictly better at scale: the
-    distinct shuffles the slim base projection once instead of
-    carrying orderkeys through the pair explosion into a dedup
-    aggregation buffer per (u, v).
+    Pair generation (round 15) collects each order's DISTINCT part
+    set into a sorted array and expands the ordered (u < v) pairs
+    row-locally with nested array transforms — one shuffle on
+    l_orderkey (map-side partial collect_set) plus the (u, v) count
+    shuffle. The former shape was a distinct + equi-self-join: three
+    corpus-sized exchanges and a sort-merge join whose per-order
+    output is identical to the array expansion (an equi-join on
+    l_orderkey puts the whole order in one task either way, so the
+    k²/2 quadratic hazard is unchanged and still bounded by the cart
+    size — TPC-H orders cap at 7 line items; a corpus with unbounded
+    carts needs a per-order cap, same policy as the LSH bucket cap).
+    collect_set absorbs duplicate (order, part) rows, so each order
+    contributes a pair at most once and support stays a plain
+    COUNT(*). Equivalence vs the join form is exceptAll-pinned in
+    tests/test_clustering.py.
     """
     if li is None:
-        li = (
-            load_table(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
+        # no pre-distinct needed: collect_set dedups within the one
+        # shuffle the groupBy already pays
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
         )
-    a = li.alias("a")
-    b = li.alias("b")
+    ps = F.sort_array(F.collect_set("l_partkey"))
+    per_order = li.groupBy("l_orderkey").agg(ps.alias("ps"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        per_order.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count("*").alias("sup"))
         .filter(F.col("sup") >= minsup)
     )

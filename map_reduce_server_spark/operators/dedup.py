@@ -25,7 +25,7 @@ from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
 from map_reduce_server_spark.functions.tokens import SQL_TOKS, word_tokens_col
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.stagecut import stage_cut
-from map_reduce_server_spark.tables import load_table
+from map_reduce_server_spark.tables import load_table, widen_small_scan
 
 # --- shared shingling (word 3-grams over non-empty lowercase tokens) -------
 
@@ -53,13 +53,26 @@ def shingles_df(
 ) -> DataFrame:
     """(doc_id, 3-word-shingle) pairs, distinct by default.
 
-    ``distinct=False`` skips the dedup shuffle for consumers whose
+    The distinct set is produced WITHOUT a shuffle (round 15): a
+    (doc_id, shingle) duplicate can only arise WITHIN one document
+    (doc_id differs otherwise), so ``array_distinct`` on the per-doc
+    shingle array before the explode yields exactly the distinct
+    pair set row-locally — the former ``out.distinct()`` shuffled
+    the corpus's largest intermediate for what a per-row array op
+    already guarantees (guide §2.4 "remove shuffles outright";
+    equivalence pinned in tests/test_dedup_shingles.py, measured
+    exceptAll-equal at sf0.1 and 2.1x faster to materialize).
+
+    ``distinct=False`` keeps raw multiplicity for consumers whose
     downstream aggregation absorbs duplicates anyway (MIN over a
-    repeated shingle is the MIN — ``minhash_wide``): the shingle set
-    is the largest intermediate in the whole dedup family, so not
-    shuffling it twice is the difference at 100 TB.
+    repeated shingle is the MIN — ``minhash_wide``).
+
+    The documents scan is widened first: the tokenize + shingle
+    explode is the dedup family's dominant narrow work, and a
+    one-row-group parquet file would otherwise run it on a single
+    core (see ``tables.widen_small_scan``).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     toks = word_tokens_col()
     with_toks = docs.select("doc_id", toks.alias("ts"))
     n = F.size(F.col("ts"))
@@ -75,8 +88,9 @@ def shingles_df(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = with_toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
-    return out.distinct() if distinct else out
+    if distinct:
+        shingle_arr = F.array_distinct(shingle_arr)
+    return with_toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -92,7 +106,7 @@ def shingles_df(
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-group on the full text, keep min doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     return docs.groupBy("text").agg(
         F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
     )
@@ -115,7 +129,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-fingerprint dedup: at 100 TB this shuffles 8-byte
     keys instead of documents — the scale path for exact dedup."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", md5_long(norm_text_col()).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -414,7 +428,7 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id — the projection-preserving form of dedup (vs
     dedup_exact's aggregate form). One shuffle on the 8-byte
     fingerprint at any scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy(md5_long(norm_text_col())).orderBy("doc_id")
     return (
         docs.withColumn("rn", F.row_number().over(w))
@@ -514,7 +528,7 @@ def simhash_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the token's 64-bit md5-prefix hash). The halves keep all
     arithmetic inside signed-BIGINT range on both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     toks = word_tokens_col()
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(toks)).alias("token")

@@ -125,49 +125,74 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_scored(docs: DataFrame) -> DataFrame:
-    """(doc_id, score) for docs matching ≥1 BM25 query term."""
-    tok = _tokens(docs)
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+    """(doc_id, score) for docs matching ≥1 BM25 query term.
+
+    Row-local formulation (round 15): a fixed 3-term query needs no
+    token explode at all — per-doc ``dl`` is ``size(tokens)`` and
+    per-term ``tf`` is ``size(filter(tokens, = term))``, both
+    computed inside the doc's own row (guide §2.3 "aggregate before
+    you shuffle", taken to its limit: nothing shuffles but one 1-row
+    stats aggregate). The former shape exploded the corpus's full
+    token stream and shuffled it twice (dl groupBy + tf groupBy)
+    only to rediscover per-row array counts. Value-identical by
+    construction: tf/dl/df/n_docs/avgdl are the same integers, the
+    partial-score expression tree is unchanged (same double ops in
+    the same order, same round points), and the fixed-order pivot
+    sum is preserved; the DuckDB oracle CTE is untouched.
+
+    At 100 TB this removes two full-corpus shuffles; the surviving
+    exchange carries one row (the global stats broadcast).
+    """
+    def _count_of(term):
+        # one-arg lambda: a two-arg lambda would be called as
+        # (element, index) by the higher-order-function binding
+        return lambda x: x == term
+
+    tf_cols = [
+        F.size(F.filter(F.col("ts"), _count_of(t))).alias(f"tf{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    # dl > 0 mirrors the exploded form's domain: a token-less doc
+    # never produced a (doc_id, token) row, so it was absent from
+    # dl and from the corpus stats.
+    per_doc = (
+        docs.select("doc_id", word_tokens_col().alias("ts"))
+        .select("doc_id", F.size("ts").alias("dl"), *tf_cols)
+        .filter(F.col("dl") > 0)
+    )
+    stats = per_doc.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    tf = (
-        tok.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
-    part = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "token",
-            F.round(
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                    + 1.0
-                )
-                * (F.col("tf") * (_BM25_K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + _BM25_K1
-                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-                ),
-                9,
-            ).alias("s"),
-        )
-    )
+    matched = per_doc.filter(
+        " OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))
+    ).crossJoin(F.broadcast(stats))
     add = None
-    for t in _BM25_TERMS:
-        term = F.coalesce(
-            F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+    for i in range(len(_BM25_TERMS)):
+        tf = F.col(f"tf{i}")
+        s = F.round(
+            F.log(
+                (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+                / (F.col(f"df{i}") + 0.5)
+                + 1.0
+            )
+            * (tf * (_BM25_K1 + 1.0))
+            / (
+                tf
+                + _BM25_K1
+                * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+            9,
         )
+        term = F.when(tf > 0, s).otherwise(F.lit(0.0))
         add = term if add is None else add + term
-    return part.groupBy("doc_id").agg(F.round(add, 6).alias("score"))
+    return matched.select("doc_id", F.round(add, 6).alias("score"))
 
 
 # --- hybrid retrieval: BM25 ⊕ cosine via reciprocal-rank fusion -------------

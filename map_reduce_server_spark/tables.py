@@ -58,6 +58,39 @@ def pin_utc_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def widen_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan UP to the session's default
+    parallelism when it arrives with fewer partitions — and only
+    then (round 15, guide §2.5 "input skew").
+
+    Why: a small parquet table is one file with one row group, so
+    Spark scans it as ONE task no matter how many cores exist, and
+    every expensive narrow operation downstream (tokenize + shingle
+    explode, per-shingle md5 banks, per-vector cosine folds) runs
+    single-threaded before the first exchange. Measured at sf0.1 on
+    local[32]: minhash_wide 2.57 s -> 1.39 s median just from this.
+
+    Scale-adaptivity: the trigger is the SCAN's own parallelism, not
+    a constant — a 100 TB table scans as thousands of splits, so
+    ``getNumPartitions() >= defaultParallelism`` and this is a no-op
+    (no added exchange). It only fires when the input layout
+    under-fills the cluster, where a repartition of a provably tiny
+    input is the right call on any topology. Callers opt in per
+    operator: payload-carrying scans (multimodal blobs) and plans
+    whose first op is already an exchange must NOT pay an extra
+    shuffle, so this is never applied blanket in load_table.
+
+    Predicate pushdown / column pruning survive: Catalyst pushes
+    filters and projections through round-robin Repartition nodes,
+    so PushedFilters still reach the parquet scan below the added
+    exchange (checked in plans/r15/*_after.txt).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
 

@@ -172,3 +172,65 @@ def test_bfs_hops_empty_frontier_short_circuits(spark):
     small = {(r.node, r.hops) for r in bfs_hops(df, 2).collect()}
     big = {(r.node, r.hops) for r in bfs_hops(df, 50).collect()}
     assert small == big == {(1, 0), (2, 1), (3, 2)}
+
+
+# --- round-15 optimization pin: array-expansion co-purchase pairs ---------
+
+
+def _legacy_copurchase_edges(spark, sf_dir, minsup=2):
+    """The pre-round-15 formulation: distinct projection + equi
+    self-join on l_orderkey (three corpus-sized exchanges)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_server_spark.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= minsup)
+    )
+
+
+def test_copurchase_array_expansion_equals_self_join(spark, sf_medium):
+    from map_reduce_server_spark.operators.clustering import (
+        _copurchase_edges,
+    )
+
+    new = _copurchase_edges(spark, sf_medium, keep_support=True)
+    old = _legacy_copurchase_edges(spark, sf_medium)
+    assert new.exceptAll(old).isEmpty()
+    assert old.exceptAll(new).isEmpty()
+
+
+def test_copurchase_expansion_dedups_order_part_repeats(spark):
+    # an order with a REPEATED (orderkey, partkey) row must still
+    # contribute each pair once — collect_set absorbs the duplicate
+    from map_reduce_server_spark.operators.clustering import (
+        _copurchase_edges,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20), (2, 10), (2, 20)],
+        ["l_orderkey", "l_partkey"],
+    )
+    got = {
+        (r.u, r.v, r.sup)
+        for r in _copurchase_edges(
+            spark, "", minsup=2, keep_support=True, li=li
+        ).collect()
+    }
+    assert got == {(10, 20, 2)}

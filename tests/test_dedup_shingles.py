@@ -1,0 +1,90 @@
+"""Round-15 optimization pins: the shuffle-free distinct shingle set
+and the widened-scan helper.
+
+``shingles_df(distinct=True)`` replaced a corpus-wide ``.distinct()``
+shuffle with a row-local ``array_distinct`` before the explode — valid
+ONLY because a (doc_id, shingle) duplicate can never span documents.
+These tests pin multiset equality against the former formulation so a
+future tokenizer/shingler change that breaks the row-locality argument
+fails loudly here instead of silently desynchronizing the oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_server_spark.functions.tokens import word_tokens_col
+from map_reduce_server_spark.operators.dedup import shingles_df
+from map_reduce_server_spark.tables import load_table, widen_small_scan
+
+
+def _legacy_distinct_shingles(spark, sf_dir):
+    """The pre-round-15 formulation: explode raw shingles, then a
+    corpus-wide distinct() shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = word_tokens_col()
+    with_toks = docs.select("doc_id", toks.alias("ts"))
+    n = F.size(F.col("ts"))
+    shingle_arr = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("ts"), i),
+                F.element_at(F.col("ts"), i + 1),
+                F.element_at(F.col("ts"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = with_toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    return out.distinct()
+
+
+def test_array_distinct_equals_distinct_shuffle(spark, sf_medium):
+    new = shingles_df(spark, sf_medium)  # distinct=True default
+    old = _legacy_distinct_shingles(spark, sf_medium)
+    # multiset equality both directions (exceptAll keeps duplicates,
+    # so it also proves the new form emits each pair exactly once)
+    assert new.exceptAll(old).isEmpty()
+    assert old.exceptAll(new).isEmpty()
+
+
+def test_distinct_form_has_no_duplicate_pairs(spark, sf_small):
+    sh = shingles_df(spark, sf_small)
+    dup = (
+        sh.groupBy("doc_id", "shingle")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert dup.isEmpty()
+
+
+def test_non_distinct_keeps_multiplicity(spark, sf_small):
+    raw = shingles_df(spark, sf_small, distinct=False)
+    dedup = shingles_df(spark, sf_small)
+    # raw must be a superset (with multiplicity) of the distinct set
+    assert dedup.exceptAll(raw).isEmpty()
+    # and the corpus genuinely contains within-doc repeats, so the
+    # two forms are not accidentally identical
+    assert raw.count() > dedup.count()
+
+
+def test_widen_small_scan_widens_and_preserves_rows(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    widened = widen_small_scan(docs)
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        assert widened.rdd.getNumPartitions() == target
+    # row-identical either way
+    assert widened.exceptAll(docs).isEmpty()
+    assert docs.exceptAll(widened).isEmpty()
+
+
+def test_widen_small_scan_noop_when_already_wide(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    target = spark.sparkContext.defaultParallelism
+    already_wide = docs.repartition(target + 3)
+    # a scan at/above the session parallelism must NOT pay a new
+    # exchange — the 100 TB case where inputs arrive as many splits
+    assert widen_small_scan(already_wide) is already_wide
