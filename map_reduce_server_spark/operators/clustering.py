@@ -32,6 +32,23 @@ from map_reduce_server_spark.stagecut import stage_cut
 from map_reduce_server_spark.tables import load_table
 
 
+# Iterative-join broadcast gate (round 15, guide §3.1 / §2.4): the
+# per-iteration joins of pagerank and connected_components pair an
+# EDGE-sized side against a NODE-sized side (ranks / labels / their
+# derivatives). Below this node count the node-sized side is
+# broadcast-hinted, so the edge-sized side — the dominant bytes —
+# never shuffles inside the loop; above it the hint is withheld and
+# the planner/AQE falls back to shuffle joins (clusters additionally
+# have pagerank's bucketed_adjacency mode). 2M rows of (long, double)
+# ≈ 32 MB payload per broadcast — comfortably under the 8 GB/512M-row
+# broadcast cap and the sort of size §3.1 calls "usually fine", while
+# a 100 TB graph (billions of nodes) stays on the shuffle path. Same
+# size-gating pattern as _BFS_BROADCAST_MAX_FRONTIER; the scalar
+# node count is read from an already-materialized stage-cut, so the
+# gate costs no extra computation.
+_ITER_BROADCAST_MAX_NODES = 2_000_000
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 50
 ) -> DataFrame:
@@ -81,11 +98,21 @@ def connected_components(
     labels = adj.groupBy(F.col("src").alias("node")).agg(
         F.min("dst").alias("component")
     ).transform(stage_cut)
+    # Scalar count over the eagerly-cut labels (local blocks, no
+    # recomputation) decides the loop's join strategy once: under the
+    # gate every node-sized side is broadcast-hinted so the edge-sized
+    # adjacency never re-shuffles per iteration.
+    small = labels.count() <= _ITER_BROADCAST_MAX_NODES
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     for _ in range(max_iter):
         # candidate label for each node: min over neighbors' labels
         # (self-loop includes the node's own label)
+        lab = _hint(labels)
         propagated = (
-            adj.join(labels, adj.dst == labels.node)
+            adj.join(lab, adj.dst == lab.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("component").alias("cand"))
         )
@@ -96,8 +123,8 @@ def connected_components(
             F.col("node").alias("cand"), F.col("component").alias("cand_comp")
         )
         updated = (
-            labels.join(propagated, "node")
-            .join(jump, "cand")
+            labels.join(_hint(propagated), "node")
+            .join(_hint(jump), "cand")
             .select(
                 "node",
                 F.least("component", "cand", "cand_comp").alias("component"),
@@ -300,6 +327,16 @@ def pagerank(
     # derive from it, and without this each of the iters broadcasts
     # would lazily re-run the COUNT over the node-sized deg table.
     n1 = deg.agg(F.count("*").alias("n_nodes")).transform(stage_cut)
+    # One scalar read off the materialized 1-row count picks the
+    # loop's join strategy: under the gate the node-sized sides
+    # (ranks, per-iteration in-mass) are broadcast-hinted so the
+    # edge-sized adjacency never shuffles inside the loop — see
+    # _ITER_BROADCAST_MAX_NODES.
+    small = n1.first()["n_nodes"] <= _ITER_BROADCAST_MAX_NODES
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     basedf = n1.select(
         (
             (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes").cast("double")
@@ -313,7 +350,7 @@ def pagerank(
         )
         .transform(stage_cut)
     )
-    adj = edges.join(deg.withColumnRenamed("node", "src"), "src")
+    adj = edges.join(_hint(deg.withColumnRenamed("node", "src")), "src")
     if bucketed_adjacency:
         # Write-once bucketed adjacency: the iteration join's
         # partitioning comes from the bucketed scan, so the dominant
@@ -337,8 +374,9 @@ def pagerank(
     else:
         adj = adj.transform(stage_cut)
     for i in range(iters):
+        rk = _hint(ranks)
         contrib = (
-            adj.join(ranks, adj.src == ranks.node)
+            adj.join(rk, adj.src == rk.node)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("deg")).alias("c"),
@@ -358,7 +396,7 @@ def pagerank(
         )
         nxt = (
             ranks.select("node")
-            .join(contrib, "node", "left")
+            .join(_hint(contrib), "node", "left")
             .crossJoin(F.broadcast(basedf))
             .select(
                 "node",
