@@ -48,35 +48,46 @@ _SQL_SHINGLES = f"""
 """
 
 
-def shingles_df(
+def doc_shingle_arrays(
     spark: SparkSession, sf_dir: str, distinct: bool = True
 ) -> DataFrame:
-    """(doc_id, 3-word-shingle) pairs, distinct by default.
+    """(doc_id, arr): the per-document shingle ARRAY, computed
+    entirely row-locally (zero shuffles — the round-15 pivot of the
+    whole dedup family, guide §2.3/§2.4).
 
-    The distinct set is produced WITHOUT a shuffle (round 15): a
-    (doc_id, shingle) duplicate can only arise WITHIN one document
+    A (doc_id, shingle) duplicate can only arise WITHIN one document
     (doc_id differs otherwise), so ``array_distinct`` on the per-doc
-    shingle array before the explode yields exactly the distinct
-    pair set row-locally — the former ``out.distinct()`` shuffled
-    the corpus's largest intermediate for what a per-row array op
-    already guarantees (guide §2.4 "remove shuffles outright";
-    equivalence pinned in tests/test_dedup_shingles.py, measured
-    exceptAll-equal at sf0.1 and 2.1x faster to materialize).
+    array yields exactly the distinct pair set without the corpus-
+    wide ``distinct()`` shuffle the round-14 code paid (equivalence
+    pinned in tests/test_dedup_shingles.py). Keeping the set AS an
+    array additionally makes per-doc sizes (``size(arr)``) and
+    pairwise intersection counts (``array_intersect`` after a
+    compact candidate join) row-local — the former verification
+    stage expanded every candidate pair by its document's full
+    shingle set (|pairs| x avg-doc-size rows through two exchanges).
 
     ``distinct=False`` keeps raw multiplicity for consumers whose
-    downstream aggregation absorbs duplicates anyway (MIN over a
-    repeated shingle is the MIN — ``minhash_wide``).
+    aggregation absorbs duplicates anyway (MIN over a repeated
+    shingle is the MIN — ``minhash_wide``).
 
-    The documents scan is widened first: the tokenize + shingle
-    explode is the dedup family's dominant narrow work, and a
-    one-row-group parquet file would otherwise run it on a single
-    core (see ``tables.widen_small_scan``).
+    The documents scan is widened first: tokenize + shingling is the
+    dedup family's dominant narrow work, and a one-row-group parquet
+    file would otherwise run it on a single core (see
+    ``tables.widen_small_scan``).
     """
     docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
-    toks = word_tokens_col()
-    with_toks = docs.select("doc_id", toks.alias("ts"))
+    with_toks = docs.select("doc_id", word_tokens_col().alias("ts"))
+    shingle_arr = _shingle_arr_col()
+    if distinct:
+        shingle_arr = F.array_distinct(shingle_arr)
+    return with_toks.select("doc_id", shingle_arr.alias("arr"))
+
+
+def _shingle_arr_col() -> Column:
+    """The per-document shingle-array EXPRESSION over a ``ts`` token
+    column — shared by the exploded and the array-table views."""
     n = F.size(F.col("ts"))
-    shingle_arr = F.when(
+    return F.when(
         n >= 3,
         F.transform(
             F.sequence(F.lit(1), n - 2),
@@ -88,6 +99,27 @@ def shingles_df(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_df(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, 3-word-shingle) pairs, distinct by default — the
+    exploded view (zero shuffles; the explode is row-local).
+
+    Deliberately explodes the array expression INLINE rather than
+    selecting :func:`doc_shingle_arrays`'s ``arr`` column first: a
+    projected-then-exploded higher-order-function column measured 8×
+    slower at sf0.1 (the optimizer re-evaluates the interpreted
+    lambda expression below the exchange instead of keeping it fused
+    with the Generate — dedup_minhash_lsh 1.8 s vs 14.2 s). Consumers
+    that need the ARRAYS use ``doc_shingle_arrays(...).transform(
+    stage_cut)``, where the checkpoint materializes ``arr`` exactly
+    once and the hazard cannot arise.
+    """
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    with_toks = docs.select("doc_id", word_tokens_col().alias("ts"))
+    shingle_arr = _shingle_arr_col()
     if distinct:
         shingle_arr = F.array_distinct(shingle_arr)
     return with_toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
@@ -168,10 +200,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle join gets prefix filtering / LSH (see
     ``dedup_minhash_lsh``) — this exact variant is the ground truth.
     """
-    # three consumers (both self-join sides + sz): materialize once,
-    # same rationale as dedup_jaccard_prefix's measured −29%
-    sh = shingles_df(spark, sf_dir).transform(stage_cut)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # three consumers (both self-join sides + sz): materialize the
+    # per-doc arrays once; the exploded view is a row-local cheap op
+    # per consumer and sz is size(arr) — no groupBy shuffle
+    darr = doc_shingle_arrays(spark, sf_dir).transform(stage_cut)
+    sh = darr.select("doc_id", F.explode("arr").alias("shingle"))
+    sz = darr.select("doc_id", F.size("arr").cast("long").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -246,22 +280,38 @@ def _attach_sizes(pairs: DataFrame, sz: DataFrame) -> DataFrame:
     return pairs.join(sa, "doc_a").join(sb, "doc_b")
 
 
-def _verified_common(
-    cand: DataFrame, sh: DataFrame, sz: DataFrame
-) -> DataFrame:
+def _verified_common(cand: DataFrame, darr: DataFrame) -> DataFrame:
     """Exact verification stage shared by ``dedup_jaccard_prefix``
-    and ``dedup_containment`` (the oracles' common CTE shape): count
-    the common shingles of each candidate pair, then attach both
-    sizes. Returns (doc_a, doc_b, n_common, n_a, n_b)."""
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    and ``dedup_containment`` (the oracles' common CTE shape).
+    Returns (doc_a, doc_b, n_common, n_a, n_b).
+
+    Array formulation (round 15): attach each side's distinct
+    shingle ARRAY with a compact equi-join, then count the
+    intersection row-locally — ``size(array_intersect(a, b))`` over
+    distinct-element arrays IS |A∩B|, and the sizes come free as
+    ``size(arr)``. The round-14 shape instead joined the full
+    exploded shingle table twice, expanding every candidate pair by
+    its document's whole shingle set (|pairs| × avg-doc-size rows
+    through two exchanges) just to recount what the two rows already
+    hold; the sz table and its groupBy are gone with it (guide §2.3
+    "shuffle keys and metadata instead of payloads" — here the
+    payload IS the decision input, so it attaches once per side and
+    never expands)."""
+    aa = darr.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    bb = darr.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    return (
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("arr_a").cast("long").alias("n_a"),
+            F.size("arr_b").cast("long").alias("n_b"),
+        )
     )
-    return _attach_sizes(common, sz)
 
 
 def minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,6 +325,16 @@ def minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value. Shingles are taken non-distinct: MIN absorbs
     duplicates, so the pre-aggregation dedup shuffle of the full
     shingle set (the plan's largest intermediate) is pure waste.
+
+    Round-15 negative result, kept on purpose: the "obvious" shuffle
+    removal — ``array_min(transform(arr, s -> md5(i:s)))`` row-local
+    over the per-doc shingle array — measured 4× SLOWER at sf0.1
+    (8.5 s vs 2.1 s for the whole LSH query) because higher-order
+    functions evaluate their lambda interpreted, per element, outside
+    whole-stage codegen, while the exploded projection keeps md5 in
+    codegen. The exchange it saved carries only K strings per doc
+    per map partition. Guide §1.1's warning that the "ideal" plan
+    loses to a gotcha, in the concrete.
     """
     sh = shingles_df(spark, sf_dir, distinct=False)
     projected = sh.select(
@@ -712,31 +772,33 @@ _PJ_THRESHOLD = 0.5
 
 
 def ranked_prefix(
-    sh: DataFrame, freq_cap: int | None = None
-) -> tuple[DataFrame, DataFrame]:
+    darr: DataFrame, freq_cap: int | None = None
+) -> DataFrame:
     """Frequency-ordered prefix shingles (r ≤ n//2 + 1, ties on the
-    shingle itself) plus the per-doc size table — the candidate
+    shingle itself) with the per-doc size attached — the candidate
     generator shared by dedup_jaccard_prefix and dedup_containment
     (the two MUST rank identically or their oracles desynchronize).
     ``freq_cap`` additionally drops prefix shingles with global
     frequency above the cap (containment's k²-hazard guard).
 
-    PRECONDITION: ``sh`` must carry DISTINCT (doc_id, shingle) rows
-    (``shingles_df(distinct=True)``, the default) — duplicates would
-    inflate freq and per-doc sizes and occupy multiple prefix ranks,
-    silently breaking the PPJoin recall guarantee against the
-    DISTINCT-based oracles."""
+    Takes the per-doc DISTINCT shingle arrays
+    (:func:`doc_shingle_arrays`): per-doc size is ``size(arr)``
+    row-locally (the former sz groupBy + join are gone), so the only
+    exchanges left are the global frequency aggregate and the
+    ranking window's doc_id partition. The distinct-array input is
+    load-bearing — duplicates would inflate freq and sizes and
+    occupy multiple prefix ranks, silently breaking the PPJoin
+    recall guarantee against the DISTINCT-based oracles."""
+    sh = darr.select(
+        "doc_id", F.size("arr").alias("n"), F.explode("arr").alias("shingle")
+    )
     freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     w = Window.partitionBy("doc_id").orderBy("f", "shingle")
     ranked = sh.join(freq, "shingle").withColumn("r", F.row_number().over(w))
     cond = F.col("r") <= F.expr("n div 2") + 1
     if freq_cap is not None:
         cond = cond & (F.col("f") <= freq_cap)
-    prefix = (
-        ranked.join(sz, "doc_id").filter(cond).select("doc_id", "shingle", "n")
-    )
-    return prefix, sz
+    return ranked.filter(cond).select("doc_id", "shingle", "n")
 
 
 @register(
@@ -798,15 +860,14 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no global sort); tests pin prefix-vs-full equality on the real
     corpus.
 
-    The shingle table feeds FOUR consumers (freq, sizes, ranking,
-    verification) whose prunings differ enough that no exchange is
-    reusable between them — materialize it once (same call as
-    dedup_cluster's checkpointed edge list; measured −29% at sf0.1,
-    and at cluster scale it saves three full explode+distinct
-    shuffles of the corpus's largest intermediate).
+    The per-doc array table feeds THREE consumers (frequency/ranking,
+    verification side A, verification side B) — materialize it once
+    (one row per document, the family's smallest possible reusable
+    intermediate; the round-14 code checkpointed the EXPLODED
+    shingle table instead and re-shuffled it per consumer).
     """
-    sh = shingles_df(spark, sf_dir).transform(stage_cut)
-    prefix, sz = ranked_prefix(sh)
+    darr = doc_shingle_arrays(spark, sf_dir).transform(stage_cut)
+    prefix = ranked_prefix(darr)
     a = prefix.alias("a")
     b = prefix.alias("b")
     cand = (
@@ -836,7 +897,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark HALF_UP on the shortest repr vs DuckDB on the binary
     # value), the confirmed-live class _CHANGED_R7 documents.
     return (
-        _verified_common(cand, sh, sz)
+        _verified_common(cand, darr)
         .filter(j >= _PJ_THRESHOLD)
         .select("doc_a", "doc_b", j.alias("jaccard"))
     )
@@ -902,10 +963,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — compact keys, hash-distributed, AQE-splittable — then
     exact intersection counts verify only the candidates.
     """
-    sh = shingles_df(spark, sf_dir).transform(stage_cut)
-    prefix, sz = ranked_prefix(sh, freq_cap=_CT_FREQ_CAP)
+    darr = doc_shingle_arrays(spark, sf_dir).transform(stage_cut)
+    prefix = ranked_prefix(darr, freq_cap=_CT_FREQ_CAP)
     p = prefix.alias("p")
-    s = sh.alias("s")
+    # full shingle probe side: row-local explode of the checkpointed
+    # arrays — recomputing it per consumer is a cheap narrow op now
+    s = darr.select("doc_id", F.explode("arr").alias("shingle")).alias("s")
     # one probe pass: least/greatest normalizes the unordered pair —
     # the previous two filtered branches unioned the SAME join twice
     # (exchange reuse saves the shuffle write, not the join compute)
@@ -922,7 +985,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = F.col("n_common").cast("double") / F.col("n_b")
     # RAW doubles, no round — see dedup_jaccard_prefix
     return (
-        _verified_common(cand, sh, sz)
+        _verified_common(cand, darr)
         .filter((ca >= _CT_THRESHOLD) | (cb >= _CT_THRESHOLD))
         .select(
             "doc_a",

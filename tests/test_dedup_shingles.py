@@ -88,3 +88,39 @@ def test_widen_small_scan_noop_when_already_wide(spark, sf_small):
     # a scan at/above the session parallelism must NOT pay a new
     # exchange — the 100 TB case where inputs arrive as many splits
     assert widen_small_scan(already_wide) is already_wide
+
+
+def test_array_verified_common_counts_exact_intersection(spark):
+    # round-15: _verified_common counts |A∩B| via array_intersect on
+    # the distinct per-doc arrays — pin against hand-computed counts
+    from pyspark.sql import functions as F
+
+    from map_reduce_server_spark.operators.dedup import _verified_common
+
+    darr = spark.createDataFrame(
+        [
+            (1, ["a b c", "b c d", "c d e"]),
+            (2, ["b c d", "c d e", "x y z"]),
+            (3, ["q r s"]),
+        ],
+        ["doc_id", "arr"],
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], ["doc_a", "doc_b"])
+    got = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b)
+        for r in _verified_common(cand, darr).collect()
+    }
+    assert got == {(1, 2, 2, 3, 3), (1, 3, 0, 3, 1)}
+
+
+def test_doc_shingle_arrays_matches_exploded_view(spark, sf_small):
+    # the array table and the exploded view must stay the same set
+    from pyspark.sql import functions as F
+
+    from map_reduce_server_spark.operators.dedup import doc_shingle_arrays
+
+    darr = doc_shingle_arrays(spark, sf_small)
+    exploded = darr.select("doc_id", F.explode("arr").alias("shingle"))
+    sh = shingles_df(spark, sf_small)
+    assert exploded.exceptAll(sh).isEmpty()
+    assert sh.exceptAll(exploded).isEmpty()
