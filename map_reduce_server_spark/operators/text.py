@@ -742,38 +742,42 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal — a near-zero novelty doc is boilerplate of what came
     before, without needing pairwise comparison.
 
-    Scale: one shuffle on shingles for the global first-occurrence
-    aggregate (compact min per key), one shingle-key join back —
-    exactly the dedup-family plan shape, never all-pairs. Docs with
-    fewer than 3 tokens have no shingles: n_shingles = 0, novelty
-    NULL.
+    Scale: ONE shuffle on shingles for the global first-occurrence
+    aggregate (compact min per key), then a doc-sized count over
+    that aggregate — the round-14 shape additionally joined the full
+    shingle stream back against the aggregate and re-grouped it by
+    doc_id, two more corpus-sized exchanges answering questions the
+    rows already hold (guide §2.4): n_novel(d) is just the number of
+    ``first`` rows whose minimum IS d (first_doc = d implies the
+    shingle is in d's set), and n_shingles(d) is the row-local
+    ``size`` of d's distinct shingle array. Docs with fewer than 3
+    tokens have no shingles: n_shingles = 0, novelty NULL.
     """
-    from map_reduce_server_spark.operators.dedup import shingles_df
+    from map_reduce_server_spark.operators.dedup import (
+        doc_shingle_arrays,
+        shingles_df,
+    )
 
     sh = shingles_df(spark, sf_dir, distinct=True)
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        sh.join(first, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
-            ).alias("n_novel"),
-        )
-        .withColumn(
-            "novelty",
-            F.round(
-                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
-            ),
-        )
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel")
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.join(per_doc, "doc_id", "left").select(
+    sizes = doc_shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.size("arr").cast("bigint").alias("n_shingles")
+    )
+    return sizes.join(novel, "doc_id", "left").select(
         "doc_id",
-        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        "n_shingles",
         F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
-        "novelty",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.round(
+                F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                6,
+            ),
+        ).alias("novelty"),
     )
 
 
