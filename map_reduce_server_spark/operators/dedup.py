@@ -137,8 +137,14 @@ def shingles_df(
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-group on the full text, keep min doc_id."""
-    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    """Exact dedup: hash-group on the full text, keep min doc_id.
+
+    NOT widened (round 15, measured): the scan feeds straight into a
+    groupBy whose exchange already redistributes every row, and the
+    only narrow work is hashing — widen_small_scan here just moves
+    the full text payload through a second exchange (0.36 s -> 0.77 s
+    at sf0.1). Same verdict for dedup_fingerprint / dedup_keep_one."""
+    docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("text").agg(
         F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
     )
@@ -160,8 +166,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-fingerprint dedup: at 100 TB this shuffles 8-byte
-    keys instead of documents — the scale path for exact dedup."""
-    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    keys instead of documents — the scale path for exact dedup.
+    Not widened — see dedup_exact (md5 of the text is too light to
+    pay a payload exchange for; measured 0.36 s -> 0.96 s)."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", md5_long(norm_text_col()).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -487,8 +495,10 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number over the normalized fingerprint, keep the smallest
     doc_id — the projection-preserving form of dedup (vs
     dedup_exact's aggregate form). One shuffle on the 8-byte
-    fingerprint at any scale."""
-    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    fingerprint at any scale. Not widened — see dedup_exact (the
+    window's exchange already redistributes; measured 2× slower
+    with the extra payload exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy(md5_long(norm_text_col())).orderBy("doc_id")
     return (
         docs.withColumn("rn", F.row_number().over(w))
