@@ -31,7 +31,7 @@ from map_reduce_server_spark.operators.dedup import (
 )
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.stagecut import stage_cut
-from map_reduce_server_spark.tables import load_table
+from map_reduce_server_spark.tables import load_table, widen_small_scan
 
 # Tokenization contract (shared with every oracle): lowercase, split
 # on single spaces, keep empty tokens (the reference's empty-string
@@ -557,15 +557,47 @@ def _sql_ngrams(n: int) -> str:
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition scoring (duplicate 3-gram fraction) — the
     Gopher-style repetitious-text filter. Per-row array ops only:
-    narrow, codegen, no shuffle at any scale."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = _ngram_col(3)
-    n = F.size(grams)
-    n_dist = F.size(F.array_distinct(grams))
-    return docs.select(
+    narrow, no shuffle at any scale.
+
+    Staged projections (round 15, measured 10.6 s -> ~1 s at sf0.1):
+    higher-order-function expressions evaluate INTERPRETED with no
+    common-subexpression elimination, so the former single-select
+    form re-ran the tokenizer inside every element_at of the gram
+    lambda and the whole gram array once per consuming expression
+    (~4×/row, tokenize ~3×/gram). Tokens, the gram array, and the
+    two integer sizes are each projected ONCE in their own step;
+    CollapseProject keeps the boundaries because each intermediate
+    is non-cheap and multiply referenced. The scan is widened so the
+    remaining narrow work parallelizes (tables.widen_small_scan)."""
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    toked = docs.select(
+        "doc_id", tokens_col(F.col("text"), keep_empty=False).alias("ts")
+    )
+    cnt = F.size(F.col("ts"))
+    gram_arr = F.when(
+        cnt >= 3,
+        F.transform(
+            F.sequence(F.lit(1), cnt - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("ts"), i),
+                F.element_at(F.col("ts"), i + 1),
+                F.element_at(F.col("ts"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_g = toked.select("doc_id", gram_arr.alias("g"))
+    sized = with_g.select(
         "doc_id",
-        n.alias("n_grams"),
-        n_dist.alias("n_distinct_grams"),
+        F.size("g").alias("n_grams"),
+        F.size(F.array_distinct("g")).alias("n_distinct_grams"),
+    )
+    n = F.col("n_grams")
+    n_dist = F.col("n_distinct_grams")
+    return sized.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct_grams",
         # NULL, not 1.0, when the doc has no 3-grams: a 2-token doc
         # carries no repetition evidence (same convention as
         # text_novelty's no-shingle NULL)
@@ -616,18 +648,42 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate would buy nothing. No hard broadcast hint: a real
     benchmark eval set is tiny and AQE broadcasts it; the synthetic
     1/97 split is SF-linear, where a forced broadcast would OOM.
+
+    Round 15: the widened scan's per-doc 4-gram ARRAYS are stage-cut
+    once (one row per doc) — the former inline explode re-ran the
+    interpreted tokenize+gram pipeline on one core for BOTH join
+    sides (measured 7.7 s -> ~1 s at sf0.1) — and the eval side's
+    dedup is ``array_distinct`` before its explode (a (doc, gram)
+    duplicate cannot span documents), removing the distinct()
+    shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(_ngram_col(4)).alias("gram")
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    toked = docs.select(
+        "doc_id", tokens_col(F.col("text"), keep_empty=False).alias("ts")
     )
+    cnt = F.size(F.col("ts"))
+    gram_arr = F.when(
+        cnt >= 4,
+        F.transform(
+            F.sequence(F.lit(1), cnt - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("ts"), i),
+                F.element_at(F.col("ts"), i + 1),
+                F.element_at(F.col("ts"), i + 2),
+                F.element_at(F.col("ts"), i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    darr = toked.select("doc_id", gram_arr.alias("g")).transform(stage_cut)
     is_eval = F.col("doc_id") % 97 == 0
-    eval_g = (
-        grams.filter(is_eval)
-        .select(F.col("doc_id").alias("eval_id"), "gram")
-        .distinct()
+    eval_g = darr.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"),
+        F.explode(F.array_distinct("g")).alias("gram"),
     )
-    train_g = grams.filter(~is_eval)
+    train_g = darr.filter(~is_eval).select(
+        "doc_id", F.explode("g").alias("gram")
+    )
     hits = (
         train_g.join(eval_g, "gram")
         .groupBy("doc_id")
