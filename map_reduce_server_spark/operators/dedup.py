@@ -808,7 +808,9 @@ def ranked_prefix(
     cond = F.col("r") <= F.expr("n div 2") + 1
     if freq_cap is not None:
         cond = cond & (F.col("f") <= freq_cap)
-    return ranked.filter(cond).select("doc_id", "shingle", "n")
+    # r is kept: dedup_jaccard_prefix's positional filter needs each
+    # prefix shingle's rank; dedup_containment ignores it
+    return ranked.filter(cond).select("doc_id", "shingle", "n", "r")
 
 
 @register(
@@ -891,7 +893,26 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             # and the verification join (measured −24% candidates,
             # −20-30% wall at sf0.1, byte-identical output).
             & (F.col("b.n") * 2 >= F.col("a.n"))
-            & (F.col("a.n") * 2 >= F.col("b.n")),
+            & (F.col("a.n") * 2 >= F.col("b.n"))
+            # PPJoin POSITIONAL filter (round 15), lossless at t=0.5:
+            # a colliding prefix shingle at ranks (r_a, r_b) bounds
+            # the overlap by 1 + min(n_a - r_a, n_b - r_b), and
+            # J >= t needs overlap >= ceil((n_a+n_b)/3); both sides
+            # rank in the SAME global (f, shingle) order, so a true
+            # pair's FIRST common prefix shingle has the minimal
+            # ranks on both sides and always passes — the integer
+            # form below is exact (no division). Measured −28% wall
+            # at sf0.1 (4.28 -> 3.08 s), output exceptAll-identical
+            # at sf0.01 and sf0.1.
+            & (
+                F.col("a.n") + F.col("b.n")
+                <= 3
+                + 3
+                * F.least(
+                    F.col("a.n") - F.col("a.r"),
+                    F.col("b.n") - F.col("b.r"),
+                )
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

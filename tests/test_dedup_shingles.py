@@ -124,3 +124,49 @@ def test_doc_shingle_arrays_matches_exploded_view(spark, sf_small):
     sh = shingles_df(spark, sf_small)
     assert exploded.exceptAll(sh).isEmpty()
     assert sh.exceptAll(exploded).isEmpty()
+
+
+def test_positional_filter_is_lossless(spark, sf_medium):
+    # round-15: the PPJoin positional filter must not change the
+    # verified output — compare against the bound-free formulation
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from map_reduce_server_spark.operators.dedup import (
+        _PJ_THRESHOLD,
+        _verified_common,
+        doc_shingle_arrays,
+        ranked_prefix,
+    )
+    from map_reduce_server_spark.registry import QUERIES, load_all
+    from map_reduce_server_spark.stagecut import stage_cut
+
+    load_all()
+    darr = doc_shingle_arrays(spark, sf_medium).transform(stage_cut)
+    prefix = ranked_prefix(darr)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # bound-free candidates: prefix collision + length filter only
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") * 2 >= F.col("a.n"))
+            & (F.col("a.n") * 2 >= F.col("b.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    j = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    unfiltered = (
+        _verified_common(cand, darr)
+        .filter(j >= _PJ_THRESHOLD)
+        .select("doc_a", "doc_b", j.alias("jaccard"))
+    )
+    filtered = QUERIES["dedup_jaccard_prefix"](spark, sf_medium)
+    assert filtered.exceptAll(unfiltered).isEmpty()
+    assert unfiltered.exceptAll(filtered).isEmpty()
