@@ -542,6 +542,41 @@ _DRIVER_GREEN_R14 = frozenset({
 # current code, so they rejoin the never-verified head.
 _CHANGED_R15: frozenset[str] = frozenset()
 
+# The 50 queries hash-verified green by CORRECTNESS_r15.json — the
+# freshest driver rows, ordered LAST. Certified the 7 round-15
+# registrations (q_lateral_topk, q_bitmap_distinct,
+# text_inverted_index, graph_connected_components,
+# multimodal_decode_tga, multimodal_decode_aiff,
+# stream_stateful_counts), the 14 r10-stale heads and 29 r11-stale
+# rows (all 50 green: rows/schema/hash matched at sf0.01, zero
+# errs). 21 r11-stale rows remain and head the round-16 stale queue.
+_DRIVER_GREEN_R15 = frozenset({
+    "dedup_cluster", "dedup_containment", "dedup_exact",
+    "dedup_fingerprint", "dedup_jaccard_prefix", "dedup_keep_one",
+    "dedup_minhash_estimate", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "graph_connected_components", "graph_pagerank", "grep",
+    "multimodal_decode", "multimodal_decode_aiff",
+    "multimodal_decode_alaw", "multimodal_decode_jpeg_color",
+    "multimodal_decode_jpeg_progressive", "multimodal_decode_tga",
+    "multimodal_features", "multimodal_meta", "q1_pricing_summary",
+    "q1_sql_entry", "q21_waiting_suppliers", "q2_min_cost_supplier",
+    "q_bitmap_distinct", "q_bucketed_join", "q_corr",
+    "q_csv_roundtrip", "q_drift_psi", "q_histogram",
+    "q_json_roundtrip", "q_lateral_topk", "q_orc_roundtrip",
+    "q_pandas_udf_score", "q_quality_gate", "q_salted_join",
+    "q_share_of_total", "stream_stateful_counts",
+    "stream_static_enrich", "stream_stream_interval_join",
+    "stream_trending_topk", "text_bpe_tokens", "text_fingerprint",
+    "text_inverted_index", "text_lang_id", "text_tfidf",
+    "text_token_stats", "text_train_test_split",
+})
+
+# Queries whose RESULT changed after their last green driver row
+# (round-16 rework): their stale green row no longer certifies the
+# current code, so they rejoin the never-verified head.
+_CHANGED_R16: frozenset[str] = frozenset()
+
 # Round-15 registered the former registration queue (q_lateral_topk,
 # q_bitmap_distinct, text_inverted_index,
 # graph_connected_components, multimodal_decode_tga,
@@ -595,6 +630,7 @@ _CHANGED_R15: frozenset[str] = frozenset()
 # the next _CHANGED constant below (the rotation lint in
 # tests/test_registry_rotation.py enforces both).
 _GREEN_BY_ROUND: list[tuple[int, frozenset]] = [
+    (15, _DRIVER_GREEN_R15),
     (14, _DRIVER_GREEN_R14),
     (13, _DRIVER_GREEN_R13),
     (12, _DRIVER_GREEN_R12),
@@ -623,6 +659,7 @@ _CHANGED_BY_ROUND: dict[int, frozenset] = {
     13: _CHANGED_R13,
     14: _CHANGED_R14,
     15: _CHANGED_R15,
+    16: _CHANGED_R16,
 }
 
 

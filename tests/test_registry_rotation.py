@@ -119,17 +119,18 @@ def test_changed_name_recertified_by_later_round_counts_green(monkeypatch):
 def test_changed_name_never_recertified_stays_head(monkeypatch):
     """A changed name no later round certified must NOT count green
     (its only green rows predate the change)."""
-    # 'dedup_cluster' is green through r11 only (not r12/r13); mark
+    # 'mr_wordcount' is green through r11 only (not r12..r15); mark
     # it changed in r12. (Fixture rotates when the driver re-certifies
     # it: r13 swapped q_sliding_window → q18_large_orders, r14 swapped
-    # q18_large_orders → dedup_cluster after r13 re-certified it.)
+    # q18_large_orders → dedup_cluster, r16 swapped dedup_cluster →
+    # mr_wordcount after r15 re-certified dedup_cluster.)
     monkeypatch.setitem(
-        registry._CHANGED_BY_ROUND, 12, frozenset({"dedup_cluster"})
+        registry._CHANGED_BY_ROUND, 12, frozenset({"mr_wordcount"})
     )
     eg = registry._ever_green()
-    assert "dedup_cluster" not in eg
+    assert "mr_wordcount" not in eg
     # _stale_first reads the module-level cache — refresh it for the
     # simulated scenario, restored by monkeypatch afterwards
     monkeypatch.setattr(registry, "_EVER_GREEN", eg)
-    order = list(registry._stale_first(dict.fromkeys(eg | {"dedup_cluster"})))
-    assert order[0] == "dedup_cluster"
+    order = list(registry._stale_first(dict.fromkeys(eg | {"mr_wordcount"})))
+    assert order[0] == "mr_wordcount"
