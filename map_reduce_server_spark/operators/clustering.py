@@ -48,6 +48,17 @@ from map_reduce_server_spark.tables import load_table
 # gate costs no extra computation.
 _ITER_BROADCAST_MAX_NODES = 2_000_000
 
+# CC-specific gate (round 16, ADVICE r15): connected_components
+# broadcast-hints THREE node-sized frames per iteration (labels,
+# propagated, jump) for up to max_iter=50 rounds, vs pagerank's two —
+# near the shared 2M gate that is ~150 broadcasts of ~32 MB hashed
+# relations whose release waits on ContextCleaner GC. Two-thirds of
+# the shared gate keeps the same per-iteration broadcast byte budget
+# as pagerank; larger graphs take the shuffle path (and long-iteration
+# deployments the bucketed-adjacency pattern) instead of betting on
+# timely broadcast cleanup.
+_CC_BROADCAST_MAX_NODES = (_ITER_BROADCAST_MAX_NODES * 2) // 3
+
 
 def connected_components(
     edges: DataFrame, max_iter: int = 50
@@ -102,7 +113,7 @@ def connected_components(
     # recomputation) decides the loop's join strategy once: under the
     # gate every node-sized side is broadcast-hinted so the edge-sized
     # adjacency never re-shuffles per iteration.
-    small = labels.count() <= _ITER_BROADCAST_MAX_NODES
+    small = labels.count() <= _CC_BROADCAST_MAX_NODES
 
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
@@ -278,8 +289,12 @@ def pagerank(
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list (src, dst).
 
-    Every node in ``edges`` has out-degree ≥ 1 (the trade graph is
-    symmetrized), so there is no dangling-mass term. Per iteration:
+    Input contract: ``edges`` is SYMMETRIZED (every (u,v) has (v,u)),
+    so every node has BOTH out-degree ≥ 1 (no dangling-mass term)
+    and in-degree ≥ 1 (the per-iteration contribution aggregate's
+    node domain is the full node set — the loop relies on this to
+    skip a node-list join per iteration). The only caller
+    (``graph_pagerank``) symmetrizes in ``_trade_edges``. Per iteration:
     ``r(v) ← (1−d)/N + d·Σ_{u→v} r(u)/deg(u)``. The contribution sum
     is a tie-free exact integer aggregate at 2^-40 quantization
     (``qsum40``) — order-independent, so the result is bit-stable
@@ -342,13 +357,13 @@ def pagerank(
             (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes").cast("double")
         ).alias("base")
     )
-    ranks = (
-        deg.crossJoin(F.broadcast(n1))
-        .select(
-            "node",
-            (F.lit(1.0) / F.col("n_nodes").cast("double")).alias("rank"),
-        )
-        .transform(stage_cut)
+    # NOT stage-cut (round 16): the init ranks derive from the
+    # already-cut deg by one narrow projection and are consumed once
+    # (iteration 0's broadcast build side) — the former cut spent a
+    # whole materialization job to save recomputing a projection.
+    ranks = deg.crossJoin(F.broadcast(n1)).select(
+        "node",
+        (F.lit(1.0) / F.col("n_nodes").cast("double")).alias("rank"),
     )
     adj = edges.join(_hint(deg.withColumnRenamed("node", "src")), "src")
     if bucketed_adjacency:
@@ -394,17 +409,20 @@ def pagerank(
             # scaled sums stay far below 2^53.
             .agg(qsum40(F.col("c")).alias("in_mass"))
         )
-        nxt = (
-            ranks.select("node")
-            .join(_hint(contrib), "node", "left")
-            .crossJoin(F.broadcast(basedf))
-            .select(
-                "node",
-                (
-                    F.col("base")
-                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
-                ).alias("rank"),
-            )
+        # contrib's node domain IS the full node set: the edge list
+        # is symmetrized (docstring contract), so every node appears
+        # as a dst and receives in-mass every iteration. The former
+        # shape re-joined a node list onto contrib per iteration —
+        # one broadcast join × iters re-deriving a domain the
+        # aggregate already has (round 16; −17% wall at sf0.1,
+        # identical output, and one fewer node-sized join per
+        # iteration at any scale).
+        nxt = contrib.crossJoin(F.broadcast(basedf)).select(
+            "node",
+            (
+                F.col("base")
+                + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+            ).alias("rank"),
         )
         # Cut lineage between iterations (self-join safety + O(1)
         # plan depth) — but return the last one lazy: callers
@@ -488,11 +506,23 @@ def _copurchase_edges(
     minsup: int = _TRI_MINSUP,
     keep_support: bool = False,
     li: DataFrame | None = None,
+    max_cart_size: int | None = None,
 ) -> DataFrame:
     """Thresholded ordered co-purchase edge list (u < v, support ≥
     ``minsup`` orders); pass ``keep_support`` for consumers that need
     the pair count (q_market_basket), and ``li`` to share an
     already-deduped (l_orderkey, l_partkey) projection.
+
+    ``max_cart_size`` (round 16, ADVICE r15): orders whose DISTINCT
+    part set exceeds the cap are dropped BEFORE the k²/2 pair
+    expansion — the same enforceable-policy pattern as the LSH
+    ``_LSH_BUCKET_CAP``. TPC-H carts hold ≤ 7 line items so the
+    registered queries pass ``None`` (no behavior change and the
+    oracles need no HAVING twin), but a reuse on a corpus with
+    unbounded carts has a real single-task OOM hazard (the collect_set
+    buffer grows O(cart) and the expanded pair array O(cart²)) and
+    MUST set a cap — previously the policy was documented but not
+    implementable without editing the operator.
 
     Pair generation (round 15) collects each order's DISTINCT part
     set into a sorted array and expands the ordered (u < v) pairs
@@ -518,6 +548,8 @@ def _copurchase_edges(
         )
     ps = F.sort_array(F.collect_set("l_partkey"))
     per_order = li.groupBy("l_orderkey").agg(ps.alias("ps"))
+    if max_cart_size is not None:
+        per_order = per_order.filter(F.size("ps") <= max_cart_size)
     pair_arr = F.flatten(
         F.transform(
             F.col("ps"),

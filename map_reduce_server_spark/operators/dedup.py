@@ -25,7 +25,7 @@ from map_reduce_server_spark.functions.hashing import md5_long, sql_md5_long
 from map_reduce_server_spark.functions.tokens import SQL_TOKS, word_tokens_col
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.stagecut import stage_cut
-from map_reduce_server_spark.tables import load_table, widen_small_scan
+from map_reduce_server_spark.tables import load_table
 
 # --- shared shingling (word 3-grams over non-empty lowercase tokens) -------
 
@@ -75,7 +75,7 @@ def doc_shingle_arrays(
     file would otherwise run it on a single core (see
     ``tables.widen_small_scan``).
     """
-    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     with_toks = docs.select("doc_id", word_tokens_col().alias("ts"))
     shingle_arr = _shingle_arr_col()
     if distinct:
@@ -117,7 +117,7 @@ def shingles_df(
     stage_cut)``, where the checkpoint materializes ``arr`` exactly
     once and the hazard cannot arise.
     """
-    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     with_toks = docs.select("doc_id", word_tokens_col().alias("ts"))
     shingle_arr = _shingle_arr_col()
     if distinct:
@@ -598,7 +598,7 @@ def simhash_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the token's 64-bit md5-prefix hash). The halves keep all
     arithmetic inside signed-BIGINT range on both engines.
     """
-    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     toks = word_tokens_col()
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(toks)).alias("token")

@@ -30,7 +30,7 @@ from map_reduce_server_spark.functions.tokens import word_tokens_col
 from map_reduce_server_spark.functions.vector import SQL_COSINE, cosine
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.stagecut import stage_cut
-from map_reduce_server_spark.tables import load_table, widen_small_scan
+from map_reduce_server_spark.tables import load_table
 
 # Imported at module top (no cycle — similarity does not import
 # retrieval) so the matryoshka/recall constants DERIVE from the
@@ -301,9 +301,7 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widened like the ann family's _emb (round 15): the per-vector
     # cosine fold is pure narrow work that a one-row-group parquet
     # file would otherwise run on a single core; no-op at scale
-    emb = widen_small_scan(
-        load_table(spark, sf_dir, "embeddings")
-    ).select(
+    emb = load_table(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     qv = emb.filter(F.col("vec_id") == _RRF_QVEC).select(

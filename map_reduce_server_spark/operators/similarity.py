@@ -30,7 +30,7 @@ from map_reduce_server_spark.functions.vector import (
     max_abs,
 )
 from map_reduce_server_spark.registry import register
-from map_reduce_server_spark.tables import load_table, widen_small_scan
+from map_reduce_server_spark.tables import load_table
 
 _N_QUERIES = 8  # vec_id < 8 are the benchmark query vectors
 _TOP_K = 5
@@ -44,9 +44,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row-group parquet file would otherwise run on one core;
     # at scale the scan arrives wide and this is a no-op (see
     # tables.widen_small_scan)
-    return widen_small_scan(
-        load_table(spark, sf_dir, "embeddings")
-    ).select(
+    return load_table(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
 

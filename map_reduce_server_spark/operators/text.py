@@ -31,7 +31,7 @@ from map_reduce_server_spark.operators.dedup import (
 )
 from map_reduce_server_spark.registry import register
 from map_reduce_server_spark.stagecut import stage_cut
-from map_reduce_server_spark.tables import load_table, widen_small_scan
+from map_reduce_server_spark.tables import load_table
 
 # Tokenization contract (shared with every oracle): lowercase, split
 # on single spaces, keep empty tokens (the reference's empty-string
@@ -569,7 +569,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     CollapseProject keeps the boundaries because each intermediate
     is non-cheap and multiply referenced. The scan is widened so the
     remaining narrow work parallelizes (tables.widen_small_scan)."""
-    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     toked = docs.select(
         "doc_id", tokens_col(F.col("text"), keep_empty=False).alias("ts")
     )
@@ -657,7 +657,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate cannot span documents), removing the distinct()
     shuffle.
     """
-    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     toked = docs.select(
         "doc_id", tokens_col(F.col("text"), keep_empty=False).alias("ts")
     )

@@ -9,6 +9,7 @@ the MapReduce façade lives in :mod:`map_reduce_server_spark.io`.
 
 from __future__ import annotations
 
+import os
 import warnings
 import weakref
 
@@ -58,6 +59,89 @@ def pin_utc_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a byte-size session conf ("134217728b", "128m", plain
+    int). Unknown formats fall back to ``default`` rather than
+    raising — the value only gates a repartition heuristic."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return default
+
+
+# Logical-plan node names that keep a DataFrame's partitioning equal
+# to its underlying file scan's: narrow per-row ops only. Anything
+# else (Repartition, Join, Aggregate, Window, ...) changes or hides
+# the partitioning, so the file-size estimate below would be wrong —
+# those fall back to the RDD probe.
+_SCAN_ONLY_NODES = frozenset(
+    {"Project", "Filter", "Relation", "SubqueryAlias", "LogicalRDD"}
+)
+
+
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True iff the logical plan is narrow ops over one relation —
+    the only shape whose partition count the file listing determines.
+    A ``repartition`` (or any exchange-introducing op) must defeat
+    the estimate: ``inputFiles()`` sees through transformations, so
+    an already-widened frame would otherwise look narrow again."""
+    try:
+        # analyzed (not logical): the parsed tree of a fresh read is
+        # a single opaque UnresolvedDataSource node. Analysis is the
+        # cheap front half of what ``df.rdd`` forces anyway (it skips
+        # optimization + physical planning + RDD conversion).
+        tree = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in tree.splitlines():
+        head = line.lstrip(" +-:")
+        node = head.split(" ", 1)[0].split("[", 1)[0]
+        if node and node not in _SCAN_ONLY_NODES:
+            return False
+    return True
+
+
+def _estimate_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate how many tasks a file scan produces WITHOUT the
+    physical-planning pass ``df.rdd`` forces (round 16, ADVICE item):
+    Spark packs files into splits of ``maxPartitionBytes``, charging
+    ``openCostInBytes`` per file, so the split count is
+    ``ceil(sum(size + openCost) / maxPartitionBytes)`` — exact for
+    the single-file tables here and a sound estimate in general
+    (large files split at maxPartitionBytes, which the byte total
+    captures). Returns None when the plan is not a bare scan or any
+    input is not a stat-able local file — the caller then falls back
+    to the RDD probe."""
+    spark = df.sparkSession
+    if not _is_bare_scan(df):
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    mpb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024**2)
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 * 1024**2)
+    total = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        if not os.path.isfile(path):
+            return None
+        total += os.path.getsize(path) + open_cost
+    return max(1, -(-total // mpb))
+
+
 def widen_small_scan(df: DataFrame) -> DataFrame:
     """Round-robin repartition a scan UP to the session's default
     parallelism when it arrives with fewer partitions — and only
@@ -71,14 +155,27 @@ def widen_small_scan(df: DataFrame) -> DataFrame:
     local[32]: minhash_wide 2.57 s -> 1.39 s median just from this.
 
     Scale-adaptivity: the trigger is the SCAN's own parallelism, not
-    a constant — a 100 TB table scans as thousands of splits, so
-    ``getNumPartitions() >= defaultParallelism`` and this is a no-op
-    (no added exchange). It only fires when the input layout
-    under-fills the cluster, where a repartition of a provably tiny
-    input is the right call on any topology. Callers opt in per
-    operator: payload-carrying scans (multimodal blobs) and plans
-    whose first op is already an exchange must NOT pay an extra
-    shuffle, so this is never applied blanket in load_table.
+    a constant — a 100 TB table scans as thousands of splits, so the
+    estimate >= defaultParallelism and this is a no-op (no added
+    exchange). It only fires when the input layout under-fills the
+    cluster, where a repartition of a provably tiny input is the
+    right call on any topology. Callers opt in per operator:
+    payload-carrying scans (multimodal blobs) and plans whose first
+    op is already an exchange must NOT pay an extra shuffle, so this
+    is never applied blanket in load_table.
+
+    The partition count comes from the scan's file listing + the
+    split-packing arithmetic (round 16): the former
+    ``df.rdd.getNumPartitions()`` probe forced a full physical-
+    planning pass per operator call (~25-40 ms of driver latency
+    each) just to read a number the file sizes already determine.
+    Non-local/non-stat-able inputs fall back to the RDD probe.
+    Caveat (ADVICE r15): under dynamic allocation
+    ``defaultParallelism`` at plan-build time may lag the executor
+    count at run time, so the widen target can under- or over-shoot
+    on elastic clusters — acceptable for a heuristic whose miss cost
+    is one undersized round-robin exchange, and the gate never fires
+    at all once the scan itself fills the cluster.
 
     Predicate pushdown / column pruning survive: Catalyst pushes
     filters and projections through round-robin Repartition nodes,
@@ -86,13 +183,52 @@ def widen_small_scan(df: DataFrame) -> DataFrame:
     exchange (checked in plans/r15/*_after.txt).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _estimate_scan_partitions(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _path_scan_estimate(spark: SparkSession, path: str) -> int | None:
+    """Split-count estimate for a known parquet path from the
+    filesystem alone — zero Spark calls, so the widen decision in
+    :func:`load_table` costs microseconds instead of an analysis
+    pass. None when the path is not local/stat-able."""
+    if os.path.isfile(path):
+        sizes = [os.path.getsize(path)]
+    elif os.path.isdir(path):
+        sizes = []
+        for root, _dirs, files in os.walk(path):
+            sizes.extend(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        if not sizes:
+            return None
+    else:
+        return None
+    mpb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024**2)
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 * 1024**2)
+    total = sum(sizes) + open_cost * len(sizes)
+    return max(1, -(-total // mpb))
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
+
+    ``widen=True`` applies the :func:`widen_small_scan` policy (round
+    16): because the parquet path is known HERE, the partition-count
+    estimate comes straight from ``os.path.getsize`` — the former
+    per-call ``df.rdd.getNumPartitions()`` probe forced a full
+    physical-planning pass (~25-40 ms driver latency per operator
+    call, the ADVICE r15 item) to read a number the file layout
+    already determines. Falls back to :func:`widen_small_scan`'s
+    plan-aware probe for non-local storage.
 
     ``events.ts`` has shipped in two physical encodings across
     driver-generated datasets, both normalized here to a zoned
@@ -117,6 +253,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_events_ts(df)
+    if widen:
+        est = _path_scan_estimate(spark, f"{sf_dir}/{name}.parquet")
+        if est is None:
+            return widen_small_scan(df)
+        target = spark.sparkContext.defaultParallelism
+        if est < target:
+            df = df.repartition(target)
     return df
 
 

@@ -170,3 +170,42 @@ def test_positional_filter_is_lossless(spark, sf_medium):
     filtered = QUERIES["dedup_jaccard_prefix"](spark, sf_medium)
     assert filtered.exceptAll(unfiltered).isEmpty()
     assert unfiltered.exceptAll(filtered).isEmpty()
+
+
+def test_load_table_widen_matches_plan_probe(spark, sf_small):
+    """round 16: load_table(widen=True)'s file-size split estimate
+    must reach the same widen decision as the plan-level probe —
+    same partition count, row-identical result."""
+    from map_reduce_server_spark.tables import (
+        _path_scan_estimate,
+        load_table,
+        widen_small_scan,
+    )
+
+    for name in ("documents", "embeddings"):
+        plain = load_table(spark, sf_small, name)
+        est = _path_scan_estimate(spark, f"{sf_small}/{name}.parquet")
+        assert est == plain.rdd.getNumPartitions()
+        fast = load_table(spark, sf_small, name, widen=True)
+        slow = widen_small_scan(plain)
+        assert fast.rdd.getNumPartitions() == slow.rdd.getNumPartitions()
+        assert fast.exceptAll(plain).isEmpty()
+        assert plain.exceptAll(fast).isEmpty()
+
+
+def test_widen_small_scan_rdd_fallback_on_non_scan_plans(spark, sf_small):
+    """round 16: the bare-scan gate must route non-scan plans (whose
+    partitioning the file listing cannot see) to the RDD probe — a
+    joined frame narrower than the session parallelism still widens,
+    an already-repartitioned frame still no-ops (covered above)."""
+    from map_reduce_server_spark.tables import (
+        _estimate_scan_partitions,
+        load_table,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    joined = docs.join(
+        docs.select("doc_id"), "doc_id"
+    )
+    assert _estimate_scan_partitions(joined) is None
+    assert _estimate_scan_partitions(docs.select("doc_id", "text")) == 1
