@@ -745,7 +745,12 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: embarrassingly parallel Arrow-batched mapInPandas, no
     shuffle; payloads live only inside a task.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # widened (round 16, measured per leg): the heavy Python
+    # decode below otherwise runs in the single task a one-row-
+    # group scan yields (jpeg_color 8.4 -> 1.5 s, video 10.5 ->
+    # 1.7 s at sf0.1/local[32]); light legs (wav/png/bmp/adpcm/
+    # law) measured a wash or loss and stay unwidened
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return _px_stats_select(jpeg_stats(with_jpeg_payload(docs)))
 
 
@@ -791,7 +796,12 @@ def multimodal_decode_jpeg_progressive(
     Scale: embarrassingly parallel Arrow-batched mapInPandas, no
     shuffle; payloads live only inside a task.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # widened (round 16, measured per leg): the heavy Python
+    # decode below otherwise runs in the single task a one-row-
+    # group scan yields (jpeg_color 8.4 -> 1.5 s, video 10.5 ->
+    # 1.7 s at sf0.1/local[32]); light legs (wav/png/bmp/adpcm/
+    # law) measured a wash or loss and stay unwidened
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return _px_stats_select(jpeg_stats(with_jpeg_progressive_payload(docs)))
 
 
@@ -958,7 +968,12 @@ def multimodal_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: embarrassingly parallel Arrow-batched mapInPandas, no
     shuffle; payloads live only inside a task.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # widened (round 16, measured per leg): the heavy Python
+    # decode below otherwise runs in the single task a one-row-
+    # group scan yields (jpeg_color 8.4 -> 1.5 s, video 10.5 ->
+    # 1.7 s at sf0.1/local[32]); light legs (wav/png/bmp/adpcm/
+    # law) measured a wash or loss and stay unwidened
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     stats = jpeg_color_stats(with_jpeg_color_payload(docs))
     return stats.select(
         "doc_id",
@@ -1328,7 +1343,12 @@ def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB video corpus is screened (per-file decode, no data
     movement beyond the scan).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # widened (round 16, measured per leg): the heavy Python
+    # decode below otherwise runs in the single task a one-row-
+    # group scan yields (jpeg_color 8.4 -> 1.5 s, video 10.5 ->
+    # 1.7 s at sf0.1/local[32]); light legs (wav/png/bmp/adpcm/
+    # law) measured a wash or loss and stay unwidened
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     stats = video_stats(with_video_payload(docs))
     return stats.select(
         "doc_id",
@@ -1424,7 +1444,12 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: embarrassingly parallel Arrow-batched mapInPandas, no
     shuffle; payloads never leave the task."""
-    docs = load_table(spark, sf_dir, "documents")
+    # widened (round 16, measured per leg): the heavy Python
+    # decode below otherwise runs in the single task a one-row-
+    # group scan yields (jpeg_color 8.4 -> 1.5 s, video 10.5 ->
+    # 1.7 s at sf0.1/local[32]); light legs (wav/png/bmp/adpcm/
+    # law) measured a wash or loss and stay unwidened
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return _px_stats_select(gif_stats(with_gif_payload(docs)))
 
 
@@ -1531,7 +1556,12 @@ def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: embarrassingly parallel Arrow-batched mapInPandas, no
     shuffle; payloads live only inside a task."""
-    docs = load_table(spark, sf_dir, "documents")
+    # widened (round 16, measured per leg): the heavy Python
+    # decode below otherwise runs in the single task a one-row-
+    # group scan yields (jpeg_color 8.4 -> 1.5 s, video 10.5 ->
+    # 1.7 s at sf0.1/local[32]); light legs (wav/png/bmp/adpcm/
+    # law) measured a wash or loss and stay unwidened
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     stats = flac_stats(with_flac_payload(docs))
     return stats.select(
         "doc_id",
