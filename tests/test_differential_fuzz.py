@@ -804,13 +804,32 @@ def _date_out_pair(out) -> tuple[Column, str]:
     )
 
 
+def _no_normalized_equal_intervals(outs) -> bool:
+    # DuckDB 1.0's CSE compares interval constants by 30-day-month
+    # normalized value, so `+ INTERVAL n DAY` and `+ INTERVAL m MONTH`
+    # on the same column unify into one expression when n == 30*m and
+    # the oracle silently returns the FIRST for both (pinned in
+    # test_engine_portability_pins.py::
+    # test_duckdb_interval_cse_folds_normalized_equal_intervals).
+    # Oracle-side bug, not a Spark divergence — keep the draw space
+    # outside it, as q_date_funcs' 91-day workaround does.
+    days = {o[1] for o in outs if o[0] == "adddays"}
+    return not any(
+        30 * o[1] in days for o in outs if o[0] == "addmonths"
+    )
+
+
 @settings(
     max_examples=_DEEP_EXAMPLES or 25,
     deadline=None,
     print_blob=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(outs=st.lists(_DATE_OUT, min_size=1, max_size=4, unique=True))
+@given(
+    outs=st.lists(_DATE_OUT, min_size=1, max_size=4, unique=True).filter(
+        _no_normalized_equal_intervals
+    )
+)
 @example(
     outs=[
         ("trunc", "week"),

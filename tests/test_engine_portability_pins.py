@@ -52,6 +52,12 @@ RULES (each backed by a test below):
 - AGREEING date subset (verified, not folklore): weekofyear (ISO,
   week 53 spill-back included), dayofyear, quarter, last_day,
   date_add(d, n).
+- Interval constants in ONE statement must be value-DISTINCT under
+  DuckDB's 30-day-month normalization: its CSE treats INTERVAL m
+  MONTH and INTERVAL 30*m DAY as the same constant, silently folding
+  two additions on the same column into whichever appears first
+  (found by the date-exprs deep fuzz; q_date_funcs works around it
+  with 91 days against 3 months).
 - JSON extraction (get_json_object vs json_extract_string): the
   portable envelope is identifier keys, strings, booleans,
   int64-range integers, and doubles whose magnitude stays in
@@ -903,3 +909,56 @@ def test_negative_zero_literal_diverges(spark, duck):
         1.0, _duck1(duck, "CAST('-0.0' AS DOUBLE) + 0.0")
     ) == 1.0
     assert math.copysign(1.0, _spark1(spark, "-0.0D + 0.0D")) == 1.0
+
+
+def test_duckdb_interval_cse_folds_normalized_equal_intervals(spark, duck):
+    """DuckDB 1.0's subexpression elimination compares interval
+    constants by 30-day-month NORMALIZED value (``INTERVAL 1 MONTH =
+    INTERVAL 30 DAY`` is TRUE), so adding two normalization-equal
+    intervals to the SAME column in one statement unifies them into
+    ONE expression: both output columns silently carry whichever was
+    listed FIRST. Each addition alone is correct, and constant-only
+    operands fold before CSE and stay correct — the trap needs a real
+    column. Spark computes both correctly (and refuses to even
+    compare a year-month interval to a day-time interval). Oracle
+    rule (q_date_funcs ships the 91-day workaround): keep the
+    interval constants of one statement value-distinct under 30-day
+    normalization. The date-exprs fuzz excludes colliding
+    (adddays n, addmonths m) draws with n == 30*m for this reason."""
+    import datetime
+
+    # the normalization that seeds the bug
+    assert _duck1(duck, "INTERVAL 1 MONTH = INTERVAL 30 DAY") is True
+    # over a column the FIRST expression wins both outputs — either order
+    r = duck.execute(
+        "SELECT d + INTERVAL 30 DAY, d + INTERVAL 1 MONTH"
+        " FROM (SELECT DATE '1995-01-01' AS d)"
+    ).fetchone()
+    assert r[0] == r[1] == datetime.datetime(1995, 1, 31)  # +1 MONTH lost
+    r = duck.execute(
+        "SELECT d + INTERVAL 1 MONTH, d + INTERVAL 30 DAY"
+        " FROM (SELECT DATE '1995-01-01' AS d)"
+    ).fetchone()
+    assert r[0] == r[1] == datetime.datetime(1995, 2, 1)  # +30 DAY lost
+    # alone, each is correct
+    assert duck.execute(
+        "SELECT d + INTERVAL 30 DAY FROM (SELECT DATE '1995-01-01' AS d)"
+    ).fetchone()[0] == datetime.datetime(1995, 1, 31)
+    # constant-only operands fold before CSE and stay correct
+    r = duck.execute(
+        "SELECT DATE '1995-01-01' + INTERVAL 30 DAY,"
+        " DATE '1995-01-01' + INTERVAL 1 MONTH"
+    ).fetchone()
+    assert (r[0], r[1]) == (
+        datetime.datetime(1995, 1, 31),
+        datetime.datetime(1995, 2, 1),
+    )
+    # Spark: both correct over a column; the comparison is a type error
+    srow = spark.sql(
+        "SELECT d + INTERVAL 30 DAY, d + INTERVAL 1 MONTH"
+        " FROM (SELECT DATE '1995-01-01' AS d)"
+    ).collect()[0]
+    assert srow[0] == datetime.date(1995, 1, 31)
+    assert srow[1] == datetime.date(1995, 2, 1)
+    with pytest.raises(Exception, match="DATATYPE_MISMATCH|data type"):
+        spark.sql("SELECT INTERVAL 1 MONTH = INTERVAL 30 DAY").collect()
